@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Loaders for the driver-generated testdata tables (see TESTDATA.md /
+  * FIXTURES.md §B) plus shared expression helpers used across the
+  * conformance suite.
+  *
+  * Scale posture: every loader is a plain lazy parquet scan — Catalyst
+  * pushes filters/projections down into the scan, so callers compose
+  * freely without materializing anything.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def rd(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = rd(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = rd(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = rd(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = rd(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = rd(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = rd(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = rd(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = rd(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = rd(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = rd(s, d, "embeddings")
+
+  /** Register every table as a temp view (for spark.sql-driven flows). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => rd(spark, dir, n).createOrReplaceTempView(n))
+}
+
+/** Expression helpers shared by the declared conformance queries.
+  *
+  * Float rule (SURVEY.md §2.3): testdata measures are DOUBLE and double
+  * addition is order-dependent, so every declared aggregate casts to
+  * DECIMAL(38,6) pre-sum (decimal addition is associative → the result is
+  * independent of Spark's partitioning / DuckDB's scan order), then casts
+  * the exact decimal sum back to DOUBLE for a stable output type.
+  */
+object Qh {
+  val Dec: DecimalType = DecimalType(38, 6)
+
+  /** Order-independent sum of a DOUBLE column, emitted as DOUBLE. */
+  def dsum(c: Column): Column = sum(c.cast(Dec)).cast(DoubleType)
+
+  /** Order-independent mean: exact decimal sum ÷ count, both engines
+    * compute the same IEEE double division. */
+  def davg(c: Column): Column = sum(c.cast(Dec)).cast(DoubleType) / count(c)
+
+  /** DuckDB-side spelling of [[dsum]]. */
+  def oSum(e: String): String = s"CAST(SUM(CAST($e AS DECIMAL(38,6))) AS DOUBLE)"
+
+  /** DuckDB-side spelling of [[davg]]. */
+  def oAvg(e: String): String = s"${oSum(e)} / COUNT($e)"
+}

@@ -1,0 +1,44 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** The `costs` UNION ALL view over per-source normalized tables —
+  * mirror of the reference's view generation
+  * (reference src/transforms/normalize.py:112-143, src/main.py:124-132,
+  * sql/init.sql:31-56).
+  *
+  * The reference emits `CREATE OR REPLACE VIEW` DDL text for PostgreSQL;
+  * here the view lives in the Spark catalog and the union is by *name*
+  * with missing columns allowed (SURVEY §7.3.6: schema drift across
+  * loads → NULL-fill), which is strictly safer than the reference's
+  * positional UNION ALL.
+  *
+  * Scale posture: a view over lazy unions costs nothing at definition
+  * time; Catalyst pushes filters/projections through `Union` into each
+  * branch's scan, so querying `costs` for one day touches one partition
+  * of each source, not the whole lake.
+  */
+object CostsView {
+
+  /** Columns the view exposes, positionally fixed (normalize.py:124-136). */
+  val viewColumns: Seq[String] = Normalize.targetColumns
+
+  /** Union normalized frames by name (missing columns → NULL), projected
+    * to the fixed view schema. */
+  def build(normalized: Seq[DataFrame]): DataFrame = {
+    require(normalized.nonEmpty, "costs view needs at least one source")
+    normalized
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+      .select(viewColumns.map(col): _*)
+  }
+
+  /** Register the union of catalog tables `<t>_normalized` as view
+    * `costs` (main.py:124-132 flow). */
+  def create(spark: SparkSession, sourceTables: Seq[String], viewName: String = "costs"): DataFrame = {
+    val dfs = sourceTables.map(t => spark.table(s"${t}_normalized"))
+    val v = build(dfs)
+    v.createOrReplaceTempView(viewName)
+    v
+  }
+}

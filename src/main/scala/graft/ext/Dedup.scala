@@ -1,0 +1,161 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for large-scale text corpora (SURVEY §2.5 E1/E2).
+  *
+  * Scale design (100 TB posture):
+  *  - exact dedup is a hash shuffle on the dedup key — Spark's
+  *    `dropDuplicates`, no driver state;
+  *  - near-dup goes shingle → MinHash signature (narrow, per-row) →
+  *    LSH banding (explode k/r rows per doc) → bucket self-join. Only
+  *    docs sharing a band bucket are ever paired, so the quadratic
+  *    explosion of naive all-pairs never materializes; skewed buckets
+  *    (boilerplate shingles) are bounded by `maxBucket`;
+  *  - SimHash packs a document into one 64-bit key; near-dups are found
+  *    by banding the 64 bits into chunks (pigeonhole: hamming ≤ k ⇒ some
+  *    chunk equal) — same join discipline.
+  *
+  * Everything is expressed with codegen'd built-ins + higher-order
+  * functions — no Scala UDF in any per-row path.
+  */
+object Dedup {
+
+  /** E1: exact dedup — distributed hash-shuffle on the key columns. */
+  def exact(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.dropDuplicates(keys)
+
+  /** Canonical exact-dup groups: smallest id survives, group size kept. */
+  def exactGroups(df: DataFrame, key: String, idCol: String): DataFrame =
+    df.groupBy(col(key))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Distinct n-word shingles of a whitespace-tokenized text column.
+    * Documents shorter than n words yield the whole text as one shingle. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val words = split(text, " ")
+    val grams = transform(
+      sequence(lit(1), greatest(size(words) - (n - 1), lit(1))),
+      i => concat_ws(" ", (0 until n).map(j => element_at(words, i + j)): _*))
+    array_distinct(grams)
+  }
+
+  // Deterministic affine hash family over xxhash64: h_i(s) = a_i*x + b_i
+  // (mod 2^64 wraparound is fine for hashing), then min over shingles.
+  private def minhashCol(sh: Column, k: Int): Column = {
+    val sigs = (0 until k).map { i =>
+      val a = 2L * i + 1234567891L
+      val b = 981234567L * (i + 1)
+      array_min(transform(sh, s => pmod(xxhash64(s) * a + b, lit(Long.MaxValue))))
+    }
+    array(sigs: _*)
+  }
+
+  /** Per-doc MinHash signature (k hashes) from distinct shingles. */
+  def withMinhashSignature(df: DataFrame, text: Column, k: Int = 32,
+      shingleWidth: Int = 3): DataFrame =
+    df.withColumn("mh_sig", minhashCol(shingles(text, shingleWidth), k))
+
+  /** E2: MinHash-LSH candidate pairs with estimated Jaccard.
+    *
+    * @param maxBucket skew guard: buckets larger than this (shared
+    *                  boilerplate) are dropped rather than joined —
+    *                  at scale this bounds the worst-case pair count.
+    */
+  def minhashCandidates(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 32, bands: Int = 8, shingleWidth: Int = 3,
+      minEstSim: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val r = k / bands
+    val sig = withMinhashSignature(df.select(col(idCol).as("doc")), col(textCol), k, shingleWidth)
+      .select(col("doc"), col("mh_sig"))
+    val bandHashes = (0 until bands).map(b => xxhash64(slice(col("mh_sig"), b * r + 1, r)))
+    val banded = sig
+      .select(col("doc"), col("mh_sig"), posexplode(array(bandHashes: _*)).as(Seq("band", "bh")))
+    val pruned = banded
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("bh"))))
+      .filter(col("bucket_n") <= maxBucket)
+    val pairs = pruned.as("x").join(pruned.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("doc1"), col("y.doc").as("doc2"),
+        col("x.mh_sig").as("s1"), col("y.mh_sig").as("s2"))
+      .dropDuplicates("doc1", "doc2")
+    pairs
+      .withColumn("est_sim",
+        size(filter(zip_with(col("s1"), col("s2"), (a, b) => a === b), x => x))
+          .cast(DoubleType) / k)
+      .filter(col("est_sim") >= minEstSim)
+      .select(col("doc1"), col("doc2"), col("est_sim"))
+  }
+
+  /** 64-bit SimHash of the word multiset: per bit, vote +1/-1 by each
+    * token's xxhash64 bit, take the sign. Pure higher-order functions. */
+  def simhash64(text: Column): Column = {
+    val words = split(text, " ")
+    val votes = aggregate(
+      words,
+      array_repeat(lit(0L), 64),
+      (acc, w) => zip_with(
+        acc,
+        transform(sequence(lit(0), lit(63)),
+          i => shiftright(xxhash64(w), i).bitwiseAND(1L) * 2 - 1),
+        (a, v) => a + v))
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(63)),
+        (v, i) => when(v > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc.bitwiseOR(x))
+  }
+
+  /** E2 (SimHash flavor): near-dup pairs by banding the 64-bit simhash
+    * into `chunks` pieces — hamming distance ≤ chunks-1 guarantees at
+    * least one equal chunk (pigeonhole), which seeds the candidate join;
+    * exact hamming is then computed on the candidates only. */
+  def simhashCandidates(
+      df: DataFrame, idCol: String, textCol: String,
+      chunks: Int = 4, maxHamming: Int = 3): DataFrame = {
+    val width = 64 / chunks
+    val sh = df.select(col(idCol).as("doc"), simhash64(col(textCol)).as("sh"))
+    val chunkCols = (0 until chunks).map { c =>
+      shiftright(col("sh"), c * width)
+        .bitwiseAND((1L << width) - 1).as(s"chunk_$c")
+    }
+    val withChunks = sh.select(col("doc") +: col("sh") +: chunkCols: _*)
+    val banded = withChunks.select(col("doc"), col("sh"),
+      posexplode(array((0 until chunks).map(c => col(s"chunk_$c")): _*)).as(Seq("band", "bh")))
+    val ham = (a: Column, b: Column) => bit_count(a.bitwiseXOR(b))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("doc1"), col("y.doc").as("doc2"),
+        ham(col("x.sh"), col("y.sh")).cast(IntegerType).as("hamming"))
+      .dropDuplicates("doc1", "doc2")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** E2 (exact flavor, the conformance oracle): n-gram Jaccard similarity
+    * via an inverted-index self-join on shingles. At scale the shingle
+    * join would ride behind the MinHash candidate filter; declared here
+    * standalone so DuckDB can verify it hash-for-hash. */
+  def jaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleWidth: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val tok = df.select(col(idCol).as("doc"),
+        explode(shingles(col(textCol), shingleWidth)).as("sh"))
+    val sizes = tok.groupBy(col("doc")).agg(count(lit(1)).as("n"))
+    val inter = tok.as("a").join(tok.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc1"), col("b.doc").as("doc2"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.withColumnRenamed("doc", "doc1").withColumnRenamed("n", "n1"), "doc1")
+      .join(sizes.withColumnRenamed("doc", "doc2").withColumnRenamed("n", "n2"), "doc2")
+      .withColumn("jaccard", col("i").cast(DoubleType) / (col("n1") + col("n2") - col("i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc1"), col("doc2"), col("jaccard"))
+  }
+}
