@@ -27,13 +27,29 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = rd(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = rd(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = rd(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = rd(s, d, "events")
+
+  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark 4
+    * rejects outright (PARQUET_TYPE_ILLEGAL). Read the physical int64 via
+    * `legacy.parquet.nanosAsLong` and convert losslessly to a timestamp:
+    * the data is µs-precision (epoch_ns % 1000 == 0 for every row), and
+    * `div` is integer division so no double rounding at 1.7e18 magnitudes.
+    * This matches bit-for-bit how DuckDB reads the same column. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = rd(s, d, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
   def documents(s: SparkSession, d: String): DataFrame = rd(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = rd(s, d, "embeddings")
 
   /** Register every table as a temp view (for spark.sql-driven flows). */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => rd(spark, dir, n).createOrReplaceTempView(n))
+    names.foreach {
+      case "events" => events(spark, dir).createOrReplaceTempView("events")
+      case n        => rd(spark, dir, n).createOrReplaceTempView(n)
+    }
 }
 
 /** Expression helpers shared by the declared conformance queries.

@@ -8,7 +8,7 @@ import java.time.{LocalDate, YearMonth}
   * extract (reference src/sources/aws_cur.py:60-172) on Spark's
   * datasource machinery.
   *
-  * Where the reference hand-builds `…/year={y}/month={m}/*.parquet` URIs
+  * Where the reference hand-builds `…/year={y}/month={m}/<file>.parquet` URIs
   * and loops months in the driver (aws_cur.py:64-75,134-160), this reads
   * the partition root once and expresses the month window as a predicate
   * on the Hive partition columns — `PruneFileSourcePartitions` then skips
@@ -52,16 +52,24 @@ object CurSource {
   }
 
   /** Flat (non-partitioned) variant for single-file tables: month window
-    * expressed on a timestamp column (the C33 partition-prune mirror). */
+    * expressed on a timestamp column (the C33 partition-prune mirror).
+    * Takes an already-loaded frame so table-specific load handling (e.g.
+    * the events nanos conversion) is applied once, in the loader. */
+  def windowed(
+      df: DataFrame,
+      tsCol: String,
+      startInclusive: String,
+      endExclusive: String): DataFrame =
+    df.filter(col(tsCol) >= lit(startInclusive).cast("timestamp") &&
+      col(tsCol) < lit(endExclusive).cast("timestamp"))
+
   def readWindowed(
       spark: SparkSession,
       path: String,
       tsCol: String,
       startInclusive: String,
       endExclusive: String): DataFrame =
-    spark.read.parquet(path)
-      .filter(col(tsCol) >= lit(startInclusive).cast("timestamp") &&
-        col(tsCol) < lit(endExclusive).cast("timestamp"))
+    windowed(spark.read.parquet(path), tsCol, startInclusive, endExclusive)
 
   /** File-count existence probe (aws_cur.py:140-147 / main.py:200-205):
     * metadata-only, no data read. */

@@ -82,7 +82,7 @@ object EtlQueries {
   // timestamp predicate, daily decimal sums.
   val c33 = Q(
     "c33_partition_prune",
-    (s, d) => CurSource.readWindowed(s, s"$d/events.parquet", "ts",
+    (s, d) => CurSource.windowed(T.events(s, d), "ts",
       "2024-01-01", "2024-02-01")
       .groupBy(col("ts").cast("date").as("d"))
       .agg(dsum(col("value")).as("total"))

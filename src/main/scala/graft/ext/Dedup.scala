@@ -38,17 +38,16 @@ object Dedup {
     val words = split(text, " ")
     val grams = transform(
       sequence(lit(1), greatest(size(words) - (n - 1), lit(1))),
-      i => concat_ws(" ", (0 until n).map(j => element_at(words, i + j)): _*))
+      i => concat_ws(" ", (0 until n).map(j => try_element_at(words, i + j)): _*))
     array_distinct(grams)
   }
 
-  // Deterministic affine hash family over xxhash64: h_i(s) = a_i*x + b_i
-  // (mod 2^64 wraparound is fine for hashing), then min over shingles.
+  // Deterministic hash family: h_i(s) = xxhash64(s, i) — the family index
+  // salts the hash input, so no post-hash arithmetic (which would overflow
+  // Long under ANSI mode); then min over shingles.
   private def minhashCol(sh: Column, k: Int): Column = {
     val sigs = (0 until k).map { i =>
-      val a = 2L * i + 1234567891L
-      val b = 981234567L * (i + 1)
-      array_min(transform(sh, s => pmod(xxhash64(s) * a + b, lit(Long.MaxValue))))
+      array_min(transform(sh, s => xxhash64(s, lit(i))))
     }
     array(sigs: _*)
   }
@@ -70,7 +69,8 @@ object Dedup {
       minEstSim: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val r = k / bands
-    val sig = withMinhashSignature(df.select(col(idCol).as("doc")), col(textCol), k, shingleWidth)
+    val sig = withMinhashSignature(
+        df.select(col(idCol).as("doc"), col(textCol)), col(textCol), k, shingleWidth)
       .select(col("doc"), col("mh_sig"))
     val bandHashes = (0 until bands).map(b => xxhash64(slice(col("mh_sig"), b * r + 1, r)))
     val banded = sig
@@ -103,11 +103,11 @@ object Dedup {
       (acc, w) => zip_with(
         acc,
         transform(sequence(lit(0), lit(63)),
-          i => shiftright(xxhash64(w), i).bitwiseAND(1L) * 2 - 1),
+          i => call_function("shiftright", xxhash64(w), i).bitwiseAND(1L) * 2 - 1),
         (a, v) => a + v))
     aggregate(
       zip_with(votes, sequence(lit(0), lit(63)),
-        (v, i) => when(v > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))),
+        (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
       lit(0L), (acc, x) => acc.bitwiseOR(x))
   }
 

@@ -1,0 +1,117 @@
+package graft.ext
+
+import graft.{Q, Tables => T}
+import org.apache.spark.sql.functions._
+
+/** Declared conformance queries for the LLM-data-pipeline extension
+  * operators (SURVEY.md §2.5, E1–E3): exact dedup, n-gram Jaccard
+  * near-dup, embedding similarity search — each hash-checked against a
+  * DuckDB oracle where the semantics are SQL-expressible, plus the
+  * sketch/LSH scale-path flavors declared as rows-only checks (their
+  * outputs are deterministic — fixed hash families / fixed hyperplane
+  * seed — but restating MinHash/SimHash in DuckDB SQL would just be a
+  * second implementation, not an oracle).
+  *
+  * Scale posture is inherited from the operator modules: the oracle
+  * flavors (all-pairs Jaccard/cosine) are conformance-only; the declared
+  * scale paths are the banded MinHash/SimHash joins and the bucketed LSH
+  * top-k (see Dedup.scala / Similarity.scala headers).
+  */
+object ExtQueries {
+
+  // E1: exact dedup groups on documents.text — hash-shuffle groupBy,
+  // smallest doc_id survives (Dedup.exactGroups).
+  val e01 = Q(
+    "e01_dedup_exact_groups",
+    (s, d) => Dedup.exactGroups(T.documents(s, d), "text", "doc_id")
+      .select(col("keep_id"), col("n_dups"))
+      .orderBy(col("keep_id")),
+    Some("""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+      FROM documents GROUP BY text ORDER BY keep_id"""))
+
+  // E2 (exact flavor): 3-gram Jaccard near-dup pairs via inverted-index
+  // self-join. jaccard = |A∩B| / |A∪B| on distinct shingle sets; the
+  // division is one IEEE op on exact integers → bit-equal across engines.
+  val e02 = Q(
+    "e02_jaccard_pairs",
+    (s, d) => Dedup.jaccardPairs(T.documents(s, d), "doc_id", "text",
+      shingleWidth = 3, threshold = 0.5)
+      .orderBy(col("doc1"), col("doc2")),
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id, concat_ws(' ', ws[i], ws[i+1], ws[i+2]) AS s
+        FROM w, UNNEST(range(1, greatest(len(ws)-2, 1)+1)) AS t(i))),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+      SELECT doc1, doc2, CAST(inter.i AS DOUBLE)/(n1.n + n2.n - inter.i) AS jaccard
+      FROM inter JOIN sizes n1 ON n1.doc_id = doc1 JOIN sizes n2 ON n2.doc_id = doc2
+      WHERE CAST(inter.i AS DOUBLE)/(n1.n + n2.n - inter.i) >= 0.5
+      ORDER BY doc1, doc2"""))
+
+  // E3 (exact flavor): brute-force cosine top-5 for a 10-vector query
+  // set. Query side broadcast, corpus never shuffles; per-element f32→f64
+  // cast is exact and both engines fold left-to-right in f64 → the cosine
+  // is bit-equal, so ROW_NUMBER ranks identically.
+  val e03 = Q(
+    "e03_ann_brute_topk",
+    (s, d) => Similarity.bruteForceTopK(
+      T.embeddings(s, d), T.embeddings(s, d).filter(col("vec_id") < 10), k = 5),
+    Some("""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+      sc AS (SELECT q.qid, e.vec_id,
+          LIST_SUM(LIST_TRANSFORM(range(1, LEN(e.embedding)+1),
+            i -> CAST(q.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+          / (SQRT(LIST_SUM(LIST_TRANSFORM(q.qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+           * SQRT(LIST_SUM(LIST_TRANSFORM(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos
+        FROM embeddings e, q WHERE e.vec_id <> q.qid),
+      r AS (SELECT qid, vec_id, cos,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM sc)
+      SELECT qid, vec_id, cos, rn FROM r WHERE rn <= 5 ORDER BY qid, rn"""))
+
+  // E2 (embedding flavor): cosine near-dup pairs above a threshold —
+  // brute all-pairs, conformance-only (LSH bucket join is the scale path).
+  val e04 = Q(
+    "e04_cosine_dup_pairs",
+    (s, d) => Similarity.cosineDupPairs(T.embeddings(s, d), threshold = 0.45)
+      .orderBy(col("id1"), col("id2")),
+    Some("""WITH n AS (SELECT vec_id, embedding,
+          SQRT(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+        FROM embeddings)
+      SELECT a.vec_id AS id1, b.vec_id AS id2,
+        LIST_SUM(LIST_TRANSFORM(range(1, LEN(a.embedding)+1),
+          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / (a.nrm * b.nrm) AS cos
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+      WHERE LIST_SUM(LIST_TRANSFORM(range(1, LEN(a.embedding)+1),
+          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / (a.nrm * b.nrm) >= 0.45
+      ORDER BY id1, id2"""))
+
+  // E2 (MinHash-LSH scale path): banded candidate pairs with estimated
+  // Jaccard. Deterministic (fixed affine hash family) but not restated in
+  // SQL — rows-only check; recall vs e02 is asserted in the test suite.
+  val e05 = Q(
+    "e05_minhash_candidates",
+    (s, d) => Dedup.minhashCandidates(T.documents(s, d), "doc_id", "text",
+      k = 32, bands = 8, minEstSim = 0.4)
+      .orderBy(col("doc1"), col("doc2")))
+
+  // E2 (SimHash scale path): banded 64-bit fingerprint candidates.
+  val e06 = Q(
+    "e06_simhash_candidates",
+    (s, d) => Dedup.simhashCandidates(T.documents(s, d), "doc_id", "text",
+      chunks = 4, maxHamming = 3)
+      .orderBy(col("doc1"), col("doc2")))
+
+  // E3 (LSH scale path): hyperplane-bucketed approximate top-k with
+  // hamming-1 multi-probe; deterministic seed. Recall bound tested in
+  // the suite against e03's exact answer. Plane count sizes the bucket
+  // grid to the corpus: 2^planes buckets ≈ corpus/8 keeps candidate
+  // lists small but non-empty (at 100 TB you'd raise planes with N).
+  val e07 = Q(
+    "e07_ann_lsh_topk",
+    (s, d) => Similarity.lshTopK(
+      T.embeddings(s, d), T.embeddings(s, d).filter(col("vec_id") < 10),
+      k = 5, planes = 6, dim = 64))
+
+  val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07)
+}
