@@ -1,0 +1,140 @@
+package graft
+
+import graft.etl._
+import org.apache.spark.sql.SparkSession
+import java.time.LocalDate
+
+/** CLI — mirror of the reference's typer app (reference
+  * src/main.py:37-210): `sync` with the same four flags, plus
+  * `list-accounts`, `test-connection`, `test-s3` (here: source-root
+  * probe — same command name, storage-agnostic).
+  */
+object Main {
+
+  private def usage(): Nothing = {
+    System.err.println(
+      """usage: graft.Main <command> [options]
+        |
+        |commands:
+        |  sync [--months N] [--raw-only] [--dry-run] [--all-accounts] [--as-of YYYY-MM-DD]
+        |  list-accounts
+        |  test-connection
+        |  test-s3
+        |
+        |env: SOURCE_ROOT, CUR_PATHS (csv), WAREHOUSE_DIR, JDBC_URL,
+        |     JDBC_USER, JDBC_PASSWORD, DB_SCHEMA, SYNC_MONTHS, LOG_LEVEL,
+        |     TEST_ACCOUNTS (csv override)""".stripMargin)
+    sys.exit(2)
+  }
+
+  private def session(cfg: EngineConfig): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val s = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel(cfg.logLevel)
+    s
+  }
+
+  private def loaderFor(cfg: EngineConfig): Loader = cfg.jdbcUrl match {
+    case Some(url) => new JdbcLoader(url, cfg.jdbcUser, cfg.jdbcPassword, cfg.schema)
+    case None      => new ParquetLoader(cfg.warehouseDir, cfg.schema)
+  }
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "sync" :: rest        => sync(parseSyncOpts(rest))
+    case "list-accounts" :: _  => listAccounts()
+    case "test-connection" :: _ => testConnection()
+    case "test-s3" :: _        => testS3()
+    case _                     => usage()
+  }
+
+  private def parseSyncOpts(args: List[String]): Sync.Options = {
+    @annotation.tailrec
+    def go(rest: List[String], o: Sync.Options): Sync.Options = rest match {
+      case Nil => o
+      case "--months" :: n :: t   => go(t, o.copy(months = n.toInt))
+      case "-m" :: n :: t         => go(t, o.copy(months = n.toInt))
+      case "--raw-only" :: t      => go(t, o.copy(rawOnly = true))
+      case "--dry-run" :: t       => go(t, o.copy(dryRun = true))
+      case "--all-accounts" :: t  => go(t, o.copy(allAccounts = true))
+      case "--as-of" :: d :: t    => go(t, o.copy(asOf = LocalDate.parse(d)))
+      case bad :: _               => System.err.println(s"unknown option: $bad"); usage()
+    }
+    go(args, Sync.Options(months = EngineConfig.fromEnv().syncMonths))
+  }
+
+  private def sync(opts: Sync.Options): Unit = {
+    val cfg = EngineConfig.fromEnv()
+    if (cfg.curPaths.isEmpty) {
+      System.err.println("CUR_PATHS is empty — nothing to sync"); sys.exit(1)
+    }
+    val spark = session(cfg)
+    val loader = loaderFor(cfg)
+    try {
+      val res = Sync.run(spark, cfg, loader, opts)
+      res.tables.foreach { t =>
+        println(f"[sync] ${t.table}%-24s ${t.status}%-8s raw=${t.rawRows}%-8d norm=${t.normRows}%-8d ${t.seconds}%.2fs${t.error.map(" " + _).getOrElse("")}")
+      }
+      println(s"[sync] total rows loaded: ${res.totalRows}")
+      if (res.tables.exists(_.status == "error")) sys.exit(1)
+    } finally { loader.close(); spark.stop() }
+  }
+
+  private def listAccounts(): Unit = {
+    Accounts.registry.foreach { a =>
+      val region = a.regionFilter.map(r => s" (region: $r)").getOrElse("")
+      println(s"  ${a.id}  ${a.name}$region")
+    }
+    println(s"Total: ${Accounts.registry.size} accounts")
+  }
+
+  private def testConnection(): Unit = {
+    val cfg = EngineConfig.fromEnv()
+    cfg.jdbcUrl match {
+      case Some(url) =>
+        try {
+          val c = java.sql.DriverManager.getConnection(url, {
+            val p = new java.util.Properties()
+            if (cfg.jdbcUser.nonEmpty) p.setProperty("user", cfg.jdbcUser)
+            if (cfg.jdbcPassword.nonEmpty) p.setProperty("password", cfg.jdbcPassword)
+            p
+          })
+          val meta = c.getMetaData
+          println(s"Connected: ${meta.getDatabaseProductName} ${meta.getDatabaseProductVersion}")
+          c.close()
+        } catch {
+          case e: Exception => System.err.println(s"Connection failed: ${e.getMessage}"); sys.exit(1)
+        }
+      case None =>
+        val dir = new java.io.File(cfg.warehouseDir)
+        dir.mkdirs()
+        if (dir.canWrite) println(s"Parquet warehouse writable: ${cfg.warehouseDir}")
+        else { System.err.println(s"Warehouse not writable: ${cfg.warehouseDir}"); sys.exit(1) }
+    }
+  }
+
+  /** File-count probe per source path (main.py:185-210 / aws_cur glob
+    * count) — metadata-only, no data read. */
+  private def testS3(): Unit = {
+    val cfg = EngineConfig.fromEnv()
+    if (cfg.curPaths.isEmpty) { System.err.println("CUR_PATHS is empty"); sys.exit(1) }
+    val spark = session(cfg)
+    try {
+      var failed = false
+      cfg.curPaths.foreach { p =>
+        val root = s"${cfg.sourceRoot}/$p"
+        val n = CurSource.fileCount(spark, root)
+        if (n == 0) failed = true
+        println(s"$root: $n parquet files")
+      }
+      if (failed) sys.exit(1)
+    } finally spark.stop()
+  }
+}

@@ -91,5 +91,41 @@ object EtlQueries {
       WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-02-01'
       GROUP BY d ORDER BY d"""))
 
-  val all: Seq[Q] = Seq(c31, c32a, c32b, c32c, c33)
+  // D4: raw-table inspection through the real load path — events loaded
+  // via ParquetLoader (overwrite = drop-create; loader-side identifier
+  // cleaning; O17/O18), read back, LIMIT 10 (reference CLAUDE.md:92-93).
+  val d04 = Q(
+    "d04_raw_roundtrip",
+    (s, d) => {
+      val out = java.nio.file.Files.createTempDirectory("graft_d04").toString
+      val loader = new ParquetLoader(out, "serve")
+      loader.ensureNamespace()
+      loader.load(T.events(s, d), "raw_events", "replace")
+      loader.table(s, "raw_events").orderBy(col("event_id")).limit(10)
+    },
+    Some("""SELECT event_id, ts, user_id, event_type, value, props
+      FROM events ORDER BY event_id LIMIT 10"""))
+
+  private def at(iso: String) =
+    java.sql.Timestamp.from(java.time.Instant.parse(iso))
+
+  // D5: recent-sync monitoring — sync_log top-k newest-first (reference
+  // sql/init.sql:12-24, DESC index). Fixed literal entries so the result
+  // is declarable against a VALUES-based oracle.
+  val d05 = Q(
+    "d05_sync_log_recent",
+    (s, _) => SyncLog.recent(SyncLog.toDf(s, Seq(
+      SyncLog.Entry(at("2024-06-01T02:00:00Z"), "raw_cur_a", 120000L, "success", None, 42.5),
+      SyncLog.Entry(at("2024-06-02T02:00:00Z"), "raw_cur_b", 98000L, "success", None, 38.1),
+      SyncLog.Entry(at("2024-06-03T02:00:00Z"), "raw_cur_a", 0L, "error", Some("S3 timeout"), 3.2),
+      SyncLog.Entry(at("2024-06-04T02:00:00Z"), "raw_cur_b", 101500L, "success", None, 40.0))), 3),
+    Some("""SELECT * FROM (VALUES
+        (TIMESTAMP '2024-06-01 02:00:00', 'raw_cur_a', CAST(120000 AS BIGINT), 'success', CAST(NULL AS VARCHAR), 42.5),
+        (TIMESTAMP '2024-06-02 02:00:00', 'raw_cur_b', CAST(98000 AS BIGINT), 'success', CAST(NULL AS VARCHAR), 38.1),
+        (TIMESTAMP '2024-06-03 02:00:00', 'raw_cur_a', CAST(0 AS BIGINT), 'error', 'S3 timeout', 3.2),
+        (TIMESTAMP '2024-06-04 02:00:00', 'raw_cur_b', CAST(101500 AS BIGINT), 'success', CAST(NULL AS VARCHAR), 40.0)
+      ) AS t(sync_timestamp, source_name, rows_loaded, status, error_message, duration_seconds)
+      ORDER BY sync_timestamp DESC, source_name LIMIT 3"""))
+
+  val all: Seq[Q] = Seq(c31, c32a, c32b, c32c, c33, d04, d05)
 }

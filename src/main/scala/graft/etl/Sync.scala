@@ -1,0 +1,127 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.time.LocalDate
+
+/** The sync orchestration driver — mirror of the reference's ETL loop
+  * (reference src/main.py:37-145): per source path, extract (partition-
+  * pruned, account-filtered) → load raw → normalize → load normalized →
+  * rebuild the `costs` view → append sync_log.
+  *
+  * Differences by design (all Spark-first):
+  *  - the whole per-table pipeline is ONE lazy plan; the only actions
+  *    are the sink writes (no fetchdf()-style materialization point —
+  *    the reference's documented OOM, CLAUDE.md:128-133);
+  *  - per-path error isolation (aws_cur.py:162-164 / main.py try) keeps
+  *    a bad source from killing the run; failures land in sync_log;
+  *  - `--dry-run` prints the month window, the account predicate, and
+  *    the full Catalyst plan (`explain(true)`) without running a job
+  *    (main.py:60-63,89-93 made honest: the *real* plan, not a string).
+  */
+object Sync {
+
+  final case class Options(
+      months: Int = 1,
+      rawOnly: Boolean = false,
+      dryRun: Boolean = false,
+      allAccounts: Boolean = false,
+      asOf: LocalDate = LocalDate.now())
+
+  final case class TableResult(
+      table: String,
+      rawRows: Long,
+      normRows: Long,
+      status: String,
+      error: Option[String],
+      seconds: Double)
+
+  final case class RunResult(tables: Seq[TableResult], totalRows: Long)
+
+  /** Extract one source: partitioned (year=/month=) roots get the month
+    * window + account predicate pushed into partition pruning; flat
+    * roots (no partition columns) fall back to a plain filtered scan. */
+  def extract(
+      spark: SparkSession,
+      root: String,
+      window: CurSource.MonthWindow,
+      accountIds: Seq[String]): DataFrame = {
+    val base = spark.read
+      .option("mergeSchema", "true")
+      .parquet(root)
+    val cols = base.columns.toSet
+    val monthPred =
+      if (cols.contains("year") && cols.contains("month"))
+        window.months
+          .map(m => col("year") === m.getYear && col("month") === m.getMonthValue)
+          .reduceOption(_ || _)
+      else None
+    val acctPred =
+      if (cols.contains("line_item_usage_account_id"))
+        Accounts.predicate(accountIds)
+      else None
+    Seq(monthPred, acctPred).flatten.foldLeft(base)(_.filter(_))
+  }
+
+  def run(spark: SparkSession, cfg: EngineConfig, loader: Loader, opts: Options): RunResult = {
+    val window = CurSource.lastMonths(opts.months, opts.asOf)
+    val accountIds: Seq[String] =
+      if (opts.allAccounts) Nil else Accounts.activeIds()
+    val syncTs = new java.sql.Timestamp(
+      java.time.Instant.now().toEpochMilli / 1000 * 1000)
+
+    if (!opts.dryRun) loader.ensureNamespace()
+
+    var processed = Vector.empty[String]
+    var results = Vector.empty[TableResult]
+
+    for (path <- cfg.curPaths) {
+      val table = Identifiers.tableNameFromPath(path)
+      val root = s"${cfg.sourceRoot}/$path"
+      val t0 = System.nanoTime()
+      try {
+        val df = extract(spark, root, window, accountIds)
+        if (opts.dryRun) {
+          // O23: plan-only preview — never triggers a job
+          println(s"[dry-run] $path -> $table")
+          println(s"[dry-run] months: ${window.months.mkString(", ")}")
+          println(s"[dry-run] accounts: ${if (accountIds.isEmpty) "ALL" else accountIds.mkString(",")}")
+          df.explain(true)
+        } else {
+          val rawRows = loader.load(df, s"raw_$table", ifExists = "replace")
+          val normRows =
+            if (opts.rawOnly || rawRows == 0L) 0L
+            else {
+              val normalized = Normalize.normalize(
+                df, Normalize.awsCur, table, lit(syncTs))
+              loader.load(normalized, s"${table}_normalized", ifExists = "replace")
+            }
+          if (rawRows > 0L && !opts.rawOnly) processed :+= table
+          results :+= TableResult(table, rawRows, normRows, "success", None,
+            (System.nanoTime() - t0) / 1e9)
+        }
+      } catch {
+        case e: Exception => // O24: isolate, log, continue
+          System.err.println(s"[sync] $path failed: ${e.getMessage}")
+          results :+= TableResult(table, 0L, 0L, "error", Some(e.getMessage),
+            (System.nanoTime() - t0) / 1e9)
+      }
+    }
+
+    // Rebuild the costs view over everything normalized this run
+    // (main.py:124-132; recreate-after-load ordering per SURVEY §7.3.4).
+    if (processed.nonEmpty && !opts.rawOnly && !opts.dryRun) {
+      val normalized = processed.map(t => loader.table(spark, s"${t}_normalized"))
+      CostsView.build(normalized).createOrReplaceTempView("costs")
+    }
+
+    if (!opts.dryRun) {
+      val entries = results.map(r => SyncLog.Entry(
+        syncTs, r.table, r.rawRows + r.normRows, r.status, r.error,
+        BigDecimal(r.seconds).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      SyncLog.append(spark, loader, entries)
+    }
+
+    RunResult(results, results.map(r => r.rawRows + r.normRows).sum)
+  }
+}
