@@ -67,8 +67,9 @@ final class ParquetLoader(warehouseDir: String, schema: String) extends Loader {
   override def load(df: DataFrame, table: String, ifExists: String): Long = {
     if (df.isEmpty) return 0L // postgresql.py:64-66
     val out = cleaned(df)
+    val rows = out.count() // rows loaded, like the reference's return value
     out.write.mode(saveMode(ifExists)).parquet(dir(table))
-    out.sparkSession.read.parquet(dir(table)).count()
+    rows
   }
 
   override def table(spark: SparkSession, name: String): DataFrame =

@@ -102,16 +102,15 @@ object ExtQueries {
       chunks = 4, maxHamming = 3)
       .orderBy(col("doc1"), col("doc2")))
 
-  // E3 (LSH scale path): hyperplane-bucketed approximate top-k with
-  // hamming-1 multi-probe; deterministic seed. Recall bound tested in
-  // the suite against e03's exact answer. Plane count sizes the bucket
-  // grid to the corpus: 2^planes buckets ≈ corpus/8 keeps candidate
-  // lists small but non-empty (at 100 TB you'd raise planes with N).
+  // E3 (LSH scale path): multi-table hyperplane LSH top-k with hamming-1
+  // multi-probe; deterministic seeds. Recall bound tested in the suite
+  // against e03's exact answer. tables × probes / 2^planes bounds the
+  // candidate fraction (at 100 TB you'd raise planes with corpus size).
   val e07 = Q(
     "e07_ann_lsh_topk",
     (s, d) => Similarity.lshTopK(
       T.embeddings(s, d), T.embeddings(s, d).filter(col("vec_id") < 10),
-      k = 5, planes = 6, dim = 64))
+      k = 5, planes = 8, dim = 64, tables = 8))
 
   val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07)
 }

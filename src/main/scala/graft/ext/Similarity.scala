@@ -67,25 +67,40 @@ object Similarity {
     bits.reduce(_.bitwiseOR(_)).as("bucket")
   }
 
-  /** Approximate top-k: candidates limited to the query's bucket plus
-    * all hamming-distance-1 buckets (multi-probe), then exact cosine
-    * ranking within candidates. */
+  /** Approximate top-k via multi-table hyperplane LSH (the banding
+    * construction): `tables` independent hyperplane sets, a vector lands
+    * in one bucket per table, candidates are the union over tables of
+    * same-bucket (± hamming-1 multi-probe) corpus rows, then exact
+    * cosine ranking within candidates.
+    *
+    * Scale bounds (100 TB posture): the corpus is materialized once per
+    * table (×L rows through the bucket join, never all-pairs); the
+    * broadcast query side carries tables × (1 + planes) probe rows per
+    * query vector — keep the query set small or drop `probes`. Expected
+    * candidate fraction per query ≈ tables × probeCount / 2^planes. */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
-      planes: Int = 12, dim: Int = 64, probes: Boolean = true,
+      planes: Int = 8, dim: Int = 64, tables: Int = 4, probes: Boolean = true,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val hp = hyperplanes(planes, dim)
-    val c = corpus.select(col(idCol), col(vecCol), lshBucket(col(vecCol), hp).as("bucket"))
-    val qBase = queries.select(col(idCol).as("qid"), col(vecCol).as("qe"),
-      lshBucket(col(vecCol), hp).as("qb"))
+    val tableDefs = (0 until tables).map(t => (t, hyperplanes(planes, dim, 42L + t)))
+    val c = tableDefs.map { case (t, hp) =>
+      corpus.select(col(idCol), col(vecCol),
+        lit(t).as("tbl"), lshBucket(col(vecCol), hp).as("bucket"))
+    }.reduce(_.unionByName(_))
+    val qBase = tableDefs.map { case (t, hp) =>
+      queries.select(col(idCol).as("qid"), col(vecCol).as("qe"),
+        lit(t).as("tbl"), lshBucket(col(vecCol), hp).as("qb"))
+    }.reduce(_.unionByName(_))
     // multi-probe: the query also visits every bucket one bit-flip away
     val probeBuckets =
       if (!probes) array(col("qb"))
       else array(col("qb") +: (0 until planes).map(i => col("qb").bitwiseXOR(lit(1L << i))): _*)
-    val q = qBase.select(col("qid"), col("qe"), explode(probeBuckets).as("bucket"))
-    val scored = c.join(broadcast(q), Seq("bucket"))
+    val q = qBase.select(col("qid"), col("qe"), col("tbl"), explode(probeBuckets).as("bucket"))
+    val cand = c.join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("qid") =!= col(idCol))
-      .withColumn("cos", cosine(col("qe"), col(vecCol)))
+      // a pair found by several tables/probes is scored once
+      .dropDuplicates("qid", idCol)
+    val scored = cand.withColumn("cos", cosine(col("qe"), col(vecCol)))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col(idCol))
     scored
       .withColumn("rn", row_number().over(w).cast(LongType))

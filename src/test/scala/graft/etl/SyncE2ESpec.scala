@@ -1,0 +1,107 @@
+package graft.etl
+
+import graft.{SparkSpec, Tables => T}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import java.time.LocalDate
+
+/** End-to-end sync mirror (SURVEY §5.2.4): partitioned CUR-shaped
+  * fixture → Sync.run → raw + normalized tables + costs view + sync_log,
+  * plus O3 partition pruning proven on the physical plan. */
+class SyncE2ESpec extends SparkSpec {
+
+  /** CUR-shaped, hive-partitioned fixture derived from events testdata:
+    * registry account ids, one region-ruled account, year=/month= dirs. */
+  private lazy val sourceRoot: String = {
+    val root = Files.createTempDirectory("graft_cur").toString
+    val ids = Accounts.registry.map(_.id)
+    val ev = T.events(spark, sf001)
+    val cur = ev.select(
+      col("ts").as("line_item_usage_start_date"),
+      element_at(
+        typedlit(ids), (pmod(col("user_id"), lit(ids.size)) + 1).cast("int")
+      ).as("line_item_usage_account_id"),
+      col("event_type").as("product_servicename"),
+      when(pmod(col("user_id"), lit(3)) === 0, "us-east-1")
+        .when(pmod(col("user_id"), lit(3)) === 1, "eu-west-2")
+        .otherwise("ap-southeast-2").as("product_region"),
+      col("value").as("line_item_unblended_cost"),
+      lit("USD").as("line_item_currency_code"),
+      year(col("ts")).as("year"),
+      month(col("ts")).as("month"))
+    cur.write.partitionBy("year", "month").parquet(s"$root/cur-a")
+    root
+  }
+
+  private def cfg(wh: String) = EngineConfig(
+    sourceRoot = s"file://$sourceRoot", curPaths = Seq("cur-a"),
+    warehouseDir = wh, jdbcUrl = None, jdbcUser = "", jdbcPassword = "",
+    schema = "s", syncMonths = 1, logLevel = "WARN")
+
+  test("sync end-to-end: raw + normalized + costs view + sync_log") {
+    val wh = Files.createTempDirectory("graft_wh").toString
+    val loader = new ParquetLoader(wh, "s")
+    val res = Sync.run(spark, cfg(wh), loader,
+      Sync.Options(months = 1, asOf = LocalDate.parse("2024-01-15")))
+
+    assert(res.tables.map(_.status) == Seq("success"))
+    val raw = loader.table(spark, "raw_cur_a")
+    val norm = loader.table(spark, "cur_a_normalized")
+    assert(raw.count() == norm.count() && raw.count() > 0)
+    // region rule enforced: the ruled account only appears in its region
+    assert(raw.filter(col("line_item_usage_account_id") === "905174205951" &&
+      col("product_region") =!= "ap-southeast-2").count() == 0)
+    // normalized schema is the fixed 9 columns
+    assert(norm.columns.toSeq == Normalize.targetColumns)
+    // costs view registered and serves D1/D3 shapes
+    val costs = spark.table("costs")
+    assert(costs.count() == norm.count())
+    val daily = costs.groupBy(col("date")).agg(sum(col("cost"))).count()
+    assert(daily > 0)
+    // sync_log row appended
+    val log = loader.table(spark, "sync_log")
+    assert(log.count() == 1)
+    assert(log.select("status").collect().head.getString(0) == "success")
+  }
+
+  test("raw-only skips normalization; sync_log still written") {
+    val wh = Files.createTempDirectory("graft_wh").toString
+    val loader = new ParquetLoader(wh, "s")
+    val res = Sync.run(spark, cfg(wh), loader,
+      Sync.Options(months = 1, asOf = LocalDate.parse("2024-01-15"), rawOnly = true))
+    assert(res.tables.head.normRows == 0L && res.tables.head.rawRows > 0L)
+    intercept[Exception] { loader.table(spark, "cur_a_normalized").collect() }
+    assert(loader.table(spark, "sync_log").count() == 1)
+  }
+
+  test("failed path is isolated: error row recorded, run continues") {
+    val wh = Files.createTempDirectory("graft_wh").toString
+    val loader = new ParquetLoader(wh, "s")
+    val c = cfg(wh).copy(curPaths = Seq("no-such-path", "cur-a"))
+    val res = Sync.run(spark, c, loader,
+      Sync.Options(months = 1, asOf = LocalDate.parse("2024-01-15")))
+    assert(res.tables.map(_.status) == Seq("error", "success"))
+    val log = loader.table(spark, "sync_log")
+    assert(log.filter(col("status") === "error").count() == 1)
+  }
+
+  test("O3: month window prunes partitions in the physical plan") {
+    val window = CurSource.lastMonths(1, LocalDate.parse("2024-01-15"))
+    val df = CurSource.read(spark, s"file://$sourceRoot/cur-a", window)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"))
+    assert(plan.contains("(year") && plan.contains("2024"))
+    // only January files are actually read
+    val files = df.inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("year=2024/month=1")))
+    // an out-of-window month reads nothing
+    val empty = CurSource.read(spark, s"file://$sourceRoot/cur-a",
+      CurSource.lastMonths(1, LocalDate.parse("2023-06-15")))
+    assert(empty.count() == 0)
+  }
+
+  test("lastMonths window is inclusive-backwards from asOf") {
+    val w = CurSource.lastMonths(3, LocalDate.parse("2024-03-10"))
+    assert(w.months.map(_.toString) == Seq("2024-01", "2024-02", "2024-03"))
+  }
+}
