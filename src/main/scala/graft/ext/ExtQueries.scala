@@ -112,5 +112,90 @@ object ExtQueries {
       T.embeddings(s, d), T.embeddings(s, d).filter(col("vec_id") < 10),
       k = 5, planes = 8, dim = 64, tables = 8))
 
-  val all: Seq[Q] = Seq(e01, e02, e03, e04, e05, e06, e07)
+  // ---- E4: text analysis ----
+
+  private val stopList =
+    TextOps.stopwords("en").map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val e08 = Q(
+    "e08_token_stats",
+    (s, d) => TextOps.tokenStats(T.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_types,
+        CAST(length(text) AS BIGINT) AS n_chars_calc,
+        CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t))) AS DOUBLE)
+          / len(string_split(text, ' ')) AS mean_token_len
+      FROM documents ORDER BY doc_id"""))
+
+  val e09 = Q(
+    "e09_quality_score",
+    (s, d) => TextOps.qualityScore(T.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id")),
+    Some(s"""SELECT doc_id,
+        CAST(length(text) AS DOUBLE) AS n_chars_calc,
+        (CAST(length(text) AS DOUBLE) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+          / CAST(length(text) AS DOUBLE) AS punct_ratio,
+        (CAST(length(text) AS DOUBLE) - length(regexp_replace(text, '[0-9]', '', 'g')))
+          / CAST(length(text) AS DOUBLE) AS digit_ratio,
+        CAST(len(list_filter(string_split(text, ' '),
+            t -> list_contains($stopList, t))) AS DOUBLE)
+          / len(string_split(text, ' ')) AS stopword_ratio,
+        LEAST(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100) AS length_score
+      FROM documents ORDER BY doc_id"""))
+
+  private val langScoreSql = TextOps.stopwords.keys.toSeq.sorted.map { l =>
+    val words = TextOps.stopwords(l).map(w => s"'$w'").mkString("[", ", ", "]")
+    s"""CAST(len(list_filter(string_split(text, ' '),
+        t -> list_contains($words, t))) AS BIGINT) AS score_$l"""
+  }.mkString(",\n        ")
+
+  val e10 = Q(
+    "e10_lang_id",
+    (s, d) => TextOps.langId(T.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id")),
+    Some(s"""WITH scored AS (SELECT doc_id, $langScoreSql FROM documents),
+      best AS (SELECT *, GREATEST(score_de, score_en, score_es, score_fr) AS b FROM scored)
+      SELECT doc_id, score_de, score_en, score_es, score_fr,
+        CASE WHEN b = 0 THEN 'und'
+             WHEN score_de = b THEN 'de' WHEN score_en = b THEN 'en'
+             WHEN score_es = b THEN 'es' ELSE 'fr' END AS lang_guess
+      FROM best ORDER BY doc_id"""))
+
+  val e11 = Q(
+    "e11_fingerprint",
+    (s, d) => TextOps.fingerprint(T.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, md5(text) AS fp, CAST(length(text) AS BIGINT) AS n_chars_calc
+      FROM documents ORDER BY doc_id"""))
+
+  // ---- E5: multimodal columns ----
+
+  // Metadata-only pass over the media table: binary payload column with
+  // typed metadata; the payload is only touched for octet_length/md5 —
+  // dimension/format columns prune the binary out of the scan entirely.
+  val e12 = Q(
+    "e12_multimodal_metadata",
+    (s, d) => Multimodal.metadata(Multimodal.mediaTable(T.documents(s, d)))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+        (['png', 'jpeg', 'webp'])[CAST(doc_id % 3 AS INT) + 1] AS format,
+        CAST((doc_id % 8) * 160 + 320 AS INT) AS width,
+        CAST((doc_id % 5) * 90 + 180 AS INT) AS height,
+        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        md5(text) AS payload_md5
+      FROM documents ORDER BY doc_id"""))
+
+  // Decode/resize/feature pipeline through the mapPartitions seam (stub
+  // codec — deterministic fake decode; the plumbing is the deliverable).
+  // Rows-only: the stub features are asserted exactly in the test suite.
+  val e13 = Q(
+    "e13_multimodal_decode",
+    (s, d) => Multimodal.decodeFeatures(
+      s, Multimodal.mediaTable(T.documents(s, d)), targetW = 256, targetH = 256)
+      .toDF().orderBy(col("doc_id")))
+
+  val all: Seq[Q] =
+    Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13)
 }

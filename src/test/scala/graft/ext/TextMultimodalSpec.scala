@@ -1,0 +1,89 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** E4 text analysis + E5 multimodal plumbing. */
+class TextMultimodalSpec extends SparkSpec {
+
+  private def doc(id: Long, text: String) = {
+    import spark.implicits._
+    Seq((id, text)).toDF("doc_id", "text")
+  }
+
+  test("token stats on a known sentence") {
+    val row = TextOps.tokenStats(
+      doc(1, "the quick the fox"), "doc_id", "text").collect().head
+    assert(row.getAs[Long]("n_tokens") == 4)
+    assert(row.getAs[Long]("n_types") == 3)
+    assert(row.getAs[Long]("n_chars_calc") == 17)
+    assert(row.getAs[Double]("mean_token_len") == (3 + 5 + 3 + 3) / 4.0)
+  }
+
+  test("subword count splits letter/digit/punct boundaries") {
+    val n = doc(1, "abc123 def!").select(
+      TextOps.subwordCount(col("text")).as("n")).collect().head.getInt(0)
+    assert(n == 4) // abc | 123 | def | !
+  }
+
+  test("language ID picks the profile with most stopword hits") {
+    val en = TextOps.langId(doc(1, "the cat is on the mat"), "doc_id", "text")
+      .collect().head
+    assert(en.getAs[String]("lang_guess") == "en")
+    val de = TextOps.langId(doc(2, "der hund ist nicht auf und das"), "doc_id", "text")
+      .collect().head
+    assert(de.getAs[String]("lang_guess") == "de")
+    val und = TextOps.langId(doc(3, "zzz qqq"), "doc_id", "text").collect().head
+    assert(und.getAs[String]("lang_guess") == "und")
+  }
+
+  test("quality score ratios on constructed text") {
+    val row = TextOps.qualityScore(doc(1, "the end. 42!"), "doc_id", "text")
+      .collect().head
+    assert(row.getAs[Double]("n_chars_calc") == 12.0)
+    assert(row.getAs[Double]("punct_ratio") == 2.0 / 12) // '.' and '!'
+    assert(row.getAs[Double]("digit_ratio") == 2.0 / 12)
+    assert(row.getAs[Double]("stopword_ratio") == 1.0 / 3)
+  }
+
+  test("fingerprint equals md5 of utf-8 bytes; identical text collides") {
+    import spark.implicits._
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val fps = TextOps.fingerprint(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) == fps(2L) && fps(1L) != fps(3L))
+    assert(fps(1L).matches("[0-9a-f]{32}"))
+  }
+
+  test("multimodal: metadata pass never needs the payload decoded") {
+    val media = Multimodal.mediaTable(doc(7L, "hello"))
+    val m = Multimodal.metadata(media).collect().head
+    assert(m.getAs[String]("format") == "jpeg") // 7 % 3 = 1 -> index 2
+    assert(m.getAs[Int]("width") == (7 % 8) * 160 + 320)
+    assert(m.getAs[Int]("height") == (7 % 5) * 90 + 180)
+    assert(m.getAs[Long]("n_bytes") == 5L)
+  }
+
+  test("multimodal: decode stub via mapPartitions is deterministic and resizes") {
+    val media = Multimodal.mediaTable(doc(7L, "hello world, a payload of bytes"))
+    val f = Multimodal.decodeFeatures(spark, media, targetW = 256, targetH = 256)
+      .collect().head
+    assert(f.doc_id == 7L)
+    assert(f.n_bytes == 31L)
+    assert(f.out_width == 256 && f.out_height == 256) // clamped to box
+    assert(f.feature.length == 4)
+    // byte sampling is deterministic: run twice, same features
+    val g = Multimodal.decodeFeatures(spark, media, 256, 256).collect().head
+    assert(f.feature.toSeq == g.feature.toSeq)
+  }
+
+  test("multimodal: frame offsets stride the payload") {
+    import spark.implicits._
+    val media = Multimodal.mediaTable(doc(1L, "0123456789"))
+    val offs = Multimodal.frameOffsets(media, 4)
+      .select(explode(col("frame_offsets")).as("o"))
+      .select(col("o").cast("long")).as[Long].collect().toList
+    assert(offs == List(0L, 4L, 8L))
+  }
+}
