@@ -42,20 +42,24 @@ object Dedup {
     array_distinct(grams)
   }
 
-  // Deterministic hash family: h_i(s) = xxhash64(s, i) — the family index
-  // salts the hash input, so no post-hash arithmetic (which would overflow
-  // Long under ANSI mode); then min over shingles.
-  private def minhashCol(sh: Column, k: Int): Column = {
-    val sigs = (0 until k).map { i =>
-      array_min(transform(sh, s => xxhash64(s, lit(i))))
-    }
-    array(sigs: _*)
-  }
-
-  /** Per-doc MinHash signature (k hashes) from distinct shingles. */
+  /** Per-doc MinHash signature (k hashes) from distinct shingles.
+    *
+    * Cost shape: each shingle STRING is hashed exactly once
+    * (`xxhash64(s)`); the k family members then re-hash the resulting
+    * 8-byte long (`xxhash64(x, i)` — index-salted, no post-hash
+    * arithmetic that could overflow under ANSI). Hashing fixed-width
+    * longs k times is ~10× cheaper than hashing variable-length strings
+    * k times; the base-hash array is materialized in its own projection
+    * so it is computed once, not once per family member. */
   def withMinhashSignature(df: DataFrame, text: Column, k: Int = 32,
-      shingleWidth: Int = 3): DataFrame =
-    df.withColumn("mh_sig", minhashCol(shingles(text, shingleWidth), k))
+      shingleWidth: Int = 3): DataFrame = {
+    val sigs = (0 until k).map { i =>
+      array_min(transform(col("__sh_base"), x => xxhash64(x, lit(i))))
+    }
+    df.withColumn("__sh_base", transform(shingles(text, shingleWidth), s => xxhash64(s)))
+      .withColumn("mh_sig", array(sigs: _*))
+      .drop("__sh_base")
+  }
 
   /** E2: MinHash-LSH candidate pairs with estimated Jaccard.
     *
@@ -94,16 +98,18 @@ object Dedup {
   }
 
   /** 64-bit SimHash of the word multiset: per bit, vote +1/-1 by each
-    * token's xxhash64 bit, take the sign. Pure higher-order functions. */
+    * token's xxhash64 bit, take the sign. Pure higher-order functions;
+    * each word is hashed once (the 64 bit-votes shift the cached long,
+    * they don't re-hash the string). */
   def simhash64(text: Column): Column = {
-    val words = split(text, " ")
+    val hashes = transform(split(text, " "), w => xxhash64(w))
     val votes = aggregate(
-      words,
+      hashes,
       array_repeat(lit(0L), 64),
-      (acc, w) => zip_with(
+      (acc, h) => zip_with(
         acc,
         transform(sequence(lit(0), lit(63)),
-          i => call_function("shiftright", xxhash64(w), i).bitwiseAND(1L) * 2 - 1),
+          i => call_function("shiftright", h, i).bitwiseAND(1L) * 2 - 1),
         (a, v) => a + v))
     aggregate(
       zip_with(votes, sequence(lit(0), lit(63)),

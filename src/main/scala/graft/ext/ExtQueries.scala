@@ -32,12 +32,15 @@ object ExtQueries {
   // E2 (exact flavor): 3-gram Jaccard near-dup pairs via inverted-index
   // self-join. jaccard = |A∩B| / |A∪B| on distinct shingle sets; the
   // division is one IEEE op on exact integers → bit-equal across engines.
+  // Declared slice bounded to 1000 docs (same fence as e04: the exact
+  // all-pairs flavor is the oracle, MinHash-LSH is the scale path).
   val e02 = Q(
     "e02_jaccard_pairs",
-    (s, d) => Dedup.jaccardPairs(T.documents(s, d), "doc_id", "text",
-      shingleWidth = 3, threshold = 0.5)
+    (s, d) => Dedup.jaccardPairs(T.documents(s, d).filter(col("doc_id") < 1000),
+      "doc_id", "text", shingleWidth = 3, threshold = 0.5)
       .orderBy(col("doc1"), col("doc2")),
-    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        WHERE doc_id < 1000),
       sh AS (SELECT DISTINCT doc_id, s FROM (
         SELECT doc_id, concat_ws(' ', ws[i], ws[i+1], ws[i+2]) AS s
         FROM w, UNNEST(range(1, greatest(len(ws)-2, 1)+1)) AS t(i))),
@@ -70,14 +73,18 @@ object ExtQueries {
       SELECT qid, vec_id, cos, rn FROM r WHERE rn <= 5 ORDER BY qid, rn"""))
 
   // E2 (embedding flavor): cosine near-dup pairs above a threshold —
-  // brute all-pairs, conformance-only (LSH bucket join is the scale path).
+  // brute all-pairs, conformance-only (LSH bucket join is the scale
+  // path), so the DECLARED slice is bounded to 1000 vectors: the
+  // operator is general, but an O(N²) oracle query must not grow
+  // quadratically with the bench scale factor.
   val e04 = Q(
     "e04_cosine_dup_pairs",
-    (s, d) => Similarity.cosineDupPairs(T.embeddings(s, d), threshold = 0.45)
+    (s, d) => Similarity.cosineDupPairs(
+      T.embeddings(s, d).filter(col("vec_id") < 1000), threshold = 0.45)
       .orderBy(col("id1"), col("id2")),
     Some("""WITH n AS (SELECT vec_id, embedding,
           SQRT(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
-        FROM embeddings)
+        FROM embeddings WHERE vec_id < 1000)
       SELECT a.vec_id AS id1, b.vec_id AS id2,
         LIST_SUM(LIST_TRANSFORM(range(1, LEN(a.embedding)+1),
           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / (a.nrm * b.nrm) AS cos

@@ -35,14 +35,17 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
 
   /** Exact top-k neighbors for each query vector (self excluded).
-    * The query side is broadcast — the corpus never shuffles. */
+    * The query side is broadcast — the corpus never shuffles. Norms are
+    * projected once per row below the join, so each pair costs one dot
+    * product, not three. */
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qe"))
-    val scored = corpus.select(col(idCol), col(vecCol))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qe"),
+      l2norm(col(vecCol)).as("qn"))
+    val scored = corpus.select(col(idCol), col(vecCol), l2norm(col(vecCol)).as("cn"))
       .join(broadcast(q), col("qid") =!= col(idCol))
-      .withColumn("cos", cosine(col("qe"), col(vecCol)))
+      .withColumn("cos", dot(col("qe"), col(vecCol)) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col(idCol))
     scored
       .withColumn("rn", row_number().over(w).cast(LongType))
@@ -100,7 +103,8 @@ object Similarity {
       .filter(col("qid") =!= col(idCol))
       // a pair found by several tables/probes is scored once
       .dropDuplicates("qid", idCol)
-    val scored = cand.withColumn("cos", cosine(col("qe"), col(vecCol)))
+    val scored = cand.withColumn("cos",
+      dot(col("qe"), col(vecCol)) / (l2norm(col("qe")) * l2norm(col(vecCol))))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col(idCol))
     scored
       .withColumn("rn", row_number().over(w).cast(LongType))
@@ -110,14 +114,18 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs (cos ≥ threshold). Brute
-    * variant for conformance; the LSH bucket join is the scale path. */
+    * variant for conformance; the LSH bucket join is the scale path.
+    * Norms are projected once per side (each of the N² pairs costs one
+    * dot product); the division order matches the DuckDB oracle so
+    * results stay bit-equal. */
   def cosineDupPairs(
       corpus: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val a = corpus.select(col(idCol).as("id1"), col(vecCol).as("e1"))
-    val b = corpus.select(col(idCol).as("id2"), col(vecCol).as("e2"))
+    val n = corpus.select(col(idCol), col(vecCol), l2norm(col(vecCol)).as("nrm"))
+    val a = n.select(col(idCol).as("id1"), col(vecCol).as("e1"), col("nrm").as("n1"))
+    val b = n.select(col(idCol).as("id2"), col(vecCol).as("e2"), col("nrm").as("n2"))
     a.join(b, col("id1") < col("id2"))
-      .withColumn("cos", cosine(col("e1"), col("e2")))
+      .withColumn("cos", dot(col("e1"), col("e2")) / (col("n1") * col("n2")))
       .filter(col("cos") >= threshold)
       .select(col("id1"), col("id2"), col("cos"))
   }
