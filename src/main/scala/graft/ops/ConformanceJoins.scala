@@ -20,15 +20,24 @@ object ConformanceJoins {
   import Qh._
 
   // C11: TPC-H Q5 shape — revenue per nation within one region.
+  // Join order is chosen for scale: the region restriction is applied to
+  // CUSTOMER first (via two tiny broadcast joins), and the restricted
+  // customer set is itself broadcast into the fact side — so the only
+  // shuffle in the whole plan is orders⋈lineitem on the order key plus
+  // the final aggregation. The naive shape (customer joined shuffle-side,
+  // region filtered last) would exchange the full customer table and
+  // carry every region's rows through two joins before dropping them.
   val c11 = Q(
     "c11_join_star_agg",
     (s, d) => {
-      val rev = T.customer(s, d)
-        .join(T.orders(s, d), col("c_custkey") === col("o_custkey"))
-        .join(T.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+      val regionCust = T.customer(s, d)
         .join(broadcast(T.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
-        .join(broadcast(T.region(s, d)), col("n_regionkey") === col("r_regionkey"))
-        .filter(col("r_name") === "ASIA")
+        .join(broadcast(T.region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("c_custkey"), col("n_name"))
+      val rev = T.orders(s, d)
+        .join(broadcast(regionCust), col("c_custkey") === col("o_custkey"))
+        .join(T.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
       rev.groupBy(col("n_name"))
         .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
