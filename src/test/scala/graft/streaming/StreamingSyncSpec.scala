@@ -1,0 +1,126 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.etl.ParquetLoader
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** Streaming capability tests (SURVEY §5.2.5): MemoryStream-driven,
+  * bounded/behavioral assertions (not hash-declared — SURVEY §2.3 rules
+  * exclude nondeterministic-by-design ops from the oracle suite). */
+class StreamingSyncSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.from(java.time.Instant.parse(s))
+
+  test("watermarked tumbling window drops data later than the watermark") {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("event_ts", "service", "cost")
+      .withWatermark("event_ts", "1 hour")
+      .groupBy(window(col("event_ts"), "1 hour"), col("service"))
+      .agg(sum(col("cost")).as("total"))
+    val q = df.writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: two on-time events, watermark advances to 12:00-1h
+      mem.addData((ts("2024-01-01T10:10:00Z"), "s3", 1.0),
+        (ts("2024-01-01T12:00:00Z"), "s3", 2.0))
+      q.processAllAvailable()
+      // batch 2: an event 3h older than the watermark — must be dropped
+      mem.addData((ts("2024-01-01T08:00:00Z"), "s3", 100.0))
+      q.processAllAvailable()
+      // batch 3: advance watermark far enough to close all windows
+      mem.addData((ts("2024-01-02T00:00:00Z"), "s3", 4.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_out")
+        .select(col("window.start").cast("string"), col("total")).collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toMap
+      assert(rows.get("2024-01-01 10:00:00").contains(1.0))
+      assert(rows.get("2024-01-01 12:00:00").contains(2.0))
+      assert(!rows.contains("2024-01-01 08:00:00"), s"late row leaked: $rows")
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark dedups repeated event ids") {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val df = StreamingSync.dedupedEvents(
+      mem.toDF().toDF("event_ts", "event_id", "cost"),
+      "event_ts", Seq("event_id"), "1 hour")
+    val q = df.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      mem.addData((ts("2024-01-01T10:00:00Z"), 1L, 5.0),
+        (ts("2024-01-01T10:05:00Z"), 1L, 5.0), // dup within watermark
+        (ts("2024-01-01T10:10:00Z"), 2L, 7.0))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01T10:20:00Z"), 1L, 5.0)) // still a dup
+      q.processAllAvailable()
+      val n = spark.table("dedup_out").count()
+      assert(n == 2, s"expected 2 unique events, got $n")
+    } finally q.stop()
+  }
+
+  test("session windows split on the gap") {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val df = StreamingSync.accountSessions(
+      mem.toDF().toDF("event_ts", "account_id"),
+      "event_ts", "account_id", gap = "30 minutes", watermark = "1 hour")
+    val q = df.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (ts("2024-01-01T10:00:00Z"), "a"),
+        (ts("2024-01-01T10:10:00Z"), "a"), // same session
+        (ts("2024-01-01T11:30:00Z"), "a"), // > 30 min gap -> new session
+        (ts("2024-01-01T10:00:00Z"), "b"))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-02T00:00:00Z"), "a")) // close windows
+      q.processAllAvailable()
+      val sess = spark.table("sess_out")
+        .filter(col("account_id") === "a").collect()
+      assert(sess.length == 2, s"expected 2 sessions for a: ${sess.mkString}")
+      assert(sess.map(_.getAs[Long]("n_events")).sorted.toSeq == Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("incrementalSync: file stream drains via AvailableNow through the batch loader") {
+    import spark.implicits._
+    val src = Files.createTempDirectory("graft_stream_src").toString
+    val wh = Files.createTempDirectory("graft_stream_wh").toString
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+    // two "arriving" CUR files
+    Seq(("2024-01-01 10:00:00", "111111111111", 1.5))
+      .toDF("line_item_usage_start_date", "line_item_usage_account_id", "line_item_unblended_cost")
+      .write.parquet(s"$src/f1")
+    Seq(("2024-01-02 11:00:00", "222222222222", 2.5))
+      .toDF("line_item_usage_start_date", "line_item_usage_account_id", "line_item_unblended_cost")
+      .write.parquet(s"$src/f2")
+    val loader = new ParquetLoader(wh, "s")
+    loader.ensureNamespace()
+    val raw = spark.readStream
+      .schema(spark.read.option("recursiveFileLookup", "true").parquet(src).schema)
+      .option("recursiveFileLookup", "true").parquet(src)
+    val writer = StreamingSync.incrementalSync(raw, loader, "cur_a",
+      ts("2024-06-01T00:00:00Z"))
+    val q = StreamingSync.availableNow(writer, ckpt).start()
+    q.awaitTermination(60000)
+    val rawOut = loader.table(spark, "raw_cur_a")
+    val norm = loader.table(spark, "cur_a_normalized")
+    assert(rawOut.count() == 2)
+    assert(norm.count() == 2)
+    assert(norm.columns.toSeq == graft.etl.Normalize.targetColumns)
+    // restart with the same checkpoint: nothing new -> no duplicates
+    val q2 = StreamingSync.availableNow(
+      StreamingSync.incrementalSync(raw, loader, "cur_a", ts("2024-06-01T00:00:00Z")),
+      ckpt).start()
+    q2.awaitTermination(60000)
+    assert(loader.table(spark, "raw_cur_a").count() == 2, "checkpoint replayed files")
+  }
+}
