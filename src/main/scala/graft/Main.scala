@@ -29,7 +29,7 @@ object Main {
 
   private def session(cfg: EngineConfig): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val s = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -37,7 +37,13 @@ object Main {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // O26: S3 credentials flow into the Hadoop fs config so s3a:// roots
+    // work unchanged (mirror of the reference's DuckDB httpfs setup,
+    // aws_cur.py:44-54) — set only when present so local runs stay clean.
+    sys.env.get("AWS_ACCESS_KEY_ID").foreach(b.config("spark.hadoop.fs.s3a.access.key", _))
+    sys.env.get("AWS_SECRET_ACCESS_KEY").foreach(b.config("spark.hadoop.fs.s3a.secret.key", _))
+    sys.env.get("AWS_REGION").foreach(b.config("spark.hadoop.fs.s3a.endpoint.region", _))
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel(cfg.logLevel)
     s
   }
