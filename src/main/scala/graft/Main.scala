@@ -36,6 +36,7 @@ object Main {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
     // O26: S3 credentials flow into the Hadoop fs config so s3a:// roots
     // work unchanged (mirror of the reference's DuckDB httpfs setup,

@@ -24,15 +24,24 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
-  /** Exact f64 dot product of two float-array columns. */
+  /** Exact f64 dot product of two float-array columns — higher-order-
+    * function formulation (kept as the declared C29 semantics; see
+    * [[fastDot]] for the hot-path variant). */
   def dot(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0), (acc, x) => acc + x)
 
-  def l2norm(a: Column): Column = sqrt(dot(a, a))
+  /** Same fold, as the codegen'd native expression
+    * [[graft.functions.DotProductF32]] — bit-identical result, ~10×
+    * faster inside pair joins. Requires [[graft.functions.GraftFunctions
+    * .register]] (the ops below self-register on their input's session). */
+  def fastDot(a: Column, b: Column): Column =
+    call_function("graft_dot_f32", a, b)
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+  def l2norm(a: Column): Column = sqrt(fastDot(a, a))
+
+  def cosine(a: Column, b: Column): Column = fastDot(a, b) / (l2norm(a) * l2norm(b))
 
   /** Exact top-k neighbors for each query vector (self excluded).
     * The query side is broadcast — the corpus never shuffles. Norms are
@@ -41,11 +50,12 @@ object Similarity {
   def bruteForceTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qe"),
       l2norm(col(vecCol)).as("qn"))
     val scored = corpus.select(col(idCol), col(vecCol), l2norm(col(vecCol)).as("cn"))
       .join(broadcast(q), col("qid") =!= col(idCol))
-      .withColumn("cos", dot(col("qe"), col(vecCol)) / (col("qn") * col("cn")))
+      .withColumn("cos", fastDot(col("qe"), col(vecCol)) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col(idCol))
     scored
       .withColumn("rn", row_number().over(w).cast(LongType))
@@ -85,6 +95,7 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame, k: Int,
       planes: Int = 8, dim: Int = 64, tables: Int = 4, probes: Boolean = true,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val tableDefs = (0 until tables).map(t => (t, hyperplanes(planes, dim, 42L + t)))
     val c = tableDefs.map { case (t, hp) =>
       corpus.select(col(idCol), col(vecCol),
@@ -103,8 +114,7 @@ object Similarity {
       .filter(col("qid") =!= col(idCol))
       // a pair found by several tables/probes is scored once
       .dropDuplicates("qid", idCol)
-    val scored = cand.withColumn("cos",
-      dot(col("qe"), col(vecCol)) / (l2norm(col("qe")) * l2norm(col(vecCol))))
+    val scored = cand.withColumn("cos", cosine(col("qe"), col(vecCol)))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col(idCol))
     scored
       .withColumn("rn", row_number().over(w).cast(LongType))
@@ -121,11 +131,12 @@ object Similarity {
   def cosineDupPairs(
       corpus: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val n = corpus.select(col(idCol), col(vecCol), l2norm(col(vecCol)).as("nrm"))
     val a = n.select(col(idCol).as("id1"), col(vecCol).as("e1"), col("nrm").as("n1"))
     val b = n.select(col(idCol).as("id2"), col(vecCol).as("e2"), col("nrm").as("n2"))
     a.join(b, col("id1") < col("id2"))
-      .withColumn("cos", dot(col("e1"), col("e2")) / (col("n1") * col("n2")))
+      .withColumn("cos", fastDot(col("e1"), col("e2")) / (col("n1") * col("n2")))
       .filter(col("cos") >= threshold)
       .select(col("id1"), col("id2"), col("cos"))
   }
