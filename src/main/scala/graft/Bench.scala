@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Benchmark main: times every declared query on SPARK_GRAFT_SF_DIR and
   * prints one JSON line for the driver (BENCH_r{N}.json).
@@ -40,7 +41,44 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.filter(_._3).map(_._2).sum
-    println(s"""{"metric":"conformance_total_s","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_ok":${results.count(_._3)},"n_queries":${results.size},"sf":"$sfDir"}""")
+    val syncSec = syncMirror(spark, sfDir)
+    println(s"""{"metric":"conformance_total_s","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_ok":${results.count(_._3)},"n_queries":${results.size},"sync_e2e_s":${f"$syncSec%.3f"},"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** End-to-end sync mirror (scan → filter → normalize → write → costs
+    * view), timed on a partitioned CUR-shaped copy of the events table
+    * (the BASELINE.md `sync_e2e_s` metric). Negative on failure. */
+  private def syncMirror(spark: SparkSession, sfDir: String): Double = {
+    val t0 = System.nanoTime()
+    try {
+      val root = java.nio.file.Files.createTempDirectory("graft_bench_cur").toString
+      val wh = java.nio.file.Files.createTempDirectory("graft_bench_wh").toString
+      val ids = etl.Accounts.registry.map(_.id)
+      Tables.events(spark, sfDir).select(
+        col("ts").as("line_item_usage_start_date"),
+        element_at(typedlit(ids), (pmod(col("user_id"), lit(ids.size)) + 1).cast("int"))
+          .as("line_item_usage_account_id"),
+        col("event_type").as("product_servicename"),
+        when(pmod(col("user_id"), lit(3)) === 0, "us-east-1")
+          .when(pmod(col("user_id"), lit(3)) === 1, "eu-west-2")
+          .otherwise("ap-southeast-2").as("product_region"),
+        col("value").as("line_item_unblended_cost"),
+        lit("USD").as("line_item_currency_code"),
+        year(col("ts")).as("year"), month(col("ts")).as("month"))
+        .write.partitionBy("year", "month").parquet(s"$root/cur-a")
+      val cfg = etl.EngineConfig(
+        sourceRoot = s"file://$root", curPaths = Seq("cur-a"), warehouseDir = wh,
+        jdbcUrl = None, jdbcUser = "", jdbcPassword = "", schema = "bench",
+        syncMonths = 1, logLevel = "WARN")
+      val res = etl.Sync.run(spark, cfg, new etl.ParquetLoader(wh, "bench"),
+        etl.Sync.Options(months = 1, asOf = java.time.LocalDate.parse("2024-01-15")))
+      require(res.tables.forall(_.status == "success"), "sync mirror failed")
+      (System.nanoTime() - t0) / 1e9
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] sync mirror FAILED: ${e.getMessage}")
+        -(System.nanoTime() - t0) / 1e9
+    }
   }
 }
