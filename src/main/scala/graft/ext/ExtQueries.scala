@@ -203,6 +203,15 @@ object ExtQueries {
       s, Multimodal.mediaTable(T.documents(s, d)), targetW = 256, targetH = 256)
       .toDF().orderBy(col("doc_id")))
 
+  // E3 (IVF scale path): coarse-quantizer cells + nprobe probing —
+  // the second ANN geometry next to e07's LSH. Deterministic centroid
+  // choice; rows-only (recall vs e03 asserted in the test suite).
+  val e14 = Q(
+    "e14_ann_ivf_topk",
+    (s, d) => Similarity.ivfTopK(
+      T.embeddings(s, d), T.embeddings(s, d).filter(col("vec_id") < 10),
+      k = 5, nlist = 16, nprobe = 4))
+
   val all: Seq[Q] =
-    Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13)
+    Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14)
 }

@@ -123,6 +123,51 @@ object Similarity {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** Approximate top-k via IVF (inverted file) coarse quantization —
+    * the second scale geometry next to [[lshTopK]]: pick `nlist`
+    * centroids deterministically from the corpus, assign every corpus
+    * vector to its nearest centroid (one broadcast pass, N × nlist
+    * dots), then answer each query from its `nprobe` nearest centroid
+    * cells only. Candidate fraction ≈ nprobe / nlist of the corpus; at
+    * 100 TB the assignment is a one-off materialized column and probes
+    * touch a fixed slice per query. */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val n = corpus.count()
+    val step = math.max(1L, n / nlist)
+    // deterministic coarse centroids: every step-th vector in id order
+    val centroids = corpus
+      .withColumn("__rn", row_number().over(Window.orderBy(col(idCol))) - 1)
+      .filter(col("__rn") % step === 0).limit(nlist)
+      .select((col("__rn") / step).cast(IntegerType).as("cid"),
+        col(vecCol).as("ce"))
+    val cB = broadcast(centroids)
+    def nearestCells(df: DataFrame, id: Column, vec: Column, take: Int) = {
+      val w = Window.partitionBy(id).orderBy(
+        (fastDot(vec, col("ce")) / (l2norm(vec) * l2norm(col("ce")))).desc, col("cid"))
+      df.join(cB).withColumn("__cr", row_number().over(w)).filter(col("__cr") <= take)
+    }
+    val assigned = nearestCells(
+      corpus.select(col(idCol), col(vecCol)), col(idCol), col(vecCol), 1)
+      .select(col(idCol), col(vecCol), col("cid"))
+    val probes = nearestCells(
+      queries.select(col(idCol).as("qid"), col(vecCol).as("qe")), col("qid"), col("qe"), nprobe)
+      .select(col("qid"), col("qe"), col("cid"))
+    val scored = assigned.join(broadcast(probes), Seq("cid"))
+      .filter(col("qid") =!= col(idCol))
+      .dropDuplicates("qid", idCol)
+      .withColumn("cos", cosine(col("qe"), col(vecCol)))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col(idCol))
+    scored
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col(idCol), col("cos"), col("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (cos ≥ threshold). Brute
     * variant for conformance; the LSH bucket join is the scale path.
     * Norms are projected once per side (each of the N² pairs costs one

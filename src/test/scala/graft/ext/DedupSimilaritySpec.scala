@@ -69,6 +69,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(lsh.forall { case (a, b) => a != b })
   }
 
+  test("E3: IVF top-k recall vs brute force") {
+    val q = embs.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(embs, q, 5)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // nprobe/nlist = 1/4 of the corpus scanned; near-random corpus →
+    // recall tracks that fraction (same caveat as the LSH bound above).
+    val ivf = Similarity.ivfTopK(embs, q, 5, nlist = 16, nprobe = 4)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.3, s"ivf recall $recall < 0.3")
+    assert(ivf.size == 50, s"expected full k×queries output, got ${ivf.size}")
+  }
+
   test("E3: brute-force top-k is self-consistent (k rows per query, ranked)") {
     val out = Similarity.bruteForceTopK(embs, embs.filter(col("vec_id") < 3), 4).collect()
     assert(out.length == 12)
