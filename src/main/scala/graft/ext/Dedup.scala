@@ -45,20 +45,15 @@ object Dedup {
   /** Per-doc MinHash signature (k hashes) from distinct shingles.
     *
     * Cost shape: each shingle STRING is hashed exactly once
-    * (`xxhash64(s)`); the k family members then re-hash the resulting
-    * 8-byte long (`xxhash64(x, i)` — index-salted, no post-hash
-    * arithmetic that could overflow under ANSI). Hashing fixed-width
-    * longs k times is ~10× cheaper than hashing variable-length strings
-    * k times; the base-hash array is materialized in its own projection
-    * so it is computed once, not once per family member. */
+    * (`xxhash64(s)`); the codegen'd [[graft.functions.MinHashSignature]]
+    * expression then computes all k family minima in ONE fused pass
+    * over the long array (splitmix64-mixed per family index) — no
+    * per-element lambda interpretation, no k separate array traversals. */
   def withMinhashSignature(df: DataFrame, text: Column, k: Int = 32,
       shingleWidth: Int = 3): DataFrame = {
-    val sigs = (0 until k).map { i =>
-      array_min(transform(col("__sh_base"), x => xxhash64(x, lit(i))))
-    }
-    df.withColumn("__sh_base", transform(shingles(text, shingleWidth), s => xxhash64(s)))
-      .withColumn("mh_sig", array(sigs: _*))
-      .drop("__sh_base")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.withColumn("mh_sig", call_function("graft_minhash",
+      transform(shingles(text, shingleWidth), s => xxhash64(s)), lit(k)))
   }
 
   /** E2: MinHash-LSH candidate pairs with estimated Jaccard.
@@ -98,24 +93,14 @@ object Dedup {
   }
 
   /** 64-bit SimHash of the word multiset: per bit, vote +1/-1 by each
-    * token's xxhash64 bit, take the sign. Pure higher-order functions;
-    * each word is hashed once (the 64 bit-votes shift the cached long,
-    * they don't re-hash the string). */
-  def simhash64(text: Column): Column = {
-    val hashes = transform(split(text, " "), w => xxhash64(w))
-    val votes = aggregate(
-      hashes,
-      array_repeat(lit(0L), 64),
-      (acc, h) => zip_with(
-        acc,
-        transform(sequence(lit(0), lit(63)),
-          i => call_function("shiftright", h, i).bitwiseAND(1L) * 2 - 1),
-        (a, v) => a + v))
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)),
-        (v, i) => when(v > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc.bitwiseOR(x))
-  }
+    * token's xxhash64 bit, take the sign. Each word is hashed once;
+    * the 64-bit vote/sign loop is the codegen'd
+    * [[graft.functions.SimHash64]] expression (the higher-order-function
+    * formulation interpreted two nested lambdas per word). Callers must
+    * have registered [[graft.functions.GraftFunctions]] (the ops in this
+    * object do). */
+  def simhash64(text: Column): Column =
+    call_function("graft_simhash64", transform(split(text, " "), w => xxhash64(w)))
 
   /** E2 (SimHash flavor): near-dup pairs by banding the 64-bit simhash
     * into `chunks` pieces — hamming distance ≤ chunks-1 guarantees at
@@ -124,6 +109,7 @@ object Dedup {
   def simhashCandidates(
       df: DataFrame, idCol: String, textCol: String,
       chunks: Int = 4, maxHamming: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val width = 64 / chunks
     val sh = df.select(col(idCol).as("doc"), simhash64(col(textCol)).as("sh"))
     val chunkCols = (0 until chunks).map { c =>

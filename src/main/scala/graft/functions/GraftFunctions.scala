@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 /** Registration for the engine's native expressions — both wiring
   * styles Spark supports:
@@ -23,6 +23,23 @@ object GraftFunctions {
       (children: Seq[Expression]) => {
         require(children.size == 2, "graft_dot_f32 takes exactly 2 arguments")
         DotProductF32(children.head, children(1))
+      }),
+    (new FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_minhash takes (array<long>, k)")
+        val k = children(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_minhash k must be an integer literal, got $other")
+        }
+        MinHashSignature(children.head, k)
+      }),
+    (new FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_simhash64 takes exactly 1 argument")
+        SimHash64(children.head)
       }))
 
   /** Idempotent runtime registration into the session's function
