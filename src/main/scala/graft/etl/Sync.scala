@@ -57,8 +57,12 @@ object Sync {
           .reduceOption(_ || _)
       else None
     val acctPred =
-      if (cols.contains("line_item_usage_account_id"))
-        Accounts.predicate(accountIds)
+      if (!cols.contains("line_item_usage_account_id")) None
+      else if (cols.contains("product_region")) Accounts.predicate(accountIds)
+      // region column absent from this source: region-ruled accounts
+      // degrade to plain membership rather than an unresolvable column
+      else if (accountIds.nonEmpty)
+        Some(col("line_item_usage_account_id").isin(accountIds: _*))
       else None
     Seq(monthPred, acctPred).flatten.foldLeft(base)(_.filter(_))
   }

@@ -90,6 +90,28 @@ class StreamingSyncSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState budget monitor alerts once per account") {
+    import spark.implicits._
+    implicit val sctx = spark.sqlContext
+    val mem = MemoryStream[CostState.CostEvent]
+    val alerts = CostState.budgetAlerts(spark, mem.toDS(), budget = 10.0)
+    val q = alerts.toDF().writeStream.format("memory").queryName("budget_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(CostState.CostEvent("a", 4.0), CostState.CostEvent("b", 2.0))
+      q.processAllAvailable()
+      assert(spark.table("budget_out").count() == 0) // nobody over budget yet
+      mem.addData(CostState.CostEvent("a", 7.0)) // a crosses 10
+      q.processAllAvailable()
+      mem.addData(CostState.CostEvent("a", 5.0)) // still over - no second alert
+      q.processAllAvailable()
+      val out = spark.table("budget_out").collect()
+      assert(out.length == 1)
+      assert(out.head.getAs[String]("account_id") == "a")
+      assert(out.head.getAs[Double]("total") == 11.0)
+    } finally q.stop()
+  }
+
   test("incrementalSync: file stream drains via AvailableNow through the batch loader") {
     import spark.implicits._
     val src = Files.createTempDirectory("graft_stream_src").toString
