@@ -127,5 +127,30 @@ object EtlQueries {
       ) AS t(sync_timestamp, source_name, rows_loaded, status, error_message, duration_seconds)
       ORDER BY sync_timestamp DESC, source_name LIMIT 3"""))
 
-  val all: Seq[Q] = Seq(c31, c32a, c32b, c32c, c33, d04, d05)
+  // D6: the serving surface as literal SQL text against catalog views —
+  // the reference's users query PostgreSQL with raw SQL (README.md:7,
+  // 124-141); here the same statement runs through spark.sql on
+  // registered temp views, proving the SQL front-end path end-to-end
+  // (parse → analyze against catalog → optimize → execute).
+  val d06 = Q(
+    "d06_sql_serving",
+    (s, d) => {
+      graft.Tables.registerAll(s, d)
+      s.sql("""SELECT event_type AS service,
+          CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total,
+          COUNT(*) AS n
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        GROUP BY event_type
+        ORDER BY total DESC, service""")
+    },
+    Some("""SELECT event_type AS service,
+        CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total,
+        COUNT(*) AS n
+      FROM events
+      WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      GROUP BY event_type
+      ORDER BY total DESC, service"""))
+
+  val all: Seq[Q] = Seq(c31, c32a, c32b, c32c, c33, d04, d05, d06)
 }
