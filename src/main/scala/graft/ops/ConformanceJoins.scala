@@ -135,5 +135,44 @@ object ConformanceJoins {
         ON l_orderkey = o_orderkey AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
       GROUP BY o_orderkey ORDER BY o_orderkey"""))
 
-  val all: Seq[Q] = Seq(c11, c12, c13, c14, c15, c16, c17)
+  // C34: true as-of join — latest purchase per user as-of each click,
+  // via the scalable union+window formulation (AsOfJoin.join: one hash
+  // shuffle, no BNLJ). Oracle: DuckDB's native ASOF LEFT JOIN.
+  val c34 = Q(
+    "c34_asof_join",
+    (s, d) => {
+      val ev = T.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value").as("last_purchase_value"))
+      AsOfJoin.join(clicks, purchases, "user_id", "ts", "ts",
+        Seq("last_purchase_value"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT l.event_id, l.user_id, l.ts, r.value AS last_purchase_value
+      FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+      ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') r
+        ON l.user_id = r.user_id AND l.ts >= r.ts
+      ORDER BY l.event_id"""))
+
+  // C35: range join via interval banding (RangeJoin.banded) — bucket
+  // co-residency bounds the candidate pairs; the exact BETWEEN filters
+  // residuals. Oracle: DuckDB's plain range join.
+  val c35 = Q(
+    "c35_range_join",
+    (s, d) => {
+      val cust = T.customer(s, d).select(col("c_custkey"), col("c_acctbal"))
+      val supp = T.supplier(s, d).select(col("s_suppkey"), col("s_acctbal"),
+        (col("s_acctbal") + 1000).as("hi"))
+      RangeJoin.banded(cust, supp, "c_acctbal", "s_acctbal", "hi", 1000.0)
+        .select(col("c_custkey"), col("s_suppkey"), col("c_acctbal"), col("s_acctbal"))
+        .orderBy(col("c_custkey"), col("s_suppkey"))
+    },
+    Some("""SELECT c_custkey, s_suppkey, c_acctbal, s_acctbal
+      FROM customer JOIN supplier
+        ON c_acctbal >= s_acctbal AND c_acctbal <= s_acctbal + 1000
+      ORDER BY c_custkey, s_suppkey"""))
+
+  val all: Seq[Q] = Seq(c11, c12, c13, c14, c15, c16, c17, c34, c35)
 }
