@@ -19,11 +19,16 @@ import org.apache.spark.sql.functions._
   */
 object ExtQueries {
 
-  // E1: exact dedup groups on documents.text — hash-shuffle groupBy,
-  // smallest doc_id survives (Dedup.exactGroups).
+  // E1: exact dedup groups — the shuffle key is the 16-byte md5
+  // fingerprint of the text, not the document itself (at 100 TB the
+  // exchange carries hashes, not corpora). Results are identical to
+  // grouping by text (the oracle's formulation) barring an md5
+  // collision. Smallest doc_id survives (Dedup.exactGroups).
   val e01 = Q(
     "e01_dedup_exact_groups",
-    (s, d) => Dedup.exactGroups(T.documents(s, d), "text", "doc_id")
+    (s, d) => Dedup.exactGroups(
+      T.documents(s, d).select(col("doc_id"), md5(col("text").cast("binary")).as("fp")),
+      "fp", "doc_id")
       .select(col("keep_id"), col("n_dups"))
       .orderBy(col("keep_id")),
     Some("""SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups

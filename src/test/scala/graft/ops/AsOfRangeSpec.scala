@@ -28,6 +28,45 @@ class AsOfRangeSpec extends SparkSpec {
       Seq(Some(1.0), Some(3.0), None, Some(9.0)))
   }
 
+  test("property: as-of join equals the naive non-equi formulation on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val probes = (1 to 300).map(i =>
+      (i.toLong, s"k${rnd.nextInt(12)}", ts(f"2024-01-01T${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00Z")))
+      .toDF("event_id", "k", "ts")
+    val states = (1 to 200).map(i =>
+      (s"k${rnd.nextInt(15)}", ts(f"2024-01-01T${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:${rnd.nextInt(60)}%02d Z".replace(" ", "")), i.toDouble))
+      .toDF("k", "ts", "v")
+      .dropDuplicates("k", "ts") // unique (k, ts) → deterministic ties
+    val fast = AsOfJoin.join(probes, states, "k", "ts", "ts", Seq("v"))
+      .select("event_id", "v")
+    // naive: non-equi left join (bound inside the condition, so probes
+    // with only-later states survive with null) + latest state per probe
+    val st = states.select(col("k").as("sk"), col("ts").as("s_ts"), col("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_id")).orderBy(col("s_ts").desc_nulls_last)
+    val naive = probes.join(st,
+        col("k") === col("sk") && col("s_ts") <= col("ts"), "left")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("event_id"), col("v"))
+    // collect-and-compare: exceptAll on plans sharing lineage trips an
+    // attribute-binding internal error in Spark 4.1
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, String)] =
+      df.collect().map(r => (r.getLong(0), String.valueOf(r.get(1)))).toSeq.sorted
+    assert(rows(fast) == rows(naive))
+  }
+
+  test("as-of join plan has exactly one exchange (the key shuffle)") {
+    import spark.implicits._
+    val probes = Seq((1L, "a", ts("2024-01-01T10:00:00Z"))).toDF("event_id", "k", "ts")
+    val states = Seq(("a", ts("2024-01-01T09:00:00Z"), 1.0)).toDF("k", "ts", "v")
+    val plan = AsOfJoin.join(probes, states, "k", "ts", "ts", Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"as-of should be join-free:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllMatchIn(plan).size
+    assert(exchanges == 1, s"expected exactly 1 hash exchange, got $exchanges:\n$plan")
+  }
+
   test("banded range join equals the naive theta join") {
     import spark.implicits._
     val left = (1 to 500).map(i => (i.toLong, i * 3.7 - 200)).toDF("lid", "value")
