@@ -195,5 +195,34 @@ object ConformanceSqlFns {
         event_type AS st_type, value AS st_value
       FROM events ORDER BY event_id"""))
 
-  val all: Seq[Q] = Seq(c22, c23, c24, c25, c26, c27, c28, c29, c30)
+  // C36: pivot — wide per-key aggregation with an explicit value list
+  // (explicit so the plan needs no distinct-values pre-pass); decimal
+  // float rule applies per cell. Oracle: FILTERed aggregates.
+  val c36 = Q(
+    "c36_pivot",
+    (s, d) => T.events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(dsum(col("value")))
+      .orderBy(col("user_id")),
+    Some(s"""SELECT user_id,
+        ${Seq("click", "error", "purchase", "signup", "view").map(t =>
+          s"CAST(SUM(CAST(value AS DECIMAL(38,6))) FILTER (event_type = '$t') AS DOUBLE) AS $t")
+          .mkString(",\n        ")}
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  // C37: generator surface — posexplode of a tokenized column (the
+  // LATERAL VIEW shape). Oracle: UNNEST over an index range.
+  val c37 = Q(
+    "c37_explode_tokens",
+    (s, d) => T.documents(s, d)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .orderBy(col("doc_id"), col("pos")),
+    Some("""SELECT doc_id, CAST(t.i - 1 AS INT) AS pos, ws[t.i] AS tok
+      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents WHERE doc_id < 50) d,
+           UNNEST(range(1, len(ws) + 1)) AS t(i)
+      ORDER BY doc_id, pos"""))
+
+  val all: Seq[Q] = Seq(c22, c23, c24, c25, c26, c27, c28, c29, c30, c36, c37)
 }
