@@ -33,9 +33,13 @@ object Tables {
     * `legacy.parquet.nanosAsLong` and convert losslessly to a timestamp:
     * the data is µs-precision (epoch_ns % 1000 == 0 for every row), and
     * `div` is integer division so no double rounding at 1.7e18 magnitudes.
-    * This matches bit-for-bit how DuckDB reads the same column. */
+    * This matches bit-for-bit how DuckDB reads the same column.
+    *
+    * The session must be built with `spark.sql.legacy.parquet.nanosAsLong=
+    * true` (Bench/Verify/Main/SparkSpec all do) — this loader deliberately
+    * does NOT mutate the calling session's conf: a conf flip here would be
+    * a surprise side effect for concurrent sessions sharing the conf. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = rd(s, d, "events")
     if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -41,4 +41,18 @@ object CostsView {
     v.createOrReplaceTempView(viewName)
     v
   }
+
+  /** Durable flavor of the serving contract: `CREATE OR REPLACE VIEW`
+    * DDL over SQL-addressable table references (e.g. `parquet.`/path``),
+    * matching the reference's persistent PG view (normalize.py:140-143).
+    * The view definition lives in the session catalog — with a persistent
+    * metastore it survives restarts; with the default in-memory catalog it
+    * is session-scoped, but the DDL (and the parquet it points at) is the
+    * same either way, so any catalog-backed serving tier gets the
+    * reference's contract. */
+  def createDurable(spark: SparkSession, tableRefs: Seq[String], viewName: String = "costs"): Unit = {
+    require(tableRefs.nonEmpty, "costs view needs at least one source")
+    val selects = tableRefs.map(r => s"SELECT ${viewColumns.mkString(", ")} FROM $r")
+    spark.sql(s"CREATE OR REPLACE VIEW $viewName AS ${selects.mkString(" UNION ALL ")}")
+  }
 }

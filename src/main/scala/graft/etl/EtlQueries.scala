@@ -118,7 +118,12 @@ object EtlQueries {
       SyncLog.Entry(at("2024-06-01T02:00:00Z"), "raw_cur_a", 120000L, "success", None, 42.5),
       SyncLog.Entry(at("2024-06-02T02:00:00Z"), "raw_cur_b", 98000L, "success", None, 38.1),
       SyncLog.Entry(at("2024-06-03T02:00:00Z"), "raw_cur_a", 0L, "error", Some("S3 timeout"), 3.2),
-      SyncLog.Entry(at("2024-06-04T02:00:00Z"), "raw_cur_b", 101500L, "success", None, 40.0))), 3),
+      SyncLog.Entry(at("2024-06-04T02:00:00Z"), "raw_cur_b", 101500L, "success", None, 40.0))), 3)
+      // stored type is DECIMAL(10,2) (init.sql:19); serve as DOUBLE so the
+      // driver's float compare sees both engines' native float path
+      .withColumn("duration_seconds",
+        org.apache.spark.sql.functions.col("duration_seconds")
+          .cast(org.apache.spark.sql.types.DoubleType)),
     Some("""SELECT * FROM (VALUES
         (TIMESTAMP '2024-06-01 02:00:00', 'raw_cur_a', CAST(120000 AS BIGINT), 'success', CAST(NULL AS VARCHAR), 42.5),
         (TIMESTAMP '2024-06-02 02:00:00', 'raw_cur_b', CAST(98000 AS BIGINT), 'success', CAST(NULL AS VARCHAR), 38.1),

@@ -1,6 +1,7 @@
 package graft.etl
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{count, lit}
 
 /** Table writers — mirror of the reference's PostgreSQL loader
   * (reference src/loaders/postgresql.py:38-160): namespace management,
@@ -35,6 +36,11 @@ trait Loader extends AutoCloseable {
   /** Read a previously-loaded table back (serving-side scan). */
   def table(spark: SparkSession, name: String): DataFrame
 
+  /** SQL-addressable reference to a loaded table, when the sink is
+    * directly addressable from a Spark SQL statement (used for the
+    * durable `costs` view DDL; JDBC sinks serve their own views). */
+  def sqlRef(table: String): Option[String] = None
+
   /** Execute a .sql script: statements split on ';', run in order
     * (postgresql.py:151-160). */
   def runSqlScript(spark: SparkSession, path: String): Unit
@@ -53,6 +59,16 @@ trait Loader extends AutoCloseable {
   protected def cleaned(df: DataFrame): DataFrame =
     df.toDF(Identifiers.cleanColumns(df.columns.toSeq): _*)
 
+  /** Run `write` on the frame with an [[Observation]] attached and return
+    * the rows written — ONE action computes and counts the data (the
+    * reference returns rows loaded; a separate `count()` would scan the
+    * full input twice per table, 2× I/O at 100 TB ingest). */
+  protected def writeCounted(df: DataFrame)(write: DataFrame => Unit): Long = {
+    val obs = Observation()
+    write(df.observe(obs, count(lit(1)).as("rows")))
+    obs.get("rows").asInstanceOf[Long]
+  }
+
   protected def statements(sqlText: String): Seq[String] =
     sqlText.split(";").map(_.trim).filter(_.nonEmpty).toSeq
 }
@@ -66,14 +82,15 @@ final class ParquetLoader(warehouseDir: String, schema: String) extends Loader {
 
   override def load(df: DataFrame, table: String, ifExists: String): Long = {
     if (df.isEmpty) return 0L // postgresql.py:64-66
-    val out = cleaned(df)
-    val rows = out.count() // rows loaded, like the reference's return value
-    out.write.mode(saveMode(ifExists)).parquet(dir(table))
-    rows
+    writeCounted(cleaned(df))(
+      _.write.mode(saveMode(ifExists)).parquet(dir(table)))
   }
 
   override def table(spark: SparkSession, name: String): DataFrame =
     spark.read.parquet(dir(name))
+
+  override def sqlRef(table: String): Option[String] =
+    Some(s"parquet.`${dir(table)}`")
 
   override def runSqlScript(spark: SparkSession, path: String): Unit =
     statements(new String(java.nio.file.Files.readAllBytes(
@@ -109,16 +126,14 @@ final class JdbcLoader(url: String, user: String, password: String, schema: Stri
 
   override def load(df: DataFrame, table: String, ifExists: String): Long = {
     if (df.isEmpty) return 0L
-    val out = cleaned(df)
-    val rows = out.count()
-    out.write
-      .mode(saveMode(ifExists))
-      // execute_values page_size mirror (postgresql.py:51,96)
-      .option("batchsize", 10000)
-      // overwrite = drop + recreate, matching DROP TABLE ... CASCADE +
-      // CREATE (postgresql.py:77-82); truncate=false is the default
-      .jdbc(url, qualified(table), props)
-    rows
+    writeCounted(cleaned(df))(
+      _.write
+        .mode(saveMode(ifExists))
+        // execute_values page_size mirror (postgresql.py:51,96)
+        .option("batchsize", 10000)
+        // overwrite = drop + recreate, matching DROP TABLE ... CASCADE +
+        // CREATE (postgresql.py:77-82); truncate=false is the default
+        .jdbc(url, qualified(table), props))
   }
 
   override def table(spark: SparkSession, name: String): DataFrame =

@@ -97,13 +97,17 @@ object Normalize {
       syncTimestamp: Column,
       provider: String = "aws",
       passthrough: Seq[String] = Nil): DataFrame = {
-    val present = df.columns.toSet
+    // Transform-side identifier cleaning BEFORE resolution (normalize.py:66):
+    // raw CUR v1 headers like `lineItem/UsageStartDate` must resolve via
+    // their cleaned form (`lineitem_usagestartdate`), not NULL-fill.
+    val cleaned = df.toDF(df.columns.map(Identifiers.cleanTransform).toIndexedSeq: _*)
+    val present = cleaned.columns.toSet
     val resolved = mapping.map(outputCol(_, present))
     val meta = Seq(
       lit(provider).as("cloud_provider"),
       lit(sourceTable).as("source_table"),
       syncTimestamp.cast(TimestampType).as("sync_timestamp"))
-    df.select(passthrough.map(col) ++ resolved ++ meta: _*)
+    cleaned.select(passthrough.map(p => col(Identifiers.cleanTransform(p))) ++ resolved ++ meta: _*)
   }
 
   /** Empty-input short-circuit (normalize.py:59-60): an empty frame with

@@ -40,7 +40,12 @@ object Sync {
 
   /** Extract one source: partitioned (year=/month=) roots get the month
     * window + account predicate pushed into partition pruning; flat
-    * roots (no partition columns) fall back to a plain filtered scan. */
+    * roots (no partition columns) fall back to a plain filtered scan.
+    *
+    * `ignoreCorruptFiles` mirrors the reference's month-level error
+    * tolerance (aws_cur.py:138-164: a corrupt month is logged and the
+    * remaining months still load) at file granularity: a bad parquet
+    * footer inside one month partition skips that file, not the sync. */
   def extract(
       spark: SparkSession,
       root: String,
@@ -48,6 +53,7 @@ object Sync {
       accountIds: Seq[String]): DataFrame = {
     val base = spark.read
       .option("mergeSchema", "true")
+      .option("ignoreCorruptFiles", "true")
       .parquet(root)
     val cols = base.columns.toSet
     val monthPred =
@@ -114,9 +120,15 @@ object Sync {
 
     // Rebuild the costs view over everything normalized this run
     // (main.py:124-132; recreate-after-load ordering per SURVEY §7.3.4).
+    // SQL-addressable sinks get the durable CREATE OR REPLACE VIEW DDL
+    // (the reference's persistent PG view); others a session temp view.
     if (processed.nonEmpty && !opts.rawOnly && !opts.dryRun) {
-      val normalized = processed.map(t => loader.table(spark, s"${t}_normalized"))
-      CostsView.build(normalized).createOrReplaceTempView("costs")
+      val refs = processed.map(t => loader.sqlRef(s"${t}_normalized"))
+      if (refs.forall(_.isDefined)) CostsView.createDurable(spark, refs.flatten)
+      else {
+        val normalized = processed.map(t => loader.table(spark, s"${t}_normalized"))
+        CostsView.build(normalized).createOrReplaceTempView("costs")
+      }
     }
 
     if (!opts.dryRun) {

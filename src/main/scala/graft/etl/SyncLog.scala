@@ -22,7 +22,10 @@ object SyncLog {
 
   def toDf(spark: SparkSession, entries: Seq[Entry]): DataFrame = {
     import spark.implicits._
-    entries.toDF()
+    // duration_seconds is DECIMAL(10,2) in the reference's DDL
+    // (sql/init.sql:19) — type the stored column the same way.
+    entries.toDF().withColumn("duration_seconds",
+      col("duration_seconds").cast(org.apache.spark.sql.types.DecimalType(10, 2)))
   }
 
   /** Append run entries (init.sql's INSERT path; if_exists="append"). */

@@ -42,18 +42,27 @@ object Dedup {
     array_distinct(grams)
   }
 
-  /** Per-doc MinHash signature (k hashes) from distinct shingles.
+  /** Hashed shingles via the native [[graft.functions.ShingleHashes]]
+    * expression: each n-gram's byte range is xxhash64'd in place — no
+    * string allocation, no HOF, so the enclosing projection stays in
+    * whole-stage codegen (any HOF would kick the whole stage out).
+    * Element-equal to `transform(shingles(text,n), xxhash64)`. */
+  def shingleHashes(text: Column, n: Int = 3): Column =
+    call_function("graft_shingle_hashes", text, lit(n))
+
+  /** Per-doc MinHash signature (k hashes) from shingles.
     *
-    * Cost shape: each shingle STRING is hashed exactly once
-    * (`xxhash64(s)`); the codegen'd [[graft.functions.MinHashSignature]]
-    * expression then computes all k family minima in ONE fused pass
-    * over the long array (splitmix64-mixed per family index) — no
-    * per-element lambda interpretation, no k separate array traversals. */
+    * Cost shape: one codegen'd pass tokenizes and hashes every shingle
+    * byte range ([[shingleHashes]]); the codegen'd
+    * [[graft.functions.MinHashSignature]] expression then computes all k
+    * family minima in ONE fused pass over the long array
+    * (splitmix64-mixed per family index). Duplicate shingles don't
+    * perturb minima, so no distinct pass is needed. */
   def withMinhashSignature(df: DataFrame, text: Column, k: Int = 32,
       shingleWidth: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    df.withColumn("mh_sig", call_function("graft_minhash",
-      transform(shingles(text, shingleWidth), s => xxhash64(s)), lit(k)))
+    df.withColumn("mh_sig",
+      call_function("graft_minhash", shingleHashes(text, shingleWidth), lit(k)))
   }
 
   /** E2: MinHash-LSH candidate pairs with estimated Jaccard.
@@ -93,14 +102,15 @@ object Dedup {
   }
 
   /** 64-bit SimHash of the word multiset: per bit, vote +1/-1 by each
-    * token's xxhash64 bit, take the sign. Each word is hashed once;
-    * the 64-bit vote/sign loop is the codegen'd
-    * [[graft.functions.SimHash64]] expression (the higher-order-function
-    * formulation interpreted two nested lambdas per word). Callers must
-    * have registered [[graft.functions.GraftFunctions]] (the ops in this
+    * token's xxhash64 bit, take the sign. Tokenize+hash and the 64-bit
+    * vote/sign loop are both native codegen'd expressions
+    * ([[graft.functions.TokenHashes]] → [[graft.functions.SimHash64]]);
+    * the HOF formulation (`transform(split(text," "), xxhash64)`)
+    * would force the whole stage to interpreted eval. Callers must have
+    * registered [[graft.functions.GraftFunctions]] (the ops in this
     * object do). */
   def simhash64(text: Column): Column =
-    call_function("graft_simhash64", transform(split(text, " "), w => xxhash64(w)))
+    call_function("graft_simhash64", call_function("graft_token_hashes", text))
 
   /** E2 (SimHash flavor): near-dup pairs by banding the 64-bit simhash
     * into `chunks` pieces — hamming distance ≤ chunks-1 guarantees at
@@ -132,12 +142,20 @@ object Dedup {
   /** E2 (exact flavor, the conformance oracle): n-gram Jaccard similarity
     * via an inverted-index self-join on shingles. At scale the shingle
     * join would ride behind the MinHash candidate filter; declared here
-    * standalone so DuckDB can verify it hash-for-hash. */
+    * standalone so DuckDB can verify it hash-for-hash.
+    *
+    * The index is keyed on the shingle's 64-bit hash, not the string:
+    * the posting-list join then exchanges 8-byte keys instead of n-gram
+    * text, and shingle extraction stays in whole-stage codegen. Set
+    * equality on hashes equals set equality on shingles modulo an xxhash64
+    * collision (~2⁻⁶⁴ per pair) — the DuckDB oracle joins on the strings
+    * themselves and confirms the counts. */
   def jaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleWidth: Int = 3, threshold: Double = 0.5): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val tok = df.select(col(idCol).as("doc"),
-        explode(shingles(col(textCol), shingleWidth)).as("sh"))
+        explode(array_distinct(shingleHashes(col(textCol), shingleWidth))).as("sh"))
     val sizes = tok.groupBy(col("doc")).agg(count(lit(1)).as("n"))
     val inter = tok.as("a").join(tok.as("b"),
         col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))

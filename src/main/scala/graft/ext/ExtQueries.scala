@@ -201,12 +201,30 @@ object ExtQueries {
 
   // Decode/resize/feature pipeline through the mapPartitions seam (stub
   // codec — deterministic fake decode; the plumbing is the deliverable).
-  // Rows-only: the stub features are asserted exactly in the test suite.
+  // The declared projection scalarizes the feature vector (f0..f3) so the
+  // driver's pandas compare can sort/hash it; the stub samples payload
+  // bytes at i·n/4, which on the (pure-ASCII) fixture text is
+  // oracle-expressible as ascii(substr(...)).
   val e13 = Q(
     "e13_multimodal_decode",
-    (s, d) => Multimodal.decodeFeatures(
-      s, Multimodal.mediaTable(T.documents(s, d)), targetW = 256, targetH = 256)
-      .toDF().orderBy(col("doc_id")))
+    (s, d) => {
+      val feats = Multimodal.decodeFeatures(
+        s, Multimodal.mediaTable(T.documents(s, d)), targetW = 256, targetH = 256).toDF()
+      feats.select(
+        (col("doc_id") +: col("n_bytes") +: col("format") +:
+          col("out_width") +: col("out_height") +:
+          (0 until 4).map(i => try_element_at(col("feature"), lit(i + 1)).as(s"f$i"))): _*)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""SELECT doc_id,
+        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        (['png', 'jpeg', 'webp'])[CAST(doc_id % 3 AS INT) + 1] AS format,
+        LEAST(CAST((doc_id % 8) * 160 + 320 AS INT), 256) AS out_width,
+        LEAST(CAST((doc_id % 5) * 90 + 180 AS INT), 256) AS out_height,
+        ${(0 until 4).map(i =>
+          s"CAST(ascii(substr(text, CAST(($i * length(text)) // 4 AS INT) + 1, 1)) AS BIGINT) AS f$i")
+          .mkString(",\n        ")}
+      FROM documents ORDER BY doc_id"""))
 
   // E3 (IVF scale path): coarse-quantizer cells + nprobe probing —
   // the second ANN geometry next to e07's LSH. Deterministic centroid

@@ -65,17 +65,19 @@ object Similarity {
   }
 
   /** Deterministic random hyperplanes (fixed seed → identical plan on
-    * every run/executor). */
-  private[ext] def hyperplanes(planes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    * every run/executor). Stored as f32 so the sign test runs through the
+    * codegen'd [[fastDot]] (the HOF formulation interpreted one lambda per
+    * element per plane — 64× per row at 8 planes × 8 tables). */
+  private[ext] def hyperplanes(planes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Float]] = {
     val rnd = new scala.util.Random(seed)
-    Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian()))
+    Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian().toFloat))
   }
 
-  /** Sign-pattern LSH bucket id of a vector column. */
-  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column = {
+  /** Sign-pattern LSH bucket id of a vector column — `planes` fused
+    * codegen'd dot products per row, no intermediate arrays. */
+  def lshBucket(vec: Column, planes: Seq[Seq[Float]]): Column = {
     val bits = planes.zipWithIndex.map { case (p, i) =>
-      val planeLit = typedLit(p)
-      when(dot(planeLit, vec) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+      when(fastDot(typedLit(p), vec) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }
     bits.reduce(_.bitwiseOR(_)).as("bucket")
   }
@@ -86,35 +88,42 @@ object Similarity {
     * same-bucket (± hamming-1 multi-probe) corpus rows, then exact
     * cosine ranking within candidates.
     *
-    * Scale bounds (100 TB posture): the corpus is materialized once per
-    * table (×L rows through the bucket join, never all-pairs); the
-    * broadcast query side carries tables × (1 + planes) probe rows per
-    * query vector — keep the query set small or drop `probes`. Expected
-    * candidate fraction per query ≈ tables × probeCount / 2^planes. */
+    * Scale bounds (100 TB posture): the corpus is scanned ONCE — the
+    * native [[graft.functions.LshBuckets]] expression emits all table
+    * buckets in a single codegen'd pass and `posexplode` fans out
+    * (table, bucket) rows (the per-table-union formulation scanned the
+    * corpus `tables`× and generated 64 separate literal-plane loops).
+    * The broadcast query side carries tables × (1 + planes) probe rows
+    * per query vector — keep the query set small or drop `probes`.
+    * Expected candidate fraction per query ≈ tables × probeCount /
+    * 2^planes. */
   def lshTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       planes: Int = 8, dim: Int = 64, tables: Int = 4, probes: Boolean = true,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val tableDefs = (0 until tables).map(t => (t, hyperplanes(planes, dim, 42L + t)))
-    val c = tableDefs.map { case (t, hp) =>
-      corpus.select(col(idCol), col(vecCol),
-        lit(t).as("tbl"), lshBucket(col(vecCol), hp).as("bucket"))
-    }.reduce(_.unionByName(_))
-    val qBase = tableDefs.map { case (t, hp) =>
-      queries.select(col(idCol).as("qid"), col(vecCol).as("qe"),
-        lit(t).as("tbl"), lshBucket(col(vecCol), hp).as("qb"))
-    }.reduce(_.unionByName(_))
+    val matrix: Seq[Float] =
+      (0 until tables).flatMap(t => hyperplanes(planes, dim, 42L + t).flatten)
+    def buckets(vec: Column): Column = call_function("graft_lsh_buckets",
+      vec, typedLit(matrix), lit(tables), lit(planes), lit(dim))
+    val c = corpus.select(col(idCol), col(vecCol), l2norm(col(vecCol)).as("cn"),
+      posexplode(buckets(col(vecCol))).as(Seq("tbl", "bucket")))
+    val qBase = queries.select(col(idCol).as("qid"), col(vecCol).as("qe"),
+      l2norm(col(vecCol)).as("qn"),
+      posexplode(buckets(col(vecCol))).as(Seq("tbl", "qb")))
     // multi-probe: the query also visits every bucket one bit-flip away
     val probeBuckets =
       if (!probes) array(col("qb"))
       else array(col("qb") +: (0 until planes).map(i => col("qb").bitwiseXOR(lit(1L << i))): _*)
-    val q = qBase.select(col("qid"), col("qe"), col("tbl"), explode(probeBuckets).as("bucket"))
+    val q = qBase.select(col("qid"), col("qe"), col("qn"), col("tbl"),
+      explode(probeBuckets).as("bucket"))
     val cand = c.join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("qid") =!= col(idCol))
       // a pair found by several tables/probes is scored once
       .dropDuplicates("qid", idCol)
-    val scored = cand.withColumn("cos", cosine(col("qe"), col(vecCol)))
+    // norms were projected once per side below the join: one dot per pair
+    val scored = cand.withColumn("cos",
+      fastDot(col("qe"), col(vecCol)) / (col("qn") * col("cn")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col(idCol))
     scored
       .withColumn("rn", row_number().over(w).cast(LongType))
@@ -124,42 +133,63 @@ object Similarity {
   }
 
   /** Approximate top-k via IVF (inverted file) coarse quantization —
-    * the second scale geometry next to [[lshTopK]]: pick `nlist`
-    * centroids deterministically from the corpus, assign every corpus
-    * vector to its nearest centroid (one broadcast pass, N × nlist
-    * dots), then answer each query from its `nprobe` nearest centroid
-    * cells only. Candidate fraction ≈ nprobe / nlist of the corpus; at
-    * 100 TB the assignment is a one-off materialized column and probes
-    * touch a fixed slice per query. */
+    * the second scale geometry next to [[lshTopK]].
+    *
+    * Scale shape (every stage is safe at 100 TB):
+    *  - centroid draw: global top-`nlist` rows ordered by a hash of the
+    *    id — `orderBy(...).limit(nlist)` plans as TakeOrderedAndProject
+    *    (per-partition heap + driver merge of nlist rows). No global
+    *    sort, no single-partition window, no extra `count()` scan.
+    *  - cell assignment: the nlist centroids (with driver-precomputed
+    *    norms) are baked into ONE narrow projection — per corpus row an
+    *    argmax over nlist fused dot products, map-side only. No
+    *    corpus×centroid join, no per-id window.
+    *  - probing: each query expands to its `nprobe` best cells via the
+    *    same in-row argsort; candidates come from one broadcast hash
+    *    join on `cid`. A corpus vector lives in exactly one cell, so
+    *    (qid, id) pairs are unique by construction — no dedup shuffle.
+    * Candidate fraction ≈ nprobe / nlist of the corpus. */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val n = corpus.count()
-    val step = math.max(1L, n / nlist)
-    // deterministic coarse centroids: every step-th vector in id order
-    val centroids = corpus
-      .withColumn("__rn", row_number().over(Window.orderBy(col(idCol))) - 1)
-      .filter(col("__rn") % step === 0).limit(nlist)
-      .select((col("__rn") / step).cast(IntegerType).as("cid"),
-        col(vecCol).as("ce"))
-    val cB = broadcast(centroids)
-    def nearestCells(df: DataFrame, id: Column, vec: Column, take: Int) = {
-      val w = Window.partitionBy(id).orderBy(
-        (fastDot(vec, col("ce")) / (l2norm(vec) * l2norm(col("ce")))).desc, col("cid"))
-      df.join(cB).withColumn("__cr", row_number().over(w)).filter(col("__cr") <= take)
-    }
-    val assigned = nearestCells(
-      corpus.select(col(idCol), col(vecCol)), col(idCol), col(vecCol), 1)
-      .select(col(idCol), col(vecCol), col("cid"))
-    val probes = nearestCells(
-      queries.select(col(idCol).as("qid"), col(vecCol).as("qe")), col("qid"), col("qe"), nprobe)
-      .select(col("qid"), col("qe"), col("cid"))
-    val scored = assigned.join(broadcast(probes), Seq("cid"))
+    // Deterministic pseudo-random draw: smallest nlist ids by hash order.
+    // TakeOrderedAndProject keeps this a narrow top-k at any corpus size.
+    val picked = corpus
+      .select(col(idCol).cast(LongType).as("__id"), col(vecCol).as("__ce"))
+      .orderBy(xxhash64(col("__id")), col("__id"))
+      .limit(nlist)
+      .collect()
+    // Stable cid numbering by source id; centroid norms are computed on
+    // the driver with the same left-to-right f64 fold as graft_dot_f32.
+    val cents: Array[(Int, Seq[Float], Double)] = picked
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1).zipWithIndex
+      .map { case ((_, v), i) =>
+        var s = 0.0
+        v.foreach(x => s += x.toDouble * x.toDouble)
+        (i, v, math.sqrt(s))
+      }
+    // Per-row scores against every centroid: array of (cos, -cid) structs
+    // (array_max / array_sort order by cos first, then prefer small cid).
+    def cellScores(vec: Column, vecNorm: Column): Column = array(cents.map {
+      case (i, v, nm) => struct(
+        (fastDot(vec, typedLit(v)) / (vecNorm * lit(nm))).as("c"),
+        lit(-i).as("nc"))
+    }: _*)
+    val assigned = corpus
+      .select(col(idCol), col(vecCol), l2norm(col(vecCol)).as("__vn"))
+      .withColumn("cid",
+        -array_max(cellScores(col(vecCol), col("__vn"))).getField("nc"))
+    val probed = queries
+      .select(col(idCol).as("qid"), col(vecCol).as("qe"), l2norm(col(vecCol)).as("__qn"))
+      .withColumn("__cell",
+        explode(slice(reverse(array_sort(cellScores(col("qe"), col("__qn")))), 1, nprobe)))
+      .select(col("qid"), col("qe"), col("__qn"), (-col("__cell.nc")).as("cid"))
+    val scored = assigned.join(broadcast(probed), Seq("cid"))
       .filter(col("qid") =!= col(idCol))
-      .dropDuplicates("qid", idCol)
-      .withColumn("cos", cosine(col("qe"), col(vecCol)))
+      .withColumn("cos", fastDot(col("qe"), col(vecCol)) / (col("__qn") * col("__vn")))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col(idCol))
     scored
       .withColumn("rn", row_number().over(w).cast(LongType))

@@ -40,6 +40,42 @@ object GraftFunctions {
       (children: Seq[Expression]) => {
         require(children.size == 1, "graft_simhash64 takes exactly 1 argument")
         SimHash64(children.head)
+      }),
+    (new FunctionIdentifier("graft_token_hashes"),
+      new ExpressionInfo(classOf[TokenHashes].getName, "graft_token_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_token_hashes takes exactly 1 argument")
+        TokenHashes(children.head)
+      }),
+    (new FunctionIdentifier("graft_shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_shingle_hashes takes (string, n)")
+        val n = children(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_shingle_hashes n must be an integer literal, got $other")
+        }
+        ShingleHashes(children.head, n)
+      }),
+    (new FunctionIdentifier("graft_lsh_buckets"),
+      new ExpressionInfo(classOf[LshBuckets].getName, "graft_lsh_buckets"),
+      (children: Seq[Expression]) => {
+        require(children.size == 5,
+          "graft_lsh_buckets takes (vec, planeMatrix, tables, perTable, dim)")
+        val planes = children(1) match {
+          case Literal(a: org.apache.spark.sql.catalyst.util.ArrayData,
+              org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, _)) =>
+            a.toFloatArray()
+          case other => throw new IllegalArgumentException(
+            s"graft_lsh_buckets plane matrix must be an array<float> literal, got $other")
+        }
+        val ints = children.drop(2).map {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_lsh_buckets geometry must be integer literals, got $other")
+        }
+        LshBuckets(children.head, planes, ints(0), ints(1), ints(2))
       }))
 
   /** Idempotent runtime registration into the session's function

@@ -87,6 +87,7 @@ case class MinHashSignature(child: Expression, k: Int)
       val h = ctx.freshName("h")
       val n = ctx.freshName("n")
       s"""
+         |// graft_minhash fused loop
          |int $n = $xs.numElements();
          |long[] $sig = new long[$k];
          |java.util.Arrays.fill($sig, Long.MAX_VALUE);
@@ -149,6 +150,7 @@ case class SimHash64(child: Expression) extends UnaryExpression {
       val n = ctx.freshName("n")
       val out = ctx.freshName("out")
       s"""
+         |// graft_simhash64 fused loop
          |int $n = $xs.numElements();
          |int[] $votes = new int[64];
          |for (int $j = 0; $j < $n; $j++) {

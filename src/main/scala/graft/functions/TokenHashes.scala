@@ -1,0 +1,154 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.catalyst.expressions.XXH64
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native tokenize-and-hash expressions — the codegen'd front of the
+  * dedup/sketch pipeline.
+  *
+  * Why native: the column-algebra formulation
+  * (`transform(split(text,' '), w -> xxhash64(w))` /
+  * `transform(sequence(...), i -> concat_ws(' ', element_at...))`)
+  * contains higher-order functions, and ANY HOF in a projection kicks
+  * the whole stage out of whole-stage codegen — the sketch front then
+  * interprets two lambdas per token and allocates every n-gram string.
+  * These expressions hash token/byte ranges of the input `UTF8String`
+  * in place: zero string allocation, one pass, and the enclosing
+  * projection stays codegen'd (asserted in DotProductF32Spec).
+  *
+  * Hash parity: ranges are hashed with the same XXH64(seed=42) Spark's
+  * `xxhash64` uses, and an n-gram's byte range [start(w_i),
+  * end(w_{i+n-1})) is byte-identical to `concat_ws(" ", w_i..w_{i+n-1})`
+  * under single-space splitting (empty tokens from repeated spaces
+  * reproduce the same bytes on both formulations) — so
+  * `graft_shingle_hashes(t, n)` equals
+  * `transform(shingles(t, n), s -> xxhash64(s))` element-for-element
+  * (property-tested in DedupSimilaritySpec).
+  */
+object TokenHashes {
+  private final val Seed = 42L
+  private final val Space = 0x20.toByte
+
+  /** xxhash64 of each whitespace token's bytes, in order (multiset —
+    * duplicates kept, matching `transform(split(t,' '), xxhash64)`). */
+  def tokens(t: UTF8String): GenericArrayData = {
+    val base = t.getBaseObject
+    val off = t.getBaseOffset
+    val len = t.numBytes()
+    var words = 1
+    var i = 0
+    while (i < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == Space) words += 1
+      i += 1
+    }
+    val out = new Array[Long](words)
+    var w = 0
+    var start = 0
+    i = 0
+    while (i <= len) {
+      if (i == len || org.apache.spark.unsafe.Platform.getByte(base, off + i) == Space) {
+        out(w) = XXH64.hashUnsafeBytes(base, off + start, i - start, Seed)
+        w += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** xxhash64 of each n-word shingle's byte range; a text with fewer
+    * than n words yields one hash of the whole text (the `shingles`
+    * short-document rule). */
+  def shingles(t: UTF8String, n: Int): GenericArrayData = {
+    val base = t.getBaseObject
+    val off = t.getBaseOffset
+    val len = t.numBytes()
+    var words = 1
+    var i = 0
+    while (i < len) {
+      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == Space) words += 1
+      i += 1
+    }
+    if (words < n) {
+      return new GenericArrayData(
+        Array(XXH64.hashUnsafeBytes(base, off, len, Seed)))
+    }
+    // starts(w) = byte offset of word w; ends(w) = byte offset past word w
+    val starts = new Array[Int](words)
+    val ends = new Array[Int](words)
+    var w = 0
+    var start = 0
+    i = 0
+    while (i <= len) {
+      if (i == len || org.apache.spark.unsafe.Platform.getByte(base, off + i) == Space) {
+        starts(w) = start
+        ends(w) = i
+        w += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    val m = words - n + 1
+    val out = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      val s = starts(i)
+      out(i) = XXH64.hashUnsafeBytes(base, off + s, ends(i + n - 1) - s, Seed)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `graft_token_hashes(text)` → array<long>: xxhash64 per whitespace
+  * token, in token order. */
+case class TokenHashes(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_token_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    TokenHashes.tokens(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TokenHashes.tokens($c); // graft_token_hashes")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenHashes =
+    copy(child = newChild)
+}
+
+/** `graft_shingle_hashes(text, n)` → array<long>: xxhash64 per n-word
+  * shingle byte range (whole text when shorter than n words). */
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n > 0 && n <= 64, s"shingle width out of range: $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_hashes"
+
+  override def nullSafeEval(input: Any): Any =
+    TokenHashes.shingles(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TokenHashes.shingles($c, $n); // graft_shingle_hashes")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}

@@ -21,12 +21,12 @@ object ConformanceJoins {
 
   // C11: TPC-H Q5 shape — revenue per nation within one region.
   // Join order is chosen for scale: the region restriction is applied to
-  // CUSTOMER first (via two tiny broadcast joins), and the restricted
-  // customer set is itself broadcast into the fact side — so the only
-  // shuffle in the whole plan is orders⋈lineitem on the order key plus
-  // the final aggregation. The naive shape (customer joined shuffle-side,
-  // region filtered last) would exchange the full customer table and
-  // carry every region's rows through two joins before dropping them.
+  // CUSTOMER first (via two tiny broadcast joins) before the fact side, so
+  // no join ever carries another region's rows. Only nation/region are
+  // force-broadcast: the restricted customer set is fact-derived (~20% of
+  // all customers) — at 100× scale a forced broadcast of it would OOM, so
+  // its join is left to the planner/AQE (a broadcast at small SF, a hash
+  // shuffle once customer outgrows the threshold).
   val c11 = Q(
     "c11_join_star_agg",
     (s, d) => {
@@ -36,7 +36,7 @@ object ConformanceJoins {
           col("n_regionkey") === col("r_regionkey"))
         .select(col("c_custkey"), col("n_name"))
       val rev = T.orders(s, d)
-        .join(broadcast(regionCust), col("c_custkey") === col("o_custkey"))
+        .join(regionCust, col("c_custkey") === col("o_custkey"))
         .join(T.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
       rev.groupBy(col("n_name"))
         .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))

@@ -57,6 +57,19 @@ class NormalizeSpec extends SparkSpec {
     assert(rows(1).getAs[Double]("cost") == 1.5)
   }
 
+  test("O10: raw CUR v1 headers (mixed case, slashes) resolve via transform-side cleaning") {
+    import spark.implicits._
+    // reference normalize.py:66 cleans the frame's columns BEFORE
+    // resolution: `lineItem/UsageStartDate` → `lineitem_usagestartdate`,
+    // which is a declared alternative — must resolve, not NULL-fill.
+    val df = Seq(("2024-03-04T00:00:00Z", "42.5", "AmazonEC2"))
+      .toDF("lineItem/UsageStartDate", "lineItem/UnblendedCost", "product:ProductName")
+    val row = normalize(df, awsCur, "t", ts).collect().head
+    assert(row.getAs[java.sql.Date]("date").toString == "2024-03-04")
+    assert(row.getAs[Double]("cost") == 42.5)
+    assert(row.getAs[String]("service") == "AmazonEC2")
+  }
+
   test("O15: schema totality — any input schema yields exactly the 9 declared columns") {
     import spark.implicits._
     val inputs = Seq(

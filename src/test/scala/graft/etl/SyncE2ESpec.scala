@@ -41,6 +41,7 @@ class SyncE2ESpec extends SparkSpec {
   test("sync end-to-end: raw + normalized + costs view + sync_log") {
     val wh = Files.createTempDirectory("graft_wh").toString
     val loader = new ParquetLoader(wh, "s")
+    spark.catalog.dropTempView("costs") // durable view must not be shadowed
     val res = Sync.run(spark, cfg(wh), loader,
       Sync.Options(months = 1, asOf = LocalDate.parse("2024-01-15")))
 
@@ -83,6 +84,51 @@ class SyncE2ESpec extends SparkSpec {
     assert(res.tables.map(_.status) == Seq("error", "success"))
     val log = loader.table(spark, "sync_log")
     assert(log.filter(col("status") === "error").count() == 1)
+  }
+
+  test("corrupt file inside one month partition is skipped; remaining data loads") {
+    // reference aws_cur.py:138-164 tolerates a corrupt month and loads the
+    // rest; here a garbage parquet file lands INSIDE the synced month.
+    val root = Files.createTempDirectory("graft_cur_corrupt").toString
+    T.events(spark, sf001).select(
+      col("ts").as("line_item_usage_start_date"),
+      lit("999999999999").as("line_item_usage_account_id"),
+      col("event_type").as("product_servicename"),
+      col("value").as("line_item_unblended_cost"),
+      year(col("ts")).as("year"), month(col("ts")).as("month"))
+      .write.partitionBy("year", "month").parquet(s"$root/cur-c")
+    val monthDir = new java.io.File(s"$root/cur-c/year=2024/month=1")
+    assert(monthDir.isDirectory, s"fixture month dir missing: $monthDir")
+    Files.write(monthDir.toPath.resolve("part-corrupt.parquet"),
+      "this is not parquet".getBytes("UTF-8"))
+
+    val wh = Files.createTempDirectory("graft_wh").toString
+    val loader = new ParquetLoader(wh, "s")
+    val c = EngineConfig(
+      sourceRoot = s"file://$root", curPaths = Seq("cur-c"),
+      warehouseDir = wh, jdbcUrl = None, jdbcUser = "", jdbcPassword = "",
+      schema = "s", syncMonths = 1, logLevel = "WARN")
+    val res = Sync.run(spark, c, loader,
+      Sync.Options(months = 1, asOf = LocalDate.parse("2024-01-15"), allAccounts = true))
+    assert(res.tables.map(_.status) == Seq("success"),
+      s"corrupt file should be skipped, not fail the sync: ${res.tables}")
+    assert(loader.table(spark, "raw_cur_c").count() > 0)
+  }
+
+  test("durable costs view: CREATE OR REPLACE VIEW over the parquet sink") {
+    val wh = Files.createTempDirectory("graft_wh").toString
+    val loader = new ParquetLoader(wh, "s")
+    // another suite may have left a temp view named `costs`; the durable
+    // flavor must resolve from the catalog, so clear any shadow first
+    spark.catalog.dropTempView("costs")
+    Sync.run(spark, cfg(wh), loader,
+      Sync.Options(months = 1, asOf = LocalDate.parse("2024-01-15")))
+    // the view is catalog DDL (not a temp-view handle): a fresh statement
+    // against the catalog resolves it, and its definition addresses the
+    // parquet sink directly
+    val cnt = spark.sql("SELECT count(*) FROM costs").collect().head.getLong(0)
+    assert(cnt > 0 && cnt == loader.table(spark, "cur_a_normalized").count())
+    assert(spark.catalog.tableExists("costs"))
   }
 
   test("O3: month window prunes partitions in the physical plan") {

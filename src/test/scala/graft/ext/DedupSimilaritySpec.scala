@@ -31,6 +31,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(sh(0) == sh(1))
   }
 
+  test("native shingle/token hashes equal the HOF formulation element-for-element") {
+    graft.functions.GraftFunctions.register(spark)
+    // shingle ranges: hashing the byte range must equal hashing the
+    // concat_ws-joined words (single-space separators reproduce bytes)
+    val shMismatch = docs.select(
+      array_sort(array_distinct(Dedup.shingleHashes(col("text"), 3))).as("nat"),
+      array_sort(transform(Dedup.shingles(col("text"), 3), s => xxhash64(s))).as("hof"))
+      .filter(col("nat") =!= col("hof")).count()
+    assert(shMismatch == 0)
+    val tokMismatch = docs.select(
+      call_function("graft_token_hashes", col("text")).as("nat"),
+      transform(split(col("text"), " "), w => xxhash64(w)).as("hof"))
+      .filter(col("nat") =!= col("hof")).count()
+    assert(tokMismatch == 0)
+    // short-document rule: fewer than n words → one whole-text hash
+    import spark.implicits._
+    val short = Seq(Tuple1("two words")).toDF("text")
+      .select(Dedup.shingleHashes(col("text"), 3).as("h"),
+        array(xxhash64(col("text"))).as("expect"))
+      .filter(col("h") =!= col("expect")).count()
+    assert(short == 0)
+  }
+
   test("E2: MinHash-LSH recall vs exact Jaccard pairs (threshold 0.5)") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
       .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -39,6 +39,34 @@ class DotProductF32Spec extends SparkSpec {
     assert(r.isNullAt(0))
   }
 
+  test("native expressions actually reach whole-stage codegen in a fresh plan") {
+    GraftFunctions.register(spark)
+    val embs = T.embeddings(spark, sf001)
+    val dotPlan = embs.select(
+      Similarity.fastDot(col("embedding"), col("embedding")).as("d"))
+    val dotCode = org.apache.spark.sql.execution.debug.codegenString(
+      dotPlan.queryExecution.executedPlan)
+    assert(dotCode.contains("graft_dot_f32 fused loop"),
+      s"graft_dot_f32 fell back to interpreted eval:\n$dotCode")
+
+    val docs = T.documents(spark, sf001)
+    val mhPlan = graft.ext.Dedup.withMinhashSignature(docs, col("text"), k = 16)
+    val mhCode = org.apache.spark.sql.execution.debug.codegenString(
+      mhPlan.queryExecution.executedPlan)
+    assert(mhCode.contains("graft_minhash fused loop"),
+      s"graft_minhash fell back to interpreted eval:\n$mhCode")
+    assert(mhCode.contains("graft_shingle_hashes"),
+      s"shingle tokenizer fell back to interpreted eval:\n$mhCode")
+
+    val shPlan = docs.select(graft.ext.Dedup.simhash64(col("text")).as("sh"))
+    val shCode = org.apache.spark.sql.execution.debug.codegenString(
+      shPlan.queryExecution.executedPlan)
+    assert(shCode.contains("graft_simhash64 fused loop"),
+      s"graft_simhash64 fell back to interpreted eval:\n$shCode")
+    assert(shCode.contains("graft_token_hashes"),
+      s"word tokenizer fell back to interpreted eval:\n$shCode")
+  }
+
   test("interpreted eval path matches codegen (mismatched lengths use min)") {
     val e = DotProductF32(
       org.apache.spark.sql.catalyst.expressions.Literal.create(
