@@ -101,6 +101,88 @@ object Dedup {
       .select(col("doc1"), col("doc2"), col("est_sim"))
   }
 
+  /** Engine-neutral 60-bit hash: int64 of the first 15 hex chars of
+    * md5(input) — stateable identically in Spark and DuckDB
+    * (`CAST(('0x'||substr(md5(x),1,15)) AS BIGINT)`), positive, so
+    * ANSI-safe. The bridge that lets sketch pipelines be hash-checked by
+    * the external oracle instead of declared rows-only. */
+  def portableHash64(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** The affine min-hash family shared with the external oracle:
+    * p is prime just under 2²⁴, the base hash is the top 24 bits of
+    * md5(s), and family j is h_j = (a_j·h + b_j) mod p. Every product
+    * stays under 2⁴⁸, so int64 arithmetic is exact (and ANSI-safe) in
+    * any engine. Constants are drawn once from a fixed seed and baked
+    * into both the Spark plan and the oracle SQL. */
+  final val PortableP = 16777213L
+  def portableFamily(k: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(20240612L)
+    Seq.fill(k)((1L + rnd.nextInt((PortableP - 1).toInt).toLong,
+      rnd.nextInt(PortableP.toInt).toLong))
+  }
+
+  /** 24-bit engine-neutral base hash: int64 of the first 6 hex chars of
+    * md5(input). */
+  def portableHash24(c: Column): Column =
+    conv(substring(md5(c), 1, 6), 16, 10).cast(LongType)
+
+  /** E2 (MinHash-LSH, oracle-bridged flavor): the same shingle → k-min
+    * signature → banded bucket join pipeline as [[minhashCandidates]],
+    * with the engine-neutral [[portableFamily]] — ONE md5 per shingle,
+    * k exact affine mixes — so DuckDB can restate the whole pipeline and
+    * the driver hash-checks the candidate set.
+    *
+    * Plan shape is also the scale shape: shingles explode once, the k
+    * family hashes are k plain codegen'd columns (no HOF), signatures are
+    * k map-side `min` partial aggregates (one shuffle on doc), band keys
+    * are signature slices joined by value, and oversized buckets are
+    * dropped by `maxBucket` exactly as in the throughput flavor.
+    * [[minhashCandidates]] (xxhash64+splitmix, fused native expression)
+    * remains the 100 TB throughput path. */
+  def minhashCandidatesPortable(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 32, bands: Int = 8, shingleWidth: Int = 3,
+      minEstSim: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val r = k / bands
+    val fam = portableFamily(k)
+    // native fused shingle→md5-24 pass (the interpreted HOF string
+    // explode + md5 + conv chain was the pipeline's dominant cost)
+    val tok = df.select(col(idCol).as("doc"),
+      explode(call_function("graft_portable_shingles",
+        col(textCol), lit(shingleWidth))).as("h"))
+    val sig = tok
+      .select(col("doc") +: (0 until k).map { j =>
+        val (a, b) = fam(j)
+        ((lit(a) * col("h") + lit(b)) % PortableP).as(s"h$j")
+      }: _*)
+      .groupBy(col("doc"))
+      .agg(min(col("h0")).as("m0"),
+        (1 until k).map(j => min(col(s"h$j")).as(s"m$j")): _*)
+      .select(col("doc"), array((0 until k).map(j => col(s"m$j")): _*).as("sig"))
+    val banded = sig.select(col("doc"), col("sig"),
+      posexplode(array((0 until bands).map(b => slice(col("sig"), b * r + 1, r)): _*))
+        .as(Seq("band", "key")))
+    val pruned = banded
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("key"))))
+      .filter(col("bucket_n") <= maxBucket)
+    val pairs = pruned.as("x").join(pruned.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("doc1"), col("y.doc").as("doc2"),
+        col("x.sig").as("s1"), col("y.sig").as("s2"))
+      .dropDuplicates("doc1", "doc2")
+    pairs
+      .withColumn("est_sim",
+        size(filter(zip_with(col("s1"), col("s2"), (a, b) => a === b), x => x))
+          .cast(DoubleType) / k)
+      .filter(col("est_sim") >= minEstSim)
+      .select(col("doc1"), col("doc2"), col("est_sim"))
+  }
+
   /** 64-bit SimHash of the word multiset: per bit, vote +1/-1 by each
     * token's xxhash64 bit, take the sign. Tokenize+hash and the 64-bit
     * vote/sign loop are both native codegen'd expressions
@@ -112,16 +194,30 @@ object Dedup {
   def simhash64(text: Column): Column =
     call_function("graft_simhash64", call_function("graft_token_hashes", text))
 
+  /** Oracle-bridged SimHash: word hashes from [[portableHash64]] (60-bit,
+    * DuckDB-stateable) voted through the same native [[graft.functions
+    * .SimHash64]] sign loop. Bits 60–63 of every word hash are zero, so
+    * those simhash bits vote all-negative and are 0 on both engines. */
+  def simhashPortable(text: Column): Column =
+    call_function("graft_simhash64",
+      transform(split(text, " "), w => portableHash64(w)))
+
   /** E2 (SimHash flavor): near-dup pairs by banding the 64-bit simhash
     * into `chunks` pieces — hamming distance ≤ chunks-1 guarantees at
     * least one equal chunk (pigeonhole), which seeds the candidate join;
-    * exact hamming is then computed on the candidates only. */
+    * exact hamming is then computed on the candidates only.
+    *
+    * `wordHash` picks the per-token hash family: the default (native
+    * xxhash64 tokenizer) is the throughput path; pass
+    * `c => graft_simhash64(transform(split(c," "), portableHash64))` style
+    * columns for the oracle-bridged flavor (see [[simhashPortable]]). */
   def simhashCandidates(
       df: DataFrame, idCol: String, textCol: String,
-      chunks: Int = 4, maxHamming: Int = 3): DataFrame = {
+      chunks: Int = 4, maxHamming: Int = 3,
+      simhashCol: Column => Column = simhash64): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val width = 64 / chunks
-    val sh = df.select(col(idCol).as("doc"), simhash64(col(textCol)).as("sh"))
+    val sh = df.select(col(idCol).as("doc"), simhashCol(col(textCol)).as("sh"))
     val chunkCols = (0 until chunks).map { c =>
       shiftright(col("sh"), c * width)
         .bitwiseAND((1L << width) - 1).as(s"chunk_$c")

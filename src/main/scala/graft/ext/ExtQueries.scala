@@ -98,31 +98,114 @@ object ExtQueries {
           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) / (a.nrm * b.nrm) >= 0.45
       ORDER BY id1, id2"""))
 
-  // E2 (MinHash-LSH scale path): banded candidate pairs with estimated
-  // Jaccard. Deterministic (fixed affine hash family) but not restated in
-  // SQL — rows-only check; recall vs e02 is asserted in the test suite.
+  // E2 (MinHash-LSH): banded candidate pairs with estimated Jaccard, in
+  // the oracle-bridged hash family (md5-salted 60-bit hashes both engines
+  // can state) — the full sketch pipeline (shingle → k-min signature →
+  // band slice → bucket join → est_sim filter) is hash-checked by DuckDB,
+  // not declared rows-only. The xxhash64+splitmix throughput flavor
+  // (Dedup.minhashCandidates) is recall-tested in the suite.
+  private val mhK = 32
+  private val mhBands = 8
+  private val mhR = mhK / mhBands
+  private val mhFam = Dedup.portableFamily(mhK)
   val e05 = Q(
     "e05_minhash_candidates",
-    (s, d) => Dedup.minhashCandidates(T.documents(s, d), "doc_id", "text",
-      k = 32, bands = 8, minEstSim = 0.4)
-      .orderBy(col("doc1"), col("doc2")))
+    (s, d) => Dedup.minhashCandidatesPortable(T.documents(s, d), "doc_id", "text",
+      k = mhK, bands = mhBands, minEstSim = 0.4)
+      .orderBy(col("doc1"), col("doc2")),
+    Some(s"""WITH w AS (SELECT doc_id AS doc, string_split(text,' ') ws FROM documents),
+      sh AS (SELECT DISTINCT doc, concat_ws(' ', ws[i], ws[i+1], ws[i+2]) s
+             FROM w, UNNEST(range(1, greatest(len(ws)-2,1)+1)) t(i)),
+      hb AS (SELECT doc, CAST(('0x'||substr(md5(s),1,6)) AS BIGINT) AS h FROM sh),
+      sigs AS (SELECT doc,
+        ${(0 until mhK).map { j =>
+          val (a, b) = mhFam(j)
+          s"MIN(($a*h + $b) % ${Dedup.PortableP}) AS m$j"
+        }.mkString(",\n        ")}
+        FROM hb GROUP BY doc),
+      sigl AS (SELECT doc, [${(0 until mhK).map(j => s"m$j").mkString(",")}] AS sig FROM sigs),
+      banded AS (SELECT doc, sig, b.band,
+          sig[CAST(b.band*$mhR+1 AS INT):CAST(b.band*$mhR+$mhR AS INT)] AS key
+        FROM sigl, (SELECT UNNEST(range(0,$mhBands)) AS band) b),
+      pruned AS (SELECT * FROM
+          (SELECT *, COUNT(*) OVER (PARTITION BY band, key) AS bucket_n FROM banded)
+        WHERE bucket_n <= 1000),
+      pairs AS (SELECT DISTINCT x.doc AS doc1, y.doc AS doc2, x.sig AS s1, y.sig AS s2
+        FROM pruned x JOIN pruned y ON x.band = y.band AND x.key = y.key AND x.doc < y.doc),
+      est AS (SELECT doc1, doc2,
+          CAST(list_sum(list_transform(range(1,$mhK+1),
+            i -> CASE WHEN s1[i] = s2[i] THEN 1 ELSE 0 END)) AS DOUBLE)/$mhK AS est_sim
+        FROM pairs)
+      SELECT doc1, doc2, est_sim FROM est WHERE est_sim >= 0.4 ORDER BY doc1, doc2"""))
 
-  // E2 (SimHash scale path): banded 64-bit fingerprint candidates.
+  // E2 (SimHash): banded 64-bit fingerprint candidates, oracle-bridged
+  // word-hash family; DuckDB recomputes the per-bit votes, the chunk
+  // band join, and the hamming filter exactly.
   val e06 = Q(
     "e06_simhash_candidates",
     (s, d) => Dedup.simhashCandidates(T.documents(s, d), "doc_id", "text",
-      chunks = 4, maxHamming = 3)
-      .orderBy(col("doc1"), col("doc2")))
+      chunks = 4, maxHamming = 3, simhashCol = Dedup.simhashPortable)
+      .orderBy(col("doc1"), col("doc2")),
+    Some("""WITH wh AS (SELECT doc_id AS doc, list_transform(string_split(text,' '),
+          w -> CAST(('0x'||substr(md5(w),1,15)) AS BIGINT)) hs FROM documents),
+      shh AS (SELECT doc, CAST(list_sum(list_transform(range(0,60), b ->
+          CASE WHEN list_sum(list_transform(hs,
+            h -> CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+          THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS sh
+        FROM wh),
+      ch AS (SELECT doc, sh, c.band, (sh >> CAST(c.band*16 AS INT)) & 65535 AS key
+        FROM shh, (SELECT UNNEST(range(0,4)) AS band) c),
+      pairs AS (SELECT DISTINCT x.doc AS doc1, y.doc AS doc2,
+          CAST(bit_count(xor(x.sh, y.sh)) AS INT) AS hamming
+        FROM ch x JOIN ch y ON x.band = y.band AND x.key = y.key AND x.doc < y.doc)
+      SELECT doc1, doc2, hamming FROM pairs WHERE hamming <= 3 ORDER BY doc1, doc2"""))
 
   // E3 (LSH scale path): multi-table hyperplane LSH top-k with hamming-1
-  // multi-probe; deterministic seeds. Recall bound tested in the suite
-  // against e03's exact answer. tables × probes / 2^planes bounds the
-  // candidate fraction (at 100 TB you'd raise planes with corpus size).
+  // multi-probe; deterministic seeds. tables × probes / 2^planes bounds
+  // the candidate fraction (at 100 TB you'd raise planes with corpus
+  // size). The hyperplanes live on the 2⁻¹² dyadic grid, so the oracle
+  // below restates them as exact SQL literals and replays the whole
+  // pipeline — buckets, probes, candidate dedup, cosine ranking —
+  // bit-for-bit.
+  private val lshTables = (0 until 8).map(t => Similarity.hyperplanes(8, 64, 42L + t))
+
+  private def planeList(p: Seq[Float]): String =
+    p.map(f => new java.math.BigDecimal(f.toDouble).toPlainString)
+      .mkString("[", ",", "]")
+
+  // sum over planes of CASE sign-bit shifts == the LshBuckets loop
+  private def bucketSql(vec: String, hp: Seq[Seq[Float]]): String =
+    hp.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN LIST_SUM(LIST_TRANSFORM(range(1,65), ii -> " +
+        s"CAST((${planeList(p)})[ii] AS DOUBLE) * CAST($vec[ii] AS DOUBLE))) >= 0 " +
+        s"THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString("(", " + ", ")")
+
   val e07 = Q(
     "e07_ann_lsh_topk",
     (s, d) => Similarity.lshTopK(
       T.embeddings(s, d), T.embeddings(s, d).filter(col("vec_id") < 10),
-      k = 5, planes = 8, dim = 64, tables = 8))
+      k = 5, planes = 8, dim = 64, tables = 8),
+    Some(s"""WITH corp AS (SELECT vec_id, embedding,
+        SQRT(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS vn
+        FROM embeddings),
+      buck AS (${lshTables.zipWithIndex.map { case (hp, t) =>
+        s"SELECT vec_id, $t AS tbl, ${bucketSql("embedding", hp)} AS bucket FROM embeddings"
+      }.mkString("\n        UNION ALL ")}),
+      qb AS (SELECT vec_id AS qid, tbl, bucket AS qb0 FROM buck WHERE vec_id < 10),
+      probes AS (SELECT qid, tbl, UNNEST([qb0, ${(0 until 8).map(i =>
+        s"xor(qb0, ${1L << i})").mkString(",")}]) AS bucket FROM qb),
+      cand AS (SELECT DISTINCT p.qid, b.vec_id
+        FROM buck b JOIN probes p ON b.tbl = p.tbl AND b.bucket = p.bucket
+        WHERE p.qid <> b.vec_id),
+      sc AS (SELECT c.qid, c.vec_id,
+          LIST_SUM(LIST_TRANSFORM(range(1, LEN(q.embedding)+1),
+            i -> CAST(q.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)))
+            / (q.vn * v.vn) AS cos
+        FROM cand c JOIN corp q ON q.vec_id = c.qid JOIN corp v ON v.vec_id = c.vec_id),
+      r AS (SELECT qid, vec_id, cos,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM sc)
+      SELECT qid, vec_id, cos, rn FROM r WHERE rn <= 5 ORDER BY qid, rn"""))
 
   // ---- E4: text analysis ----
 
@@ -226,14 +309,46 @@ object ExtQueries {
           .mkString(",\n        ")}
       FROM documents ORDER BY doc_id"""))
 
-  // E3 (IVF scale path): coarse-quantizer cells + nprobe probing —
-  // the second ANN geometry next to e07's LSH. Deterministic centroid
-  // choice; rows-only (recall vs e03 asserted in the test suite).
+  // E3 (IVF scale path): coarse-quantizer cells + nprobe probing — the
+  // second ANN geometry next to e07's LSH. The centroid draw is the
+  // engine-neutral md5 hash order, so the oracle replays the identical
+  // draw, cell assignment (argmax cos, ties → smallest cid), probing,
+  // and ranking.
   val e14 = Q(
     "e14_ann_ivf_topk",
     (s, d) => Similarity.ivfTopK(
       T.embeddings(s, d), T.embeddings(s, d).filter(col("vec_id") < 10),
-      k = 5, nlist = 16, nprobe = 4))
+      k = 5, nlist = 16, nprobe = 4),
+    Some("""WITH corp AS (SELECT vec_id, embedding,
+        SQRT(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS vn
+        FROM embeddings),
+      picked AS (SELECT vec_id, embedding FROM embeddings
+        ORDER BY CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT), vec_id
+        LIMIT 16),
+      cents AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS ce,
+          SQRT(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS cn
+        FROM picked),
+      ac AS (SELECT c.vec_id, c.vn, ct.cid,
+          LIST_SUM(LIST_TRANSFORM(range(1, LEN(c.embedding)+1),
+            i -> CAST(c.embedding[i] AS DOUBLE) * CAST(ct.ce[i] AS DOUBLE)))
+            / (c.vn * ct.cn) AS ccos
+        FROM corp c, cents ct),
+      assign AS (SELECT vec_id, cid FROM
+          (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn FROM ac)
+        WHERE crn = 1),
+      probes AS (SELECT vec_id AS qid, cid FROM
+          (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn
+           FROM ac WHERE vec_id < 10)
+        WHERE crn <= 4),
+      sc AS (SELECT p.qid, a.vec_id,
+          LIST_SUM(LIST_TRANSFORM(range(1, LEN(q.embedding)+1),
+            i -> CAST(q.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)))
+            / (q.vn * v.vn) AS cos
+        FROM assign a JOIN probes p ON a.cid = p.cid AND p.qid <> a.vec_id
+        JOIN corp q ON q.vec_id = p.qid JOIN corp v ON v.vec_id = a.vec_id),
+      r AS (SELECT qid, vec_id, cos,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM sc)
+      SELECT qid, vec_id, cos, rn FROM r WHERE rn <= 5 ORDER BY qid, rn"""))
 
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14)

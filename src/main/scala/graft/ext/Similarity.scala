@@ -67,10 +67,18 @@ object Similarity {
   /** Deterministic random hyperplanes (fixed seed → identical plan on
     * every run/executor). Stored as f32 so the sign test runs through the
     * codegen'd [[fastDot]] (the HOF formulation interpreted one lambda per
-    * element per plane — 64× per row at 8 planes × 8 tables). */
+    * element per plane — 64× per row at 8 planes × 8 tables).
+    *
+    * Values are quantized to the 2⁻¹² dyadic grid: every component is
+    * exactly representable in f32 AND has a ≤12-digit decimal expansion
+    * that any engine parses back to the identical value — so the e07
+    * oracle can restate the planes as SQL literals bit-for-bit. The
+    * quantization step (~2.4e-4) is noise relative to unit-variance
+    * gaussians and does not change LSH quality. */
   private[ext] def hyperplanes(planes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Float]] = {
     val rnd = new scala.util.Random(seed)
-    Seq.fill(planes)(Seq.fill(dim)(rnd.nextGaussian().toFloat))
+    Seq.fill(planes)(Seq.fill(dim)(
+      (math.round(rnd.nextGaussian() * 4096.0) / 4096.0).toFloat))
   }
 
   /** Sign-pattern LSH bucket id of a vector column — `planes` fused
@@ -154,11 +162,13 @@ object Similarity {
       nlist: Int = 16, nprobe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    // Deterministic pseudo-random draw: smallest nlist ids by hash order.
-    // TakeOrderedAndProject keeps this a narrow top-k at any corpus size.
+    // Deterministic pseudo-random draw: smallest nlist ids by hash order
+    // (the engine-neutral md5 hash, so the external oracle can replay the
+    // same draw). TakeOrderedAndProject keeps this a narrow top-k at any
+    // corpus size.
     val picked = corpus
       .select(col(idCol).cast(LongType).as("__id"), col(vecCol).as("__ce"))
-      .orderBy(xxhash64(col("__id")), col("__id"))
+      .orderBy(Dedup.portableHash64(col("__id").cast(StringType)), col("__id"))
       .limit(nlist)
       .collect()
     // Stable cid numbering by source id; centroid norms are computed on

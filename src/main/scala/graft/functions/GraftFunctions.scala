@@ -58,6 +58,17 @@ object GraftFunctions {
         }
         ShingleHashes(children.head, n)
       }),
+    (new FunctionIdentifier("graft_portable_shingles"),
+      new ExpressionInfo(classOf[PortableShingleHashes].getName, "graft_portable_shingles"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_portable_shingles takes (string, n)")
+        val n = children(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_portable_shingles n must be an integer literal, got $other")
+        }
+        PortableShingleHashes(children.head, n)
+      }),
     (new FunctionIdentifier("graft_lsh_buckets"),
       new ExpressionInfo(classOf[LshBuckets].getName, "graft_lsh_buckets"),
       (children: Seq[Expression]) => {

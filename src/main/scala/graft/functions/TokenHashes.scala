@@ -105,6 +105,89 @@ object TokenHashes {
   }
 }
 
+/** Engine-neutral shingle hashing: md5 of each n-gram byte range, top
+  * 24 bits (= the first 6 hex chars of `md5(shingle)`, the form any SQL
+  * engine can restate as `CAST(('0x'||substr(md5(s),1,6)) AS BIGINT)`).
+  * The codegen'd replacement for interpreted
+  * `explode(shingles(text,n)) → md5 → conv` chains in oracle-bridged
+  * sketch pipelines. */
+object PortableShingleHashes {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private def top24(d: Array[Byte]): Long =
+    ((d(0) & 0xffL) << 16) | ((d(1) & 0xffL) << 8) | (d(2) & 0xffL)
+
+  def compute(t: UTF8String, n: Int): GenericArrayData = {
+    val bytes = t.getBytes
+    val len = bytes.length
+    var words = 1
+    var i = 0
+    while (i < len) {
+      if (bytes(i) == ' ') words += 1
+      i += 1
+    }
+    val digest = md.get()
+    if (words < n) {
+      digest.reset()
+      digest.update(bytes, 0, len)
+      return new GenericArrayData(Array(top24(digest.digest())))
+    }
+    val starts = new Array[Int](words)
+    val ends = new Array[Int](words)
+    var w = 0
+    var start = 0
+    i = 0
+    while (i <= len) {
+      if (i == len || bytes(i) == ' ') {
+        starts(w) = start
+        ends(w) = i
+        w += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    val m = words - n + 1
+    val out = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      val s = starts(i)
+      digest.reset()
+      digest.update(bytes, s, ends(i + n - 1) - s)
+      out(i) = top24(digest.digest())
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `graft_portable_shingles(text, n)` → array<long>: 24-bit md5 prefix
+  * per n-word shingle (whole text when shorter than n words). */
+case class PortableShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n > 0 && n <= 64, s"shingle width out of range: $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_portable_shingles"
+
+  override def nullSafeEval(input: Any): Any =
+    PortableShingleHashes.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PortableShingleHashes.compute($c, $n); // graft_portable_shingles")
+
+  override protected def withNewChildInternal(newChild: Expression): PortableShingleHashes =
+    copy(child = newChild)
+}
+
 /** `graft_token_hashes(text)` → array<long>: xxhash64 per whitespace
   * token, in token order. */
 case class TokenHashes(child: Expression) extends UnaryExpression {
