@@ -235,6 +235,52 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Near-dup clusters from candidate pairs: connected components by
+    * min-label propagation, the canonical-document step of a dedup
+    * pipeline (keep `cluster_rep`, drop the rest).
+    *
+    * Algorithm: every endpoint starts labeled with its own id; each
+    * round every node takes the min of its label and its neighbors'
+    * labels — after diameter(G) rounds labels are the component minima
+    * (the same fixpoint GraphX's Pregel CC computes). Each round is one
+    * shuffle (join on the edge destination + groupBy); near-dup
+    * components are tiny and flat, so rounds ≈ 2–3 in practice with
+    * `maxIter` as the safety cap. Convergence is detected by the sum of
+    * labels, which strictly decreases until fixpoint — one cheap scalar
+    * aggregate per round instead of a row-diff join. Iterations persist
+    * and the loop unpersists the previous round, so lineage stays one
+    * round deep at any corpus size.
+    *
+    * Output: (doc_id, cluster_rep) for every document that appears in a
+    * pair; singletons are their own trivial cluster and are omitted. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc1").as("a"), col("doc2").as("b"))
+      .union(pairs.select(col("doc2").as("a"), col("doc1").as("b")))
+      .persist()
+    var labels = edges.select(col("a").as("doc")).distinct()
+      .withColumn("rep", col("doc"))
+      .persist()
+    var prevSum = Long.MaxValue
+    var curSum = labels.agg(org.apache.spark.sql.functions.sum(col("rep"))).collect()
+      .head.getLong(0)
+    var i = 0
+    while (curSum < prevSum && i < maxIter) {
+      prevSum = curSum
+      val neighborMin = edges.join(labels, edges("b") === labels("doc"))
+        .groupBy(col("a")).agg(min(col("rep")).as("nmin"))
+      val next = labels.join(neighborMin, labels("doc") === neighborMin("a"), "left")
+        .select(col("doc"), least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep"))
+        .persist()
+      curSum = next.agg(org.apache.spark.sql.functions.sum(col("rep"))).collect()
+        .head.getLong(0)
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("doc").as("doc_id"), col("rep").as("cluster_rep"))
+  }
+
   /** E2 (exact flavor, the conformance oracle): n-gram Jaccard similarity
     * via an inverted-index self-join on shingles. At scale the shingle
     * join would ride behind the MinHash candidate filter; declared here

@@ -108,12 +108,11 @@ object ExtQueries {
   private val mhBands = 8
   private val mhR = mhK / mhBands
   private val mhFam = Dedup.portableFamily(mhK)
-  val e05 = Q(
-    "e05_minhash_candidates",
-    (s, d) => Dedup.minhashCandidatesPortable(T.documents(s, d), "doc_id", "text",
-      k = mhK, bands = mhBands, minEstSim = 0.4)
-      .orderBy(col("doc1"), col("doc2")),
-    Some(s"""WITH w AS (SELECT doc_id AS doc, string_split(text,' ') ws FROM documents),
+
+  // The oracle restatement of the portable MinHash-LSH pipeline, shared
+  // by e05 (candidate pairs) and e15 (clusters over those pairs).
+  private val mhCtes: String =
+    s"""w AS (SELECT doc_id AS doc, string_split(text,' ') ws FROM documents),
       sh AS (SELECT DISTINCT doc, concat_ws(' ', ws[i], ws[i+1], ws[i+2]) s
              FROM w, UNNEST(range(1, greatest(len(ws)-2,1)+1)) t(i)),
       hb AS (SELECT doc, CAST(('0x'||substr(md5(s),1,6)) AS BIGINT) AS h FROM sh),
@@ -135,8 +134,37 @@ object ExtQueries {
       est AS (SELECT doc1, doc2,
           CAST(list_sum(list_transform(range(1,$mhK+1),
             i -> CASE WHEN s1[i] = s2[i] THEN 1 ELSE 0 END)) AS DOUBLE)/$mhK AS est_sim
-        FROM pairs)
+        FROM pairs)"""
+
+  val e05 = Q(
+    "e05_minhash_candidates",
+    (s, d) => Dedup.minhashCandidatesPortable(T.documents(s, d), "doc_id", "text",
+      k = mhK, bands = mhBands, minEstSim = 0.4)
+      .orderBy(col("doc1"), col("doc2")),
+    Some(s"""WITH $mhCtes
       SELECT doc1, doc2, est_sim FROM est WHERE est_sim >= 0.4 ORDER BY doc1, doc2"""))
+
+  // E1/E2 composition: near-dup CLUSTERS — connected components over the
+  // e05 candidate pairs by min-label propagation (the canonical-document
+  // step of a dedup pipeline). The oracle replays the full pipeline and
+  // closes the components with a recursive CTE.
+  val e15 = Q(
+    "e15_near_dup_clusters",
+    (s, d) => Dedup.connectedComponents(
+      Dedup.minhashCandidatesPortable(T.documents(s, d), "doc_id", "text",
+        k = mhK, bands = mhBands, minEstSim = 0.4))
+      .orderBy(col("doc_id")),
+    Some(s"""WITH RECURSIVE $mhCtes,
+      cand AS (SELECT doc1, doc2 FROM est WHERE est_sim >= 0.4),
+      nodes AS (SELECT DISTINCT doc FROM
+        (SELECT doc1 AS doc FROM cand UNION ALL SELECT doc2 AS doc FROM cand)),
+      edges AS (SELECT doc1 AS a, doc2 AS b FROM cand
+        UNION ALL SELECT doc2 AS a, doc1 AS b FROM cand),
+      reach AS (SELECT doc AS src, doc AS node FROM nodes
+        UNION
+        SELECT r.src, e.b AS node FROM reach r JOIN edges e ON e.a = r.node)
+      SELECT src AS doc_id, MIN(node) AS cluster_rep
+      FROM reach GROUP BY src ORDER BY doc_id"""))
 
   // E2 (SimHash): banded 64-bit fingerprint candidates, oracle-bridged
   // word-hash family; DuckDB recomputes the per-bit votes, the chunk
@@ -350,6 +378,33 @@ object ExtQueries {
           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM sc)
       SELECT qid, vec_id, cos, rn FROM r WHERE rn <= 5 ORDER BY qid, rn"""))
 
+  // E4 (BPE-ish token counting, oracle-portable): subword class counts
+  // from an alternation both Java regex and RE2 interpret identically.
+  val e16 = Q(
+    "e16_subword_classes",
+    (s, d) => TextOps.subwordClasses(T.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_subwords,
+        CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_alpha_runs,
+        CAST(len(regexp_extract_all(text, '[0-9]+')) AS BIGINT) AS n_digit_runs,
+        CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS BIGINT) AS n_marks
+      FROM documents ORDER BY doc_id"""))
+
+  // E5 (frame sampling): every stride-th byte offset of the payload as a
+  // "frame" row — the declared projection explodes to scalars (array
+  // columns break the driver's pandas compare, the e13 lesson).
+  val e17 = Q(
+    "e17_frame_offsets",
+    (s, d) => Multimodal.frameOffsets(
+      Multimodal.mediaTable(T.documents(s, d)), stride = 7)
+      .select(col("doc_id"), posexplode(col("frame_offsets")).as(Seq("pos", "off")))
+      .orderBy(col("doc_id"), col("pos")),
+    Some("""SELECT doc_id, CAST(off // 7 AS INT) AS pos, CAST(off AS INT) AS off
+      FROM documents, UNNEST(range(0, octet_length(encode(text)), 7)) AS t(off)
+      ORDER BY doc_id, pos"""))
+
   val all: Seq[Q] =
-    Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14)
+    Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
+      e15, e16, e17)
 }

@@ -23,6 +23,22 @@ object TextOps {
     size(filter(split(text, "(?<=[a-z0-9])(?=[^a-z0-9])|(?<=[^a-z0-9])(?=[a-z0-9])|\\s+"),
       t => length(t) > 0))
 
+  /** BPE-ish pre-tokenizer class counts, oracle-portable flavor: the
+    * alternation `[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]` (letter runs, digit
+    * runs, single other marks) uses only constructs Java regex and RE2
+    * interpret identically — unlike [[subwordCount]]'s lookarounds,
+    * which RE2-based engines reject. Map-only, codegen'd. */
+  def subwordClasses(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def cnt(pat: String): Column =
+      size(regexp_extract_all(col(textCol), lit(pat), lit(0))).cast(LongType)
+    df.select(
+      col(idCol),
+      cnt("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]").as("n_subwords"),
+      cnt("[A-Za-z]+").as("n_alpha_runs"),
+      cnt("[0-9]+").as("n_digit_runs"),
+      cnt("[^A-Za-z0-9 ]").as("n_marks"))
+  }
+
   /** Token statistics: counts, distinct types, mean token length. */
   def tokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = tokens(col(textCol))

@@ -74,6 +74,17 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"simhash recall $recall < 0.5 on ${exact.size} strong pairs")
   }
 
+  test("near-dup clusters: connected components labels every node with its component min") {
+    import spark.implicits._
+    // chain, pair, and cycle — including a component whose min enters late
+    val pairs = Seq((2L, 3L), (1L, 2L), (10L, 11L), (22L, 20L), (21L, 22L), (20L, 21L))
+      .toDF("doc1", "doc2")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("E3: LSH top-k recall vs brute force") {
     val q = embs.filter(col("vec_id") < 10)
     val brute = Similarity.bruteForceTopK(embs, q, 5)
