@@ -282,26 +282,44 @@ object Dedup {
   }
 
   /** E2 (exact flavor, the conformance oracle): n-gram Jaccard similarity
-    * via an inverted-index self-join on shingles. At scale the shingle
+    * via an inverted index on shingle hashes. At scale the shingle
     * join would ride behind the MinHash candidate filter; declared here
     * standalone so DuckDB can verify it hash-for-hash.
     *
+    * Shape: per-doc shingle sizes come straight off the scan (one narrow
+    * projection, no explode); the inverted index is built ONCE
+    * (explode → groupBy shingle → sorted posting list) and candidate
+    * pairs are generated in-row from each posting list — the shingle
+    * frame is never self-joined, so shingle extraction runs once
+    * instead of three times and the only shuffles are the two
+    * aggregations on their natural keys. `maxDf` drops hotter-than-N
+    * posting lists (boilerplate shingles) before pair generation — the
+    * standard bound on the quadratic worst case at corpus scale
+    * (default: unbounded, matching the declared oracle).
+    *
     * The index is keyed on the shingle's 64-bit hash, not the string:
-    * the posting-list join then exchanges 8-byte keys instead of n-gram
-    * text, and shingle extraction stays in whole-stage codegen. Set
-    * equality on hashes equals set equality on shingles modulo an xxhash64
-    * collision (~2⁻⁶⁴ per pair) — the DuckDB oracle joins on the strings
-    * themselves and confirms the counts. */
+    * exchanges carry 8-byte keys instead of n-gram text, and extraction
+    * stays in whole-stage codegen. Set equality on hashes equals set
+    * equality on shingles modulo an xxhash64 collision (~2⁻⁶⁴ per
+    * pair) — the DuckDB oracle joins on the strings themselves and
+    * confirms the counts. */
   def jaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
-      shingleWidth: Int = 3, threshold: Double = 0.5): DataFrame = {
+      shingleWidth: Int = 3, threshold: Double = 0.5,
+      maxDf: Int = Int.MaxValue): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val tok = df.select(col(idCol).as("doc"),
-        explode(array_distinct(shingleHashes(col(textCol), shingleWidth))).as("sh"))
-    val sizes = tok.groupBy(col("doc")).agg(count(lit(1)).as("n"))
-    val inter = tok.as("a").join(tok.as("b"),
-        col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("doc1"), col("b.doc").as("doc2"))
+    val hashes = array_distinct(shingleHashes(col(textCol), shingleWidth))
+    val sizes = df.select(col(idCol).as("doc"), size(hashes).as("n"))
+    val tok = df.select(col(idCol).as("doc"), explode(hashes).as("sh"))
+    val postings = tok.groupBy(col("sh"))
+      .agg(sort_array(collect_list(col("doc"))).as("ds"))
+      .filter(size(col("ds")) >= 2 && size(col("ds")) <= maxDf)
+    // all ordered pairs within a posting list, generated in-row
+    val pairStructs = flatten(transform(col("ds"), (x, i) =>
+      transform(slice(col("ds"), i + 2, size(col("ds"))),
+        y => struct(x.as("d1"), y.as("d2")))))
+    val inter = postings.select(explode(pairStructs).as("p"))
+      .groupBy(col("p.d1").as("doc1"), col("p.d2").as("doc2"))
       .agg(count(lit(1)).as("i"))
     inter
       .join(sizes.withColumnRenamed("doc", "doc1").withColumnRenamed("n", "n1"), "doc1")
