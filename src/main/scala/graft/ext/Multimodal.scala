@@ -96,9 +96,14 @@ object Multimodal {
   }
 
   /** Frame-sample analogue: pick every `stride`-th byte offset as a
-    * "frame" (metadata-only expression path, no decode). */
+    * "frame" (metadata-only expression path, no decode). An empty
+    * payload yields an empty frame list — guarded explicitly because
+    * `sequence(0, -1, stride)` throws under ANSI semantics. */
   def frameOffsets(media: DataFrame, stride: Int): DataFrame =
     media.select(col("doc_id"),
-      sequence(lit(0), octet_length(col("payload")) - 1, lit(stride))
+      when(octet_length(col("payload")) === 0,
+        array().cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.IntegerType, containsNull = false)))
+        .otherwise(sequence(lit(0), octet_length(col("payload")) - 1, lit(stride)))
         .as("frame_offsets"))
 }

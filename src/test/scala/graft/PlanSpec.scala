@@ -46,6 +46,36 @@ class PlanSpec extends SparkSpec {
     assert(ev.selectExpr("min(ts)").collect().head.getTimestamp(0) != null)
   }
 
+  test("E7: LSH top-k scans the embeddings corpus once, not once per table") {
+    val p = plan("e07_ann_lsh_topk")
+    // corpus + query sides each scan embeddings once; the old per-table
+    // union formulation produced tables+tables = 16 scans
+    val scans = "Scan parquet|FileScan parquet".r.findAllMatchIn(p).size
+    assert(scans <= 3, s"expected <=3 embeddings scans (corpus, queries), got $scans:\n$p")
+  }
+
+  test("E14: IVF plan has no single-partition exchange and no corpus-centroid join") {
+    val p = plan("e14_ann_ivf_topk")
+    // the round-2 formulation dragged the corpus through a global window
+    // (Exchange SinglePartition); centroid assignment is now a projection
+    assert(!p.contains("SinglePartition"),
+      s"single-partition exchange (global window) in IVF plan:\n$p")
+    // cell assignment is a projection, not a join: only the probe join remains
+    val joins = "BroadcastHashJoin|SortMergeJoin|BroadcastNestedLoopJoin|CartesianProduct"
+      .r.findAllMatchIn(p).size
+    assert(joins <= 1, s"expected only the cid probe join, got $joins joins:\n$p")
+  }
+
+  test("E2: jaccard plan builds the inverted index without a self-join") {
+    val p = plan("e02_jaccard_pairs")
+    assert(!p.contains("SortMergeJoin") ||
+      "SortMergeJoin".r.findAllMatchIn(p).size <= 2,
+      s"posting-list formulation should not self-join the token frame:\n$p")
+    // pair generation happens in-row: a Generate (explode) over the
+    // posting lists, not a join on the shingle key
+    assert(p.contains("Generate"), s"expected in-row pair generation:\n$p")
+  }
+
   test("every declared query has a distinct name and every oracle points at one") {
     val names = Queries.all.map(_.name)
     assert(names.distinct.size == names.size)
