@@ -260,19 +260,22 @@ object Dedup {
     var labels = edges.select(col("a").as("doc")).distinct()
       .withColumn("rep", col("doc"))
       .persist()
-    var prevSum = Long.MaxValue
-    var curSum = labels.agg(org.apache.spark.sql.functions.sum(col("rep"))).collect()
-      .head.getLong(0)
+    // convergence metric in decimal: a long sum over billions of 63-bit
+    // ids would overflow (and throw under ANSI); decimal sums are exact
+    def labelSum(df: DataFrame): BigDecimal =
+      BigDecimal(df.agg(org.apache.spark.sql.functions.sum(
+        col("rep").cast(DecimalType(38, 0)))).collect().head.getDecimal(0))
+    var prevSum: Option[BigDecimal] = None
+    var curSum = labelSum(labels)
     var i = 0
-    while (curSum < prevSum && i < maxIter) {
-      prevSum = curSum
+    while (prevSum.forall(curSum < _) && i < maxIter) {
+      prevSum = Some(curSum)
       val neighborMin = edges.join(labels, edges("b") === labels("doc"))
         .groupBy(col("a")).agg(min(col("rep")).as("nmin"))
       val next = labels.join(neighborMin, labels("doc") === neighborMin("a"), "left")
         .select(col("doc"), least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep"))
         .persist()
-      curSum = next.agg(org.apache.spark.sql.functions.sum(col("rep"))).collect()
-        .head.getLong(0)
+      curSum = labelSum(next)
       labels.unpersist()
       labels = next
       i += 1
