@@ -30,8 +30,14 @@ trait Loader extends AutoCloseable {
   /** Load a frame. Returns rows loaded. Semantics (postgresql.py:46-107):
     * empty input → warn + 0 without touching the target; column names
     * cleaned loader-side; `replace` drops and recreates, `append` inserts,
-    * `fail` errors if the table exists. */
-  def load(df: DataFrame, table: String, ifExists: String = "replace"): Long
+    * `fail` errors if the table exists.
+    *
+    * `partitionBy` requests a physically partitioned layout where the
+    * sink supports one (the parquet sink; JDBC sinks ignore it) — at
+    * 100 TB the serving tier must prune on its query keys, so the sync
+    * writes normalized tables partitioned by `date`. */
+  def load(df: DataFrame, table: String, ifExists: String = "replace",
+      partitionBy: Seq[String] = Nil): Long
 
   /** Read a previously-loaded table back (serving-side scan). */
   def table(spark: SparkSession, name: String): DataFrame
@@ -80,10 +86,11 @@ final class ParquetLoader(warehouseDir: String, schema: String) extends Loader {
   override def ensureNamespace(): Unit =
     new java.io.File(s"$warehouseDir/$schema").mkdirs()
 
-  override def load(df: DataFrame, table: String, ifExists: String): Long = {
+  override def load(df: DataFrame, table: String, ifExists: String,
+      partitionBy: Seq[String]): Long = {
     if (df.isEmpty) return 0L // postgresql.py:64-66
     writeCounted(cleaned(df))(
-      _.write.mode(saveMode(ifExists)).parquet(dir(table)))
+      _.write.mode(saveMode(ifExists)).partitionBy(partitionBy: _*).parquet(dir(table)))
   }
 
   override def table(spark: SparkSession, name: String): DataFrame =
@@ -124,7 +131,10 @@ final class JdbcLoader(url: String, user: String, password: String, schema: Stri
     catch { case _: java.sql.SQLException => () }
   }
 
-  override def load(df: DataFrame, table: String, ifExists: String): Long = {
+  override def load(df: DataFrame, table: String, ifExists: String,
+      partitionBy: Seq[String]): Long = {
+    // JDBC tables have no physical partitioning; the layout hint is a
+    // parquet-sink concern (indexes serve the same role in PG).
     if (df.isEmpty) return 0L
     writeCounted(cleaned(df))(
       _.write

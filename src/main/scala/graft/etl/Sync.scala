@@ -104,7 +104,10 @@ object Sync {
             else {
               val normalized = Normalize.normalize(
                 df, Normalize.awsCur, table, lit(syncTs))
-              loader.load(normalized, s"${table}_normalized", ifExists = "replace")
+              // serving queries filter/group on date — a date-partitioned
+              // layout lets every reader prune to the days it touches
+              loader.load(normalized, s"${table}_normalized", ifExists = "replace",
+                partitionBy = Seq("date"))
             }
           if (rawRows > 0L && !opts.rawOnly) processed :+= table
           results :+= TableResult(table, rawRows, normRows, "success", None,

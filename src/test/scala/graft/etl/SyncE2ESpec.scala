@@ -52,10 +52,20 @@ class SyncE2ESpec extends SparkSpec {
     // region rule enforced: the ruled account only appears in its region
     assert(raw.filter(col("line_item_usage_account_id") === "905174205951" &&
       col("product_region") =!= "ap-southeast-2").count() == 0)
-    // normalized schema is the fixed 9 columns
-    assert(norm.columns.toSeq == Normalize.targetColumns)
-    // costs view registered and serves D1/D3 shapes
+    // normalized schema carries exactly the 9 declared columns (the
+    // date-partitioned layout physically reorders `date` to the end;
+    // the ordered serving contract is the costs view below)
+    assert(norm.columns.toSet == Normalize.targetColumns.toSet)
+    // the normalized table is date-partitioned and serving reads prune
+    val aDay = norm.select(min(col("date"))).collect().head.getDate(0)
+    val pruned = norm.filter(col("date") === aDay)
+    val prunedPlan = pruned.queryExecution.executedPlan.toString
+    assert(prunedPlan.contains("PartitionFilters") && prunedPlan.contains("date"),
+      s"date filter should prune partitions:\n$prunedPlan")
+    assert(pruned.count() > 0)
+    // costs view registered, fixed column order, serves D1/D3 shapes
     val costs = spark.table("costs")
+    assert(costs.columns.toSeq == Normalize.targetColumns)
     assert(costs.count() == norm.count())
     val daily = costs.groupBy(col("date")).agg(sum(col("cost"))).count()
     assert(daily > 0)
