@@ -40,6 +40,10 @@ object Tables {
     * does NOT mutate the calling session's conf: a conf flip here would be
     * a surprise side effect for concurrent sessions sharing the conf. */
   def events(s: SparkSession, d: String): DataFrame = {
+    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "events.parquet stores parquet TIMESTAMP(NANOS), which Spark 4 rejects: " +
+        "build the session with spark.sql.legacy.parquet.nanosAsLong=true " +
+        "(Bench/Verify/Main/SparkSpec all do)")
     val raw = rd(s, d, "events")
     if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))

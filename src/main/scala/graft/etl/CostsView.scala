@@ -52,6 +52,10 @@ object CostsView {
     * reference's contract. */
   def createDurable(spark: SparkSession, tableRefs: Seq[String], viewName: String = "costs"): Unit = {
     require(tableRefs.nonEmpty, "costs view needs at least one source")
+    // a leftover temp view with this name (e.g. from an earlier run that
+    // used a non-SQL-addressable sink) would silently shadow the catalog
+    // view for every reader — clear it so resolution hits the new DDL
+    spark.catalog.dropTempView(viewName)
     val selects = tableRefs.map(r => s"SELECT ${viewColumns.mkString(", ")} FROM $r")
     spark.sql(s"CREATE OR REPLACE VIEW $viewName AS ${selects.mkString(" UNION ALL ")}")
   }

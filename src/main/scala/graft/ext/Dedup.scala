@@ -46,7 +46,10 @@ object Dedup {
     * expression: each n-gram's byte range is xxhash64'd in place — no
     * string allocation, no HOF, so the enclosing projection stays in
     * whole-stage codegen (any HOF would kick the whole stage out).
-    * Element-equal to `transform(shingles(text,n), xxhash64)`. */
+    * Keeps duplicate shingles (a multiset, one hash per n-gram
+    * position); `array_distinct` the result where set semantics matter.
+    * After dedup it equals `transform(shingles(text,n), xxhash64)`
+    * element-for-element ([[shingles]] dedups internally). */
   def shingleHashes(text: Column, n: Int = 3): Column =
     call_function("graft_shingle_hashes", text, lit(n))
 
@@ -207,10 +210,9 @@ object Dedup {
     * least one equal chunk (pigeonhole), which seeds the candidate join;
     * exact hamming is then computed on the candidates only.
     *
-    * `wordHash` picks the per-token hash family: the default (native
-    * xxhash64 tokenizer) is the throughput path; pass
-    * `c => graft_simhash64(transform(split(c," "), portableHash64))` style
-    * columns for the oracle-bridged flavor (see [[simhashPortable]]). */
+    * `simhashCol` picks the fingerprint flavor: the default
+    * [[simhash64]] (native xxhash64 tokenizer) is the throughput path;
+    * pass [[simhashPortable]] for the oracle-bridged hash family. */
   def simhashCandidates(
       df: DataFrame, idCol: String, textCol: String,
       chunks: Int = 4, maxHamming: Int = 3,
@@ -252,7 +254,12 @@ object Dedup {
     * round deep at any corpus size.
     *
     * Output: (doc_id, cluster_rep) for every document that appears in a
-    * pair; singletons are their own trivial cluster and are omitted. */
+    * pair; singletons are their own trivial cluster and are omitted.
+    * The returned frame is persisted (it backs the converged labels) —
+    * call `.unpersist()` on it when done. If `maxIter` rounds pass
+    * without convergence (a component of diameter > maxIter), a warning
+    * is logged and the current (non-minimal for the farthest nodes)
+    * labels are returned. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("doc1").as("a"), col("doc2").as("b"))
       .union(pairs.select(col("doc2").as("a"), col("doc1").as("b")))
@@ -261,15 +268,17 @@ object Dedup {
       .withColumn("rep", col("doc"))
       .persist()
     // convergence metric in decimal: a long sum over billions of 63-bit
-    // ids would overflow (and throw under ANSI); decimal sums are exact
-    def labelSum(df: DataFrame): BigDecimal =
-      BigDecimal(df.agg(org.apache.spark.sql.functions.sum(
+    // ids would overflow (and throw under ANSI); decimal sums are exact.
+    // An empty node set sums to NULL → converged-empty, not an NPE.
+    def labelSum(df: DataFrame): Option[BigDecimal] =
+      Option(df.agg(org.apache.spark.sql.functions.sum(
         col("rep").cast(DecimalType(38, 0)))).collect().head.getDecimal(0))
+        .map(BigDecimal(_))
     var prevSum: Option[BigDecimal] = None
     var curSum = labelSum(labels)
     var i = 0
-    while (prevSum.forall(curSum < _) && i < maxIter) {
-      prevSum = Some(curSum)
+    while (curSum.isDefined && prevSum.forall(p => curSum.exists(_ < p)) && i < maxIter) {
+      prevSum = curSum
       val neighborMin = edges.join(labels, edges("b") === labels("doc"))
         .groupBy(col("a")).agg(min(col("rep")).as("nmin"))
       val next = labels.join(neighborMin, labels("doc") === neighborMin("a"), "left")
@@ -280,8 +289,17 @@ object Dedup {
       labels = next
       i += 1
     }
+    if (i == maxIter && prevSum.exists(p => curSum.exists(_ < p)))
+      System.err.println(s"[graft] connectedComponents stopped at maxIter=$maxIter " +
+        "without converging — a component's diameter exceeds the round budget; " +
+        "labels for its farthest nodes are not the component minimum")
+    val result = labels
+      .select(col("doc").as("doc_id"), col("rep").as("cluster_rep"))
+      .persist()
+    result.count() // materialize so the intermediates can be released now
+    labels.unpersist()
     edges.unpersist()
-    labels.select(col("doc").as("doc_id"), col("rep").as("cluster_rep"))
+    result
   }
 
   /** E2 (exact flavor, the conformance oracle): n-gram Jaccard similarity
@@ -317,11 +335,15 @@ object Dedup {
     val postings = tok.groupBy(col("sh"))
       .agg(sort_array(collect_list(col("doc"))).as("ds"))
       .filter(size(col("ds")) >= 2 && size(col("ds")) <= maxDf)
-    // all ordered pairs within a posting list, generated in-row
+    // all strictly-ordered pairs within a posting list, generated in-row
+    // (the d1 < d2 filter also drops self-pairs that duplicate doc ids in
+    // the input would otherwise produce, matching the old a.doc < b.doc
+    // join predicate)
     val pairStructs = flatten(transform(col("ds"), (x, i) =>
       transform(slice(col("ds"), i + 2, size(col("ds"))),
         y => struct(x.as("d1"), y.as("d2")))))
     val inter = postings.select(explode(pairStructs).as("p"))
+      .filter(col("p.d1") < col("p.d2"))
       .groupBy(col("p.d1").as("doc1"), col("p.d2").as("doc2"))
       .agg(count(lit(1)).as("i"))
     inter

@@ -33,30 +33,52 @@ import org.apache.spark.unsafe.types.UTF8String
 object TokenHashes {
   private final val Seed = 42L
   private final val Space = 0x20.toByte
+  private final val ByteArrayOffset =
+    org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
 
-  /** xxhash64 of each whitespace token's bytes, in order (multiset —
-    * duplicates kept, matching `transform(split(t,' '), xxhash64)`). */
-  def tokens(t: UTF8String): GenericArrayData = {
-    val base = t.getBaseObject
-    val off = t.getBaseOffset
-    val len = t.numBytes()
+  /** Single-space word boundaries of a byte buffer: returns
+    * (starts, ends) with `starts(w)`/`ends(w)` the byte offsets
+    * delimiting word w (empty words from repeated spaces included) —
+    * THE tokenization shared by every expression in this file, so the
+    * boundary semantics can never drift between them. */
+  private[functions] def wordBounds(bytes: Array[Byte]): (Array[Int], Array[Int]) = {
+    val len = bytes.length
     var words = 1
     var i = 0
     while (i < len) {
-      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == Space) words += 1
+      if (bytes(i) == Space) words += 1
       i += 1
     }
-    val out = new Array[Long](words)
+    val starts = new Array[Int](words)
+    val ends = new Array[Int](words)
     var w = 0
     var start = 0
     i = 0
     while (i <= len) {
-      if (i == len || org.apache.spark.unsafe.Platform.getByte(base, off + i) == Space) {
-        out(w) = XXH64.hashUnsafeBytes(base, off + start, i - start, Seed)
+      if (i == len || bytes(i) == Space) {
+        starts(w) = start
+        ends(w) = i
         w += 1
         start = i + 1
       }
       i += 1
+    }
+    (starts, ends)
+  }
+
+  private def xx(bytes: Array[Byte], start: Int, end: Int): Long =
+    XXH64.hashUnsafeBytes(bytes, ByteArrayOffset + start, end - start, Seed)
+
+  /** xxhash64 of each whitespace token's bytes, in order (multiset —
+    * duplicates kept, matching `transform(split(t,' '), xxhash64)`). */
+  def tokens(t: UTF8String): GenericArrayData = {
+    val bytes = t.getBytes
+    val (starts, ends) = wordBounds(bytes)
+    val out = new Array[Long](starts.length)
+    var w = 0
+    while (w < starts.length) {
+      out(w) = xx(bytes, starts(w), ends(w))
+      w += 1
     }
     new GenericArrayData(out)
   }
@@ -65,40 +87,17 @@ object TokenHashes {
     * than n words yields one hash of the whole text (the `shingles`
     * short-document rule). */
   def shingles(t: UTF8String, n: Int): GenericArrayData = {
-    val base = t.getBaseObject
-    val off = t.getBaseOffset
-    val len = t.numBytes()
-    var words = 1
-    var i = 0
-    while (i < len) {
-      if (org.apache.spark.unsafe.Platform.getByte(base, off + i) == Space) words += 1
-      i += 1
-    }
+    val bytes = t.getBytes
+    val (starts, ends) = wordBounds(bytes)
+    val words = starts.length
     if (words < n) {
-      return new GenericArrayData(
-        Array(XXH64.hashUnsafeBytes(base, off, len, Seed)))
-    }
-    // starts(w) = byte offset of word w; ends(w) = byte offset past word w
-    val starts = new Array[Int](words)
-    val ends = new Array[Int](words)
-    var w = 0
-    var start = 0
-    i = 0
-    while (i <= len) {
-      if (i == len || org.apache.spark.unsafe.Platform.getByte(base, off + i) == Space) {
-        starts(w) = start
-        ends(w) = i
-        w += 1
-        start = i + 1
-      }
-      i += 1
+      return new GenericArrayData(Array(xx(bytes, 0, bytes.length)))
     }
     val m = words - n + 1
     val out = new Array[Long](m)
-    i = 0
+    var i = 0
     while (i < m) {
-      val s = starts(i)
-      out(i) = XXH64.hashUnsafeBytes(base, off + s, ends(i + n - 1) - s, Seed)
+      out(i) = xx(bytes, starts(i), ends(i + n - 1))
       i += 1
     }
     new GenericArrayData(out)
@@ -122,41 +121,22 @@ object PortableShingleHashes {
 
   def compute(t: UTF8String, n: Int): GenericArrayData = {
     val bytes = t.getBytes
-    val len = bytes.length
-    var words = 1
-    var i = 0
-    while (i < len) {
-      if (bytes(i) == ' ') words += 1
-      i += 1
-    }
     val digest = md.get()
-    if (words < n) {
+    def h(start: Int, end: Int): Long = {
       digest.reset()
-      digest.update(bytes, 0, len)
-      return new GenericArrayData(Array(top24(digest.digest())))
+      digest.update(bytes, start, end - start)
+      top24(digest.digest())
     }
-    val starts = new Array[Int](words)
-    val ends = new Array[Int](words)
-    var w = 0
-    var start = 0
-    i = 0
-    while (i <= len) {
-      if (i == len || bytes(i) == ' ') {
-        starts(w) = start
-        ends(w) = i
-        w += 1
-        start = i + 1
-      }
-      i += 1
+    val (starts, ends) = TokenHashes.wordBounds(bytes)
+    val words = starts.length
+    if (words < n) {
+      return new GenericArrayData(Array(h(0, bytes.length)))
     }
     val m = words - n + 1
     val out = new Array[Long](m)
-    i = 0
+    var i = 0
     while (i < m) {
-      val s = starts(i)
-      digest.reset()
-      digest.update(bytes, s, ends(i + n - 1) - s)
-      out(i) = top24(digest.digest())
+      out(i) = h(starts(i), ends(i + n - 1))
       i += 1
     }
     new GenericArrayData(out)

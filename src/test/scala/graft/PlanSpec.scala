@@ -68,9 +68,10 @@ class PlanSpec extends SparkSpec {
 
   test("E2: jaccard plan builds the inverted index without a self-join") {
     val p = plan("e02_jaccard_pairs")
-    assert(!p.contains("SortMergeJoin") ||
-      "SortMergeJoin".r.findAllMatchIn(p).size <= 2,
-      s"posting-list formulation should not self-join the token frame:\n$p")
+    // no join keyed on the shingle hash — the old formulation's
+    // token-frame self-join would show `Join [sh#...` in the plan
+    assert("Join \\[sh#".r.findFirstIn(p).isEmpty,
+      s"posting-list formulation must not join on the shingle key:\n$p")
     // pair generation happens in-row: a Generate (explode) over the
     // posting lists, not a join on the shingle key
     assert(p.contains("Generate"), s"expected in-row pair generation:\n$p")

@@ -85,6 +85,21 @@ class DedupSimilaritySpec extends SparkSpec {
       20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("connected components on an empty pair set returns empty, not a crash") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc1", "doc2")
+    assert(Dedup.connectedComponents(empty).count() == 0)
+  }
+
+  test("jaccard pairs stay strictly ordered even with duplicate doc ids in the input") {
+    import spark.implicits._
+    val df = Seq((7L, "a b c d e"), (7L, "a b c d e"), (8L, "x y z w v"))
+      .toDF("doc_id", "text")
+    val out = Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.0).collect()
+    assert(out.forall(r => r.getLong(0) < r.getLong(1)),
+      s"self-pairs leaked: ${out.mkString(",")}")
+  }
+
   test("E3: LSH top-k recall vs brute force") {
     val q = embs.filter(col("vec_id") < 10)
     val brute = Similarity.bruteForceTopK(embs, q, 5)
