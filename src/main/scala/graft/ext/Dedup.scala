@@ -261,8 +261,13 @@ object Dedup {
     * is logged and the current (non-minimal for the farthest nodes)
     * labels are returned. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("doc1").as("a"), col("doc2").as("b"))
-      .union(pairs.select(col("doc2").as("a"), col("doc1").as("b")))
+    // both edge directions from ONE pass over the input — a union of two
+    // selects would execute the (possibly expensive) upstream candidate
+    // pipeline twice to materialize the edge cache
+    val edges = pairs.select(explode(array(
+        struct(col("doc1").as("a"), col("doc2").as("b")),
+        struct(col("doc2").as("a"), col("doc1").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .persist()
     var labels = edges.select(col("a").as("doc")).distinct()
       .withColumn("rep", col("doc"))
