@@ -404,7 +404,36 @@ object ExtQueries {
       FROM documents, UNNEST(range(0, octet_length(encode(text)), 7)) AS t(off)
       ORDER BY doc_id, pos"""))
 
+  // E-suite (sampling/mixing): deterministic stratified hash sampling —
+  // the reproducible "data mixing" selection; the oracle replays the
+  // identical membership test.
+  private val mixRates = Map("src0" -> 800, "src1" -> 500, "src2" -> 200)
+  val e18 = Q(
+    "e18_stratified_sample",
+    (s, d) => Sampling.stratifiedHashSample(
+      T.documents(s, d), "doc_id", "source", mixRates, defaultPermille = 100)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id")),
+    Some(s"""SELECT doc_id, source FROM documents
+      WHERE CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,6)) AS BIGINT) % 1000 <
+        CASE source ${mixRates.toSeq.sortBy(_._1).map { case (k, v) =>
+          s"WHEN '$k' THEN $v" }.mkString(" ")} ELSE 100 END
+      ORDER BY doc_id"""))
+
+  // E-suite (corpus statistics): per-source length distribution — count,
+  // order-independent mean, exact interpolated percentiles.
+  val e19 = Q(
+    "e19_length_stats",
+    (s, d) => Sampling.lengthStats(T.documents(s, d), "source", "text")
+      .orderBy(col("source")),
+    Some("""SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CAST(length(text) AS DECIMAL(38,6))) AS DOUBLE) / COUNT(length(text)) AS mean_len,
+        quantile_cont(length(text), 0.5) AS p50,
+        quantile_cont(length(text), 0.9) AS p90,
+        quantile_cont(length(text), 0.99) AS p99
+      FROM documents GROUP BY source ORDER BY source"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
-      e15, e16, e17)
+      e15, e16, e17, e18, e19)
 }

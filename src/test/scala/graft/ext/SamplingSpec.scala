@@ -1,0 +1,44 @@
+package graft.ext
+
+import graft.{SparkSpec, Tables => T}
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash sampling + corpus statistics. */
+class SamplingSpec extends SparkSpec {
+
+  private lazy val docs = T.documents(spark, sf001).cache()
+
+  test("hash sampling is deterministic and monotone in the rate") {
+    val a = Sampling.hashSample(docs, "doc_id", 200)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(docs, "doc_id", 200)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b, "same rate must select the same rows")
+    val bigger = Sampling.hashSample(docs, "doc_id", 500)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a.subsetOf(bigger), "raising the rate must only add rows")
+    // rate is approximately honored (hash uniformity; generous band)
+    val frac = a.size.toDouble / docs.count()
+    assert(frac > 0.1 && frac < 0.3, s"0.2 sample selected $frac")
+  }
+
+  test("stratified sampling applies per-stratum rates") {
+    val out = Sampling.stratifiedHashSample(
+      docs, "doc_id", "source", Map("src0" -> 1000, "src1" -> 0), 100)
+    val bySrc = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = docs.filter(col("source") === "src0").count()
+    assert(bySrc.getOrElse("src0", 0L) == total, "permille=1000 keeps every row")
+    assert(!bySrc.contains("src1"), "permille=0 keeps none")
+  }
+
+  test("length stats: counts and percentile ordering per stratum") {
+    val rows = Sampling.lengthStats(docs, "lang", "text").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p50, p90, p99) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(p50 <= p90 && p90 <= p99, s"percentiles out of order: $r")
+      assert(r.getLong(1) > 0 && r.getDouble(2) > 0)
+    }
+  }
+}
