@@ -433,7 +433,36 @@ object ExtQueries {
         quantile_cont(length(text), 0.99) AS p99
       FROM documents GROUP BY source ORDER BY source"""))
 
+  // E4 capstone: the pre-training quality filter — language gate +
+  // quality floors in one map-only pass, the composition every corpus
+  // pipeline runs before tokenization.
+  val e20 = Q(
+    "e20_quality_filter",
+    (s, d) => TextOps.qualityFilter(T.documents(s, d), "doc_id", "text",
+      lang = "en", minTokens = 20, maxPunctRatio = 0.15, minStopwordRatio = 0.01)
+      .orderBy(col("doc_id")),
+    Some(s"""WITH scored AS (SELECT doc_id, $langScoreSql,
+        CAST(length(text) AS DOUBLE) AS n_chars,
+        (CAST(length(text) AS DOUBLE) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+          / CAST(length(text) AS DOUBLE) AS punct_ratio,
+        CAST(len(list_filter(string_split(text, ' '),
+            t -> list_contains($stopList, t))) AS DOUBLE)
+          / len(string_split(text, ' ')) AS stopword_ratio,
+        LEAST(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100) AS length_score
+      FROM documents),
+      best AS (SELECT *, GREATEST(score_de, score_en, score_es, score_fr) AS b FROM scored),
+      lang AS (SELECT doc_id, punct_ratio, stopword_ratio, length_score,
+        CASE WHEN b = 0 THEN 'und'
+             WHEN score_de = b THEN 'de' WHEN score_en = b THEN 'en'
+             WHEN score_es = b THEN 'es' ELSE 'fr' END AS lang_guess
+      FROM best)
+      SELECT doc_id, lang_guess, punct_ratio, stopword_ratio, length_score
+      FROM lang
+      WHERE lang_guess = 'en' AND length_score >= 0.2
+        AND punct_ratio <= 0.15 AND stopword_ratio >= 0.01
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
-      e15, e16, e17, e18, e19)
+      e15, e16, e17, e18, e19, e20)
 }

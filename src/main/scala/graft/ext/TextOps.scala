@@ -94,6 +94,42 @@ object TextOps {
       least(lit(1.0), size(tok).cast(DoubleType) / 100).as("length_score"))
   }
 
+  /** Column-level language guess (argmax stopword-profile hit count,
+    * ties by language code order, 'und' when no profile hits). */
+  private def langGuessCol(tok: Column): Column = {
+    val langs = stopwords.keys.toSeq.sorted
+    val scores = langs.map(l => hitCount(tok, stopwords(l)))
+    val best = scores.reduce((a, b) => greatest(a, b))
+    langs.zip(scores).foldRight(lit("und")) { case ((l, sc), acc) =>
+      when(sc === best && best > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** The canonical pre-training corpus filter: keep documents in the
+    * target language whose quality signals clear the given floors — the
+    * composition of [[langId]] and [[qualityScore]] a real pipeline runs
+    * before tokenization, as ONE map-only projection (no join between
+    * the two signal frames); the filter rides the scan. */
+  def qualityFilter(
+      df: DataFrame, idCol: String, textCol: String,
+      lang: String = "en", minTokens: Int = 20,
+      maxPunctRatio: Double = 0.15, minStopwordRatio: Double = 0.01): DataFrame = {
+    val txt = col(textCol)
+    val tok = tokens(txt)
+    val nChars = length(txt).cast(DoubleType)
+    val punctRatio =
+      (nChars - length(regexp_replace(txt, "[.,!?;:]", ""))).cast(DoubleType) / nChars
+    val stopRatio = hitCount(tok, stopwords("en")).cast(DoubleType) / size(tok)
+    val lengthScore = least(lit(1.0), size(tok).cast(DoubleType) / 100)
+    df.select(col(idCol), langGuessCol(tok).as("lang_guess"),
+        punctRatio.as("punct_ratio"), stopRatio.as("stopword_ratio"),
+        lengthScore.as("length_score"))
+      .filter(col("lang_guess") === lang &&
+        col("length_score") >= math.min(1.0, minTokens / 100.0) &&
+        col("punct_ratio") <= maxPunctRatio &&
+        col("stopword_ratio") >= minStopwordRatio)
+  }
+
   /** Content fingerprint: md5 of the case-folded text — the exact-dup
     * key for E1 at scale (hash once, group by 16 bytes, never by the
     * full text). */
