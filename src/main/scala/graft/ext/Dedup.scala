@@ -269,8 +269,12 @@ object Dedup {
         struct(col("doc2").as("a"), col("doc1").as("b")))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
       .persist()
-    var labels = edges.select(col("a").as("doc")).distinct()
-      .withColumn("rep", col("doc"))
+    // seed labels WITH the first propagation round folded in: the node
+    // set needed a shuffle anyway (distinct), so aggregate min(self,
+    // neighbors) in that same exchange — one round of the loop for free
+    var labels = edges.groupBy(col("a"))
+      .agg(least(col("a"), min(col("b"))).as("rep"))
+      .select(col("a").as("doc"), col("rep"))
       .persist()
     // convergence metric in decimal: a long sum over billions of 63-bit
     // ids would overflow (and throw under ANSI); decimal sums are exact.
