@@ -408,16 +408,17 @@ object ExtQueries {
   // the reproducible "data mixing" selection; the oracle replays the
   // identical membership test.
   private val mixRates = Map("src0" -> 800, "src1" -> 500, "src2" -> 200)
+  private val mixDefault = 100
   val e18 = Q(
     "e18_stratified_sample",
     (s, d) => Sampling.stratifiedHashSample(
-      T.documents(s, d), "doc_id", "source", mixRates, defaultPermille = 100)
+      T.documents(s, d), "doc_id", "source", mixRates, defaultPermille = mixDefault)
       .select(col("doc_id"), col("source"))
       .orderBy(col("doc_id")),
     Some(s"""SELECT doc_id, source FROM documents
       WHERE CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,6)) AS BIGINT) % 1000 <
         CASE source ${mixRates.toSeq.sortBy(_._1).map { case (k, v) =>
-          s"WHEN '$k' THEN $v" }.mkString(" ")} ELSE 100 END
+          s"WHEN '$k' THEN $v" }.mkString(" ")} ELSE $mixDefault END
       ORDER BY doc_id"""))
 
   // E-suite (corpus statistics): per-source length distribution — count,
@@ -442,23 +443,23 @@ object ExtQueries {
       lang = "en", minTokens = 20, maxPunctRatio = 0.15, minStopwordRatio = 0.01)
       .orderBy(col("doc_id")),
     Some(s"""WITH scored AS (SELECT doc_id, $langScoreSql,
-        CAST(length(text) AS DOUBLE) AS n_chars,
         (CAST(length(text) AS DOUBLE) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
           / CAST(length(text) AS DOUBLE) AS punct_ratio,
         CAST(len(list_filter(string_split(text, ' '),
             t -> list_contains($stopList, t))) AS DOUBLE)
           / len(string_split(text, ' ')) AS stopword_ratio,
-        LEAST(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100) AS length_score
+        LEAST(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100) AS length_score,
+        len(string_split(text, ' ')) AS n_tokens
       FROM documents),
       best AS (SELECT *, GREATEST(score_de, score_en, score_es, score_fr) AS b FROM scored),
-      lang AS (SELECT doc_id, punct_ratio, stopword_ratio, length_score,
+      lang AS (SELECT doc_id, punct_ratio, stopword_ratio, length_score, n_tokens,
         CASE WHEN b = 0 THEN 'und'
              WHEN score_de = b THEN 'de' WHEN score_en = b THEN 'en'
              WHEN score_es = b THEN 'es' ELSE 'fr' END AS lang_guess
       FROM best)
       SELECT doc_id, lang_guess, punct_ratio, stopword_ratio, length_score
       FROM lang
-      WHERE lang_guess = 'en' AND length_score >= 0.2
+      WHERE lang_guess = 'en' AND n_tokens >= 20
         AND punct_ratio <= 0.15 AND stopword_ratio >= 0.01
       ORDER BY doc_id"""))
 

@@ -50,8 +50,9 @@ object Sampling {
     val aggs = Seq(
       count(lit(1)).as("n_docs"),
       (sum(n.cast(DecimalType(38, 6))).cast(DoubleType) / count(n)).as("mean_len")) ++
-      ps.map(p => expr(s"percentile(length($textCol), $p)")
-        .as(s"p${(p * 100).round}"))
+      ps.map(p => call_function("percentile", n, lit(p)).as(s"p${(p * 100).round}"))
+    require(ps.map(p => (p * 100).round).distinct.size == ps.size,
+      s"percentile labels collide: $ps")
     df.groupBy(col(strataCol)).agg(aggs.head, aggs.tail: _*)
   }
 }

@@ -61,17 +61,46 @@ object TextOps {
   private def hitCount(tok: Column, words: Seq[String]): Column =
     size(filter(tok, t => t.isin(words.map(lit(_)): _*)))
 
+  // ---- shared signal definitions (langId / qualityScore / qualityFilter
+  // all read THESE, so the three oracle-checked queries cannot drift) ----
+
+  /** Argmax language over per-profile score columns (ties by language
+    * code order, 'und' when no profile hits). */
+  private def argmaxLang(scores: Seq[(String, Column)]): Column = {
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und")) { case ((l, sc), acc) =>
+      when(sc === best && best > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  private def langScores(tok: Column): Seq[(String, Column)] =
+    stopwords.keys.toSeq.sorted.map(l => l -> hitCount(tok, stopwords(l)))
+
+  private def punctRatioCol(txt: Column): Column = {
+    val nChars = length(txt).cast(DoubleType)
+    (nChars - length(regexp_replace(txt, "[.,!?;:]", ""))).cast(DoubleType) / nChars
+  }
+
+  private def digitRatioCol(txt: Column): Column = {
+    val nChars = length(txt).cast(DoubleType)
+    (nChars - length(regexp_replace(txt, "[0-9]", ""))).cast(DoubleType) / nChars
+  }
+
+  private def stopRatioCol(tok: Column): Column =
+    hitCount(tok, stopwords("en")).cast(DoubleType) / size(tok)
+
+  private def lengthScoreCol(tok: Column): Column =
+    least(lit(1.0), size(tok).cast(DoubleType) / 100)
+
   /** Stopword-hit-rate language ID: score each profile, pick the argmax
     * (ties broken by language code order — deterministic). */
   def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = tokens(col(textCol))
-    val langs = stopwords.keys.toSeq.sorted
     val scored = df.select(
-      col(idCol) +: langs.map(l => hitCount(tok, stopwords(l)).cast(LongType).as(s"score_$l")): _*)
-    val best = langs.map(l => col(s"score_$l")).reduce((a, b) => greatest(a, b))
-    val guess = langs.foldRight(lit("und")) { (l, acc) =>
-      when(col(s"score_$l") === best && best > 0, lit(l)).otherwise(acc)
-    }
+      col(idCol) +: langScores(tok).map { case (l, sc) =>
+        sc.cast(LongType).as(s"score_$l") }: _*)
+    val guess = argmaxLang(
+      stopwords.keys.toSeq.sorted.map(l => l -> col(s"score_$l")))
     scored.withColumn("lang_guess", guess)
   }
 
@@ -81,53 +110,37 @@ object TextOps {
   def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val txt = col(textCol)
     val tok = tokens(txt)
-    val nChars = length(txt).cast(DoubleType)
-    val punct = (nChars - length(regexp_replace(txt, "[.,!?;:]", ""))).cast(DoubleType)
-    val digits = (nChars - length(regexp_replace(txt, "[0-9]", ""))).cast(DoubleType)
-    val stopHits = hitCount(tok, stopwords("en")).cast(DoubleType)
     df.select(
       col(idCol),
-      nChars.as("n_chars_calc"),
-      (punct / nChars).as("punct_ratio"),
-      (digits / nChars).as("digit_ratio"),
-      (stopHits / size(tok)).as("stopword_ratio"),
-      least(lit(1.0), size(tok).cast(DoubleType) / 100).as("length_score"))
-  }
-
-  /** Column-level language guess (argmax stopword-profile hit count,
-    * ties by language code order, 'und' when no profile hits). */
-  private def langGuessCol(tok: Column): Column = {
-    val langs = stopwords.keys.toSeq.sorted
-    val scores = langs.map(l => hitCount(tok, stopwords(l)))
-    val best = scores.reduce((a, b) => greatest(a, b))
-    langs.zip(scores).foldRight(lit("und")) { case ((l, sc), acc) =>
-      when(sc === best && best > 0, lit(l)).otherwise(acc)
-    }
+      length(txt).cast(DoubleType).as("n_chars_calc"),
+      punctRatioCol(txt).as("punct_ratio"),
+      digitRatioCol(txt).as("digit_ratio"),
+      stopRatioCol(tok).as("stopword_ratio"),
+      lengthScoreCol(tok).as("length_score"))
   }
 
   /** The canonical pre-training corpus filter: keep documents in the
     * target language whose quality signals clear the given floors — the
     * composition of [[langId]] and [[qualityScore]] a real pipeline runs
     * before tokenization, as ONE map-only projection (no join between
-    * the two signal frames); the filter rides the scan. */
+    * the two signal frames); the filter rides the scan. The token floor
+    * gates on the raw token count (`minTokens` above 100 works; the
+    * reported `length_score` saturates at 1.0 independently). */
   def qualityFilter(
       df: DataFrame, idCol: String, textCol: String,
       lang: String = "en", minTokens: Int = 20,
       maxPunctRatio: Double = 0.15, minStopwordRatio: Double = 0.01): DataFrame = {
     val txt = col(textCol)
     val tok = tokens(txt)
-    val nChars = length(txt).cast(DoubleType)
-    val punctRatio =
-      (nChars - length(regexp_replace(txt, "[.,!?;:]", ""))).cast(DoubleType) / nChars
-    val stopRatio = hitCount(tok, stopwords("en")).cast(DoubleType) / size(tok)
-    val lengthScore = least(lit(1.0), size(tok).cast(DoubleType) / 100)
-    df.select(col(idCol), langGuessCol(tok).as("lang_guess"),
-        punctRatio.as("punct_ratio"), stopRatio.as("stopword_ratio"),
-        lengthScore.as("length_score"))
+    df.select(col(idCol), argmaxLang(langScores(tok)).as("lang_guess"),
+        punctRatioCol(txt).as("punct_ratio"), stopRatioCol(tok).as("stopword_ratio"),
+        lengthScoreCol(tok).as("length_score"),
+        size(tokens(txt)).as("__n_tokens"))
       .filter(col("lang_guess") === lang &&
-        col("length_score") >= math.min(1.0, minTokens / 100.0) &&
+        col("__n_tokens") >= minTokens &&
         col("punct_ratio") <= maxPunctRatio &&
         col("stopword_ratio") >= minStopwordRatio)
+      .drop("__n_tokens")
   }
 
   /** Content fingerprint: md5 of the case-folded text — the exact-dup
