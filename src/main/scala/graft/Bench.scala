@@ -75,7 +75,11 @@ object Bench {
         col("value").as("line_item_unblended_cost"),
         lit("USD").as("line_item_currency_code"),
         year(col("ts")).as("year"), month(col("ts")).as("month"))
+        // cluster by the partition keys: one file per month, not one per
+        // (shuffle partition × month) — same discipline as the loader
+        .repartition(col("year"), col("month"))
         .write.partitionBy("year", "month").parquet(s"$root/cur-a")
+      System.err.println(f"[bench] sync fixture write: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       val cfg = etl.EngineConfig(
         sourceRoot = s"file://$root", curPaths = Seq("cur-a"), warehouseDir = wh,
         jdbcUrl = None, jdbcUser = "", jdbcPassword = "", schema = "bench",

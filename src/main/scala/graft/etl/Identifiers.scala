@@ -38,10 +38,19 @@ object Identifiers {
 
   /** Apply loader-side cleaning to every column of a schema, de-dupe by
     * appending a positional suffix on collision (stable, first wins). */
-  def cleanColumns(names: Seq[String]): Seq[String] = {
+  def cleanColumns(names: Seq[String]): Seq[String] =
+    dedupe(names.map(cleanLoader))
+
+  /** Transform-side cleaning over a schema with the same collision
+    * discipline: two raw headers cleaning to one name (e.g.
+    * `lineItem/UsageStartDate` + `lineitem_usagestartdate`) must not
+    * produce a duplicate-column frame (ambiguous-reference at resolve). */
+  def cleanTransformColumns(names: Seq[String]): Seq[String] =
+    dedupe(names.map(cleanTransform))
+
+  private def dedupe(cleaned: Seq[String]): Seq[String] = {
     val seen = scala.collection.mutable.HashMap.empty[String, Int]
-    names.map { n =>
-      val c = cleanLoader(n)
+    cleaned.map { c =>
       val k = seen.getOrElse(c, 0)
       seen(c) = k + 1
       if (k == 0) c else s"${c}_$k"

@@ -42,6 +42,14 @@ trait Loader extends AutoCloseable {
   /** Read a previously-loaded table back (serving-side scan). */
   def table(spark: SparkSession, name: String): DataFrame
 
+  /** Read back a just-written table when the sink is itself an efficient
+    * distributed Spark source (the parquet sink; JDBC sinks return None —
+    * an unpartitioned JDBC scan would serialize the transform). Lets the
+    * sync normalize from the local raw copy instead of scanning the
+    * remote source a second time — at ingest scale that halves source
+    * (S3) I/O per table. */
+  def readBack(spark: SparkSession, table: String): Option[DataFrame] = None
+
   /** SQL-addressable reference to a loaded table, when the sink is
     * directly addressable from a Spark SQL statement (used for the
     * durable `costs` view DDL; JDBC sinks serve their own views). */
@@ -68,7 +76,14 @@ trait Loader extends AutoCloseable {
   /** Run `write` on the frame with an [[Observation]] attached and return
     * the rows written — ONE action computes and counts the data (the
     * reference returns rows loaded; a separate `count()` would scan the
-    * full input twice per table, 2× I/O at 100 TB ingest). */
+    * full input twice per table, 2× I/O at 100 TB ingest).
+    *
+    * Caveat: the observed count is an accumulator metric, so a
+    * speculatively re-executed or retried task can inflate it — it is a
+    * load metric, not a committed-row audit. The parquet sink's commit
+    * protocol discards duplicate task output, so the files are correct
+    * either way; the JDBC sink audits committed rows against the target
+    * instead (see [[JdbcLoader.load]]). */
   protected def writeCounted(df: DataFrame)(write: DataFrame => Unit): Long = {
     val obs = Observation()
     write(df.observe(obs, count(lit(1)).as("rows")))
@@ -89,12 +104,25 @@ final class ParquetLoader(warehouseDir: String, schema: String) extends Loader {
   override def load(df: DataFrame, table: String, ifExists: String,
       partitionBy: Seq[String]): Long = {
     if (df.isEmpty) return 0L // postgresql.py:64-66
-    writeCounted(cleaned(df))(
+    // Cluster rows by the partition keys before a partitionBy write:
+    // without this every one of the N shuffle partitions opens a writer
+    // per partition value (dates × N tiny files, and N× the write cost).
+    // One shuffle up front → one file per date. A single date too big for
+    // one task would want repartition(n, keys :+ salt); at the serving
+    // tier's per-date volumes one columnar file per date is the right
+    // layout for pruning readers.
+    val clustered =
+      if (partitionBy.isEmpty) cleaned(df)
+      else cleaned(df).repartition(partitionBy.map(org.apache.spark.sql.functions.col): _*)
+    writeCounted(clustered)(
       _.write.mode(saveMode(ifExists)).partitionBy(partitionBy: _*).parquet(dir(table)))
   }
 
   override def table(spark: SparkSession, name: String): DataFrame =
     spark.read.parquet(dir(name))
+
+  override def readBack(spark: SparkSession, table: String): Option[DataFrame] =
+    Some(this.table(spark, table))
 
   override def sqlRef(table: String): Option[String] =
     Some(s"parquet.`${dir(table)}`")
@@ -136,15 +164,31 @@ final class JdbcLoader(url: String, user: String, password: String, schema: Stri
     // JDBC tables have no physical partitioning; the layout hint is a
     // parquet-sink concern (indexes serve the same role in PG).
     if (df.isEmpty) return 0L
-    writeCounted(cleaned(df))(
-      _.write
-        .mode(saveMode(ifExists))
-        // execute_values page_size mirror (postgresql.py:51,96)
-        .option("batchsize", 10000)
-        // overwrite = drop + recreate, matching DROP TABLE ... CASCADE +
-        // CREATE (postgresql.py:77-82); truncate=false is the default
-        .jdbc(url, qualified(table), props))
+    // Committed-row fidelity: a retried/speculated task can inflate an
+    // Observation count, and a partially-failed JDBC write could observe
+    // rows that never committed. Audit the target itself — COUNT(*)
+    // after the write (diffed against before, for append). The count
+    // runs DB-side; no second scan of the Spark input.
+    val before = if (saveMode(ifExists) == SaveMode.Append) tableCount(table) else 0L
+    cleaned(df).write
+      .mode(saveMode(ifExists))
+      // execute_values page_size mirror (postgresql.py:51,96)
+      .option("batchsize", 10000)
+      // overwrite = drop + recreate, matching DROP TABLE ... CASCADE +
+      // CREATE (postgresql.py:77-82); truncate=false is the default
+      .jdbc(url, qualified(table), props)
+    tableCount(table) - before
   }
+
+  /** COUNT(*) on the target; 0 if the table does not exist yet (the
+    * writer creates it on first append). */
+  private def tableCount(table: String): Long =
+    try withConnection { c =>
+      val rs = c.createStatement().executeQuery(
+        s"SELECT COUNT(*) FROM ${qualified(table)}")
+      rs.next()
+      rs.getLong(1)
+    } catch { case _: java.sql.SQLException => 0L }
 
   override def table(spark: SparkSession, name: String): DataFrame =
     spark.read.jdbc(url, qualified(name), props)

@@ -100,7 +100,9 @@ object Normalize {
     // Transform-side identifier cleaning BEFORE resolution (normalize.py:66):
     // raw CUR v1 headers like `lineItem/UsageStartDate` must resolve via
     // their cleaned form (`lineitem_usagestartdate`), not NULL-fill.
-    val cleaned = df.toDF(df.columns.map(Identifiers.cleanTransform).toIndexedSeq: _*)
+    // Collision-deduped (first wins): two headers cleaning to one name must
+    // not make resolution throw an ambiguous-reference AnalysisException.
+    val cleaned = df.toDF(Identifiers.cleanTransformColumns(df.columns.toSeq): _*)
     val present = cleaned.columns.toSet
     val resolved = mapping.map(outputCol(_, present))
     val meta = Seq(

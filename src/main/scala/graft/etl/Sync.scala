@@ -34,7 +34,8 @@ object Sync {
       normRows: Long,
       status: String,
       error: Option[String],
-      seconds: Double)
+      seconds: Double,
+      skippedFiles: Long = 0L)
 
   final case class RunResult(tables: Seq[TableResult], totalRows: Long)
 
@@ -50,7 +51,17 @@ object Sync {
       spark: SparkSession,
       root: String,
       window: CurSource.MonthWindow,
-      accountIds: Seq[String]): DataFrame = {
+      accountIds: Seq[String]): DataFrame =
+    withAccountFilter(prunedScan(spark, root, window), accountIds)
+
+  /** The month-pruned scan only — partition-directory pruning, no row
+    * filters — so [[auditSkippedFiles]] can compare planned files against
+    * files that actually produced rows without row predicates confounding
+    * the comparison. */
+  private[etl] def prunedScan(
+      spark: SparkSession,
+      root: String,
+      window: CurSource.MonthWindow): DataFrame = {
     val base = spark.read
       .option("mergeSchema", "true")
       .option("ignoreCorruptFiles", "true")
@@ -62,6 +73,11 @@ object Sync {
           .map(m => col("year") === m.getYear && col("month") === m.getMonthValue)
           .reduceOption(_ || _)
       else None
+    monthPred.foldLeft(base)(_.filter(_))
+  }
+
+  private def withAccountFilter(pruned: DataFrame, accountIds: Seq[String]): DataFrame = {
+    val cols = pruned.columns.toSet
     val acctPred =
       if (!cols.contains("line_item_usage_account_id")) None
       else if (cols.contains("product_region")) Accounts.predicate(accountIds)
@@ -70,7 +86,21 @@ object Sync {
       else if (accountIds.nonEmpty)
         Some(col("line_item_usage_account_id").isin(accountIds: _*))
       else None
-    Seq(monthPred, acctPred).flatten.foldLeft(base)(_.filter(_))
+    acctPred.foldLeft(pruned)(_.filter(_))
+  }
+
+  /** Files planned into the scan that yielded no rows at read time.
+    * `ignoreCorruptFiles` skips a bad footer with only an executor WARN;
+    * the reference logs and surfaces the failed month (aws_cur.py:138-164)
+    * — this makes the omission observable in the sync results. One
+    * zero-column distributed pass (partition pruning already applied, no
+    * row filters, so every healthy file contributes its rows); a
+    * valid-but-empty file also counts, which is the honest reading —
+    * either way the file contributed no data. */
+  private[etl] def auditSkippedFiles(pruned: DataFrame): Long = {
+    val planned = pruned.inputFiles.length.toLong
+    val read = pruned.select(input_file_name()).distinct().count()
+    math.max(0L, planned - read)
   }
 
   def run(spark: SparkSession, cfg: EngineConfig, loader: Loader, opts: Options): RunResult = {
@@ -90,7 +120,8 @@ object Sync {
       val root = s"${cfg.sourceRoot}/$path"
       val t0 = System.nanoTime()
       try {
-        val df = extract(spark, root, window, accountIds)
+        val pruned = prunedScan(spark, root, window)
+        val df = withAccountFilter(pruned, accountIds)
         if (opts.dryRun) {
           // O23: plan-only preview — never triggers a job
           println(s"[dry-run] $path -> $table")
@@ -99,19 +130,34 @@ object Sync {
           df.explain(true)
         } else {
           val rawRows = loader.load(df, s"raw_$table", ifExists = "replace")
+          System.err.println(f"[sync-debug] raw load: ${(System.nanoTime() - t0) / 1e9}%.2f s")
           val normRows =
             if (opts.rawOnly || rawRows == 0L) 0L
             else {
+              // Normalize from the just-written raw copy when the sink can
+              // serve it back as a distributed scan: ONE pass over the
+              // (remote) source per table instead of two. Resolution is
+              // unaffected — Normalize cleans identifiers before resolving,
+              // and loader-side cleaning is a fixpoint of that cleaning.
+              val normSource = loader.readBack(spark, s"raw_$table").getOrElse(df)
               val normalized = Normalize.normalize(
-                df, Normalize.awsCur, table, lit(syncTs))
+                normSource, Normalize.awsCur, table, lit(syncTs))
               // serving queries filter/group on date — a date-partitioned
               // layout lets every reader prune to the days it touches
               loader.load(normalized, s"${table}_normalized", ifExists = "replace",
                 partitionBy = Seq("date"))
             }
           if (rawRows > 0L && !opts.rawOnly) processed :+= table
-          results :+= TableResult(table, rawRows, normRows, "success", None,
-            (System.nanoTime() - t0) / 1e9)
+          // Surface silently-skipped unreadable files (see auditSkippedFiles)
+          System.err.println(f"[sync-debug] norm load: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+          val skipped = auditSkippedFiles(pruned)
+          System.err.println(f"[sync-debug] audit: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+          val (status, warn) =
+            if (skipped > 0L)
+              ("warning", Some(s"skipped $skipped unreadable file(s) in scan"))
+            else ("success", None)
+          results :+= TableResult(table, rawRows, normRows, status, warn,
+            (System.nanoTime() - t0) / 1e9, skipped)
         }
       } catch {
         case e: Exception => // O24: isolate, log, continue

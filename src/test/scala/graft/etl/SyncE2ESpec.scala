@@ -120,9 +120,16 @@ class SyncE2ESpec extends SparkSpec {
       schema = "s", syncMonths = 1, logLevel = "WARN")
     val res = Sync.run(spark, c, loader,
       Sync.Options(months = 1, asOf = LocalDate.parse("2024-01-15"), allAccounts = true))
-    assert(res.tables.map(_.status) == Seq("success"),
-      s"corrupt file should be skipped, not fail the sync: ${res.tables}")
+    // the data loads, AND the omission is observable: status "warning"
+    // with the skipped-file count recorded (not a silent success)
+    assert(res.tables.map(_.status) == Seq("warning"),
+      s"corrupt file should be skipped but surfaced as a warning: ${res.tables}")
+    assert(res.tables.head.skippedFiles == 1L, s"${res.tables}")
+    assert(res.tables.head.error.exists(_.contains("skipped 1 unreadable")))
     assert(loader.table(spark, "raw_cur_c").count() > 0)
+    // the warning lands in sync_log too
+    val logRow = loader.table(spark, "sync_log").collect().head
+    assert(logRow.getAs[String]("status") == "warning")
   }
 
   test("durable costs view: CREATE OR REPLACE VIEW over the parquet sink") {
