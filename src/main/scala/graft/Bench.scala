@@ -79,7 +79,6 @@ object Bench {
         // (shuffle partition × month) — same discipline as the loader
         .repartition(col("year"), col("month"))
         .write.partitionBy("year", "month").parquet(s"$root/cur-a")
-      System.err.println(f"[bench] sync fixture write: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       val cfg = etl.EngineConfig(
         sourceRoot = s"file://$root", curPaths = Seq("cur-a"), warehouseDir = wh,
         jdbcUrl = None, jdbcUser = "", jdbcPassword = "", schema = "bench",

@@ -180,15 +180,32 @@ final class JdbcLoader(url: String, user: String, password: String, schema: Stri
     tableCount(table) - before
   }
 
-  /** COUNT(*) on the target; 0 if the table does not exist yet (the
-    * writer creates it on first append). */
-  private def tableCount(table: String): Long =
-    try withConnection { c =>
+  /** COUNT(*) on the target; 0 only if the table does not exist yet (the
+    * writer creates it on first append). Existence is probed via
+    * DatabaseMetaData rather than by swallowing SQLException around the
+    * COUNT — a transient failure (connection drop, lock timeout) must
+    * propagate to the per-path error handler, not masquerade as an empty
+    * table and make a committed load report 0 (or negative, for append)
+    * rows. Identifier case: unquoted DDL is case-folded per dialect
+    * (Derby/PG fold opposite directions), so the probe tries the exact,
+    * upper- and lower-cased forms. */
+  private def tableCount(table: String): Long = withConnection { c =>
+    val md = c.getMetaData
+    def probe(s: String, t: String): Boolean = {
+      val rs = md.getTables(null, s, t, null)
+      try rs.next() finally rs.close()
+    }
+    val exists = probe(schema, table) ||
+      probe(schema.toUpperCase, table.toUpperCase) ||
+      probe(schema.toLowerCase, table.toLowerCase)
+    if (!exists) 0L
+    else {
       val rs = c.createStatement().executeQuery(
         s"SELECT COUNT(*) FROM ${qualified(table)}")
       rs.next()
       rs.getLong(1)
-    } catch { case _: java.sql.SQLException => 0L }
+    }
+  }
 
   override def table(spark: SparkSession, name: String): DataFrame =
     spark.read.jdbc(url, qualified(name), props)

@@ -92,16 +92,39 @@ object Sync {
   /** Files planned into the scan that yielded no rows at read time.
     * `ignoreCorruptFiles` skips a bad footer with only an executor WARN;
     * the reference logs and surfaces the failed month (aws_cur.py:138-164)
-    * — this makes the omission observable in the sync results. One
-    * zero-column distributed pass (partition pruning already applied, no
-    * row filters, so every healthy file contributes its rows); a
-    * valid-but-empty file also counts, which is the honest reading —
-    * either way the file contributed no data. */
+    * — this makes the omission observable in the sync results.
+    *
+    * The planned set comes from the pruned PHYSICAL plan's file listing
+    * (`FileSourceScanLike.selectedPartitions`), not `Dataset.inputFiles`:
+    * inputFiles ignores partition filters for path-based parquet reads,
+    * so a source root holding months outside the sync window — the
+    * normal production shape as CUR roots accumulate — would count every
+    * out-of-window file as "planned" and flip healthy syncs to warnings.
+    * The listing is already cached in the relation's FileIndex, so this
+    * costs no extra I/O.
+    *
+    * The read set is one zero-column distributed pass over the pruned
+    * scan (no row filters, so every healthy file contributes its rows).
+    * With all columns pruned the vectorized reader emits row counts from
+    * parquet metadata without decoding any data pages — per file it is a
+    * footer read, not a data re-scan. A valid-but-empty file also counts
+    * as contributing no rows, which is the honest reading. */
   private[etl] def auditSkippedFiles(pruned: DataFrame): Long = {
-    val planned = pruned.inputFiles.length.toLong
+    val planned = plannedFileCount(pruned)
+    if (planned == 0L) return 0L
     val read = pruned.select(input_file_name()).distinct().count()
     math.max(0L, planned - read)
   }
+
+  /** File count from the pruned physical plan — partition filters
+    * applied, metadata only (no job). Sums across scans so a future
+    * union-of-roots plan stays correct; 0 when the plan has no file scan
+    * (e.g. an empty relation). */
+  private[etl] def plannedFileCount(pruned: DataFrame): Long =
+    pruned.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanLike =>
+        s.selectedPartitions.totalNumberOfFiles
+    }.sum
 
   def run(spark: SparkSession, cfg: EngineConfig, loader: Loader, opts: Options): RunResult = {
     val window = CurSource.lastMonths(opts.months, opts.asOf)
@@ -130,7 +153,6 @@ object Sync {
           df.explain(true)
         } else {
           val rawRows = loader.load(df, s"raw_$table", ifExists = "replace")
-          System.err.println(f"[sync-debug] raw load: ${(System.nanoTime() - t0) / 1e9}%.2f s")
           val normRows =
             if (opts.rawOnly || rawRows == 0L) 0L
             else {
@@ -148,13 +170,11 @@ object Sync {
                 partitionBy = Seq("date"))
             }
           if (rawRows > 0L && !opts.rawOnly) processed :+= table
-          // Surface silently-skipped unreadable files (see auditSkippedFiles)
-          System.err.println(f"[sync-debug] norm load: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+          // Surface silently-skipped files (see auditSkippedFiles)
           val skipped = auditSkippedFiles(pruned)
-          System.err.println(f"[sync-debug] audit: ${(System.nanoTime() - t0) / 1e9}%.2f s")
           val (status, warn) =
             if (skipped > 0L)
-              ("warning", Some(s"skipped $skipped unreadable file(s) in scan"))
+              ("warning", Some(s"$skipped planned file(s) contributed no rows (corrupt or empty)"))
             else ("success", None)
           results :+= TableResult(table, rawRows, normRows, status, warn,
             (System.nanoTime() - t0) / 1e9, skipped)

@@ -125,11 +125,54 @@ class SyncE2ESpec extends SparkSpec {
     assert(res.tables.map(_.status) == Seq("warning"),
       s"corrupt file should be skipped but surfaced as a warning: ${res.tables}")
     assert(res.tables.head.skippedFiles == 1L, s"${res.tables}")
-    assert(res.tables.head.error.exists(_.contains("skipped 1 unreadable")))
+    assert(res.tables.head.error.exists(_.contains("1 planned file(s) contributed no rows")))
     assert(loader.table(spark, "raw_cur_c").count() > 0)
     // the warning lands in sync_log too
     val logRow = loader.table(spark, "sync_log").collect().head
     assert(logRow.getAs[String]("status") == "warning")
+  }
+
+  test("file audit ignores out-of-window months: no spurious warning") {
+    // regression (round-4 ADVICE high): Dataset.inputFiles ignores
+    // partition filters, so a root holding months OUTSIDE the sync window
+    // — the normal production shape as CUR roots accumulate — counted
+    // every out-of-window file as planned-but-unread and flipped healthy
+    // syncs to "warning". The planned set must come from the pruned
+    // physical plan instead.
+    val root = Files.createTempDirectory("graft_cur_multi").toString
+    val ev = T.events(spark, sf001).select(
+      col("ts").as("line_item_usage_start_date"),
+      lit("999999999999").as("line_item_usage_account_id"),
+      col("event_type").as("product_servicename"),
+      col("value").as("line_item_unblended_cost"))
+    // two months on disk: January as-is plus a February-shifted copy
+    ev.unionAll(ev.withColumn("line_item_usage_start_date",
+        add_months(col("line_item_usage_start_date"), 1).cast("timestamp")))
+      .withColumn("year", year(col("line_item_usage_start_date")))
+      .withColumn("month", month(col("line_item_usage_start_date")))
+      .write.partitionBy("year", "month").parquet(s"$root/cur-m")
+    assert(new java.io.File(s"$root/cur-m/year=2024/month=2").isDirectory)
+
+    val window = CurSource.lastMonths(1, LocalDate.parse("2024-01-15"))
+    val pruned = Sync.prunedScan(spark, s"file://$root/cur-m", window)
+    // inputFiles sees both months; the physical plan plans only January
+    assert(pruned.inputFiles.exists(_.contains("month=2")),
+      "fixture must reproduce the inputFiles-over-counts condition")
+    assert(Sync.plannedFileCount(pruned) < pruned.inputFiles.length)
+    assert(Sync.auditSkippedFiles(pruned) == 0L)
+
+    // and end-to-end: a healthy sync over the multi-month root is a
+    // plain success, not a warning
+    val wh = Files.createTempDirectory("graft_wh").toString
+    val loader = new ParquetLoader(wh, "s")
+    val c = EngineConfig(
+      sourceRoot = s"file://$root", curPaths = Seq("cur-m"),
+      warehouseDir = wh, jdbcUrl = None, jdbcUser = "", jdbcPassword = "",
+      schema = "s", syncMonths = 1, logLevel = "WARN")
+    val res = Sync.run(spark, c, loader,
+      Sync.Options(months = 1, asOf = LocalDate.parse("2024-01-15"), allAccounts = true))
+    assert(res.tables.map(_.status) == Seq("success"), s"${res.tables}")
+    assert(res.tables.head.skippedFiles == 0L)
   }
 
   test("durable costs view: CREATE OR REPLACE VIEW over the parquet sink") {
