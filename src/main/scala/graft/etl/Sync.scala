@@ -116,6 +116,26 @@ object Sync {
     math.max(0L, planned - read)
   }
 
+  /** True when normalizing the loader-cleaned raw copy binds every mapped
+    * target to the SAME source column (by position) as normalizing the
+    * raw headers directly — the reference's semantics (normalize.py:66
+    * cleans transform-side only). Loader-side cleaning additionally
+    * rewrites `- space .` and digit prefixes (postgresql.py:109-123), so
+    * a header like `usage-start-date` resolves to an alternative only
+    * AFTER the loader rewrite; normalizing the read-back copy would then
+    * bind a different column than a direct normalize. Pure driver-side
+    * check on schema names — no job. */
+  private[etl] def resolutionAgrees(
+      rawCols: Seq[String], mapping: Seq[Normalize.FieldSpec]): Boolean = {
+    val direct = Identifiers.cleanTransformColumns(rawCols)
+    val viaLoader = Identifiers.cleanTransformColumns(Identifiers.cleanColumns(rawCols))
+    mapping.forall { s =>
+      val d = Normalize.resolve(s, direct.toSet).map(direct.indexOf)
+      val l = Normalize.resolve(s, viaLoader.toSet).map(viaLoader.indexOf)
+      d == l
+    }
+  }
+
   /** File count from the pruned physical plan — partition filters
     * applied, metadata only (no job). Sums across scans so a future
     * union-of-roots plan stays correct; 0 when the plan has no file scan
@@ -158,10 +178,14 @@ object Sync {
             else {
               // Normalize from the just-written raw copy when the sink can
               // serve it back as a distributed scan: ONE pass over the
-              // (remote) source per table instead of two. Resolution is
-              // unaffected — Normalize cleans identifiers before resolving,
-              // and loader-side cleaning is a fixpoint of that cleaning.
-              val normSource = loader.readBack(spark, s"raw_$table").getOrElse(df)
+              // (remote) source per table instead of two. The raw copy
+              // carries loader-cleaned names, so this is only taken when
+              // resolution provably binds the same source columns either
+              // way (see resolutionAgrees); otherwise the source is
+              // scanned a second time — correctness over the I/O saving.
+              val normSource = loader.readBack(spark, s"raw_$table")
+                .filter(_ => resolutionAgrees(df.columns.toSeq, Normalize.awsCur))
+                .getOrElse(df)
               val normalized = Normalize.normalize(
                 normSource, Normalize.awsCur, table, lit(syncTs))
               // serving queries filter/group on date — a date-partitioned

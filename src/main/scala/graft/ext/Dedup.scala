@@ -324,8 +324,13 @@ object Dedup {
     * instead of three times and the only shuffles are the two
     * aggregations on their natural keys. `maxDf` drops hotter-than-N
     * posting lists (boilerplate shingles) before pair generation — the
-    * standard bound on the quadratic worst case at corpus scale
-    * (default: unbounded, matching the declared oracle).
+    * standard bound on the quadratic worst case at corpus scale. The
+    * DEFAULT is a real bound (10 000: a single hot shingle then caps at
+    * ~5·10⁷ generated pairs instead of corpus², and a dropped shingle
+    * only ever lowers a pair's intersection count — boilerplate that hot
+    * carries no similarity signal anyway); callers wanting the exact
+    * unbounded semantics (the declared e02 oracle) pass `Int.MaxValue`
+    * explicitly.
     *
     * The index is keyed on the shingle's 64-bit hash, not the string:
     * exchanges carry 8-byte keys instead of n-gram text, and extraction
@@ -336,7 +341,7 @@ object Dedup {
   def jaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleWidth: Int = 3, threshold: Double = 0.5,
-      maxDf: Int = Int.MaxValue): DataFrame = {
+      maxDf: Int = 10000): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val hashes = array_distinct(shingleHashes(col(textCol), shingleWidth))
     val sizes = df.select(col(idCol).as("doc"), size(hashes).as("n"))

@@ -42,7 +42,10 @@ object ExtQueries {
   val e02 = Q(
     "e02_jaccard_pairs",
     (s, d) => Dedup.jaccardPairs(T.documents(s, d).filter(col("doc_id") < 1000),
-      "doc_id", "text", shingleWidth = 3, threshold = 0.5)
+      "doc_id", "text", shingleWidth = 3, threshold = 0.5,
+      // the oracle is the exact unbounded semantics; the production
+      // default bounds hot shingles (maxDf) and is tested separately
+      maxDf = Int.MaxValue)
       .orderBy(col("doc1"), col("doc2")),
     Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
         WHERE doc_id < 1000),

@@ -206,6 +206,24 @@ class SyncE2ESpec extends SparkSpec {
     assert(empty.count() == 0)
   }
 
+  test("readBack normalization is only taken when resolution is sink-independent") {
+    // canonical underscore CUR headers are fixpoints of loader cleaning
+    assert(Sync.resolutionAgrees(
+      Seq("line_item_usage_start_date", "line_item_unblended_cost"), Normalize.awsCur))
+    // raw CUR v1 slash headers clean identically transform- and loader-side
+    assert(Sync.resolutionAgrees(
+      Seq("lineItem/UsageStartDate", "lineItem/UnblendedCost"), Normalize.awsCur))
+    // a dashed header matches an alternative only AFTER the loader rewrite
+    // (`usage-start-date` -> `usage_start_date`): the read-back copy would
+    // bind a column the direct path NULL-fills, so the paths disagree
+    assert(!Sync.resolutionAgrees(
+      Seq("usage-start-date", "line_item_unblended_cost"), Normalize.awsCur))
+    // ...and a header that the loader rewrite makes COLLIDE with the
+    // primary shifts first-wins dedupe: positions diverge, must disagree
+    assert(!Sync.resolutionAgrees(
+      Seq("product region", "product_region"), Normalize.awsCur))
+  }
+
   test("lastMonths window is inclusive-backwards from asOf") {
     val w = CurSource.lastMonths(3, LocalDate.parse("2024-03-10"))
     assert(w.months.map(_.toString) == Seq("2024-01", "2024-02", "2024-03"))

@@ -91,6 +91,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Dedup.connectedComponents(empty).count() == 0)
   }
 
+  test("maxDf drops hot shingles from intersections but not from set sizes") {
+    import spark.implicits._
+    // "h c t" appears in all 4 docs (df=4); "p q r" only in docs 1,2
+    // (df=2); every other 3-gram is unique. 6 distinct shingles per doc.
+    val df = Seq(
+      (1L, "h c t a1 b1 p q r"), (2L, "h c t a2 b2 p q r"),
+      (3L, "h c t a3 b3 x3 y3 z3"), (4L, "h c t a4 b4 x4 y4 z4"))
+      .toDF("doc_id", "text")
+    def pairs(maxDf: Int) =
+      Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.0, maxDf)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // unbounded: all 6 pairs share at least the hot shingle
+    val unbounded = pairs(Int.MaxValue)
+    assert(unbounded.size == 6)
+    assert(unbounded((1L, 2L)) == 2.0 / 10.0) // i=2 ("h c t","p q r")
+    assert(unbounded((3L, 4L)) == 1.0 / 11.0) // i=1 (hot shingle only)
+    // maxDf=3 drops the df=4 hot shingle: only (1,2) still intersects,
+    // and its union STILL counts the dropped shingle in both set sizes
+    // (1/11, not 1/9) — dropping bounds work, it must not shrink sets
+    val bounded = pairs(3)
+    assert(bounded.keySet == Set((1L, 2L)))
+    assert(bounded((1L, 2L)) == 1.0 / 11.0)
+    // maxDf=4 re-admits it: identical to unbounded on this corpus
+    assert(pairs(4) == unbounded)
+  }
+
   test("jaccard pairs stay strictly ordered even with duplicate doc ids in the input") {
     import spark.implicits._
     val df = Seq((7L, "a b c d e"), (7L, "a b c d e"), (8L, "x y z w v"))
