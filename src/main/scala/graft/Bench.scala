@@ -36,15 +36,25 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       only.forall(_.exists(n.startsWith))
     }
+    // median-of-N per query (VERDICT r3 item 6): single-shot timings on a
+    // shared host carry ~1.5-2x load noise, which wastes the perf budget;
+    // the median of 3 is robust to one slow rep. Reps run per-query
+    // back-to-back; a failure on any rep marks the query failed.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
-        }
-      val sec = (System.nanoTime() - t0) / 1e9
-      (name, if (ok) sec else -sec, ok)
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      val ok = times.forall(_._2)
+      val sorted = times.map(_._1).sorted
+      val median = sorted(sorted.size / 2)
+      (name, if (ok) median else -median, ok)
     }
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

@@ -97,7 +97,10 @@ object EtlQueries {
   val d04 = Q(
     "d04_raw_roundtrip",
     (s, d) => {
-      val out = java.nio.file.Files.createTempDirectory("graft_d04").toString
+      // fixed path + overwrite: repeated verify/bench invocations reuse
+      // one directory instead of leaving a graft_d04* dir per run
+      val out = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_d04").toString
       val loader = new ParquetLoader(out, "serve")
       loader.ensureNamespace()
       loader.load(T.events(s, d), "raw_events", "replace")
