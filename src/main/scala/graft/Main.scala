@@ -44,6 +44,9 @@ object Main {
     sys.env.get("AWS_ACCESS_KEY_ID").foreach(b.config("spark.hadoop.fs.s3a.access.key", _))
     sys.env.get("AWS_SECRET_ACCESS_KEY").foreach(b.config("spark.hadoop.fs.s3a.secret.key", _))
     sys.env.get("AWS_REGION").foreach(b.config("spark.hadoop.fs.s3a.endpoint.region", _))
+    // METASTORE_DIR: persistent catalog — the durable `costs` view
+    // survives restarts (the reference's PG-backed view semantics)
+    cfg.metastoreDir.foreach(Sessions.durableCatalog(b, _))
     val s = b.getOrCreate()
     s.sparkContext.setLogLevel(cfg.logLevel)
     s

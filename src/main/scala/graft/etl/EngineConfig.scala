@@ -18,7 +18,12 @@ final case class EngineConfig(
     jdbcPassword: String,
     schema: String,
     syncMonths: Int,
-    logLevel: String)
+    logLevel: String,
+    // when set, the session boots a persistent (Derby-backed Hive)
+    // metastore rooted here, so catalog DDL — the durable `costs` view —
+    // survives restarts, matching the reference's persistent PG view
+    // (sql/init.sql:31-56). None = default in-memory catalog.
+    metastoreDir: Option[String] = None)
 
 object EngineConfig {
 
@@ -36,6 +41,7 @@ object EngineConfig {
       jdbcPassword = env.getOrElse("JDBC_PASSWORD", ""),
       schema = env.getOrElse("DB_SCHEMA", "cost_analytics"),
       syncMonths = env.getOrElse("SYNC_MONTHS", "1").toInt,
-      logLevel = env.getOrElse("LOG_LEVEL", "WARN"))
+      logLevel = env.getOrElse("LOG_LEVEL", "WARN"),
+      metastoreDir = env.get("METASTORE_DIR").filter(_.nonEmpty))
   }
 }
