@@ -19,6 +19,7 @@ object Queries {
       ops.ConformanceWindows.all ++
       ops.ConformanceSqlFns.all ++
       etl.EtlQueries.all ++
+      sources.SourceQueries.all ++
       ext.ExtQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

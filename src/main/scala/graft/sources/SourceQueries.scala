@@ -1,0 +1,106 @@
+package graft.sources
+
+import graft.{Q, Tables => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Declared conformance queries for the non-parquet source formats
+  * (SURVEY §2.4: CSV/JSON "come free" with `spark.read` — these make the
+  * claim oracle-checked instead of suite-only): a CUR-shaped fixture is
+  * written in the format under test, read back, and run through the REAL
+  * [[graft.etl.Normalize]] pipeline; DuckDB re-reads the same files with
+  * its own reader and restates the normalize projection, so the hash
+  * compare covers the format codec (quoting, escaping, type round-trip)
+  * AND the transform.
+  *
+  * The service column deliberately contains commas and double quotes —
+  * an RFC 4180 torture row per record. Spark's CSV writer is configured
+  * with `escape="` so embedded quotes are doubled (RFC 4180), which is
+  * the dialect DuckDB's sniffer expects; costs are exact quarters so the
+  * text→double round-trip is bit-exact on both engines.
+  *
+  * Scale posture: format choice only changes the scan codec — the
+  * normalize projection, pushdown and partitioning behavior are the
+  * same lazy plan as the parquet path (CSV/JSON scans still prune
+  * columns; they just can't skip row groups).
+  */
+object SourceQueries {
+
+  private val syncTs = to_timestamp(lit("2024-06-01 00:00:00"))
+
+  /** CUR-shaped rows derived from `nation` (25 rows, deterministic):
+    * every mapped CUR column present, service carrying `, "..."`. */
+  private def fixture(s: SparkSession, d: String): DataFrame =
+    T.nation(s, d).select(
+      concat(lit("2024-01-"),
+        lpad(((col("n_nationkey") % 28) + 1).cast(StringType), 2, "0"),
+        lit(" 10:30:00")).as("line_item_usage_start_date"),
+      lpad(col("n_nationkey").cast(StringType), 12, "0")
+        .as("line_item_usage_account_id"),
+      concat(col("n_name"), lit(", \"svc\" "), col("n_regionkey").cast(StringType))
+        .as("product_servicename"),
+      lit("us-east-1").as("product_region"),
+      (col("n_nationkey").cast(DoubleType) * 1.5 + 0.25)
+        .as("line_item_unblended_cost"),
+      lit("USD").as("line_item_currency_code"))
+
+  /** CUR CSVs are stringly-typed; Normalize owns the casts. */
+  private val csvSchema = StructType(Seq(
+    StructField("line_item_usage_start_date", StringType),
+    StructField("line_item_usage_account_id", StringType),
+    StructField("product_servicename", StringType),
+    StructField("product_region", StringType),
+    StructField("line_item_unblended_cost", StringType),
+    StructField("line_item_currency_code", StringType)))
+
+  private def normalizeOracle(from: String, sourceTable: String): String =
+    s"""SELECT CAST(CAST(line_item_usage_start_date AS TIMESTAMP) AS DATE) AS date,
+        line_item_usage_account_id AS account_id,
+        product_servicename AS service,
+        product_region AS region,
+        CAST(line_item_unblended_cost AS DOUBLE) AS cost,
+        line_item_currency_code AS currency,
+        'aws' AS cloud_provider, '$sourceTable' AS source_table,
+        TIMESTAMP '2024-06-01 00:00:00' AS sync_timestamp
+      FROM $from ORDER BY account_id"""
+
+  // C38: CSV source → normalize. Fixed path so the static oracle SQL can
+  // re-read the files DuckDB-side (Verify runs Spark first, so the
+  // fixture exists when the oracle runs; overwrite keeps reruns clean).
+  val c38 = Q(
+    "c38_csv_source",
+    (s, d) => {
+      val dir = "/tmp/graft_c38_csv"
+      fixture(s, d).coalesce(1).write.mode("overwrite")
+        .option("header", "true").option("escape", "\"").csv(dir)
+      val back = s.read.schema(csvSchema)
+        .option("header", "true").option("escape", "\"").csv(dir)
+      graft.etl.Normalize.normalize(back, graft.etl.Normalize.awsCur, "csv_src", syncTs)
+        .orderBy(col("account_id"))
+    },
+    Some(normalizeOracle(
+      "read_csv('/tmp/graft_c38_csv/*.csv', header=true, all_varchar=true)",
+      "csv_src")))
+
+  // C39: JSON-lines source → normalize. Same fixture, Spark's JSON writer
+  // and DuckDB's read_json_auto on the other side.
+  val c39 = Q(
+    "c39_json_source",
+    (s, d) => {
+      val dir = "/tmp/graft_c39_json"
+      fixture(s, d).coalesce(1).write.mode("overwrite").json(dir)
+      val back = s.read.schema(csvSchema).json(dir)
+      graft.etl.Normalize.normalize(back, graft.etl.Normalize.awsCur, "json_src", syncTs)
+        .orderBy(col("account_id"))
+    },
+    Some(normalizeOracle(
+      """(SELECT line_item_usage_start_date, line_item_usage_account_id,
+           product_servicename, product_region,
+           CAST(line_item_unblended_cost AS VARCHAR) AS line_item_unblended_cost,
+           line_item_currency_code
+         FROM read_json_auto('/tmp/graft_c39_json/*.json'))""",
+      "json_src")))
+
+  val all: Seq[Q] = Seq(c38, c39)
+}
