@@ -342,23 +342,51 @@ object ExtQueries {
 
   // E3 (IVF scale path): coarse-quantizer cells + nprobe probing — the
   // second ANN geometry next to e07's LSH. The centroid draw is the
-  // engine-neutral md5 hash order, so the oracle replays the identical
-  // draw, cell assignment (argmax cos, ties → smallest cid), probing,
-  // and ranking.
+  // engine-neutral md5 hash order and the Lloyd refinement passes use
+  // DECIMAL(38,6) component means rounded to f32, so the oracle replays
+  // the identical draw, refinement, cell assignment (argmax cos, ties →
+  // smallest cid), probing, and ranking.
+
+  /** One oracle-side Lloyd round: assign to `in` centroids, decimal
+    * component means per cell, f32-round, empty cells keep the previous
+    * centroid — the exact restatement of the Spark pass in ivfTopK. */
+  private def lloydRoundSql(n: Int, in: String, out: String): String =
+    s"""ac_$n AS (SELECT c.vec_id, ct.cid,
+          LIST_SUM(LIST_TRANSFORM(range(1, LEN(c.embedding)+1),
+            i -> CAST(c.embedding[i] AS DOUBLE) * CAST(ct.ce[i] AS DOUBLE)))
+            / (c.vn * ct.cn) AS ccos
+        FROM corp c, $in ct),
+      assign_$n AS (SELECT vec_id, cid FROM
+          (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn FROM ac_$n)
+        WHERE crn = 1),
+      comp_$n AS (SELECT a.cid, t.i AS idx, c.embedding[t.i] AS x
+        FROM assign_$n a JOIN corp c USING (vec_id),
+          UNNEST(range(1, LEN(c.embedding)+1)) AS t(i)),
+      means_$n AS (SELECT cid, idx,
+          CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS m
+        FROM comp_$n GROUP BY cid, idx),
+      newc_$n AS (SELECT cid, LIST(CAST(m AS REAL) ORDER BY idx) AS ce
+        FROM means_$n GROUP BY cid),
+      $out AS (SELECT s.cid, COALESCE(nn.ce, s.ce) AS ce,
+          SQRT(LIST_SUM(LIST_TRANSFORM(COALESCE(nn.ce, s.ce),
+            x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS cn
+        FROM $in s LEFT JOIN newc_$n nn USING (cid))"""
   val e14 = Q(
     "e14_ann_ivf_topk",
     (s, d) => Similarity.ivfTopK(
       T.embeddings(s, d), T.embeddings(s, d).filter(col("vec_id") < 10),
-      k = 5, nlist = 16, nprobe = 4),
-    Some("""WITH corp AS (SELECT vec_id, embedding,
+      k = 5, nlist = 16, nprobe = 4, lloydIters = 2),
+    Some(s"""WITH corp AS (SELECT vec_id, embedding,
         SQRT(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS vn
         FROM embeddings),
       picked AS (SELECT vec_id, embedding FROM embeddings
         ORDER BY CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT), vec_id
         LIMIT 16),
-      cents AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS ce,
+      seeds AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS ce,
           SQRT(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS cn
         FROM picked),
+      ${lloydRoundSql(1, "seeds", "cents_1")},
+      ${lloydRoundSql(2, "cents_1", "cents")},
       ac AS (SELECT c.vec_id, c.vn, ct.cid,
           LIST_SUM(LIST_TRANSFORM(range(1, LEN(c.embedding)+1),
             i -> CAST(c.embedding[i] AS DOUBLE) * CAST(ct.ce[i] AS DOUBLE)))

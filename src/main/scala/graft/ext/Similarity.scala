@@ -43,6 +43,14 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = fastDot(a, b) / (l2norm(a) * l2norm(b))
 
+  /** Driver-side L2 norm with the same left-to-right f64 fold as
+    * [[fastDot]] — bit-identical to the distributed `l2norm`. */
+  private def foldNorm(v: Seq[Float]): Double = {
+    var s = 0.0
+    v.foreach(x => s += x.toDouble * x.toDouble)
+    math.sqrt(s)
+  }
+
   /** Exact top-k neighbors for each query vector (self excluded).
     * The query side is broadcast — the corpus never shuffles. Norms are
     * projected once per row below the join, so each pair costs one dot
@@ -148,6 +156,19 @@ object Similarity {
     *    id — `orderBy(...).limit(nlist)` plans as TakeOrderedAndProject
     *    (per-partition heap + driver merge of nlist rows). No global
     *    sort, no single-partition window, no extra `count()` scan.
+    *  - Lloyd refinement (`lloydIters` passes): assign every vector to
+    *    its nearest centroid (the same map-side argmax as the final
+    *    assignment), then recompute each cell's mean — a (cid, dim-index)
+    *    hash aggregation with map-side partials, collecting only
+    *    nlist×dim scalars to the driver. Component sums go through
+    *    DECIMAL(38,6) so they are order-independent AND restatable by
+    *    the external oracle; the mean is quantized back to f32 (an IEEE
+    *    round both engines perform identically). Better-centered cells
+    *    raise recall at the same nprobe/nlist scan fraction. Default is
+    *    2 passes — measured on the gaussian test corpora, recall dips
+    *    after 1 pass (centroids sit mid-transition between the random
+    *    seeds and the settled partition) and recovers above the seed
+    *    baseline at 2.
     *  - cell assignment: the nlist centroids (with driver-precomputed
     *    norms) are baked into ONE narrow projection — per corpus row an
     *    argmax over nlist fused dot products, map-side only. No
@@ -159,7 +180,7 @@ object Similarity {
     * Candidate fraction ≈ nprobe / nlist of the corpus. */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
-      nlist: Int = 16, nprobe: Int = 4,
+      nlist: Int = 16, nprobe: Int = 4, lloydIters: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     // Deterministic pseudo-random draw: smallest nlist ids by hash order
@@ -173,29 +194,51 @@ object Similarity {
       .collect()
     // Stable cid numbering by source id; centroid norms are computed on
     // the driver with the same left-to-right f64 fold as graft_dot_f32.
-    val cents: Array[(Int, Seq[Float], Double)] = picked
+    val seeds: Array[(Int, Seq[Float], Double)] = picked
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
       .sortBy(_._1).zipWithIndex
-      .map { case ((_, v), i) =>
-        var s = 0.0
-        v.foreach(x => s += x.toDouble * x.toDouble)
-        (i, v, math.sqrt(s))
-      }
+      .map { case ((_, v), i) => (i, v, foldNorm(v)) }
     // Per-row scores against every centroid: array of (cos, -cid) structs
     // (array_max / array_sort order by cos first, then prefer small cid).
-    def cellScores(vec: Column, vecNorm: Column): Column = array(cents.map {
+    def cellScores(cents: Array[(Int, Seq[Float], Double)])(
+        vec: Column, vecNorm: Column): Column = array(cents.map {
       case (i, v, nm) => struct(
         (fastDot(vec, typedLit(v)) / (vecNorm * lit(nm))).as("c"),
         lit(-i).as("nc"))
     }: _*)
-    val assigned = corpus
+    def assign(cents: Array[(Int, Seq[Float], Double)]): DataFrame = corpus
       .select(col(idCol), col(vecCol), l2norm(col(vecCol)).as("__vn"))
       .withColumn("cid",
-        -array_max(cellScores(col(vecCol), col("__vn"))).getField("nc"))
+        -array_max(cellScores(cents)(col(vecCol), col("__vn"))).getField("nc"))
+    // Lloyd passes: decimal per-component means of each cell, f32-rounded.
+    // The f32→DECIMAL path goes through DOUBLE first: a float cast
+    // straight to decimal uses the float's shortest-string value, which
+    // can round differently at scale 6 than the exact binary expansion
+    // the oracle engine rounds — double's shortest string is 1e-17 from
+    // exact, far inside any 1e-6 rounding boundary.
+    val cents = (0 until lloydIters.max(0)).foldLeft(seeds) { (cur, _) =>
+      val means = assign(cur)
+        .select(col("cid"), posexplode(col(vecCol)).as(Seq("idx", "x")))
+        .groupBy(col("cid"), col("idx"))
+        .agg((sum(col("x").cast(DoubleType).cast(DecimalType(38, 6)))
+          .cast(DoubleType) / count(lit(1))).as("m"))
+        .collect() // bounded: nlist × dim scalars
+      val byCid: Map[Int, Seq[Float]] = means
+        .groupBy(_.getInt(0))
+        .map { case (cid, rows) =>
+          cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2).toFloat).toSeq
+        }
+      // an empty cell (possible only if a seed loses its own vector to a
+      // bit-identical twin) keeps its seed vector
+      cur.map { case (i, v, nm) =>
+        byCid.get(i).map(nv => (i, nv, foldNorm(nv))).getOrElse((i, v, nm))
+      }
+    }
+    val assigned = assign(cents)
     val probed = queries
       .select(col(idCol).as("qid"), col(vecCol).as("qe"), l2norm(col(vecCol)).as("__qn"))
       .withColumn("__cell",
-        explode(slice(reverse(array_sort(cellScores(col("qe"), col("__qn")))), 1, nprobe)))
+        explode(slice(reverse(array_sort(cellScores(cents)(col("qe"), col("__qn")))), 1, nprobe)))
       .select(col("qid"), col("qe"), col("__qn"), (-col("__cell.nc")).as("cid"))
     val scored = assigned.join(broadcast(probed), Seq("cid"))
       .filter(col("qid") =!= col(idCol))

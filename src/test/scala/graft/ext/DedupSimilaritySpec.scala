@@ -155,6 +155,14 @@ class DedupSimilaritySpec extends SparkSpec {
     val recall = (brute intersect ivf).size.toDouble / brute.size
     assert(recall >= 0.3, s"ivf recall $recall < 0.3")
     assert(ivf.size == 50, s"expected full k×queries output, got ${ivf.size}")
+    // the Lloyd refinement pass (default lloydIters=1) must not cost
+    // recall vs the raw md5-drawn seeds (verdict r3 item 7: better cells,
+    // same determinism)
+    val raw = Similarity.ivfTopK(embs, q, 5, nlist = 16, nprobe = 4, lloydIters = 0)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rawRecall = (brute intersect raw).size.toDouble / brute.size
+    assert(recall >= rawRecall,
+      s"Lloyd refinement regressed recall: $recall < $rawRecall")
   }
 
   test("E3: brute-force top-k is self-consistent (k rows per query, ranked)") {
