@@ -302,13 +302,15 @@ object Dedup {
       System.err.println(s"[graft] connectedComponents stopped at maxIter=$maxIter " +
         "without converging — a component's diameter exceeds the round budget; " +
         "labels for its farthest nodes are not the component minimum")
-    val result = labels
-      .select(col("doc").as("doc_id"), col("rep").as("cluster_rep"))
-      .persist()
-    result.count() // materialize so the intermediates can be released now
-    labels.unpersist()
+    // The rename-only projection has sameResult with the persisted
+    // labels plan, so it scans (and releases, via .unpersist()) the SAME
+    // cache entry — re-persisting it here double-registered the entry
+    // (the CacheManager "already cached" warning), and the
+    // labels.unpersist() that followed DROPPED the shared entry, so every
+    // downstream scan of the result re-ran the whole candidate pipeline.
+    // labels is already materialized by the loop's final labelSum action.
     edges.unpersist()
-    result
+    labels.select(col("doc").as("doc_id"), col("rep").as("cluster_rep"))
   }
 
   /** E2 (exact flavor, the conformance oracle): n-gram Jaccard similarity
