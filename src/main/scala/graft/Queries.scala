@@ -20,6 +20,7 @@ object Queries {
       ops.ConformanceSqlFns.all ++
       etl.EtlQueries.all ++
       sources.SourceQueries.all ++
+      streaming.StreamQueries.all ++
       ext.ExtQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap

@@ -206,9 +206,9 @@ object Similarity {
         (fastDot(vec, typedLit(v)) / (vecNorm * lit(nm))).as("c"),
         lit(-i).as("nc"))
     }: _*)
-    def assign(cents: Array[(Int, Seq[Float], Double)]): DataFrame = corpus
-      .select(col(idCol), col(vecCol), l2norm(col(vecCol)).as("__vn"))
-      .withColumn("cid",
+    val base = corpus.select(col(idCol), col(vecCol), l2norm(col(vecCol)).as("__vn"))
+    def assign(src: DataFrame, cents: Array[(Int, Seq[Float], Double)]): DataFrame =
+      src.withColumn("cid",
         -array_max(cellScores(cents)(col(vecCol), col("__vn"))).getField("nc"))
     // Lloyd passes: decimal per-component means of each cell, f32-rounded.
     // The f32→DECIMAL path goes through DOUBLE first: a float cast
@@ -216,8 +216,18 @@ object Similarity {
     // can round differently at scale 6 than the exact binary expansion
     // the oracle engine rounds — double's shortest string is 1e-17 from
     // exact, far inside any 1e-6 rounding boundary.
-    val cents = (0 until lloydIters.max(0)).foldLeft(seeds) { (cur, _) =>
-      val means = assign(cur)
+    //
+    // The (id, vec, norm) projection is cached across the iteration
+    // actions (the MLlib-KMeans discipline: MEMORY_AND_DISK so a corpus
+    // larger than executor memory spills instead of thrashing) and
+    // released before returning — the final plan re-reads the source, so
+    // callers hold no cache they didn't ask for.
+    val iters = lloydIters.max(0)
+    val cached = if (iters > 0)
+      base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else base
+    val cents = (0 until iters).foldLeft(seeds) { (cur, _) =>
+      val means = assign(cached, cur)
         .select(col("cid"), posexplode(col(vecCol)).as(Seq("idx", "x")))
         .groupBy(col("cid"), col("idx"))
         .agg((sum(col("x").cast(DoubleType).cast(DecimalType(38, 6)))
@@ -234,7 +244,8 @@ object Similarity {
         byCid.get(i).map(nv => (i, nv, foldNorm(nv))).getOrElse((i, v, nm))
       }
     }
-    val assigned = assign(cents)
+    if (iters > 0) cached.unpersist(blocking = false)
+    val assigned = assign(base, cents)
     val probed = queries
       .select(col(idCol).as("qid"), col(vecCol).as("qe"), l2norm(col(vecCol)).as("__qn"))
       .withColumn("__cell",

@@ -1,0 +1,63 @@
+package graft.streaming
+
+import graft.{Q, Qh}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.LongType
+
+/** Declared conformance query for the streaming track: the SAME daily
+  * cost-trend aggregation the batch suite declares (the D3 shape), but
+  * computed by Structured Streaming end-to-end — file-source
+  * `readStream` over the events parquet, a tumbling 1-day event-time
+  * window, `Trigger.AvailableNow` drain into a memory sink — and
+  * hash-checked against the DuckDB BATCH oracle. Streaming semantics
+  * stop being suite-only claims: if the incremental computation drifted
+  * from batch semantics by a row or a rounding, the hash would say so.
+  *
+  * Determinism: complete output mode emits every window after the drain
+  * (no watermark race on the last window); the decimal pre-sum makes the
+  * totals independent of micro-batch boundaries and partitioning. Each
+  * invocation uses a fresh implicit temporary checkpoint, so reruns
+  * reprocess the full input instead of resuming an old offset log.
+  *
+  * Scale posture: this is the cron-replacement geometry
+  * ([[StreamingSync]]) — per micro-batch work is bounded by
+  * `maxFilesPerTrigger`-style admission, state is one row per open
+  * window, and the memory sink here stands in for the loader's
+  * foreachBatch append (used by [[StreamingSync.incrementalSync]]).
+  */
+object StreamQueries {
+  import Qh._
+
+  val c40 = Q(
+    "c40_stream_window",
+    (s, d) => {
+      // schema pinned from a batch probe (file streams require it); the
+      // nanos ts arrives as int64 under the session's legacy read conf
+      // and converts exactly like Tables.events
+      val batchSchema = s.read.parquet(s"$d/events.parquet").schema
+      // the source path is a single FILE, which a file stream rejects as
+      // its basePath; a glob path (matching exactly that file) makes the
+      // source derive basePath from the parent directory instead
+      val raw = s.readStream.schema(batchSchema).parquet(s"$d/events.parque[t]")
+      val ev =
+        if (raw.schema("ts").dataType == LongType)
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else raw
+      val agg = ev
+        .groupBy(window(col("ts"), "1 day"))
+        .agg(dsum(col("value")).as("total"), count(lit(1)).as("n"))
+        .select(to_date(col("window.start")).as("day"), col("total"), col("n"))
+      val q = agg.writeStream
+        .format("memory").queryName("graft_c40_stream")
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_c40_stream").orderBy(col("day"))
+    },
+    Some(s"""SELECT CAST(ts AS DATE) AS day, ${oSum("value")} AS total, COUNT(*) AS n
+      FROM events GROUP BY day ORDER BY day"""))
+
+  val all: Seq[Q] = Seq(c40)
+}
