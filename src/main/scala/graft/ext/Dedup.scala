@@ -313,6 +313,41 @@ object Dedup {
     labels.select(col("doc").as("doc_id"), col("rep").as("cluster_rep"))
   }
 
+  /** Cross-source contamination check — the benchmark-decontamination
+    * primitive of a training pipeline: for every document of
+    * `evalSource`, the fraction of its distinct n-gram shingles that
+    * appear ANYWHERE in `trainSource`. Docs at/above `threshold` are the
+    * contamination report (an eval doc substantially contained in the
+    * training corpus).
+    *
+    * Scale shape: the train side reduces to a DISTINCT set of 8-byte
+    * shingle hashes (never the text), the eval side explodes per-doc
+    * distinct hashes, and the only joins/aggregations shuffle on the
+    * hash or the doc id — no pairwise doc×doc work anywhere, so cost is
+    * linear in corpus size. Catalyst broadcasts the train set when it is
+    * small and falls back to a shuffle join when it is not. Hash
+    * collisions (~2⁻⁶⁴ per shingle pair) can only over-count by one; the
+    * DuckDB oracle joins the shingle strings themselves and confirms. */
+  def contaminationOverlap(
+      df: DataFrame, idCol: String, textCol: String, sourceCol: String,
+      evalSource: String, trainSource: String,
+      shingleWidth: Int = 3, threshold: Double = 0.2): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val hashes = array_distinct(shingleHashes(col(textCol), shingleWidth))
+    val ev = df.filter(col(sourceCol) === evalSource)
+      .select(col(idCol).as("doc"), explode(hashes).as("sh"))
+    val train = df.filter(col(sourceCol) === trainSource)
+      .select(explode(hashes).as("sh")).distinct()
+    val sizes = df.filter(col(sourceCol) === evalSource)
+      .select(col(idCol).as("doc"), size(hashes).as("n_shingles"))
+    val hits = ev.join(train, "sh").groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_hit"))
+    sizes.join(hits, "doc")
+      .withColumn("overlap", col("n_hit").cast(DoubleType) / col("n_shingles"))
+      .filter(col("overlap") >= threshold)
+      .select(col("doc").as("doc_id"), col("n_shingles"), col("n_hit"), col("overlap"))
+  }
+
   /** E2 (exact flavor, the conformance oracle): n-gram Jaccard similarity
     * via an inverted index on shingle hashes. At scale the shingle
     * join would ride behind the MinHash candidate filter; declared here

@@ -494,7 +494,32 @@ object ExtQueries {
         AND punct_ratio <= 0.15 AND stopword_ratio >= 0.01
       ORDER BY doc_id"""))
 
+  // E2/E4 capstone: benchmark decontamination — per eval-source doc, the
+  // fraction of its distinct 3-gram shingles appearing anywhere in the
+  // train source. Declared at threshold 0.0 (every doc with any overlap)
+  // so the report itself is hash-checked; production gates at ~0.2-0.8.
+  // Spark joins 8-byte shingle hashes; the oracle joins the strings and
+  // confirms the counts (the e02 collision argument).
+  val e21 = Q(
+    "e21_contamination",
+    (s, d) => Dedup.contaminationOverlap(T.documents(s, d), "doc_id", "text",
+      "source", evalSource = "src2", trainSource = "src0",
+      shingleWidth = 3, threshold = 0.0)
+      .orderBy(col("doc_id")),
+    Some("""WITH w AS (SELECT doc_id, source, string_split(text,' ') ws FROM documents),
+      sh AS (SELECT DISTINCT doc_id, source, concat_ws(' ', ws[i], ws[i+1], ws[i+2]) s
+             FROM w, UNNEST(range(1, greatest(len(ws)-2,1)+1)) t(i)),
+      train AS (SELECT DISTINCT s FROM sh WHERE source='src0'),
+      ev AS (SELECT doc_id, s FROM sh WHERE source='src2'),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM ev GROUP BY doc_id),
+      hits AS (SELECT e.doc_id, COUNT(*) AS h FROM ev e JOIN train t ON e.s = t.s
+               GROUP BY e.doc_id)
+      SELECT s.doc_id, CAST(s.n AS INT) AS n_shingles, h.h AS n_hit,
+        CAST(h.h AS DOUBLE)/s.n AS overlap
+      FROM sizes s JOIN hits h USING (doc_id)
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
-      e15, e16, e17, e18, e19, e20)
+      e15, e16, e17, e18, e19, e20, e21)
 }

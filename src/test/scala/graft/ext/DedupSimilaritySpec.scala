@@ -117,6 +117,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs(4) == unbounded)
   }
 
+  test("contamination overlap counts eval shingles found in the train source") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e", "train"),   // shingles: abc bcd cde
+      (10L, "a b c x y", "eval"),   // abc bcx cxy -> 1/3 contaminated
+      (11L, "p q r s t", "eval"))   // no overlap -> no hits row
+      .toDF("doc_id", "text", "source")
+    def run(thr: Double) = Dedup.contaminationOverlap(
+      df, "doc_id", "text", "source", "eval", "train", 3, thr)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val any = run(0.0)
+    assert(any.toSeq == Seq((10L, 3, 1L, 1.0 / 3)),
+      s"zero-overlap docs never appear (inner-join semantics): ${any.mkString(",")}")
+    assert(run(0.3).length == 1 && run(0.4).isEmpty)
+  }
+
   test("jaccard pairs stay strictly ordered even with duplicate doc ids in the input") {
     import spark.implicits._
     val df = Seq((7L, "a b c d e"), (7L, "a b c d e"), (8L, "x y z w v"))
