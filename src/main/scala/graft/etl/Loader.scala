@@ -124,6 +124,56 @@ final class ParquetLoader(warehouseDir: String, schema: String) extends Loader {
   override def readBack(spark: SparkSession, table: String): Option[DataFrame] =
     Some(this.table(spark, table))
 
+  /** Compact a table's file layout to ~`targetBytes` per output file —
+    * the operational answer to the small-files problem: streaming
+    * appends (foreachBatch writes one file set per micro-batch) and
+    * fine-grained partitionBy fragment a table into files whose open/
+    * footer cost dominates scans at 100 TB. One distributed pass:
+    * read → repartition to ceil(bytes/target) → write to a staging dir →
+    * atomic directory swap (the table stays readable until the swap, and
+    * a failed compaction leaves the original untouched). Partitioned
+    * layouts keep their partition columns (re-clustered one file per
+    * value, the loader's write discipline).
+    *
+    * Returns (filesBefore, filesAfter). */
+  def compact(spark: SparkSession, table: String, targetBytes: Long = 128L << 20): (Int, Int) = {
+    val path = new java.io.File(dir(table))
+    def parquetFiles(f: java.io.File): Seq[java.io.File] = {
+      val kids = Option(f.listFiles()).map(_.toSeq).getOrElse(Nil)
+      kids.filter(_.isFile).filter(_.getName.endsWith(".parquet")) ++
+        kids.filter(_.isDirectory).flatMap(parquetFiles)
+    }
+    val before = parquetFiles(path)
+    val totalBytes = before.map(_.length()).sum
+    val df = spark.read.parquet(path.toString)
+    // partition columns (year=/month=/date= dirs) are those in the read
+    // schema but absent from every leaf file's own columns — recluster by
+    // them; flat tables get an even coalesce to the byte-derived count
+    val partCols = {
+      val leaf = spark.read.parquet(before.head.toString).columns.toSet
+      df.columns.filterNot(leaf.contains).toSeq
+    }
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val clustered =
+      if (partCols.nonEmpty) df.repartition(partCols.map(org.apache.spark.sql.functions.col): _*)
+      else df.repartition(nOut)
+    val staging = new java.io.File(path.getParentFile, s"${path.getName}__compact")
+    clustered.write.mode(SaveMode.Overwrite)
+      .partitionBy(partCols: _*).parquet(staging.toString)
+    // atomic swap: retire the old dir, promote staging
+    val retired = new java.io.File(path.getParentFile, s"${path.getName}__old")
+    if (!path.renameTo(retired)) sys.error(s"compact: cannot retire $path")
+    if (!staging.renameTo(path)) {
+      retired.renameTo(path) // roll back
+      sys.error(s"compact: cannot promote $staging")
+    }
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(retired)
+    (before.size, parquetFiles(path).size)
+  }
+
   override def sqlRef(table: String): Option[String] =
     Some(s"parquet.`${dir(table)}`")
 

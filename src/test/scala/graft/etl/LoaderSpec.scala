@@ -35,6 +35,39 @@ class LoaderSpec extends SparkSpec {
     assert(ld.table(spark, "t").count() == 2L) // unchanged
   }
 
+  test("ParquetLoader: compact merges small files, preserves data and partitioning") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft_wh").toString
+    val ld = new ParquetLoader(wh, "s")
+    ld.ensureNamespace()
+    // fragment a flat table: 8 appends of 4-partition writes
+    val rows = (1 to 50).map(i => (i.toLong, s"v$i")).toDF("id", "v").repartition(4)
+    (1 to 8).foreach(_ => ld.load(rows, "flat", "append"))
+    val before = ld.table(spark, "flat").inputFiles.length
+    assert(before >= 8, s"fixture should be fragmented, got $before files")
+    val (b, a) = ld.compact(spark, "flat")
+    assert(b == before && a < before && a >= 1, s"$b -> $a")
+    assert(ld.table(spark, "flat").count() == 400L)
+    assert(ld.table(spark, "flat").agg(sum(col("id"))).collect().head.getLong(0)
+      == 8L * (1 to 50).sum)
+
+    // partitioned table: fragmented per-date files collapse to one per date
+    val parts = (1 to 40).map(i => (i.toLong, s"2024-01-${i % 4 + 1}")).toDF("id", "date")
+      .withColumn("date", col("date").cast("date"))
+    (1 to 5).foreach(_ => ld.load(parts.repartition(4), "bydate", "append",
+      partitionBy = Seq("date")))
+    val beforeP = ld.table(spark, "bydate").inputFiles.length
+    val (bp, ap) = ld.compact(spark, "bydate")
+    assert(bp == beforeP && ap == 4, s"one file per date expected: $bp -> $ap")
+    assert(ld.table(spark, "bydate").count() == 200L)
+    // pruning still works on the compacted layout
+    val pruned = ld.table(spark, "bydate")
+      .filter(col("date") === lit("2024-01-02").cast("date"))
+    assert(pruned.count() == 50L)
+    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+  }
+
   test("ParquetLoader: fail mode errors when the table exists") {
     val wh = Files.createTempDirectory("graft_wh").toString
     val ld = new ParquetLoader(wh, "s")
