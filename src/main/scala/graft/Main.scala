@@ -17,6 +17,7 @@ object Main {
         |
         |commands:
         |  sync [--months N] [--raw-only] [--dry-run] [--all-accounts] [--as-of YYYY-MM-DD]
+        |  compact <table> [--target-mb N]     (parquet warehouse only)
         |  list-accounts
         |  test-connection
         |  test-s3
@@ -59,10 +60,34 @@ object Main {
 
   def main(args: Array[String]): Unit = args.toList match {
     case "sync" :: rest        => sync(parseSyncOpts(rest))
+    case "compact" :: rest     => compact(rest)
     case "list-accounts" :: _  => listAccounts()
     case "test-connection" :: _ => testConnection()
     case "test-s3" :: _        => testS3()
     case _                     => usage()
+  }
+
+  /** Small-files maintenance for the parquet warehouse (see
+    * [[etl.ParquetLoader.compact]]); JDBC sinks have no file layout. */
+  private def compact(args: List[String]): Unit = {
+    val (table, targetMb) = args match {
+      case t :: "--target-mb" :: n :: Nil => (t, n.toLong)
+      case t :: Nil                       => (t, 128L)
+      case _                              => usage()
+    }
+    val cfg = EngineConfig.fromEnv()
+    loaderFor(cfg) match {
+      case pl: ParquetLoader =>
+        val spark = session(cfg)
+        try {
+          val (before, after) = pl.compact(spark, table, targetMb << 20)
+          println(s"[compact] $table: $before -> $after files")
+        } finally spark.stop()
+      case other =>
+        other.close()
+        System.err.println("compact applies to the parquet warehouse sink only")
+        sys.exit(1)
+    }
   }
 
   private def parseSyncOpts(args: List[String]): Sync.Options = {

@@ -519,7 +519,33 @@ object ExtQueries {
       FROM sizes s JOIN hits h USING (doc_id)
       ORDER BY doc_id"""))
 
+  // E3 (int8 tier): top-k over SYMMETRICALLY QUANTIZED vectors — the 4×
+  // storage/bandwidth representation, hash-checked end-to-end: the
+  // truncating quantizer (no round-half ties), the scale-free cosine
+  // over integer dots, and the ranking are all restated by the oracle.
+  val e22 = Q(
+    "e22_ann_int8_topk",
+    (s, d) => {
+      val q = Similarity.quantizeInt8(T.embeddings(s, d))
+      Similarity.bruteForceTopK(q, q.filter(col("vec_id") < 10), k = 5, vecCol = "q")
+        .withColumnRenamed("cos", "qcos")
+    },
+    Some("""WITH n AS (SELECT vec_id, embedding,
+          LIST_MAX(LIST_TRANSFORM(embedding, x -> ABS(CAST(x AS DOUBLE)))) AS ma
+        FROM embeddings),
+      qv AS (SELECT vec_id, CASE WHEN ma = 0 THEN LIST_TRANSFORM(embedding, x -> 0.0)
+          ELSE LIST_TRANSFORM(embedding, x -> TRUNC(CAST(x AS DOUBLE) * 127.0 / ma)) END AS q
+        FROM n),
+      qn AS (SELECT vec_id, q, SQRT(LIST_SUM(LIST_TRANSFORM(q, x -> x*x))) AS nq FROM qv),
+      sc AS (SELECT a.vec_id AS qid, b.vec_id,
+          LIST_SUM(LIST_TRANSFORM(range(1, LEN(a.q)+1), i -> a.q[i]*b.q[i])) / (a.nq*b.nq) AS qcos
+        FROM qn a JOIN qn b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id < 10),
+      r AS (SELECT qid, vec_id, qcos,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY qcos DESC, vec_id) AS rn FROM sc)
+      SELECT qid, vec_id, qcos, rn FROM r WHERE rn <= 5 ORDER BY qid, rn"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
-      e15, e16, e17, e18, e19, e20, e21)
+      e15, e16, e17, e18, e19, e20, e21, e22)
 }

@@ -262,6 +262,32 @@ object Similarity {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** Int8 symmetric quantization of an embedding column — the standard
+    * 4× storage/bandwidth reduction for ANN at scale (100 TB of f32
+    * embeddings becomes 25 TB; scans, shuffles and cache all shrink
+    * with it). Per vector: scale = max|x|/127, q_i = trunc(x_i·127 /
+    * max|x|) ∈ [-127, 127].
+    *
+    * Engine-neutral by construction: the max, the multiply and the
+    * divide are exact-input IEEE f64 ops any engine reproduces, and
+    * TRUNCATION toward zero (not round-half) has no tie cases — so a
+    * SQL oracle can restate the quantizer bit-for-bit. The quantized
+    * values are stored as f32 (every int in ±127 is exact in f32), which
+    * keeps the codegen'd [[fastDot]] usable on quantized vectors:
+    * cosine over q is scale-free (the per-vector scales cancel), and
+    * integer dot products ≤ 64·127² stay exact in the f64 fold. */
+  def quantizeInt8(df: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val xd = (x: Column) => x.cast(DoubleType)
+    val ma = array_max(transform(col(vecCol), x => abs(xd(x))))
+    df.select(col(idCol),
+      when(ma === 0.0, transform(col(vecCol), _ => lit(0f)))
+        .otherwise(transform(col(vecCol),
+          x => (xd(x) * 127.0 / ma).cast(IntegerType).cast(FloatType)))
+        .as("q"),
+      (ma / 127.0).as("scale"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (cos ≥ threshold). Brute
     * variant for conformance; the LSH bucket join is the scale path.
     * Norms are projected once per side (each of the N² pairs costs one

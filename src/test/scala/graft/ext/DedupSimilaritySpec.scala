@@ -181,6 +181,21 @@ class DedupSimilaritySpec extends SparkSpec {
       s"Lloyd refinement regressed recall: $recall < $rawRecall")
   }
 
+  test("E3: int8-quantized top-k tracks the full-precision ranking") {
+    val q = embs.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(embs, q, 5)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val quant = Similarity.quantizeInt8(embs)
+    val qt = Similarity.bruteForceTopK(quant, quant.filter(col("vec_id") < 10), 5, vecCol = "q")
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect qt).size.toDouble / brute.size
+    assert(recall >= 0.8, s"int8 recall $recall < 0.8")
+    // quantized values are integers in [-127, 127] stored as f32
+    val bad = quant.filter(exists(col("q"),
+      x => abs(x) > 127 || x =!= x.cast("int").cast("float"))).count()
+    assert(bad == 0)
+  }
+
   test("E3: brute-force top-k is self-consistent (k rows per query, ranked)") {
     val out = Similarity.bruteForceTopK(embs, embs.filter(col("vec_id") < 3), 4).collect()
     assert(out.length == 12)
