@@ -77,6 +77,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Generate"), s"expected in-row pair generation:\n$p")
   }
 
+  test("E21: source filters are pushed into the documents scans") {
+    val p = plan("e21_contamination")
+    // both the eval and train branches must reach the scan as pushed
+    // predicates — a contamination pass that scans the whole corpus
+    // per side would be 20x the IO at this fixture's 20 sources
+    assert("PushedFilters: \\[.*EqualTo\\(source,src2\\)".r.findFirstIn(p).isDefined,
+      s"eval-source filter not pushed:\n$p")
+    assert("PushedFilters: \\[.*EqualTo\\(source,src0\\)".r.findFirstIn(p).isDefined,
+      s"train-source filter not pushed:\n$p")
+    // no pairwise doc-join: joins are on the shingle hash and the doc id
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"contamination must stay a set join:\n$p")
+  }
+
+  test("E22: quantized top-k reads only the id and embedding columns") {
+    val p = plan("e22_ann_int8_topk")
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"),
+      s"quantizer scan not pruned:\n$p")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
+  }
+
   test("every declared query has a distinct name and every oracle points at one") {
     val names = Queries.all.map(_.name)
     assert(names.distinct.size == names.size)
