@@ -16,7 +16,7 @@ object Main {
       """usage: graft.Main <command> [options]
         |
         |commands:
-        |  sync [--months N] [--raw-only] [--dry-run] [--all-accounts] [--as-of YYYY-MM-DD]
+        |  sync [--months N] [--raw-only] [--dry-run] [--all-accounts] [--as-of YYYY-MM-DD] [--no-file-audit]
         |  compact <table> [--target-mb N]     (parquet warehouse only)
         |  list-accounts
         |  test-connection
@@ -99,6 +99,7 @@ object Main {
       case "--raw-only" :: t      => go(t, o.copy(rawOnly = true))
       case "--dry-run" :: t       => go(t, o.copy(dryRun = true))
       case "--all-accounts" :: t  => go(t, o.copy(allAccounts = true))
+      case "--no-file-audit" :: t => go(t, o.copy(auditFiles = false))
       case "--as-of" :: d :: t    => go(t, o.copy(asOf = LocalDate.parse(d)))
       case bad :: _               => System.err.println(s"unknown option: $bad"); usage()
     }

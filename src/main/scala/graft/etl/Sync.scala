@@ -26,7 +26,12 @@ object Sync {
       rawOnly: Boolean = false,
       dryRun: Boolean = false,
       allAccounts: Boolean = false,
-      asOf: LocalDate = LocalDate.now())
+      asOf: LocalDate = LocalDate.now(),
+      // the skipped-file audit costs one footer-read pass over the
+      // in-window files (see auditSkippedFiles) — default on; operators
+      // syncing huge object-store roots can trade the zero-row check
+      // away with --no-file-audit
+      auditFiles: Boolean = true)
 
   final case class TableResult(
       table: String,
@@ -195,7 +200,7 @@ object Sync {
             }
           if (rawRows > 0L && !opts.rawOnly) processed :+= table
           // Surface silently-skipped files (see auditSkippedFiles)
-          val skipped = auditSkippedFiles(pruned)
+          val skipped = if (opts.auditFiles) auditSkippedFiles(pruned) else 0L
           val (status, warn) =
             if (skipped > 0L)
               ("warning", Some(s"$skipped planned file(s) contributed no rows (corrupt or empty)"))

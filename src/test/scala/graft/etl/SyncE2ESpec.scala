@@ -124,6 +124,11 @@ class SyncE2ESpec extends SparkSpec {
     // with the skipped-file count recorded (not a silent success)
     assert(res.tables.map(_.status) == Seq("warning"),
       s"corrupt file should be skipped but surfaced as a warning: ${res.tables}")
+    // --no-file-audit trades the check away: same load, plain success
+    val noAudit = Sync.run(spark, c, loader,
+      Sync.Options(months = 1, asOf = LocalDate.parse("2024-01-15"),
+        allAccounts = true, auditFiles = false))
+    assert(noAudit.tables.map(_.status) == Seq("success"))
     assert(res.tables.head.skippedFiles == 1L, s"${res.tables}")
     assert(res.tables.head.error.exists(_.contains("1 planned file(s) contributed no rows")))
     assert(loader.table(spark, "raw_cur_c").count() > 0)
