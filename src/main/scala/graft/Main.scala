@@ -18,6 +18,7 @@ object Main {
         |commands:
         |  sync [--months N] [--raw-only] [--dry-run] [--all-accounts] [--as-of YYYY-MM-DD] [--no-file-audit]
         |  compact <table> [--target-mb N]     (parquet warehouse only)
+        |  query <sql> [--max-rows N]
         |  list-accounts
         |  test-connection
         |  test-s3
@@ -61,10 +62,28 @@ object Main {
   def main(args: Array[String]): Unit = args.toList match {
     case "sync" :: rest        => sync(parseSyncOpts(rest))
     case "compact" :: rest     => compact(rest)
+    case "query" :: rest       => query(rest)
     case "list-accounts" :: _  => listAccounts()
     case "test-connection" :: _ => testConnection()
     case "test-s3" :: _        => testS3()
     case _                     => usage()
+  }
+
+  /** Serve raw SQL against the session catalog — the reference's actual
+    * serving mode is SQL text against its database (README.md:124-141).
+    * With METASTORE_DIR set this is the restart-proof path to the
+    * durable `costs` view: a fresh process resolves it straight from the
+    * metastore, no re-sync. */
+  private def query(args: List[String]): Unit = {
+    val (sql, maxRows) = args match {
+      case q :: "--max-rows" :: n :: Nil => (q, n.toInt)
+      case q :: Nil                      => (q, 50)
+      case _                             => usage()
+    }
+    val cfg = EngineConfig.fromEnv()
+    val spark = session(cfg)
+    try spark.sql(sql).show(maxRows, truncate = false)
+    finally spark.stop()
   }
 
   /** Small-files maintenance for the parquet warehouse (see

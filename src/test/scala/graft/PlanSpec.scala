@@ -78,6 +78,9 @@ class PlanSpec extends SparkSpec {
   }
 
   test("E21: source filters are pushed into the documents scans") {
+    // other suites cache documents/embeddings; a CacheManager hit would
+    // replace the scan with InMemoryRelation and hide the pushdown
+    spark.catalog.clearCache()
     val p = plan("e21_contamination")
     // both the eval and train branches must reach the scan as pushed
     // predicates — a contamination pass that scans the whole corpus
@@ -92,6 +95,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("E22: quantized top-k reads only the id and embedding columns") {
+    spark.catalog.clearCache()
     val p = plan("e22_ann_int8_topk")
     assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"),
       s"quantizer scan not pruned:\n$p")
