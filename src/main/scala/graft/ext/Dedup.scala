@@ -197,13 +197,16 @@ object Dedup {
   def simhash64(text: Column): Column =
     call_function("graft_simhash64", call_function("graft_token_hashes", text))
 
-  /** Oracle-bridged SimHash: word hashes from [[portableHash64]] (60-bit,
-    * DuckDB-stateable) voted through the same native [[graft.functions
-    * .SimHash64]] sign loop. Bits 60–63 of every word hash are zero, so
-    * those simhash bits vote all-negative and are 0 on both engines. */
+  /** Oracle-bridged SimHash: word hashes from the [[portableHash64]]
+    * family (60-bit, DuckDB-stateable) voted through the same native
+    * [[graft.functions.SimHash64]] sign loop. Bits 60–63 of every word
+    * hash are zero, so those simhash bits vote all-negative and are 0 on
+    * both engines. The word hashing is the native
+    * [[graft.functions.PortableWordHashes]] expression — bit-identical
+    * to `transform(split(text," "), portableHash64)` (property-tested)
+    * but codegen'd: no HOF, no per-word string allocation. */
   def simhashPortable(text: Column): Column =
-    call_function("graft_simhash64",
-      transform(split(text, " "), w => portableHash64(w)))
+    call_function("graft_simhash64", call_function("graft_portable_words", text))
 
   /** E2 (SimHash flavor): near-dup pairs by banding the 64-bit simhash
     * into `chunks` pieces — hamming distance ≤ chunks-1 guarantees at

@@ -58,6 +58,12 @@ object GraftFunctions {
         }
         ShingleHashes(children.head, n)
       }),
+    (new FunctionIdentifier("graft_portable_words"),
+      new ExpressionInfo(classOf[PortableWordHashes].getName, "graft_portable_words"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_portable_words takes exactly 1 argument")
+        PortableWordHashes(children.head)
+      }),
     (new FunctionIdentifier("graft_portable_shingles"),
       new ExpressionInfo(classOf[PortableShingleHashes].getName, "graft_portable_shingles"),
       (children: Seq[Expression]) => {

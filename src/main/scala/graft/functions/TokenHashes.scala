@@ -143,6 +143,68 @@ object PortableShingleHashes {
   }
 }
 
+/** Engine-neutral word hashing at full oracle strength: the top 60 bits
+  * of md5 per whitespace token (= `CAST(('0x'||substr(md5(w),1,15)) AS
+  * BIGINT)`, the [[graft.ext.Dedup.portableHash64]] family). The
+  * codegen'd replacement for the interpreted
+  * `transform(split(text,' '), w -> conv(substring(md5(w),1,15),16,10))`
+  * chain in the oracle-bridged SimHash flavor — per token: one md5 over
+  * the word's byte range, no string allocation, no HOF. */
+object PortableWordHashes {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 15 hex chars of the digest as an int64: bytes 0-6 whole (56
+    * bits) then the high nibble of byte 7 — exactly the value
+    * `conv(substring(md5(x),1,15),16,10)` parses. */
+  private def top60(d: Array[Byte]): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) >> 4) & 0xfL)
+  }
+
+  def compute(t: UTF8String): GenericArrayData = {
+    val bytes = t.getBytes
+    val digest = md.get()
+    val (starts, ends) = TokenHashes.wordBounds(bytes)
+    val out = new Array[Long](starts.length)
+    var w = 0
+    while (w < starts.length) {
+      digest.reset()
+      digest.update(bytes, starts(w), ends(w) - starts(w))
+      out(w) = top60(digest.digest())
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `graft_portable_words(text)` → array<long>: 60-bit md5 prefix per
+  * whitespace token, in token order. */
+case class PortableWordHashes(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_portable_words"
+
+  override def nullSafeEval(input: Any): Any =
+    PortableWordHashes.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PortableWordHashes.compute($c); // graft_portable_words")
+
+  override protected def withNewChildInternal(newChild: Expression): PortableWordHashes =
+    copy(child = newChild)
+}
+
 /** `graft_portable_shingles(text, n)` → array<long>: 24-bit md5 prefix
   * per n-word shingle (whole text when shorter than n words). */
 case class PortableShingleHashes(child: Expression, n: Int) extends UnaryExpression {

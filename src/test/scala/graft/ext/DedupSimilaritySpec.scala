@@ -54,6 +54,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(short == 0)
   }
 
+  test("native portable word hashes equal the HOF md5 formulation element-for-element") {
+    graft.functions.GraftFunctions.register(spark)
+    val mismatch = docs.select(
+      call_function("graft_portable_words", col("text")).as("nat"),
+      transform(split(col("text"), " "), w => Dedup.portableHash64(w)).as("hof"))
+      .filter(col("nat") =!= col("hof")).count()
+    assert(mismatch == 0)
+    // trailing/repeated spaces: split keeps empties (limit -1) and the
+    // native tokenizer must agree on them
+    import spark.implicits._
+    val edge = Seq("a  b ", " x", "").toDF("text")
+    val bad = edge.select(
+      call_function("graft_portable_words", col("text")).as("nat"),
+      transform(split(col("text"), " "), w => Dedup.portableHash64(w)).as("hof"))
+      .filter(col("nat") =!= col("hof")).count()
+    assert(bad == 0)
+  }
+
   test("E2: MinHash-LSH recall vs exact Jaccard pairs (threshold 0.5)") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
       .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
