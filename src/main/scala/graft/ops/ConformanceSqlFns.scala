@@ -224,5 +224,28 @@ object ConformanceSqlFns {
            UNNEST(range(1, len(ws) + 1)) AS t(i)
       ORDER BY doc_id, pos"""))
 
-  val all: Seq[Q] = Seq(c22, c23, c24, c25, c26, c27, c28, c29, c30, c36, c37)
+  // C41: unpivot/melt — the inverse of C36's pivot: wide measure columns
+  // to (measure, value) rows via Dataset.unpivot (Spark's melt API;
+  // plans as a Generate/Expand, no shuffle). Oracle: the UNION ALL
+  // restatement. Declared on a keyed slice with a total order.
+  val c41 = Q(
+    "c41_unpivot",
+    (s, d) => T.lineitem(s, d)
+      .filter(col("l_orderkey") < 1000)
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_discount").as("disc"), col("l_extendedprice").as("price"),
+          col("l_quantity").as("qty")),
+        "measure", "value")
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure")),
+    Some("""SELECT l_orderkey, l_linenumber, m AS measure, v AS value FROM (
+        SELECT l_orderkey, l_linenumber, 'disc' AS m, l_discount AS v
+          FROM lineitem WHERE l_orderkey < 1000
+        UNION ALL SELECT l_orderkey, l_linenumber, 'price', l_extendedprice
+          FROM lineitem WHERE l_orderkey < 1000
+        UNION ALL SELECT l_orderkey, l_linenumber, 'qty', l_quantity
+          FROM lineitem WHERE l_orderkey < 1000)
+      ORDER BY l_orderkey, l_linenumber, measure"""))
+
+  val all: Seq[Q] = Seq(c22, c23, c24, c25, c26, c27, c28, c29, c30, c36, c37, c41)
 }
