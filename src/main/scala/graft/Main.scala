@@ -69,6 +69,14 @@ object Main {
     case _                     => usage()
   }
 
+  /** Numeric CLI operand: parse or route to usage() like every other
+    * argument error (a raw NumberFormatException stack trace is not an
+    * answer to a typo). */
+  private def num(s: String): Long =
+    try s.toLong catch { case _: NumberFormatException =>
+      System.err.println(s"not a number: $s"); usage()
+    }
+
   /** Serve raw SQL against the session catalog — the reference's actual
     * serving mode is SQL text against its database (README.md:124-141).
     * With METASTORE_DIR set this is the restart-proof path to the
@@ -76,7 +84,7 @@ object Main {
     * metastore, no re-sync. */
   private def query(args: List[String]): Unit = {
     val (sql, maxRows) = args match {
-      case q :: "--max-rows" :: n :: Nil => (q, n.toInt)
+      case q :: "--max-rows" :: n :: Nil => (q, num(n).toInt)
       case q :: Nil                      => (q, 50)
       case _                             => usage()
     }
@@ -90,10 +98,11 @@ object Main {
     * [[etl.ParquetLoader.compact]]); JDBC sinks have no file layout. */
   private def compact(args: List[String]): Unit = {
     val (table, targetMb) = args match {
-      case t :: "--target-mb" :: n :: Nil => (t, n.toLong)
+      case t :: "--target-mb" :: n :: Nil => (t, num(n))
       case t :: Nil                       => (t, 128L)
       case _                              => usage()
     }
+    if (targetMb <= 0) { System.err.println("--target-mb must be positive"); usage() }
     val cfg = EngineConfig.fromEnv()
     loaderFor(cfg) match {
       case pl: ParquetLoader =>
@@ -113,8 +122,8 @@ object Main {
     @annotation.tailrec
     def go(rest: List[String], o: Sync.Options): Sync.Options = rest match {
       case Nil => o
-      case "--months" :: n :: t   => go(t, o.copy(months = n.toInt))
-      case "-m" :: n :: t         => go(t, o.copy(months = n.toInt))
+      case "--months" :: n :: t   => go(t, o.copy(months = num(n).toInt))
+      case "-m" :: n :: t         => go(t, o.copy(months = num(n).toInt))
       case "--raw-only" :: t      => go(t, o.copy(rawOnly = true))
       case "--dry-run" :: t       => go(t, o.copy(dryRun = true))
       case "--all-accounts" :: t  => go(t, o.copy(allAccounts = true))

@@ -97,10 +97,12 @@ object EtlQueries {
   val d04 = Q(
     "d04_raw_roundtrip",
     (s, d) => {
-      // fixed path + overwrite: repeated verify/bench invocations reuse
-      // one directory instead of leaving a graft_d04* dir per run
-      val out = java.nio.file.Paths.get(
-        sys.props("java.io.tmpdir"), "graft_d04").toString
+      // fixed user-scoped path + overwrite: repeated verify/bench
+      // invocations reuse one directory instead of leaving a graft_d04*
+      // dir per run, and the user scope avoids cross-user /tmp clashes
+      val out = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+        "graft_d04_" + sys.props.getOrElse("user.name", "anon")
+          .replaceAll("[^A-Za-z0-9_]", "_")).toString
       val loader = new ParquetLoader(out, "serve")
       loader.ensureNamespace()
       loader.load(T.events(s, d), "raw_events", "replace")

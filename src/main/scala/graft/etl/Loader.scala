@@ -135,15 +135,23 @@ final class ParquetLoader(warehouseDir: String, schema: String) extends Loader {
     * layouts keep their partition columns (re-clustered one file per
     * value, the loader's write discipline).
     *
-    * Returns (filesBefore, filesAfter). */
+    * Local-filesystem warehouses only (java.io listing + rename): an
+    * object-store warehouse needs a committer-based rewrite instead of a
+    * directory swap — guarded with a clear error rather than a null
+    * crash. Returns (filesBefore, filesAfter). */
   def compact(spark: SparkSession, table: String, targetBytes: Long = 128L << 20): (Int, Int) = {
-    val path = new java.io.File(dir(table))
+    require(targetBytes > 0, s"compact targetBytes must be positive, got $targetBytes")
+    require(!warehouseDir.contains("://") || warehouseDir.startsWith("file:"),
+      s"compact requires a local-filesystem warehouse, got $warehouseDir")
+    val path = new java.io.File(dir(table).stripPrefix("file://").stripPrefix("file:"))
+    require(path.isDirectory, s"compact: no such table directory: $path")
     def parquetFiles(f: java.io.File): Seq[java.io.File] = {
       val kids = Option(f.listFiles()).map(_.toSeq).getOrElse(Nil)
       kids.filter(_.isFile).filter(_.getName.endsWith(".parquet")) ++
         kids.filter(_.isDirectory).flatMap(parquetFiles)
     }
     val before = parquetFiles(path)
+    if (before.isEmpty) return (0, 0) // nothing to compact (empty table dir)
     val totalBytes = before.map(_.length()).sum
     val df = spark.read.parquet(path.toString)
     // partition columns (year=/month=/date= dirs) are those in the read
@@ -155,8 +163,18 @@ final class ParquetLoader(warehouseDir: String, schema: String) extends Loader {
     }
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val clustered =
-      if (partCols.nonEmpty) df.repartition(partCols.map(org.apache.spark.sql.functions.col): _*)
-      else df.repartition(nOut)
+      if (partCols.nonEmpty) {
+        // partitioned layouts recluster one file per partition value —
+        // targetBytes does not split an oversized single value (that
+        // needs a salt keyed on per-value sizes); surface the discard
+        // instead of silently honoring only part of the contract
+        val maxDir = before.groupBy(_.getParentFile).values.map(_.map(_.length()).sum).max
+        if (maxDir > targetBytes)
+          System.err.println(f"[compact] warning: largest partition value holds " +
+            f"${maxDir / 1048576.0}%.1f MiB > target ${targetBytes / 1048576.0}%.1f MiB; " +
+            "partitioned compaction writes one file per value")
+        df.repartition(partCols.map(org.apache.spark.sql.functions.col): _*)
+      } else df.repartition(nOut)
     val staging = new java.io.File(path.getParentFile, s"${path.getName}__compact")
     clustered.write.mode(SaveMode.Overwrite)
       .partitionBy(partCols: _*).parquet(staging.toString)
@@ -241,8 +259,15 @@ final class JdbcLoader(url: String, user: String, password: String, schema: Stri
     * upper- and lower-cased forms. */
   private def tableCount(table: String): Long = withConnection { c =>
     val md = c.getMetaData
+    // getTables arguments are LIKE patterns: every `_` in our
+    // underscore-heavy names is a single-char wildcard unless escaped,
+    // and a false-positive match here would send COUNT(*) at a
+    // nonexistent table — the exact masquerade this probe exists to end
+    val esc = Option(md.getSearchStringEscape).getOrElse("\\")
+    def quote(s: String): String =
+      s.flatMap { case c @ ('_' | '%') => esc + c; case c => c.toString }
     def probe(s: String, t: String): Boolean = {
-      val rs = md.getTables(null, s, t, null)
+      val rs = md.getTables(null, quote(s), quote(t), null)
       try rs.next() finally rs.close()
     }
     val exists = probe(schema, table) ||

@@ -116,7 +116,21 @@ object Sync {
     * as contributing no rows, which is the honest reading. */
   private[etl] def auditSkippedFiles(pruned: DataFrame): Long = {
     val planned = plannedFileCount(pruned)
-    if (planned == 0L) return 0L
+    if (planned == 0L) {
+      // distinguish "window matched no files" (audit trivially passes)
+      // from "the plan has no v1 file scan to inspect" (DSv2 scan or a
+      // cached relation) — in the latter case the audit is UNAVAILABLE,
+      // not clean, and silence would read as a healthy check
+      val leaves = pruned.queryExecution.sparkPlan.collectLeaves()
+      val nonFileLeaf = leaves.exists {
+        case _: org.apache.spark.sql.execution.FileSourceScanLike => false
+        case l => l.getClass.getSimpleName != "EmptyRelationExec"
+      }
+      if (nonFileLeaf)
+        System.err.println("[sync] file audit unavailable: scan is not a v1 file scan " +
+          "(DSv2 or cached relation); skipped-file detection disabled for this source")
+      return 0L
+    }
     val read = pruned.select(input_file_name()).distinct().count()
     math.max(0L, planned - read)
   }

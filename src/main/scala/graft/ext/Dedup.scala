@@ -337,12 +337,19 @@ object Dedup {
       shingleWidth: Int = 3, threshold: Double = 0.2): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val hashes = array_distinct(shingleHashes(col(textCol), shingleWidth))
+    // distinct (doc, shingle) pairs: duplicate doc-id rows (same id, any
+    // text) contribute ONE set per id, matching the oracle's
+    // DISTINCT(doc, shingle) semantics — without this, a duplicated eval
+    // row double-counts every hit while n_shingles stays per-row
     val ev = df.filter(col(sourceCol) === evalSource)
       .select(col(idCol).as("doc"), explode(hashes).as("sh"))
+      .distinct()
     val train = df.filter(col(sourceCol) === trainSource)
       .select(explode(hashes).as("sh")).distinct()
-    val sizes = df.filter(col(sourceCol) === evalSource)
-      .select(col(idCol).as("doc"), size(hashes).as("n_shingles"))
+    // sizes from the same deduped pair set, so n is the id's UNION of
+    // shingles even when duplicate ids carry different texts
+    val sizes = ev.groupBy(col("doc"))
+      .agg(count(lit(1)).cast(IntegerType).as("n_shingles"))
     val hits = ev.join(train, "sh").groupBy(col("doc"))
       .agg(count(lit(1)).as("n_hit"))
     sizes.join(hits, "doc")

@@ -29,6 +29,15 @@ object SourceQueries {
 
   private val syncTs = to_timestamp(lit("2024-06-01 00:00:00"))
 
+  /** Fixture root, user-scoped: the oracle SQL must name the same path
+    * the Spark side writes (it is dumped per-run into oracle_sql.json,
+    * so a dynamic-but-deterministic path is safe), and a world-shared
+    * /tmp name would collide across users on one host. */
+  private val fixtureRoot: String = {
+    val user = sys.props.getOrElse("user.name", "anon").replaceAll("[^A-Za-z0-9_]", "_")
+    s"${sys.props("java.io.tmpdir")}/graft_${user}"
+  }
+
   /** CUR-shaped rows derived from `nation` (25 rows, deterministic):
     * every mapped CUR column present, service carrying `, "..."`. */
   private def fixture(s: SparkSession, d: String): DataFrame =
@@ -71,7 +80,7 @@ object SourceQueries {
   val c38 = Q(
     "c38_csv_source",
     (s, d) => {
-      val dir = "/tmp/graft_c38_csv"
+      val dir = s"${fixtureRoot}_c38_csv"
       fixture(s, d).coalesce(1).write.mode("overwrite")
         .option("header", "true").option("escape", "\"").csv(dir)
       val back = s.read.schema(csvSchema)
@@ -80,7 +89,7 @@ object SourceQueries {
         .orderBy(col("account_id"))
     },
     Some(normalizeOracle(
-      "read_csv('/tmp/graft_c38_csv/*.csv', header=true, all_varchar=true)",
+      s"read_csv('${fixtureRoot}_c38_csv/*.csv', header=true, all_varchar=true)",
       "csv_src")))
 
   // C39: JSON-lines source → normalize. Same fixture, Spark's JSON writer
@@ -88,18 +97,18 @@ object SourceQueries {
   val c39 = Q(
     "c39_json_source",
     (s, d) => {
-      val dir = "/tmp/graft_c39_json"
+      val dir = s"${fixtureRoot}_c39_json"
       fixture(s, d).coalesce(1).write.mode("overwrite").json(dir)
       val back = s.read.schema(csvSchema).json(dir)
       graft.etl.Normalize.normalize(back, graft.etl.Normalize.awsCur, "json_src", syncTs)
         .orderBy(col("account_id"))
     },
     Some(normalizeOracle(
-      """(SELECT line_item_usage_start_date, line_item_usage_account_id,
+      s"""(SELECT line_item_usage_start_date, line_item_usage_account_id,
            product_servicename, product_region,
            CAST(line_item_unblended_cost AS VARCHAR) AS line_item_unblended_cost,
            line_item_currency_code
-         FROM read_json_auto('/tmp/graft_c39_json/*.json'))""",
+         FROM read_json_auto('${fixtureRoot}_c39_json/*.json'))""",
       "json_src")))
 
   val all: Seq[Q] = Seq(c38, c39)

@@ -149,6 +149,13 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(any.toSeq == Seq((10L, 3, 1L, 1.0 / 3)),
       s"zero-overlap docs never appear (inner-join semantics): ${any.mkString(",")}")
     assert(run(0.3).length == 1 && run(0.4).isEmpty)
+    // duplicate eval doc ids collapse to ONE distinct shingle set per id
+    // (the oracle's DISTINCT semantics): hits must not double-count
+    val dup = Dedup.contaminationOverlap(
+      df.unionAll(df.filter(col("doc_id") === 10)),
+      "doc_id", "text", "source", "eval", "train", 3, 0.0)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(dup.toSeq == Seq((10L, 3, 1L, 1.0 / 3)), s"${dup.mkString(",")}")
   }
 
   test("jaccard pairs stay strictly ordered even with duplicate doc ids in the input") {
