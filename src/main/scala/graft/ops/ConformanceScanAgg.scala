@@ -141,5 +141,26 @@ object ConformanceScanAgg {
       FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
       ORDER BY g1, g2, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""))
 
-  val all: Seq[Q] = Seq(c01, c02, c03, c04, c05, c06, c07, c08, c09, c10)
+  // C42: CUBE — all 2^n grouping-set combinations (c10 covers the
+  // hierarchical ROLLUP prefix sets); grouping_id's bit order (first
+  // column = MSB) matches DuckDB's GROUPING(), verified empirically.
+  val c42 = Q(
+    "c42_cube",
+    (s, d) => T.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping_id().cast(IntegerType).as("gid"),
+        dsum(col("o_totalprice")).as("sum_price"),
+        count(lit(1)).as("n"))
+      .select(col("gid"), col("o_orderstatus"), col("o_orderpriority"),
+        col("sum_price"), col("n"))
+      .orderBy(col("gid"),
+        col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first),
+    Some(s"""SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+      o_orderstatus, o_orderpriority,
+      ${oSum("o_totalprice")} AS sum_price, COUNT(*) AS n
+      FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""))
+
+  val all: Seq[Q] = Seq(c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c42)
 }
