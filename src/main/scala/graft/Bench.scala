@@ -40,7 +40,12 @@ object Bench {
     // shared host carry ~1.5-2x load noise, which wastes the perf budget;
     // the median of 3 is robust to one slow rep. Reps run per-query
     // back-to-back; a failure on any rep marks the query failed.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt.max(1)
+    val reps = sys.env.get("SPARK_GRAFT_REPS").map { v =>
+      v.toIntOption.getOrElse {
+        System.err.println(s"[bench] SPARK_GRAFT_REPS='$v' is not an int; using 3")
+        3
+      }
+    }.getOrElse(3).max(1)
     val results = selected.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -49,7 +54,15 @@ object Bench {
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
           }
-        ((System.nanoTime() - t0) / 1e9, ok)
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        // queries that persist internally (e15's connected components) would
+        // otherwise serve reps 2..N from rep 1's cache — Spark's cache lookup
+        // is by sameResult, so an identical re-built plan hits the entry and
+        // the median measures the warm path (VERDICT r5 item 1). Clearing
+        // between reps (outside the timed region) keeps every rep cold and
+        // leaves the suite's cacheManager empty at exit.
+        spark.catalog.clearCache()
+        (elapsed, ok)
       }
       val ok = times.forall(_._2)
       val sorted = times.map(_._1).sorted

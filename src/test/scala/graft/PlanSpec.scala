@@ -102,6 +102,35 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
   }
 
+  test("E5/E6: banded self-join shares the signature-front exchange") {
+    // VERDICT r5 item 3: if exchange reuse doesn't fire, the
+    // shingle→signature→band front runs once PER JOIN SIDE — at 100 TB
+    // that doubles the dominant cost. AQE materializes reuse only in the
+    // executed (final) plan, so run the query before asserting.
+    def finalPlan(name: String): String = {
+      val df = Queries.byName(name).fn(spark, sf001)
+      df.collect()
+      df.queryExecution.executedPlan.toString
+    }
+    // e05's window front forces an exchange on (band, key); both join
+    // sides must share it even under the default (broadcast-happy) planner
+    assert(finalPlan("e05_minhash_candidates").contains("ReusedExchange"),
+      "e05 signature front must be computed once (ReusedExchange)")
+    // e06's front is map-only: at tiny SF the planner broadcasts one side
+    // (no exchange exists to reuse, two scans of a tiny table). The 100 TB
+    // shape is a sort-merge self-join — both sides then demand
+    // hashpartitioning(band, bh) over identical children and exchange
+    // reuse must collapse them to ONE corpus scan + hash front.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      assert(finalPlan("e06_simhash_candidates").contains("ReusedExchange"),
+        "e06 simhash front must be computed once under sort-merge self-join")
+      assert(finalPlan("e05_minhash_candidates").contains("ReusedExchange"),
+        "e05 signature front must stay shared under sort-merge self-join")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("every declared query has a distinct name and every oracle points at one") {
     val names = Queries.all.map(_.name)
     assert(names.distinct.size == names.size)
