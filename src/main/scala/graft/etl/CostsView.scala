@@ -52,6 +52,10 @@ object CostsView {
     * reference's contract. */
   def createDurable(spark: SparkSession, tableRefs: Seq[String], viewName: String = "costs"): Unit = {
     require(tableRefs.nonEmpty, "costs view needs at least one source")
+    // the name is interpolated into DDL — restrict to a plain identifier
+    // (SURVEY §7.3.5: validated identifiers, no quoting surprises)
+    require(viewName.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"view name must be a plain SQL identifier, got '$viewName'")
     // a leftover temp view with this name (e.g. from an earlier run that
     // used a non-SQL-addressable sink) would silently shadow the catalog
     // view for every reader — clear it so resolution hits the new DDL

@@ -130,10 +130,12 @@ final class ParquetLoader(warehouseDir: String, schema: String) extends Loader {
     * fine-grained partitionBy fragment a table into files whose open/
     * footer cost dominates scans at 100 TB. One distributed pass:
     * read → repartition to ceil(bytes/target) → write to a staging dir →
-    * atomic directory swap (the table stays readable until the swap, and
-    * a failed compaction leaves the original untouched). Partitioned
-    * layouts keep their partition columns (re-clustered one file per
-    * value, the loader's write discipline).
+    * two-rename directory swap (the table stays readable until the swap;
+    * a write-phase failure leaves the original untouched, and an
+    * interrupted swap is detected and repaired on the next compact —
+    * see the recovery block). Partitioned layouts keep their partition
+    * columns (re-clustered one file per value, the loader's write
+    * discipline) with directory names preserved verbatim.
     *
     * Local-filesystem warehouses only (java.io listing + rename): an
     * object-store warehouse needs a committer-based rewrite instead of a
@@ -144,6 +146,27 @@ final class ParquetLoader(warehouseDir: String, schema: String) extends Loader {
     require(!warehouseDir.contains("://") || warehouseDir.startsWith("file:"),
       s"compact requires a local-filesystem warehouse, got $warehouseDir")
     val path = new java.io.File(dir(table).stripPrefix("file://").stripPrefix("file:"))
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    // Crash recovery from an interrupted previous compaction: the
+    // two-rename swap is not atomic, so repair before starting —
+    //  - `__old` present, table dir gone: the crash hit between retire
+    //    and promote; the retired dir IS the table — rename it back;
+    //  - `__old` present, table dir present: promote succeeded, only the
+    //    cleanup was lost — finish it;
+    //  - leftover `__compact`: a dead write or unpromoted staging —
+    //    discard (its data still lives in the table or in `__old`).
+    val retired = new java.io.File(path.getParentFile, s"${path.getName}__old")
+    val staging = new java.io.File(path.getParentFile, s"${path.getName}__compact")
+    if (retired.isDirectory && !path.isDirectory) {
+      System.err.println(s"[compact] recovering interrupted swap: restoring $retired")
+      if (!retired.renameTo(path)) sys.error(s"compact: cannot restore $retired to $path")
+    } else if (retired.isDirectory) {
+      System.err.println(s"[compact] removing leftover $retired from interrupted cleanup")
+      rm(retired)
+    }
+    if (staging.isDirectory) rm(staging)
     require(path.isDirectory, s"compact: no such table directory: $path")
     def parquetFiles(f: java.io.File): Seq[java.io.File] = {
       val kids = Option(f.listFiles()).map(_.toSeq).getOrElse(Nil)
@@ -153,7 +176,23 @@ final class ParquetLoader(warehouseDir: String, schema: String) extends Loader {
     val before = parquetFiles(path)
     if (before.isEmpty) return (0, 0) // nothing to compact (empty table dir)
     val totalBytes = before.map(_.length()).sum
-    val df = spark.read.parquet(path.toString)
+    // Read with partition-column TYPE INFERENCE OFF: inference would
+    // rewrite a zero-padded or string-typed partition value (month=01)
+    // as its inferred form (month=1), changing directory names for any
+    // non-self-describing layout. With inference off the values round-
+    // trip as the exact strings in the directory names; readers
+    // re-infer types on their next scan as before. The conf is read at
+    // DataFrame creation (schema resolution is eager), so restoring it
+    // immediately after is safe.
+    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val inferPrev = spark.conf.get(inferKey)
+    val df =
+      try {
+        spark.conf.set(inferKey, "false")
+        val d = spark.read.parquet(path.toString)
+        d.schema // force resolution while inference is off
+        d
+      } finally spark.conf.set(inferKey, inferPrev)
     // partition columns (year=/month=/date= dirs) are those in the read
     // schema but absent from every leaf file's own columns — recluster by
     // them; flat tables get an even coalesce to the byte-derived count
@@ -175,25 +214,27 @@ final class ParquetLoader(warehouseDir: String, schema: String) extends Loader {
             "partitioned compaction writes one file per value")
         df.repartition(partCols.map(org.apache.spark.sql.functions.col): _*)
       } else df.repartition(nOut)
-    val staging = new java.io.File(path.getParentFile, s"${path.getName}__compact")
     clustered.write.mode(SaveMode.Overwrite)
       .partitionBy(partCols: _*).parquet(staging.toString)
-    // atomic swap: retire the old dir, promote staging
-    val retired = new java.io.File(path.getParentFile, s"${path.getName}__old")
+    // two-rename swap: retire the old dir, promote staging. NOT atomic —
+    // a crash between the renames leaves `__old` + `__compact` and no
+    // table dir; the recovery block at entry (and any operator following
+    // the same rule: rename `__old` back) repairs that state. Write-phase
+    // failures leave the original untouched.
     if (!path.renameTo(retired)) sys.error(s"compact: cannot retire $path")
     if (!staging.renameTo(path)) {
       retired.renameTo(path) // roll back
       sys.error(s"compact: cannot promote $staging")
-    }
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
     }
     rm(retired)
     (before.size, parquetFiles(path).size)
   }
 
   override def sqlRef(table: String): Option[String] =
-    Some(s"parquet.`${dir(table)}`")
+    // backticks inside a backtick-quoted identifier escape by doubling —
+    // an adversarial warehouse path cannot break out of (or inject into)
+    // the view DDL this ref is interpolated into
+    Some(s"parquet.`${dir(table).replace("`", "``")}`")
 
   override def runSqlScript(spark: SparkSession, path: String): Unit =
     statements(new String(java.nio.file.Files.readAllBytes(
@@ -232,20 +273,72 @@ final class JdbcLoader(url: String, user: String, password: String, schema: Stri
     // JDBC tables have no physical partitioning; the layout hint is a
     // parquet-sink concern (indexes serve the same role in PG).
     if (df.isEmpty) return 0L
+    val out = cleaned(df)
+    val mode = saveMode(ifExists)
     // Committed-row fidelity: a retried/speculated task can inflate an
     // Observation count, and a partially-failed JDBC write could observe
     // rows that never committed. Audit the target itself — COUNT(*)
     // after the write (diffed against before, for append). The count
     // runs DB-side; no second scan of the Spark input.
-    val before = if (saveMode(ifExists) == SaveMode.Append) tableCount(table) else 0L
-    cleaned(df).write
-      .mode(saveMode(ifExists))
+    val before = if (mode == SaveMode.Append) tableCount(table) else 0L
+    // Overwrite vs database-side dependent views (the reference's
+    // persistent `costs` view): Spark's overwrite issues a PLAIN
+    // DROP TABLE, which PostgreSQL refuses while a view depends on the
+    // table — the second sync run would fail. The reference answers with
+    // DROP TABLE ... CASCADE (postgresql.py:77-79), silently killing the
+    // view until its next CREATE. Do better when possible: if the target
+    // exists with the same column set, TRUNCATE + reload — dependent
+    // views survive the refresh entirely. Only a schema-changing
+    // overwrite falls back to drop-and-recreate, trying CASCADE first
+    // (PG) and a plain DROP for dialects without it (Derby).
+    val truncate = mode == SaveMode.Overwrite &&
+      targetColumns(table).exists(cols =>
+        cols.map(_.toLowerCase).toSet == out.columns.map(_.toLowerCase).toSet)
+    if (mode == SaveMode.Overwrite && !truncate) dropForOverwrite(table)
+    out.write
+      .mode(mode)
       // execute_values page_size mirror (postgresql.py:51,96)
       .option("batchsize", 10000)
-      // overwrite = drop + recreate, matching DROP TABLE ... CASCADE +
-      // CREATE (postgresql.py:77-82); truncate=false is the default
+      .option("truncate", truncate.toString)
       .jdbc(url, qualified(table), props)
     tableCount(table) - before
+  }
+
+  /** Column names of the existing target; None when it does not exist.
+    * Existence goes through the metadata probe first so a transient
+    * failure on the column query propagates instead of reading as
+    * "absent" (which would needlessly drop-and-recreate). */
+  private def targetColumns(table: String): Option[Seq[String]] = withConnection { c =>
+    if (!tableExists(c, table)) None
+    else {
+      val rs = c.createStatement().executeQuery(
+        s"SELECT * FROM ${qualified(table)} WHERE 1=0")
+      try {
+        val md = rs.getMetaData
+        Some((1 to md.getColumnCount).map(md.getColumnName))
+      } finally rs.close()
+    }
+  }
+
+  /** Drop the target ahead of a schema-changing overwrite. CASCADE first
+    * (PostgreSQL — the reference's semantics, postgresql.py:77-79, so
+    * dependent views don't block the drop); dialects without DROP TABLE
+    * CASCADE (Derby) fall back to a plain DROP. If both fail, surface
+    * the dependency context instead of Spark's opaque write failure. */
+  private def dropForOverwrite(table: String): Unit = withConnection { c =>
+    if (tableExists(c, table)) {
+      def attempt(sql: String): Option[java.sql.SQLException] =
+        try { c.createStatement().execute(sql); None }
+        catch { case e: java.sql.SQLException => Some(e) }
+      attempt(s"DROP TABLE ${qualified(table)} CASCADE").foreach { _ =>
+        attempt(s"DROP TABLE ${qualified(table)}").foreach { e =>
+          throw new IllegalStateException(
+            s"overwrite cannot drop ${qualified(table)} for recreate — likely a " +
+              "dependent view on a dialect without DROP TABLE CASCADE; drop the " +
+              s"dependent view(s) and retry: ${e.getMessage}", e)
+        }
+      }
+    }
   }
 
   /** COUNT(*) on the target; 0 only if the table does not exist yet (the
@@ -257,7 +350,7 @@ final class JdbcLoader(url: String, user: String, password: String, schema: Stri
     * rows. Identifier case: unquoted DDL is case-folded per dialect
     * (Derby/PG fold opposite directions), so the probe tries the exact,
     * upper- and lower-cased forms. */
-  private def tableCount(table: String): Long = withConnection { c =>
+  private def tableExists(c: java.sql.Connection, table: String): Boolean = {
     val md = c.getMetaData
     // getTables arguments are LIKE patterns: every `_` in our
     // underscore-heavy names is a single-char wildcard unless escaped,
@@ -270,10 +363,13 @@ final class JdbcLoader(url: String, user: String, password: String, schema: Stri
       val rs = md.getTables(null, quote(s), quote(t), null)
       try rs.next() finally rs.close()
     }
-    val exists = probe(schema, table) ||
+    probe(schema, table) ||
       probe(schema.toUpperCase, table.toUpperCase) ||
       probe(schema.toLowerCase, table.toLowerCase)
-    if (!exists) 0L
+  }
+
+  private def tableCount(table: String): Long = withConnection { c =>
+    if (!tableExists(c, table)) 0L
     else {
       val rs = c.createStatement().executeQuery(
         s"SELECT COUNT(*) FROM ${qualified(table)}")

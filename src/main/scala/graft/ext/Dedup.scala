@@ -352,7 +352,11 @@ object Dedup {
       .agg(count(lit(1)).cast(IntegerType).as("n_shingles"))
     val hits = ev.join(train, "sh").groupBy(col("doc"))
       .agg(count(lit(1)).as("n_hit"))
-    sizes.join(hits, "doc")
+    // LEFT join: eval docs with zero hits have overlap 0, which satisfies
+    // the at/above-threshold contract when threshold = 0.0 — an inner
+    // join would silently drop them from the report
+    sizes.join(hits, Seq("doc"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
       .withColumn("overlap", col("n_hit").cast(DoubleType) / col("n_shingles"))
       .filter(col("overlap") >= threshold)
       .select(col("doc").as("doc_id"), col("n_shingles"), col("n_hit"), col("overlap"))
@@ -393,9 +397,23 @@ object Dedup {
     val hashes = array_distinct(shingleHashes(col(textCol), shingleWidth))
     val sizes = df.select(col(idCol).as("doc"), size(hashes).as("n"))
     val tok = df.select(col(idCol).as("doc"), explode(hashes).as("sh"))
-    val postings = tok.groupBy(col("sh"))
+    val shared = tok.groupBy(col("sh"))
       .agg(sort_array(collect_list(col("doc"))).as("ds"))
-      .filter(size(col("ds")) >= 2 && size(col("ds")) <= maxDf)
+      .filter(size(col("ds")) >= 2)
+    // surface the bound when it bites (mirrors compact()'s
+    // discard-surfacing discipline): an observe metric counts dropped
+    // posting lists inside the same job — no extra pass — and the
+    // session listener warns on stderr after the action completes
+    val postings =
+      if (maxDf == Int.MaxValue) shared
+      else {
+        registerMaxDfListener(df.sparkSession)
+        shared
+          .observe(s"graft_jaccard_maxdf_${maxDfMetricSeq.incrementAndGet()}",
+            sum(when(size(col("ds")) > maxDf, 1L).otherwise(0L)).as("dropped"),
+            max(when(size(col("ds")) > maxDf, size(col("ds")))).as("hottest"))
+          .filter(size(col("ds")) <= maxDf)
+      }
     // all strictly-ordered pairs within a posting list, generated in-row
     // (the d1 < d2 filter also drops self-pairs that duplicate doc ids in
     // the input would otherwise produce, matching the old a.doc < b.doc
@@ -414,4 +432,32 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc1"), col("doc2"), col("jaccard"))
   }
+
+  private val maxDfMetricSeq = new java.util.concurrent.atomic.AtomicLong()
+  // sessions that already carry the maxDf warn listener (weak keys: the
+  // registry must not pin a stopped session in memory)
+  private val maxDfListenerSessions =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]())
+
+  /** One listener per session that reads the jaccardPairs observe metric
+    * after each action and warns when the maxDf bound dropped posting
+    * lists — otherwise near-dup pairs vanish silently for any caller on
+    * the default bound. */
+  private def registerMaxDfListener(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (maxDfListenerSessions.put(spark, java.lang.Boolean.TRUE) == null) {
+      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            if (name.startsWith("graft_jaccard_maxdf_") && !row.isNullAt(0) && row.getLong(0) > 0)
+              System.err.println(s"[graft] jaccardPairs maxDf dropped ${row.getLong(0)} " +
+                s"hot posting list(s) (largest held ${row.getInt(1)} docs); pairs sharing " +
+                "only those shingles are not reported and intersection counts shrink — " +
+                "raise maxDf (Int.MaxValue = exact) if this matters")
+          }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+      })
+    }
 }

@@ -496,8 +496,9 @@ object ExtQueries {
 
   // E2/E4 capstone: benchmark decontamination — per eval-source doc, the
   // fraction of its distinct 3-gram shingles appearing anywhere in the
-  // train source. Declared at threshold 0.0 (every doc with any overlap)
-  // so the report itself is hash-checked; production gates at ~0.2-0.8.
+  // train source. Declared at threshold 0.0 (EVERY eval doc, including
+  // zero-overlap ones — the left-join contract) so the report itself is
+  // hash-checked; production gates at ~0.2-0.8.
   // Spark joins 8-byte shingle hashes; the oracle joins the strings and
   // confirms the counts (the e02 collision argument).
   val e21 = Q(
@@ -514,9 +515,9 @@ object ExtQueries {
       sizes AS (SELECT doc_id, COUNT(*) AS n FROM ev GROUP BY doc_id),
       hits AS (SELECT e.doc_id, COUNT(*) AS h FROM ev e JOIN train t ON e.s = t.s
                GROUP BY e.doc_id)
-      SELECT s.doc_id, CAST(s.n AS INT) AS n_shingles, h.h AS n_hit,
-        CAST(h.h AS DOUBLE)/s.n AS overlap
-      FROM sizes s JOIN hits h USING (doc_id)
+      SELECT s.doc_id, CAST(s.n AS INT) AS n_shingles, COALESCE(h.h, 0) AS n_hit,
+        CAST(COALESCE(h.h, 0) AS DOUBLE)/s.n AS overlap
+      FROM sizes s LEFT JOIN hits h USING (doc_id)
       ORDER BY doc_id"""))
 
   // E3 (int8 tier): top-k over SYMMETRICALLY QUANTIZED vectors — the 4×

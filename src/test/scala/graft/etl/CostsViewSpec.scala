@@ -41,4 +41,19 @@ class CostsViewSpec extends SparkSpec {
     CostsView.create(spark, Seq("x", "y"))
     assert(spark.table("costs").count() == 5)
   }
+
+  test("durable DDL survives an adversarial warehouse path; bad view names rejected") {
+    val base = java.nio.file.Files.createTempDirectory("graft_wh")
+    // a backtick in the path must not break out of the quoted table ref
+    val wh = new java.io.File(base.toFile, "back`tick wh").toString
+    val ld = new ParquetLoader(wh, "s")
+    ld.ensureNamespace()
+    ld.load(norm(2, "adv"), "adv_normalized", "replace")
+    CostsView.createDurable(spark, Seq(ld.sqlRef("adv_normalized").get), "costs_adv")
+    assert(spark.table("costs_adv").count() == 2)
+    val e = intercept[IllegalArgumentException] {
+      CostsView.createDurable(spark, Seq("parquet.`/tmp/x`"), "costs; DROP TABLE t")
+    }
+    assert(e.getMessage.contains("plain SQL identifier"))
+  }
 }

@@ -68,6 +68,43 @@ class LoaderSpec extends SparkSpec {
     assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters"))
   }
 
+  test("ParquetLoader: compact preserves zero-padded partition directory names") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft_wh").toString
+    val ld = new ParquetLoader(wh, "s")
+    ld.ensureNamespace()
+    // string-typed, zero-padded partition values: type inference on the
+    // compact read would rewrite month=01 as month=1
+    val rows = Seq((1L, "01"), (2L, "01"), (3L, "10")).toDF("id", "month")
+    (1 to 3).foreach(_ => ld.load(rows, "padded", "append", partitionBy = Seq("month")))
+    ld.compact(spark, "padded")
+    val dirs = new java.io.File(s"$wh/s/padded").listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(dirs == Seq("month=01", "month=10"), dirs.mkString(","))
+    assert(ld.table(spark, "padded").count() == 9)
+  }
+
+  test("ParquetLoader: compact repairs an interrupted swap before running") {
+    val wh = Files.createTempDirectory("graft_wh").toString
+    val ld = new ParquetLoader(wh, "s")
+    ld.ensureNamespace()
+    ld.load(df2, "r", "replace")
+    val tdir = new java.io.File(s"$wh/s/r")
+    val old = new java.io.File(s"$wh/s/r__old")
+    // crash between retire and promote: table dir gone, data in __old
+    assert(tdir.renameTo(old))
+    ld.compact(spark, "r")
+    assert(tdir.isDirectory && !old.exists)
+    assert(ld.table(spark, "r").count() == 2)
+    // crash after promote, cleanup lost: stale __old and __compact dirs
+    assert(old.mkdirs())
+    val staging = new java.io.File(s"$wh/s/r__compact")
+    assert(staging.mkdirs())
+    ld.compact(spark, "r")
+    assert(!old.exists && !staging.exists)
+    assert(ld.table(spark, "r").count() == 2)
+  }
+
   test("ParquetLoader: fail mode errors when the table exists") {
     val wh = Files.createTempDirectory("graft_wh").toString
     val ld = new ParquetLoader(wh, "s")
@@ -103,5 +140,37 @@ class LoaderSpec extends SparkSpec {
       "CREATE TABLE APP.script_t (x INT); INSERT INTO APP.script_t VALUES (7)")
     ld.runSqlScript(spark, script.toString)
     assert(ld.table(spark, "script_t").count() == 1L)
+  }
+
+  test("JdbcLoader (Derby): overwrite with a database-side dependent view") {
+    import spark.implicits._
+    val url = s"jdbc:derby:memory:graftdepview${System.nanoTime()};create=true"
+    val ld = new JdbcLoader(url, "", "", "APP")
+    def exec(sql: String): Unit = {
+      val c = java.sql.DriverManager.getConnection(url)
+      try { c.createStatement().execute(sql); () } finally c.close()
+    }
+    assert(ld.load(df2, "vt", "replace") == 2L)
+    // database-side view over the loaded table — the reference's
+    // persistent `costs` view shape (postgresql.py:77-79 drops it
+    // CASCADE on every re-sync; PG would refuse Spark's plain DROP)
+    exec("CREATE VIEW APP.vt_costs AS SELECT \"id\" FROM APP.vt")
+    // same-schema overwrite takes the TRUNCATE path: reload succeeds and
+    // the dependent view survives, serving the refreshed rows
+    assert(ld.load(df2, "vt", "replace") == 2L)
+    assert(ld.table(spark, "vt_costs").count() == 2L)
+    // schema-CHANGING overwrite must recreate the table; Derby has no
+    // DROP TABLE CASCADE, so the dependency surfaces as a clear error
+    // (on PostgreSQL the CASCADE attempt drops the view, as the
+    // reference does)
+    val df3 = Seq((1L, "a", 1.0)).toDF("id", "name", "score")
+    val err = intercept[IllegalStateException] { ld.load(df3, "vt", "replace") }
+    assert(err.getMessage.contains("dependent view"))
+    assert(ld.table(spark, "vt").count() == 2L) // target untouched by the failure
+    // with the view gone the schema change goes through as drop+recreate
+    exec("DROP VIEW APP.vt_costs")
+    assert(ld.load(df3, "vt", "replace") == 1L)
+    assert(ld.table(spark, "vt").columns.map(_.toLowerCase).toSet ==
+      Set("id", "name", "score"))
   }
 }

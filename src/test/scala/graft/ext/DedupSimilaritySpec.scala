@@ -135,19 +135,51 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(pairs(4) == unbounded)
   }
 
+  test("maxDf surfaces dropped posting lists on stderr when the bound bites") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "h c t a1 b1 p q r"), (2L, "h c t a2 b2 p q r"),
+      (3L, "h c t a3 b3 x3 y3 z3"), (4L, "h c t a4 b4 x4 y4 z4"))
+      .toDF("doc_id", "text")
+    val buf = new java.io.ByteArrayOutputStream()
+    val prev = System.err
+    System.setErr(new java.io.PrintStream(buf, true))
+    try {
+      Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.0, maxDf = 3).collect()
+      // the observe metric is delivered via the (async) listener bus
+      val deadline = System.currentTimeMillis() + 15000
+      while (!buf.toString.contains("maxDf dropped") &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+    } finally System.setErr(prev)
+    assert(buf.toString.contains("jaccardPairs maxDf dropped 1 hot posting list"),
+      s"expected a drop warning, stderr was: ${buf.toString.take(500)}")
+    assert(buf.toString.contains("largest held 4 docs"))
+    // a bound that doesn't bite stays silent
+    val buf2 = new java.io.ByteArrayOutputStream()
+    System.setErr(new java.io.PrintStream(buf2, true))
+    try {
+      Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.0, maxDf = 4).collect()
+      Thread.sleep(500)
+    } finally System.setErr(prev)
+    assert(!buf2.toString.contains("maxDf dropped"), buf2.toString.take(500))
+  }
+
   test("contamination overlap counts eval shingles found in the train source") {
     import spark.implicits._
     val df = Seq(
       (1L, "a b c d e", "train"),   // shingles: abc bcd cde
       (10L, "a b c x y", "eval"),   // abc bcx cxy -> 1/3 contaminated
-      (11L, "p q r s t", "eval"))   // no overlap -> no hits row
+      (11L, "p q r s t", "eval"))   // no overlap -> overlap 0 at thr 0.0
       .toDF("doc_id", "text", "source")
     def run(thr: Double) = Dedup.contaminationOverlap(
       df, "doc_id", "text", "source", "eval", "train", 3, thr)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    // threshold 0.0 includes zero-overlap docs (left-join contract: every
+    // eval doc at/above the threshold, and overlap 0 satisfies 0.0)
     val any = run(0.0)
-    assert(any.toSeq == Seq((10L, 3, 1L, 1.0 / 3)),
-      s"zero-overlap docs never appear (inner-join semantics): ${any.mkString(",")}")
+    assert(any.toSeq == Seq((10L, 3, 1L, 1.0 / 3), (11L, 3, 0L, 0.0)),
+      s"threshold 0.0 must keep zero-overlap docs: ${any.mkString(",")}")
     assert(run(0.3).length == 1 && run(0.4).isEmpty)
     // duplicate eval doc ids collapse to ONE distinct shingle set per id
     // (the oracle's DISTINCT semantics): hits must not double-count
@@ -155,7 +187,9 @@ class DedupSimilaritySpec extends SparkSpec {
       df.unionAll(df.filter(col("doc_id") === 10)),
       "doc_id", "text", "source", "eval", "train", 3, 0.0)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
-    assert(dup.toSeq == Seq((10L, 3, 1L, 1.0 / 3)), s"${dup.mkString(",")}")
+      .sortBy(_._1)
+    assert(dup.toSeq == Seq((10L, 3, 1L, 1.0 / 3), (11L, 3, 0L, 0.0)),
+      s"${dup.mkString(",")}")
   }
 
   test("jaccard pairs stay strictly ordered even with duplicate doc ids in the input") {
