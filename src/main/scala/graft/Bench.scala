@@ -73,19 +73,23 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val total = results.filter(_._3).map(_._2).sum
-    val syncSec = syncMirror(spark, sfDir)
-    println(s"""{"metric":"conformance_total_s","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_ok":${results.count(_._3)},"n_queries":${results.size},"sync_e2e_s":${f"$syncSec%.3f"},"sf":"$sfDir"}""")
+    val (fixtureSec, syncSec) = syncMirror(spark, sfDir)
+    println(s"""{"metric":"conformance_total_s","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_ok":${results.count(_._3)},"n_queries":${results.size},"sync_e2e_s":${f"$syncSec%.3f"},"sync_fixture_s":${f"$fixtureSec%.3f"},"sf":"$sfDir"}""")
     spark.stop()
   }
 
   /** End-to-end sync mirror (scan → filter → normalize → write → costs
     * view), timed on a partitioned CUR-shaped copy of the events table
-    * (the BASELINE.md `sync_e2e_s` metric). Negative on failure. */
-  private def syncMirror(spark: SparkSession, sfDir: String): Double = {
-    val t0 = System.nanoTime()
+    * (the BASELINE.md `sync_e2e_s` metric). The fixture build is NOT part
+    * of the sync — a real sync reads source files that already exist —
+    * so it is timed separately (`sync_fixture_s`) and excluded from
+    * `sync_e2e_s`. Returns (fixtureSec, syncSec); syncSec negative on
+    * failure. */
+  private def syncMirror(spark: SparkSession, sfDir: String): (Double, Double) = {
+    val tf = System.nanoTime()
+    val root = java.nio.file.Files.createTempDirectory("graft_bench_cur").toString
+    val wh = java.nio.file.Files.createTempDirectory("graft_bench_wh").toString
     try {
-      val root = java.nio.file.Files.createTempDirectory("graft_bench_cur").toString
-      val wh = java.nio.file.Files.createTempDirectory("graft_bench_wh").toString
       val ids = etl.Accounts.registry.map(_.id)
       Tables.events(spark, sfDir).select(
         col("ts").as("line_item_usage_start_date"),
@@ -102,18 +106,20 @@ object Bench {
         // (shuffle partition × month) — same discipline as the loader
         .repartition(col("year"), col("month"))
         .write.partitionBy("year", "month").parquet(s"$root/cur-a")
+      val fixtureSec = (System.nanoTime() - tf) / 1e9
       val cfg = etl.EngineConfig(
         sourceRoot = s"file://$root", curPaths = Seq("cur-a"), warehouseDir = wh,
         jdbcUrl = None, jdbcUser = "", jdbcPassword = "", schema = "bench",
         syncMonths = 1, logLevel = "WARN")
+      val t0 = System.nanoTime()
       val res = etl.Sync.run(spark, cfg, new etl.ParquetLoader(wh, "bench"),
         etl.Sync.Options(months = 1, asOf = java.time.LocalDate.parse("2024-01-15")))
       require(res.tables.forall(_.status == "success"), "sync mirror failed")
-      (System.nanoTime() - t0) / 1e9
+      (fixtureSec, (System.nanoTime() - t0) / 1e9)
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] sync mirror FAILED: ${e.getMessage}")
-        -(System.nanoTime() - t0) / 1e9
+        ((System.nanoTime() - tf) / 1e9, -1.0)
     }
   }
 }

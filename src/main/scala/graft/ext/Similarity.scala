@@ -169,10 +169,14 @@ object Similarity {
     *    after 1 pass (centroids sit mid-transition between the random
     *    seeds and the settled partition) and recovers above the seed
     *    baseline at 2.
-    *  - cell assignment: the nlist centroids (with driver-precomputed
-    *    norms) are baked into ONE narrow projection — per corpus row an
-    *    argmax over nlist fused dot products, map-side only. No
-    *    corpus×centroid join, no per-id window.
+    *  - cell assignment: map-side only, no corpus×centroid join, no
+    *    per-id window. At nlist ≤ `literalNlistMax` the centroids (with
+    *    driver-precomputed norms) are baked into ONE narrow projection —
+    *    an argmax over nlist fused dot products, restatable by the SQL
+    *    oracle. Above it the native [[graft.functions.IvfCells]]
+    *    expression carries the matrix as a single reference object:
+    *    generated code stays O(1) in nlist, so nlist in the thousands
+    *    plans and compiles like nlist=16.
     *  - probing: each query expands to its `nprobe` best cells via the
     *    same in-row argsort; candidates come from one broadcast hash
     *    join on `cid`. A corpus vector lives in exactly one cell, so
@@ -181,7 +185,8 @@ object Similarity {
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, nprobe: Int = 4, lloydIters: Int = 2,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      literalNlistMax: Int = 256): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     // Deterministic pseudo-random draw: smallest nlist ids by hash order
     // (the engine-neutral md5 hash, so the external oracle can replay the
@@ -206,9 +211,27 @@ object Similarity {
         (fastDot(vec, typedLit(v)) / (vecNorm * lit(nm))).as("c"),
         lit(-i).as("nc"))
     }: _*)
+    // Above `literalNlistMax` cells the literal projection is swapped for
+    // the native [[graft.functions.IvfCells]] expression: the centroid
+    // matrix rides as ONE reference object, so generated code stays O(1)
+    // at any nlist (the literal plan grows linearly and falls out of
+    // codegen past a few hundred cells). Same arithmetic (left-to-right
+    // f64 fold, NaN-greatest compare, ties→smaller cid), so both paths
+    // rank identically; the conformance nlist=16 flavor keeps the
+    // oracle-restatable literal plan.
+    val useNative = nlist > literalNlistMax
+    val vdim = picked.headOption.map(_.getSeq[Float](1).size).getOrElse(0)
+    def nativeCells(cents: Array[(Int, Seq[Float], Double)], n: Int)(
+        vec: Column, vecNorm: Column): Column =
+      call_function("graft_ivf_cells", vec, vecNorm,
+        typedLit(cents.sortBy(_._1).flatMap(_._2).toSeq),
+        typedLit(cents.sortBy(_._1).map(_._3).toSeq), lit(n), lit(vdim))
     val base = corpus.select(col(idCol), col(vecCol), l2norm(col(vecCol)).as("__vn"))
     def assign(src: DataFrame, cents: Array[(Int, Seq[Float], Double)]): DataFrame =
-      src.withColumn("cid",
+      if (useNative)
+        src.withColumn("cid",
+          element_at(nativeCells(cents, 1)(col(vecCol), col("__vn")), 1))
+      else src.withColumn("cid",
         -array_max(cellScores(cents)(col(vecCol), col("__vn"))).getField("nc"))
     // Lloyd passes: decimal per-component means of each cell, f32-rounded.
     // The f32→DECIMAL path goes through DOUBLE first: a float cast
@@ -246,11 +269,17 @@ object Similarity {
     }
     if (iters > 0) cached.unpersist(blocking = false)
     val assigned = assign(base, cents)
-    val probed = queries
+    val probedBase = queries
       .select(col(idCol).as("qid"), col(vecCol).as("qe"), l2norm(col(vecCol)).as("__qn"))
-      .withColumn("__cell",
-        explode(slice(reverse(array_sort(cellScores(cents)(col("qe"), col("__qn")))), 1, nprobe)))
-      .select(col("qid"), col("qe"), col("__qn"), (-col("__cell.nc")).as("cid"))
+    val probed =
+      if (useNative)
+        probedBase
+          .withColumn("cid", explode(nativeCells(cents, nprobe)(col("qe"), col("__qn"))))
+          .select(col("qid"), col("qe"), col("__qn"), col("cid"))
+      else probedBase
+        .withColumn("__cell",
+          explode(slice(reverse(array_sort(cellScores(cents)(col("qe"), col("__qn")))), 1, nprobe)))
+        .select(col("qid"), col("qe"), col("__qn"), (-col("__cell.nc")).as("cid"))
     val scored = assigned.join(broadcast(probed), Seq("cid"))
       .filter(col("qid") =!= col(idCol))
       .withColumn("cos", fastDot(col("qe"), col(vecCol)) / (col("__qn") * col("__vn")))

@@ -75,6 +75,32 @@ object GraftFunctions {
         }
         PortableShingleHashes(children.head, n)
       }),
+    (new FunctionIdentifier("graft_ivf_cells"),
+      new ExpressionInfo(classOf[IvfCells].getName, "graft_ivf_cells"),
+      (children: Seq[Expression]) => {
+        require(children.size == 6,
+          "graft_ivf_cells takes (vec, vecNorm, centMatrix, cellNorms, nprobe, dim)")
+        val cents = children(2) match {
+          case Literal(a: org.apache.spark.sql.catalyst.util.ArrayData,
+              org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, _)) =>
+            a.toFloatArray()
+          case other => throw new IllegalArgumentException(
+            s"graft_ivf_cells centroid matrix must be an array<float> literal, got $other")
+        }
+        val norms = children(3) match {
+          case Literal(a: org.apache.spark.sql.catalyst.util.ArrayData,
+              org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType, _)) =>
+            a.toDoubleArray()
+          case other => throw new IllegalArgumentException(
+            s"graft_ivf_cells cell norms must be an array<double> literal, got $other")
+        }
+        val ints = children.drop(4).map {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_ivf_cells geometry must be integer literals, got $other")
+        }
+        IvfCells(children.head, children(1), cents, norms, ints(0), ints(1))
+      }),
     (new FunctionIdentifier("graft_lsh_buckets"),
       new ExpressionInfo(classOf[LshBuckets].getName, "graft_lsh_buckets"),
       (children: Seq[Expression]) => {

@@ -240,6 +240,28 @@ class DedupSimilaritySpec extends SparkSpec {
       s"Lloyd refinement regressed recall: $recall < $rawRecall")
   }
 
+  test("E3: IVF native-cell path matches the literal path; large nlist stays compact") {
+    val q = embs.filter(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    // literalNlistMax=0 forces the native IvfCells expression at nlist=16:
+    // ranking must be bit-identical to the literal projection
+    val lit16 = rows(Similarity.ivfTopK(embs, q, 5, nlist = 16, nprobe = 4))
+    val nat16 = rows(Similarity.ivfTopK(embs, q, 5, nlist = 16, nprobe = 4,
+      literalNlistMax = 0))
+    assert(lit16 == nat16)
+    // nlist above the 256 default takes the native path: the plan
+    // carries the centroid matrix as one reference object
+    // (graft_ivf_cells), not hundreds of per-centroid literal dots
+    val big = Similarity.ivfTopK(embs, q, 5, nlist = 300, nprobe = 16)
+    val p = big.queryExecution.executedPlan.toString
+    assert(p.contains("graft_ivf_cells"), s"native cell expr missing:\n${p.take(2000)}")
+    assert("graft_dot_f32".r.findAllMatchIn(p).size <= 8,
+      "per-centroid literal dots leaked into the large-nlist plan")
+    val bigRows = rows(big)
+    assert(bigRows.nonEmpty && bigRows.map(_._1).distinct.size == 10)
+  }
+
   test("E3: int8-quantized top-k tracks the full-precision ranking") {
     val q = embs.filter(col("vec_id") < 10)
     val brute = Similarity.bruteForceTopK(embs, q, 5)
