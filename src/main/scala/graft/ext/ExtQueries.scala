@@ -546,7 +546,37 @@ object ExtQueries {
           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY qcos DESC, vec_id) AS rn FROM sc)
       SELECT qid, vec_id, qcos, rn FROM r WHERE rn <= 5 ORDER BY qid, rn"""))
 
+  // E3 (LSH-bucketed dup pairs): the SCALE path for embedding-cosine
+  // near-dup detection, hash-checked end-to-end — e04's exact all-pairs
+  // flavor is fenced to a 1000-vector slice, while this runs the FULL
+  // corpus: candidates from the deterministic hyperplane buckets (same
+  // dyadic-grid family as e07, restated as SQL literals), exact cosine
+  // on candidates only. Recall is the hyperplane collision rate; every
+  // reported pair carries its true cosine (precision 1).
+  val e23 = Q(
+    "e23_cosine_dup_lsh",
+    (s, d) => Similarity.lshDupPairs(T.embeddings(s, d), threshold = 0.4)
+      .orderBy(col("id1"), col("id2")),
+    Some(s"""WITH corp AS (SELECT vec_id, embedding,
+        SQRT(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS vn
+        FROM embeddings),
+      buck AS (${lshTables.zipWithIndex.map { case (hp, t) =>
+        s"SELECT vec_id, $t AS tbl, ${bucketSql("embedding", hp)} AS bucket FROM embeddings"
+      }.mkString("\n        UNION ALL ")}),
+      pruned AS (SELECT * FROM
+          (SELECT *, COUNT(*) OVER (PARTITION BY tbl, bucket) AS bucket_n FROM buck)
+        WHERE bucket_n <= 1000),
+      pairs AS (SELECT DISTINCT x.vec_id AS id1, y.vec_id AS id2
+        FROM pruned x JOIN pruned y ON x.tbl = y.tbl AND x.bucket = y.bucket
+          AND x.vec_id < y.vec_id),
+      sc AS (SELECT p.id1, p.id2,
+          LIST_SUM(LIST_TRANSFORM(range(1, LEN(a.embedding)+1),
+            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+            / (a.vn * b.vn) AS cos
+        FROM pairs p JOIN corp a ON a.vec_id = p.id1 JOIN corp b ON b.vec_id = p.id2)
+      SELECT id1, id2, cos FROM sc WHERE cos >= 0.4 ORDER BY id1, id2"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
-      e15, e16, e17, e18, e19, e20, e21, e22)
+      e15, e16, e17, e18, e19, e20, e21, e22, e23)
 }

@@ -317,11 +317,54 @@ object Similarity {
       (ma / 127.0).as("scale"))
   }
 
+  /** Embedding-cosine near-duplicate pairs via the LSH bucket join —
+    * the scale path next to [[cosineDupPairs]]'s exact all-pairs flavor:
+    * candidates are corpus rows sharing any (table, bucket) under the
+    * same deterministic hyperplane family as [[lshTopK]], then exact
+    * cosine keeps pairs at/above the threshold. The quadratic blow-up of
+    * all-pairs never materializes — pair generation is per-bucket, and
+    * oversized buckets (degenerate directions) are dropped by
+    * `maxBucket` exactly as in the MinHash banding.
+    *
+    * Same self-join discipline as the Dedup banders: the bucket_n window
+    * forces an exchange on (tbl, bucket) that BOTH join sides reuse
+    * (plan-asserted for the banded family in PlanSpec), so the
+    * bucketing front runs once. Recall is the hyperplane collision
+    * probability (rises with cos; tune `tables`/`planes`); every
+    * REPORTED pair carries its exact cosine, so precision is 1. */
+  def lshDupPairs(
+      corpus: DataFrame, threshold: Double,
+      planes: Int = 8, dim: Int = 64, tables: Int = 8, maxBucket: Int = 1000,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val matrix: Seq[Float] =
+      (0 until tables).flatMap(t => hyperplanes(planes, dim, 42L + t).flatten)
+    val b = corpus.select(col(idCol).as("id"), col(vecCol).as("e"),
+      l2norm(col(vecCol)).as("nrm"),
+      posexplode(call_function("graft_lsh_buckets",
+        col(vecCol), typedLit(matrix), lit(tables), lit(planes), lit(dim)))
+        .as(Seq("tbl", "bucket")))
+    val pruned = b
+      .withColumn("bucket_n", count(lit(1)).over(
+        Window.partitionBy(col("tbl"), col("bucket"))))
+      .filter(col("bucket_n") <= maxBucket)
+    pruned.as("x").join(pruned.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("id1"), col("y.id").as("id2"),
+        col("x.e").as("e1"), col("y.e").as("e2"),
+        col("x.nrm").as("n1"), col("y.nrm").as("n2"))
+      .dropDuplicates("id1", "id2")
+      .withColumn("cos", fastDot(col("e1"), col("e2")) / (col("n1") * col("n2")))
+      .filter(col("cos") >= threshold)
+      .select(col("id1"), col("id2"), col("cos"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (cos ≥ threshold). Brute
-    * variant for conformance; the LSH bucket join is the scale path.
-    * Norms are projected once per side (each of the N² pairs costs one
-    * dot product); the division order matches the DuckDB oracle so
-    * results stay bit-equal. */
+    * variant for conformance; the LSH bucket join ([[lshDupPairs]]) is
+    * the scale path. Norms are projected once per side (each of the N²
+    * pairs costs one dot product); the division order matches the DuckDB
+    * oracle so results stay bit-equal. */
   def cosineDupPairs(
       corpus: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {

@@ -262,6 +262,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(bigRows.nonEmpty && bigRows.map(_._1).distinct.size == 10)
   }
 
+  test("E3: LSH dup pairs are a subset of exact dup pairs with identical cosines") {
+    val slice = embs.filter(col("vec_id") < 1000)
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val exact = toMap(Similarity.cosineDupPairs(slice, threshold = 0.4))
+    val lsh = toMap(Similarity.lshDupPairs(slice, threshold = 0.4))
+    assert(lsh.nonEmpty, "bucketed dup pairs should find something at 0.4 on this corpus")
+    // precision 1: every LSH-reported pair is a true dup pair with the
+    // exact same (bit-identical) cosine as the all-pairs flavor
+    assert(lsh.keySet.subsetOf(exact.keySet),
+      s"phantom pairs: ${lsh.keySet -- exact.keySet}")
+    lsh.foreach { case (k, c) => assert(exact(k) == c, s"cosine drift on $k") }
+    // deterministic: fixed hyperplane seed → identical output on re-run
+    assert(toMap(Similarity.lshDupPairs(slice, threshold = 0.4)) == lsh)
+  }
+
   test("E3: int8-quantized top-k tracks the full-precision ranking") {
     val q = embs.filter(col("vec_id") < 10)
     val brute = Similarity.bruteForceTopK(embs, q, 5)
