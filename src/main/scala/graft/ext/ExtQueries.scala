@@ -576,7 +576,28 @@ object ExtQueries {
         FROM pairs p JOIN corp a ON a.vec_id = p.id1 JOIN corp b ON b.vec_id = p.id2)
       SELECT id1, id2, cos FROM sc WHERE cos >= 0.4 ORDER BY id1, id2"""))
 
+  // E4 (repetition): Gopher-style intra-document duplicate n-gram
+  // fractions — the quality gate that catches boilerplate / looped
+  // generations before any cross-document dedup runs. Spark sizes the
+  // native shingle-hash multiset against its distinct form (map-only,
+  // codegen); the oracle rebuilds the n-gram STRINGS via list
+  // comprehensions and confirms (the usual collision argument).
+  val e24 = Q(
+    "e24_repetition",
+    (s, d) => TextOps.repetitionStats(T.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id")),
+    Some("""WITH w AS (SELECT doc_id, string_split(text,' ') ws FROM documents),
+      g AS (SELECT doc_id, ws,
+        [concat_ws(' ', ws[i], ws[i+1]) FOR i IN range(1, greatest(len(ws)-1,1)+1)] AS g2,
+        [concat_ws(' ', ws[i], ws[i+1], ws[i+2]) FOR i IN range(1, greatest(len(ws)-2,1)+1)] AS g3
+        FROM w)
+      SELECT doc_id,
+        CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE)/len(g2) AS dup_2gram_ratio,
+        CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE)/len(g3) AS dup_3gram_ratio,
+        CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE)/len(ws) AS dup_token_ratio
+      FROM g ORDER BY doc_id"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
-      e15, e16, e17, e18, e19, e20, e21, e22, e23)
+      e15, e16, e17, e18, e19, e20, e21, e22, e23, e24)
 }

@@ -143,6 +143,33 @@ object TextOps {
       .drop("__n_tokens")
   }
 
+  /** Intra-document repetition signals — the Gopher-style duplicate
+    * n-gram fractions a pre-training filter gates on (boilerplate and
+    * looped generations repeat internally long before they collide with
+    * other documents): per doc, the fraction of n-gram POSITIONS whose
+    * n-gram already occurred earlier in the document (n = 2, 3), plus
+    * the duplicate-token fraction. 0 = no internal repetition.
+    *
+    * Map-only: the native [[graft.functions.ShingleHashes]] multiset
+    * (one 64-bit hash per position, whole stage stays codegen) sized
+    * against its distinct form. Spark counts duplicate HASHES — an
+    * xxhash64 collision (~2⁻⁶⁴ per pair) could over-count by one; the
+    * DuckDB oracle builds the n-gram strings themselves and confirms. */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    def dupFrac(n: Int): Column = {
+      val sh = call_function("graft_shingle_hashes", col(textCol), lit(n))
+      (size(sh) - size(array_distinct(sh))).cast(DoubleType) / size(sh)
+    }
+    val tok = tokens(col(textCol))
+    df.select(
+      col(idCol),
+      dupFrac(2).as("dup_2gram_ratio"),
+      dupFrac(3).as("dup_3gram_ratio"),
+      ((size(tok) - size(array_distinct(tok))).cast(DoubleType) / size(tok))
+        .as("dup_token_ratio"))
+  }
+
   /** Content fingerprint: md5 of the case-folded text — the exact-dup
     * key for E1 at scale (hash once, group by 16 bytes, never by the
     * full text). */

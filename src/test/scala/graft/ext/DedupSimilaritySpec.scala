@@ -164,6 +164,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!buf2.toString.contains("maxDf dropped"), buf2.toString.take(500))
   }
 
+  test("repetition stats: duplicate n-gram fractions per position") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b a b a"),   // tokens 3/5 dup; 2-grams 2/4 dup; 3-grams 1/3 dup
+      (2L, "p q r s t"),   // no repetition anywhere
+      (3L, "x"))           // shorter than n: one whole-text shingle, 0 ratios
+      .toDF("doc_id", "text")
+    val out = TextOps.repetitionStats(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0),
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((0.5, 1.0 / 3, 0.6)), out(1L).toString)
+    assert(out(2L) == ((0.0, 0.0, 0.0)))
+    assert(out(3L) == ((0.0, 0.0, 0.0)))
+  }
+
   test("contamination overlap counts eval shingles found in the train source") {
     import spark.implicits._
     val df = Seq(
