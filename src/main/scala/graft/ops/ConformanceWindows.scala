@@ -91,5 +91,50 @@ object ConformanceWindows {
         value / CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (PARTITION BY event_type) AS DOUBLE) AS share
       FROM events ORDER BY event_id"""))
 
-  val all: Seq[Q] = Seq(c18, c19, c20, c21)
+  // C43: gap-based sessionization — the canonical behavioral transform
+  // over an event stream (and the batch mirror of the streaming session
+  // windows in streaming/StreamingSync): a new session starts when a
+  // user's inter-event gap exceeds 30 minutes; per session, event count
+  // and exact duration.
+  //
+  // Scale shape: ONE hash exchange on user_id serves both windows (lag
+  // and the running sum share the same partitioning+ordering), then the
+  // per-session aggregation reduces map-side before its exchange. No
+  // global sort, no driver state — per-user groups are bounded. Times
+  // are compared as epoch MICROSECONDS (longs): Spark's events loader
+  // truncates the parquet nanos with `div 1000`, the oracle mirrors with
+  // `epoch_ns // 1000`, so boundaries and durations are exact integers
+  // on both engines. Tied timestamps cannot flip session ids (a zero gap
+  // never opens a session), so the cumulative sum is order-stable.
+  val c43 = Q(
+    "c43_sessionize",
+    (s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val gapUs = 1800L * 1000000L // 30 min
+      T.events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+        .withColumn("new_sess",
+          when(lag(col("us"), 1).over(w).isNull ||
+            col("us") - lag(col("us"), 1).over(w) > gapUs, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_sess")).over(run))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          (max(col("us")) - min(col("us"))).as("duration_us"))
+        .orderBy(col("user_id"), col("session_id"))
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events),
+      m AS (SELECT user_id, us,
+          CASE WHEN LAG(us) OVER w IS NULL OR us - LAG(us) OVER w > 1800000000
+            THEN 1 ELSE 0 END AS new_sess
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+      s AS (SELECT user_id, us,
+          CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM m)
+      SELECT user_id, session_id, COUNT(*) AS n_events,
+        MAX(us) - MIN(us) AS duration_us
+      FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id"""))
+
+  val all: Seq[Q] = Seq(c18, c19, c20, c21, c43)
 }

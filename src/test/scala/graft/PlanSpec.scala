@@ -102,6 +102,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n$p")
   }
 
+  test("C43: both session windows ride ONE user_id exchange") {
+    val p = plan("c43_sessionize")
+    // lag and the running session-id sum share partitioning AND ordering,
+    // so the planner must emit a single hash exchange on user_id (a
+    // second one would re-shuffle the events between the two windows)
+    val exchanges = "Exchange hashpartitioning\\(user_id".r.findAllMatchIn(p).size
+    assert(exchanges == 1, s"expected one user_id exchange, got $exchanges:\n$p")
+    // and a single (user_id, us) sort below the windows — the other
+    // user_id sort in the plan is the final presentation orderBy
+    assert("Sort \\[user_id[^\\]]*us#".r.findAllMatchIn(p).size == 1,
+      s"expected exactly one window sort on (user_id, us):\n$p")
+  }
+
   test("E5/E6: banded self-join shares the signature-front exchange") {
     // VERDICT r5 item 3: if exchange reuse doesn't fire, the
     // shingle→signature→band front runs once PER JOIN SIDE — at 100 TB
