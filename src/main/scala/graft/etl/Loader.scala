@@ -153,15 +153,27 @@ final class ParquetLoader(warehouseDir: String, schema: String) extends Loader {
     // two-rename swap is not atomic, so repair before starting —
     //  - `__old` present, table dir gone: the crash hit between retire
     //    and promote; the retired dir IS the table — rename it back;
-    //  - `__old` present, table dir present: promote succeeded, only the
-    //    cleanup was lost — finish it;
-    //  - leftover `__compact`: a dead write or unpromoted staging —
-    //    discard (its data still lives in the table or in `__old`).
+    //  - `__old` present, table present, NO `__compact`: the promote
+    //    succeeded (staging became the table) and only the cleanup was
+    //    lost — finish it;
+    //  - `__old` present, table present, `__compact` ALSO present: the
+    //    table dir was recreated by a LOAD that ran after a
+    //    between-renames crash — `__old` holds the only pre-crash rows
+    //    and the new dir holds post-crash loads. Deleting either loses
+    //    data and merging is a policy call: refuse with instructions
+    //    rather than guess;
+    //  - leftover `__compact` alone: a dead write — discard (its data
+    //    still lives in the table).
     val retired = new java.io.File(path.getParentFile, s"${path.getName}__old")
     val staging = new java.io.File(path.getParentFile, s"${path.getName}__compact")
     if (retired.isDirectory && !path.isDirectory) {
       System.err.println(s"[compact] recovering interrupted swap: restoring $retired")
       if (!retired.renameTo(path)) sys.error(s"compact: cannot restore $retired to $path")
+    } else if (retired.isDirectory && staging.isDirectory) {
+      sys.error(s"compact: found BOTH $retired and $staging next to a live table " +
+        s"directory — a load ran after an interrupted swap, so $retired holds " +
+        s"pre-crash rows absent from $path. Reconcile manually (append $retired's " +
+        s"files into $path, or remove $retired if its rows are obsolete), then re-run")
     } else if (retired.isDirectory) {
       System.err.println(s"[compact] removing leftover $retired from interrupted cleanup")
       rm(retired)
@@ -181,18 +193,16 @@ final class ParquetLoader(warehouseDir: String, schema: String) extends Loader {
     // as its inferred form (month=1), changing directory names for any
     // non-self-describing layout. With inference off the values round-
     // trip as the exact strings in the directory names; readers
-    // re-infer types on their next scan as before. The conf is read at
-    // DataFrame creation (schema resolution is eager), so restoring it
-    // immediately after is safe.
-    val inferKey = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    val inferPrev = spark.conf.get(inferKey)
-    val df =
-      try {
-        spark.conf.set(inferKey, "false")
-        val d = spark.read.parquet(path.toString)
-        d.schema // force resolution while inference is off
-        d
-      } finally spark.conf.set(inferKey, inferPrev)
+    // re-infer types on their next scan as before. The conf is flipped
+    // in an ISOLATED session (shares the SparkContext and cache, own
+    // SQLConf) — toggling it on the caller's session would race any
+    // concurrent reader in the same JVM into string-typed partition
+    // columns for the toggle window.
+    val df = {
+      val isolated = spark.newSession()
+      isolated.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
+      isolated.read.parquet(path.toString)
+    }
     // partition columns (year=/month=/date= dirs) are those in the read
     // schema but absent from every leaf file's own columns — recluster by
     // them; flat tables get an even coalesce to the byte-derived count
@@ -287,13 +297,25 @@ final class JdbcLoader(url: String, user: String, password: String, schema: Stri
     // table — the second sync run would fail. The reference answers with
     // DROP TABLE ... CASCADE (postgresql.py:77-79), silently killing the
     // view until its next CREATE. Do better when possible: if the target
-    // exists with the same column set, TRUNCATE + reload — dependent
-    // views survive the refresh entirely. Only a schema-changing
-    // overwrite falls back to drop-and-recreate, trying CASCADE first
-    // (PG) and a plain DROP for dialects without it (Derby).
-    val truncate = mode == SaveMode.Overwrite &&
-      targetColumns(table).exists(cols =>
-        cols.map(_.toLowerCase).toSet == out.columns.map(_.toLowerCase).toSet)
+    // exists with the same column names AND types, TRUNCATE + reload —
+    // dependent views survive the refresh entirely. Any schema change
+    // (renamed column OR retyped column — a name-only check would
+    // TRUNCATE away the old rows and then fail the insert, or silently
+    // keep stale column types) falls back to drop-and-recreate, trying
+    // CASCADE first (PG) and a plain DROP for dialects without it
+    // (Derby). Types compare on the Spark side: the existing table's
+    // JDBC schema read back through the dialect vs the outgoing frame —
+    // a type that doesn't round-trip identically (rare: Byte→Short)
+    // just takes the safe drop path.
+    val truncate = mode == SaveMode.Overwrite && targetSparkSchema(df, table).exists {
+      existing =>
+        existing.length == out.schema.length &&
+          existing.sortBy(_.name.toLowerCase)
+            .zip(out.schema.fields.sortBy(_.name.toLowerCase))
+            .forall { case (a, b) =>
+              a.name.equalsIgnoreCase(b.name) && a.dataType == b.dataType
+            }
+    }
     if (mode == SaveMode.Overwrite && !truncate) dropForOverwrite(table)
     out.write
       .mode(mode)
@@ -304,20 +326,17 @@ final class JdbcLoader(url: String, user: String, password: String, schema: Stri
     tableCount(table) - before
   }
 
-  /** Column names of the existing target; None when it does not exist.
-    * Existence goes through the metadata probe first so a transient
-    * failure on the column query propagates instead of reading as
-    * "absent" (which would needlessly drop-and-recreate). */
-  private def targetColumns(table: String): Option[Seq[String]] = withConnection { c =>
-    if (!tableExists(c, table)) None
-    else {
-      val rs = c.createStatement().executeQuery(
-        s"SELECT * FROM ${qualified(table)} WHERE 1=0")
-      try {
-        val md = rs.getMetaData
-        Some((1 to md.getColumnCount).map(md.getColumnName))
-      } finally rs.close()
-    }
+  /** The existing target's schema as Spark sees it (dialect-mapped);
+    * None when the table does not exist. Existence goes through the
+    * metadata probe first so a transient failure on the schema read
+    * propagates instead of reading as "absent" (which would needlessly
+    * drop-and-recreate). The read resolves schema only — no data query. */
+  private def targetSparkSchema(df: DataFrame,
+      table: String): Option[Seq[org.apache.spark.sql.types.StructField]] = {
+    val exists = withConnection(c => tableExists(c, table))
+    if (!exists) None
+    else Some(df.sparkSession.read.jdbc(url, qualified(table), props)
+      .schema.fields.toSeq)
   }
 
   /** Drop the target ahead of a schema-changing overwrite. CASCADE first

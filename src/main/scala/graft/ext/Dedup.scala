@@ -406,14 +406,10 @@ object Dedup {
     // session listener warns on stderr after the action completes
     val postings =
       if (maxDf == Int.MaxValue) shared
-      else {
-        registerMaxDfListener(df.sparkSession)
-        shared
-          .observe(s"graft_jaccard_maxdf_${maxDfMetricSeq.incrementAndGet()}",
-            sum(when(size(col("ds")) > maxDf, 1L).otherwise(0L)).as("dropped"),
-            max(when(size(col("ds")) > maxDf, size(col("ds")))).as("hottest"))
-          .filter(size(col("ds")) <= maxDf)
-      }
+      else ObservedDrops.observe(shared, "jaccard_maxdf",
+          sum(when(size(col("ds")) > maxDf, 1L).otherwise(0L)),
+          max(when(size(col("ds")) > maxDf, size(col("ds")))).cast(LongType))
+        .filter(size(col("ds")) <= maxDf)
     // all strictly-ordered pairs within a posting list, generated in-row
     // (the d1 < d2 filter also drops self-pairs that duplicate doc ids in
     // the input would otherwise produce, matching the old a.doc < b.doc
@@ -433,31 +429,4 @@ object Dedup {
       .select(col("doc1"), col("doc2"), col("jaccard"))
   }
 
-  private val maxDfMetricSeq = new java.util.concurrent.atomic.AtomicLong()
-  // sessions that already carry the maxDf warn listener (weak keys: the
-  // registry must not pin a stopped session in memory)
-  private val maxDfListenerSessions =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]())
-
-  /** One listener per session that reads the jaccardPairs observe metric
-    * after each action and warns when the maxDf bound dropped posting
-    * lists — otherwise near-dup pairs vanish silently for any caller on
-    * the default bound. */
-  private def registerMaxDfListener(spark: org.apache.spark.sql.SparkSession): Unit =
-    if (maxDfListenerSessions.put(spark, java.lang.Boolean.TRUE) == null) {
-      spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
-        override def onSuccess(funcName: String,
-            qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
-          qe.observedMetrics.foreach { case (name, row) =>
-            if (name.startsWith("graft_jaccard_maxdf_") && !row.isNullAt(0) && row.getLong(0) > 0)
-              System.err.println(s"[graft] jaccardPairs maxDf dropped ${row.getLong(0)} " +
-                s"hot posting list(s) (largest held ${row.getInt(1)} docs); pairs sharing " +
-                "only those shingles are not reported and intersection counts shrink — " +
-                "raise maxDf (Int.MaxValue = exact) if this matters")
-          }
-        override def onFailure(funcName: String,
-            qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
-      })
-    }
 }

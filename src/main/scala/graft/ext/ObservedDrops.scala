@@ -1,0 +1,71 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Shared drop-surfacing for operators that bound their work (maxDf hot
+  * posting lists, maxBucket LSH buckets): an `observe` metric counts the
+  * discarded items inside the operator's own job — no extra pass — and a
+  * per-session listener warns on stderr after the action completes, so a
+  * silently-thinned result never masquerades as a complete one.
+  *
+  * The listener rides Spark's (async) listener bus; callers in tests
+  * must poll for the warning rather than assert right after the action.
+  */
+private[ext] object ObservedDrops {
+
+  private val seq = new java.util.concurrent.atomic.AtomicLong()
+  // weak keys: the registry must not pin a stopped session in memory
+  private val sessions =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+
+  /** Attach a (dropped, largest) metric under `kind` and ensure the
+    * session's warn listener. The frame's rows are unchanged.
+    *
+    * If the observed frame is later SELF-JOINED, both sides carry the
+    * same metric node — Spark allows the duplicate name because the
+    * subtrees are `sameResult` (and exchange reuse stays available,
+    * since both sides remain identical). When reuse does not fire (tiny
+    * inputs planned as broadcast), each executed branch adds its count,
+    * so `dropped` can arrive ×(branches run): treat it as "nonzero ⇒
+    * the bound engaged", not as an exact tally, in such shapes. */
+  def observe(df: DataFrame, kind: String, dropped: Column, largest: Column): DataFrame = {
+    register(df.sparkSession)
+    df.observe(s"graft_drop_${kind}_${seq.incrementAndGet()}",
+      dropped.as("dropped"), largest.as("largest"))
+  }
+
+  private def message(kind: String, dropped: Long, largest: Long): String = kind match {
+    case "jaccard_maxdf" =>
+      s"[graft] jaccardPairs maxDf dropped $dropped hot posting list(s) " +
+        s"(largest held $largest docs); pairs sharing only those shingles are " +
+        "not reported and intersection counts shrink — raise maxDf " +
+        "(Int.MaxValue = exact) if this matters"
+    case "lsh_maxbucket" =>
+      s"[graft] lshDupPairs maxBucket engaged: overfull bucket(s) dropped " +
+        s"(largest held $largest rows; ~$dropped entries across join branches); " +
+        "pairs confined to those buckets are not reported — raise maxBucket " +
+        "or add tables if this matters"
+    case other =>
+      s"[graft] $other dropped $dropped item(s) (largest $largest)"
+  }
+
+  private def register(spark: SparkSession): Unit =
+    if (sessions.put(spark, java.lang.Boolean.TRUE) == null) {
+      spark.listenerManager.register(new QueryExecutionListener {
+        override def onSuccess(funcName: String, qe: QueryExecution,
+            durationNs: Long): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            if (name.startsWith("graft_drop_") && !row.isNullAt(0) && row.getLong(0) > 0)
+              System.err.println(message(
+                name.stripPrefix("graft_drop_").replaceAll("_\\d+$", ""),
+                row.getLong(0),
+                if (row.isNullAt(1)) 0L else row.getLong(1)))
+          }
+        override def onFailure(funcName: String, qe: QueryExecution,
+            exception: Exception): Unit = ()
+      })
+    }
+}

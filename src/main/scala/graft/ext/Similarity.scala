@@ -344,9 +344,17 @@ object Similarity {
       posexplode(call_function("graft_lsh_buckets",
         col(vecCol), typedLit(matrix), lit(tables), lit(planes), lit(dim)))
         .as(Seq("tbl", "bucket")))
-    val pruned = b
-      .withColumn("bucket_n", count(lit(1)).over(
-        Window.partitionBy(col("tbl"), col("bucket"))))
+    // surface the skew bound when it bites (same discipline as
+    // jaccardPairs' maxDf): the metric rides both join sides as the SAME
+    // sameResult subtree, so exchange reuse stays available; when reuse
+    // doesn't fire (tiny broadcast plans) the count can arrive once per
+    // executed branch — the message treats it as approximate
+    val pruned = ObservedDrops.observe(
+        b.withColumn("bucket_n", count(lit(1)).over(
+          Window.partitionBy(col("tbl"), col("bucket")))),
+        "lsh_maxbucket",
+        sum(when(col("bucket_n") > maxBucket, 1L).otherwise(0L)),
+        max(when(col("bucket_n") > maxBucket, col("bucket_n"))))
       .filter(col("bucket_n") <= maxBucket)
     pruned.as("x").join(pruned.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&

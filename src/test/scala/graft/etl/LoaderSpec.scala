@@ -96,12 +96,23 @@ class LoaderSpec extends SparkSpec {
     ld.compact(spark, "r")
     assert(tdir.isDirectory && !old.exists)
     assert(ld.table(spark, "r").count() == 2)
-    // crash after promote, cleanup lost: stale __old and __compact dirs
+    // crash after promote, cleanup lost (NO staging left): stale __old
+    // is finished off
+    assert(old.mkdirs())
+    ld.compact(spark, "r")
+    assert(!old.exists)
+    assert(ld.table(spark, "r").count() == 2)
+    // a load ran AFTER a between-renames crash: __old + __compact + a
+    // live (recreated) table dir — __old holds the only pre-crash rows,
+    // so compact must refuse rather than delete either side
     assert(old.mkdirs())
     val staging = new java.io.File(s"$wh/s/r__compact")
     assert(staging.mkdirs())
+    val err = intercept[RuntimeException] { ld.compact(spark, "r") }
+    assert(err.getMessage.contains("Reconcile manually"), err.getMessage)
+    assert(old.exists && tdir.isDirectory) // nothing deleted
+    assert(old.delete() && staging.delete()) // operator reconciles; compact ok again
     ld.compact(spark, "r")
-    assert(!old.exists && !staging.exists)
     assert(ld.table(spark, "r").count() == 2)
   }
 
@@ -167,6 +178,13 @@ class LoaderSpec extends SparkSpec {
     val err = intercept[IllegalStateException] { ld.load(df3, "vt", "replace") }
     assert(err.getMessage.contains("dependent view"))
     assert(ld.table(spark, "vt").count() == 2L) // target untouched by the failure
+    // a TYPE-only change (same column names) is also a schema change:
+    // the truncate path must NOT engage (it would destroy the rows and
+    // then fail the insert) — same clear error as the renamed case
+    val retyped = Seq(("one", "a")).toDF("id", "Resource.Tags/env")
+    val err2 = intercept[IllegalStateException] { ld.load(retyped, "vt", "replace") }
+    assert(err2.getMessage.contains("dependent view"))
+    assert(ld.table(spark, "vt").count() == 2L) // rows survived (no truncate)
     // with the view gone the schema change goes through as drop+recreate
     exec("DROP VIEW APP.vt_costs")
     assert(ld.load(df3, "vt", "replace") == 1L)

@@ -293,6 +293,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(toMap(Similarity.lshDupPairs(slice, threshold = 0.4)) == lsh)
   }
 
+  test("E3: lshDupPairs surfaces the maxBucket bound on stderr when it bites") {
+    val slice = embs.filter(col("vec_id") < 200)
+    val buf = new java.io.ByteArrayOutputStream()
+    val prev = System.err
+    System.setErr(new java.io.PrintStream(buf, true))
+    try {
+      // maxBucket=1 drops every shared bucket — the bound must be loud
+      Similarity.lshDupPairs(slice, threshold = 0.0, maxBucket = 1).collect()
+      val deadline = System.currentTimeMillis() + 15000
+      while (!buf.toString.contains("maxBucket engaged") &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+    } finally System.setErr(prev)
+    assert(buf.toString.contains("lshDupPairs maxBucket engaged"),
+      s"expected a drop warning, stderr was: ${buf.toString.take(500)}")
+  }
+
   test("E3: int8-quantized top-k tracks the full-precision ranking") {
     val q = embs.filter(col("vec_id") < 10)
     val brute = Similarity.bruteForceTopK(embs, q, 5)
