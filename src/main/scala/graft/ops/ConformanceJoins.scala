@@ -174,5 +174,25 @@ object ConformanceJoins {
         ON c_acctbal >= s_acctbal AND c_acctbal <= s_acctbal + 1000
       ORDER BY c_custkey, s_suppkey"""))
 
-  val all: Seq[Q] = Seq(c11, c12, c13, c14, c15, c16, c17, c34, c35)
+  // C45: the salted-join skew technique, hash-checked — salting must be
+  // pure plumbing: spreading the big side over `factor` synthetic
+  // sub-keys and replicating the small side can change NOTHING about the
+  // result. The oracle is the PLAIN join, so any salt leak (a __salt
+  // column surviving, a dropped/duplicated row, a replication mismatch)
+  // breaks the hash. Aggregated per nation to keep the declared result
+  // small; the join itself runs at full lineitem width.
+  val c45 = Q(
+    "c45_salted_join",
+    (s, d) => graft.ext.Skew.saltedJoin(
+        T.lineitem(s, d).select(col("l_suppkey"), col("l_extendedprice")),
+        T.supplier(s, d).select(col("s_suppkey").as("l_suppkey"), col("s_nationkey")),
+        Seq("l_suppkey"), factor = 8)
+      .groupBy(col("s_nationkey"))
+      .agg(Qh.dsum(col("l_extendedprice")).as("revenue"), count(lit(1)).as("n"))
+      .orderBy(col("s_nationkey")),
+    Some(s"""SELECT s_nationkey, ${Qh.oSum("l_extendedprice")} AS revenue, COUNT(*) AS n
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_nationkey ORDER BY s_nationkey"""))
+
+  val all: Seq[Q] = Seq(c11, c12, c13, c14, c15, c16, c17, c34, c35, c45)
 }

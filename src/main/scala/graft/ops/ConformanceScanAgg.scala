@@ -162,5 +162,31 @@ object ConformanceScanAgg {
       FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
       ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""))
 
-  val all: Seq[Q] = Seq(c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c42)
+  // C44: explicit GROUPING SETS — the general form behind ROLLUP (c10)
+  // and CUBE (c42): a MIXED set list ((status, priority), (priority), ())
+  // that neither shorthand can express. Same grouping_id bit order and
+  // NULLS FIRST presentation discipline as c42.
+  val c44 = Q(
+    "c44_grouping_sets",
+    (s, d) => T.orders(s, d)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping_id().cast(IntegerType).as("gid"),
+        dsum(col("o_totalprice")).as("sum_price"),
+        count(lit(1)).as("n"))
+      .select(col("gid"), col("o_orderstatus"), col("o_orderpriority"),
+        col("sum_price"), col("n"))
+      .orderBy(col("gid"),
+        col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first),
+    Some(s"""SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+      o_orderstatus, o_orderpriority,
+      ${oSum("o_totalprice")} AS sum_price, COUNT(*) AS n
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
+      ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""))
+
+  val all: Seq[Q] = Seq(c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c42, c44)
 }
