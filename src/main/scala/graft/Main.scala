@@ -16,7 +16,7 @@ object Main {
       """usage: graft.Main <command> [options]
         |
         |commands:
-        |  sync [--months N] [--raw-only] [--dry-run] [--all-accounts] [--as-of YYYY-MM-DD] [--no-file-audit]
+        |  sync [--months N] [--raw-only] [--dry-run] [--all-accounts] [--as-of YYYY-MM-DD] [--no-file-audit] [--incremental]
         |  compact <table> [--target-mb N]     (parquet warehouse only)
         |  query <sql> [--max-rows N]
         |  list-accounts
@@ -125,6 +125,7 @@ object Main {
       case "--months" :: n :: t   => go(t, o.copy(months = num(n).toInt))
       case "-m" :: n :: t         => go(t, o.copy(months = num(n).toInt))
       case "--raw-only" :: t      => go(t, o.copy(rawOnly = true))
+      case "--incremental" :: t   => go(t, o.copy(incremental = true))
       case "--dry-run" :: t       => go(t, o.copy(dryRun = true))
       case "--all-accounts" :: t  => go(t, o.copy(allAccounts = true))
       case "--no-file-audit" :: t => go(t, o.copy(auditFiles = false))

@@ -32,6 +32,14 @@ trait Loader extends AutoCloseable {
     * cleaned loader-side; `replace` drops and recreates, `append` inserts,
     * `fail` errors if the table exists.
     *
+    * `upsert_partitions` (parquet sink only, requires `partitionBy`):
+    * dynamic partition overwrite — ONLY the partition values present in
+    * the incoming frame are rewritten; every other partition is left
+    * untouched. The incremental-sync primitive: at 100 TB a 1-month
+    * re-sync over a multi-year table rewrites 1/36th of it instead of
+    * all of it. JDBC sinks reject the mode (no portable partition
+    * semantics) rather than silently degrading.
+    *
     * `partitionBy` requests a physically partitioned layout where the
     * sink supports one (the parquet sink; JDBC sinks ignore it) — at
     * 100 TB the serving tier must prune on its query keys, so the sync
@@ -103,6 +111,9 @@ final class ParquetLoader(warehouseDir: String, schema: String) extends Loader {
 
   override def load(df: DataFrame, table: String, ifExists: String,
       partitionBy: Seq[String]): Long = {
+    val dynamic = ifExists == "upsert_partitions"
+    require(!dynamic || partitionBy.nonEmpty,
+      "upsert_partitions requires a partitioned layout (partitionBy)")
     if (df.isEmpty) return 0L // postgresql.py:64-66
     // Cluster rows by the partition keys before a partitionBy write:
     // without this every one of the N shuffle partitions opens a writer
@@ -114,8 +125,14 @@ final class ParquetLoader(warehouseDir: String, schema: String) extends Loader {
     val clustered =
       if (partitionBy.isEmpty) cleaned(df)
       else cleaned(df).repartition(partitionBy.map(org.apache.spark.sql.functions.col): _*)
+    // dynamic partition overwrite is a per-write option (no session-conf
+    // toggle): Overwrite then only replaces the partition values the
+    // frame actually carries
+    val mode = if (dynamic) SaveMode.Overwrite else saveMode(ifExists)
     writeCounted(clustered)(
-      _.write.mode(saveMode(ifExists)).partitionBy(partitionBy: _*).parquet(dir(table)))
+      _.write.mode(mode)
+        .option("partitionOverwriteMode", if (dynamic) "dynamic" else "static")
+        .partitionBy(partitionBy: _*).parquet(dir(table)))
   }
 
   override def table(spark: SparkSession, name: String): DataFrame =
@@ -282,6 +299,9 @@ final class JdbcLoader(url: String, user: String, password: String, schema: Stri
       partitionBy: Seq[String]): Long = {
     // JDBC tables have no physical partitioning; the layout hint is a
     // parquet-sink concern (indexes serve the same role in PG).
+    require(ifExists != "upsert_partitions",
+      "upsert_partitions is a parquet-sink mode; JDBC sinks have no portable " +
+        "partition-overwrite semantics (use replace, or a DB-side MERGE)")
     if (df.isEmpty) return 0L
     val out = cleaned(df)
     val mode = saveMode(ifExists)

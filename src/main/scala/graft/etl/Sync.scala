@@ -31,7 +31,14 @@ object Sync {
       // in-window files (see auditSkippedFiles) — default on; operators
       // syncing huge object-store roots can trade the zero-row check
       // away with --no-file-audit
-      auditFiles: Boolean = true)
+      auditFiles: Boolean = true,
+      // incremental mode (parquet sink): loads use dynamic partition
+      // overwrite so ONLY the synced months'/dates' partitions are
+      // rewritten and earlier history accumulates — the 100 TB shape,
+      // where a 1-month sync must not rewrite a multi-year table. The
+      // default (off) keeps the reference's drop-and-recreate semantics:
+      // the warehouse holds exactly the current window after each run.
+      incremental: Boolean = false)
 
   final case class TableResult(
       table: String,
@@ -191,7 +198,21 @@ object Sync {
           println(s"[dry-run] accounts: ${if (accountIds.isEmpty) "ALL" else accountIds.mkString(",")}")
           df.explain(true)
         } else {
-          val rawRows = loader.load(df, s"raw_$table", ifExists = "replace")
+          // incremental mode writes raw partitioned by the source month
+          // columns under dynamic overwrite: re-syncing a month replaces
+          // exactly that month, earlier months stay. A source without
+          // year/month columns (flat root) can't month-partition — fall
+          // back to replace with a warning rather than corrupt semantics.
+          val rawPartCols = Seq("year", "month").filter(df.columns.contains)
+          val rawIncremental = opts.incremental && rawPartCols.size == 2
+          if (opts.incremental && !rawIncremental)
+            System.err.println(s"[sync] $path has no year/month columns; " +
+              "incremental raw load degrades to replace for this source")
+          val rawRows =
+            if (rawIncremental)
+              loader.load(df, s"raw_$table", ifExists = "upsert_partitions",
+                partitionBy = rawPartCols)
+            else loader.load(df, s"raw_$table", ifExists = "replace")
           val normRows =
             if (opts.rawOnly || rawRows == 0L) 0L
             else {
@@ -202,14 +223,29 @@ object Sync {
               // resolution provably binds the same source columns either
               // way (see resolutionAgrees); otherwise the source is
               // scanned a second time — correctness over the I/O saving.
+              // In incremental mode the raw table accumulates ALL months,
+              // so the read-back is re-scoped to this window (a pruned
+              // partition read — year/month are its partition columns);
+              // without the filter every sync would re-normalize and
+              // rewrite the entire history.
               val normSource = loader.readBack(spark, s"raw_$table")
                 .filter(_ => resolutionAgrees(df.columns.toSeq, Normalize.awsCur))
+                .map { back =>
+                  if (!rawIncremental) back
+                  else back.filter(window.months
+                    .map(m => col("year") === m.getYear && col("month") === m.getMonthValue)
+                    .reduce(_ || _))
+                }
                 .getOrElse(df)
               val normalized = Normalize.normalize(
                 normSource, Normalize.awsCur, table, lit(syncTs))
               // serving queries filter/group on date — a date-partitioned
-              // layout lets every reader prune to the days it touches
-              loader.load(normalized, s"${table}_normalized", ifExists = "replace",
+              // layout lets every reader prune to the days it touches.
+              // Incremental mode rewrites only the dates in this window
+              // (CUR re-issues whole months, so a month's dates are
+              // always complete in the incoming frame).
+              loader.load(normalized, s"${table}_normalized",
+                ifExists = if (opts.incremental) "upsert_partitions" else "replace",
                 partitionBy = Seq("date"))
             }
           if (rawRows > 0L && !opts.rawOnly) processed :+= table

@@ -116,6 +116,31 @@ class LoaderSpec extends SparkSpec {
     assert(ld.table(spark, "r").count() == 2)
   }
 
+  test("ParquetLoader: upsert_partitions rewrites only the incoming partition values") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft_wh").toString
+    val ld = new ParquetLoader(wh, "s")
+    ld.ensureNamespace()
+    val jan = Seq((1L, 10.0, "2024-01"), (2L, 20.0, "2024-01")).toDF("id", "v", "month")
+    val feb = Seq((3L, 30.0, "2024-02")).toDF("id", "v", "month")
+    assert(ld.load(jan, "inc", "upsert_partitions", partitionBy = Seq("month")) == 2L)
+    assert(ld.load(feb, "inc", "upsert_partitions", partitionBy = Seq("month")) == 1L)
+    // both months present: February did not wipe January
+    assert(ld.table(spark, "inc").count() == 3L)
+    // re-issuing January with different rows replaces ONLY January
+    val jan2 = Seq((9L, 90.0, "2024-01")).toDF("id", "v", "month")
+    assert(ld.load(jan2, "inc", "upsert_partitions", partitionBy = Seq("month")) == 1L)
+    val rows = ld.table(spark, "inc").select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(rows == Seq(3L, 9L), rows.toString)
+    // the mode requires a partitioned layout, and JDBC sinks reject it
+    intercept[IllegalArgumentException] { ld.load(jan, "inc2", "upsert_partitions") }
+    val jd = new JdbcLoader(s"jdbc:derby:memory:graftinc${System.nanoTime()};create=true",
+      "", "", "APP")
+    intercept[IllegalArgumentException] {
+      jd.load(jan, "inc", "upsert_partitions", partitionBy = Seq("month"))
+    }
+  }
+
   test("ParquetLoader: fail mode errors when the table exists") {
     val wh = Files.createTempDirectory("graft_wh").toString
     val ld = new ParquetLoader(wh, "s")

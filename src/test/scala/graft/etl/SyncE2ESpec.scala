@@ -250,6 +250,61 @@ class SyncE2ESpec extends SparkSpec {
     assert(log == Seq(("cur_acct1", "success"), ("cur_acct2", "warning")), log.toString)
   }
 
+  test("incremental sync accumulates months; replace mode keeps window-only semantics") {
+    // the 100 TB shape: month N's sync must not rewrite months 1..N-1.
+    // Fixture holds January + February; sync each month separately in
+    // incremental mode, then assert both persist and a re-sync of
+    // February is idempotent (dynamic overwrite of exactly its dates).
+    val root = Files.createTempDirectory("graft_cur_inc").toString
+    val ev = T.events(spark, sf001).select(
+      col("ts").as("line_item_usage_start_date"),
+      lit("999999999999").as("line_item_usage_account_id"),
+      col("event_type").as("product_servicename"),
+      col("value").as("line_item_unblended_cost"))
+    ev.unionAll(ev.withColumn("line_item_usage_start_date",
+        add_months(col("line_item_usage_start_date"), 1).cast("timestamp")))
+      .withColumn("year", year(col("line_item_usage_start_date")))
+      .withColumn("month", month(col("line_item_usage_start_date")))
+      .write.partitionBy("year", "month").parquet(s"$root/cur-i")
+    val wh = Files.createTempDirectory("graft_wh").toString
+    val loader = new ParquetLoader(wh, "s")
+    val c = EngineConfig(
+      sourceRoot = s"file://$root", curPaths = Seq("cur-i"),
+      warehouseDir = wh, jdbcUrl = None, jdbcUser = "", jdbcPassword = "",
+      schema = "s", syncMonths = 1, logLevel = "WARN")
+    def run(asOf: String) = Sync.run(spark, c, loader,
+      Sync.Options(months = 1, asOf = LocalDate.parse(asOf),
+        allAccounts = true, incremental = true))
+    assert(run("2024-01-15").tables.map(_.status) == Seq("success"))
+    val janNorm = loader.table(spark, "cur_i_normalized").count()
+    assert(janNorm > 0)
+    assert(run("2024-02-15").tables.map(_.status) == Seq("success"))
+    val norm = loader.table(spark, "cur_i_normalized")
+    // January survived February's sync, and February landed
+    assert(norm.filter(month(col("date")) === 1).count() == janNorm)
+    val febNorm = norm.filter(month(col("date")) === 2).count()
+    assert(febNorm > 0)
+    // raw accumulates by month partition too
+    val raw = loader.table(spark, "raw_cur_i")
+    assert(raw.filter(col("month") === 1).count() > 0 &&
+      raw.filter(col("month") === 2).count() > 0)
+    // re-syncing February is idempotent (its dates replaced, not doubled)
+    assert(run("2024-02-15").tables.map(_.status) == Seq("success"))
+    val norm2 = loader.table(spark, "cur_i_normalized")
+    assert(norm2.filter(month(col("date")) === 2).count() == febNorm)
+    assert(norm2.filter(month(col("date")) === 1).count() == janNorm)
+    // contrast: plain replace mode leaves ONLY the synced window
+    val wh2 = Files.createTempDirectory("graft_wh").toString
+    val loader2 = new ParquetLoader(wh2, "s")
+    val c2 = c.copy(warehouseDir = wh2)
+    Sync.run(spark, c2, loader2, Sync.Options(months = 1,
+      asOf = LocalDate.parse("2024-01-15"), allAccounts = true))
+    Sync.run(spark, c2, loader2, Sync.Options(months = 1,
+      asOf = LocalDate.parse("2024-02-15"), allAccounts = true))
+    assert(loader2.table(spark, "cur_i_normalized")
+      .filter(month(col("date")) === 1).count() == 0)
+  }
+
   test("durable costs view: CREATE OR REPLACE VIEW over the parquet sink") {
     val wh = Files.createTempDirectory("graft_wh").toString
     val loader = new ParquetLoader(wh, "s")
