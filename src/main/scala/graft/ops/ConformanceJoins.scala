@@ -194,5 +194,28 @@ object ConformanceJoins {
       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       GROUP BY s_nationkey ORDER BY s_nationkey"""))
 
-  val all: Seq[Q] = Seq(c11, c12, c13, c14, c15, c16, c17, c34, c35, c45)
+  // C46: FULL OUTER — the join family's remaining flavor (c13 covers
+  // LEFT). Both sides are restricted by disjoint-ish predicates so the
+  // result exercises all three row classes (matched, left-only,
+  // right-only); the null-keyed rows order deterministically on the
+  // other side's unique key.
+  val c46 = Q(
+    "c46_join_full_outer",
+    (s, d) => {
+      val cust = T.customer(s, d).filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"), col("c_name"))
+      val ords = T.orders(s, d).filter(col("o_custkey") % 5 < 2)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      ords.join(cust, col("o_custkey") === col("c_custkey"), "full_outer")
+        .select(col("o_orderkey"), col("o_custkey"), col("c_custkey"),
+          col("c_name"), col("o_totalprice"))
+        .orderBy(col("o_orderkey").asc_nulls_first, col("c_custkey").asc_nulls_first)
+    },
+    Some("""SELECT o_orderkey, o_custkey, c_custkey, c_name, o_totalprice
+      FROM (SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_custkey % 5 < 2) o
+      FULL OUTER JOIN (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 = 0) c
+      ON o_custkey = c_custkey
+      ORDER BY o_orderkey NULLS FIRST, c_custkey NULLS FIRST"""))
+
+  val all: Seq[Q] = Seq(c11, c12, c13, c14, c15, c16, c17, c34, c35, c45, c46)
 }
