@@ -597,7 +597,36 @@ object ExtQueries {
         CAST(len(ws) - len(list_distinct(ws)) AS DOUBLE)/len(ws) AS dup_token_ratio
       FROM g ORDER BY doc_id"""))
 
+  // E2 (edit-distance refinement): the exact final filter of a fuzzy
+  // dedup pipeline — MinHash-LSH proposes candidates (the shared
+  // oracle-bridged pipeline of e05/e15), then true Levenshtein distance
+  // confirms. The distance runs ONLY on candidate pairs (never all
+  // pairs — the O(len²) DP per pair is affordable exactly because the
+  // sketch bounds the pair count), and both engines implement classic
+  // Levenshtein, so the refinement is hash-checked end-to-end. The
+  // threshold (5 edits) genuinely splits the fixture's candidate set.
+  val e25 = Q(
+    "e25_editdist_dedup",
+    (s, d) => {
+      val docs = T.documents(s, d)
+      Dedup.minhashCandidatesPortable(docs, "doc_id", "text", minEstSim = 0.5)
+        .join(docs.select(col("doc_id").as("doc1"), col("text").as("t1")), "doc1")
+        .join(docs.select(col("doc_id").as("doc2"), col("text").as("t2")), "doc2")
+        .select(col("doc1"), col("doc2"), col("est_sim"),
+          levenshtein(col("t1"), col("t2")).cast("int").as("edit_dist"))
+        .filter(col("edit_dist") <= 5)
+        .orderBy(col("doc1"), col("doc2"))
+    },
+    Some(s"""WITH $mhCtes,
+      cand AS (SELECT doc1, doc2, est_sim FROM est WHERE est_sim >= 0.5)
+      SELECT c.doc1, c.doc2, c.est_sim,
+        CAST(levenshtein(a.text, b.text) AS INT) AS edit_dist
+      FROM cand c JOIN documents a ON a.doc_id = c.doc1
+        JOIN documents b ON b.doc_id = c.doc2
+      WHERE levenshtein(a.text, b.text) <= 5
+      ORDER BY c.doc1, c.doc2"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
-      e15, e16, e17, e18, e19, e20, e21, e22, e23, e24)
+      e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25)
 }
