@@ -316,6 +316,24 @@ object Dedup {
     labels.select(col("doc").as("doc_id"), col("rep").as("cluster_rep"))
   }
 
+  /** Canonical-document selection — the DECISION step of a near-dup
+    * pipeline: given cluster labels ([[connectedComponents]] output) and
+    * per-doc quality scores, keep the highest-scoring member of each
+    * cluster (ties to the smallest id) and report the cluster size.
+    * Both windows share one partitioning on cluster_rep — a single
+    * exchange at any corpus size. */
+  def keepBest(clusters: DataFrame, scores: DataFrame,
+      idCol: String = "doc_id", scoreCol: String = "score"): DataFrame = {
+    val byCluster = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_rep"))
+    val ranked = byCluster.orderBy(col(scoreCol).desc, col(idCol))
+    clusters.join(scores, idCol)
+      .withColumn("__rn", row_number().over(ranked))
+      .withColumn("n_members", count(lit(1)).over(byCluster))
+      .filter(col("__rn") === 1)
+      .select(col("cluster_rep"), col(idCol).as("keep_id"),
+        col(scoreCol), col("n_members"))
+  }
+
   /** Cross-source contamination check — the benchmark-decontamination
     * primitive of a training pipeline: for every document of
     * `evalSource`, the fraction of its distinct n-gram shingles that

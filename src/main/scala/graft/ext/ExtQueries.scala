@@ -151,6 +151,20 @@ object ExtQueries {
   // e05 candidate pairs by min-label propagation (the canonical-document
   // step of a dedup pipeline). The oracle replays the full pipeline and
   // closes the components with a recursive CTE.
+  // The recursive connected-components restatement over the candidate
+  // pairs, shared by e15 (raw clusters) and e26 (keep-best selection).
+  private val ccCtes: String =
+    """cand AS (SELECT doc1, doc2 FROM est WHERE est_sim >= 0.4),
+      nodes AS (SELECT DISTINCT doc FROM
+        (SELECT doc1 AS doc FROM cand UNION ALL SELECT doc2 AS doc FROM cand)),
+      edges AS (SELECT doc1 AS a, doc2 AS b FROM cand
+        UNION ALL SELECT doc2 AS a, doc1 AS b FROM cand),
+      reach AS (SELECT doc AS src, doc AS node FROM nodes
+        UNION
+        SELECT r.src, e.b AS node FROM reach r JOIN edges e ON e.a = r.node),
+      clusters AS (SELECT src AS doc_id, MIN(node) AS cluster_rep
+        FROM reach GROUP BY src)"""
+
   val e15 = Q(
     "e15_near_dup_clusters",
     (s, d) => Dedup.connectedComponents(
@@ -158,16 +172,8 @@ object ExtQueries {
         k = mhK, bands = mhBands, minEstSim = 0.4))
       .orderBy(col("doc_id")),
     Some(s"""WITH RECURSIVE $mhCtes,
-      cand AS (SELECT doc1, doc2 FROM est WHERE est_sim >= 0.4),
-      nodes AS (SELECT DISTINCT doc FROM
-        (SELECT doc1 AS doc FROM cand UNION ALL SELECT doc2 AS doc FROM cand)),
-      edges AS (SELECT doc1 AS a, doc2 AS b FROM cand
-        UNION ALL SELECT doc2 AS a, doc1 AS b FROM cand),
-      reach AS (SELECT doc AS src, doc AS node FROM nodes
-        UNION
-        SELECT r.src, e.b AS node FROM reach r JOIN edges e ON e.a = r.node)
-      SELECT src AS doc_id, MIN(node) AS cluster_rep
-      FROM reach GROUP BY src ORDER BY doc_id"""))
+      $ccCtes
+      SELECT doc_id, cluster_rep FROM clusters ORDER BY doc_id"""))
 
   // E2 (SimHash): banded 64-bit fingerprint candidates, oracle-bridged
   // word-hash family; DuckDB recomputes the per-bit votes, the chunk
@@ -626,7 +632,38 @@ object ExtQueries {
       WHERE levenshtein(a.text, b.text) <= 5
       ORDER BY c.doc1, c.doc2"""))
 
+  // E1/E2 capstone: the dedup DECISION — per near-dup cluster keep the
+  // highest-quality member (ties to the smallest id), report the
+  // cluster size. Composes the e15 cluster pipeline with the e09
+  // length_score signal; the oracle replays clusters (recursive CC) +
+  // score + the ROW_NUMBER pick. What actually ships from a dedup pass.
+  val e26 = Q(
+    "e26_keep_best",
+    (s, d) => {
+      val docs = T.documents(s, d)
+      val clusters = Dedup.connectedComponents(
+        Dedup.minhashCandidatesPortable(docs, "doc_id", "text",
+          k = mhK, bands = mhBands, minEstSim = 0.4))
+      val scores = docs.select(col("doc_id"),
+        least(lit(1.0), size(split(col("text"), " ")).cast("double") / 100)
+          .as("length_score"))
+      Dedup.keepBest(clusters, scores, scoreCol = "length_score")
+        .orderBy(col("cluster_rep"))
+    },
+    Some(s"""WITH RECURSIVE $mhCtes,
+      $ccCtes,
+      sc AS (SELECT doc_id,
+          LEAST(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100) AS length_score
+        FROM documents),
+      ranked AS (SELECT c.cluster_rep, c.doc_id, sc.length_score,
+          ROW_NUMBER() OVER (PARTITION BY c.cluster_rep
+            ORDER BY sc.length_score DESC, c.doc_id) AS rn,
+          COUNT(*) OVER (PARTITION BY c.cluster_rep) AS n_members
+        FROM clusters c JOIN sc ON sc.doc_id = c.doc_id)
+      SELECT cluster_rep, doc_id AS keep_id, length_score, n_members
+      FROM ranked WHERE rn = 1 ORDER BY cluster_rep"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
-      e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25)
+      e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26)
 }

@@ -164,6 +164,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!buf2.toString.contains("maxDf dropped"), buf2.toString.take(500))
   }
 
+  test("keepBest picks the highest-scoring cluster member, ties to smallest id") {
+    import spark.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("doc_id", "cluster_rep")
+    val scores = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (7L, 0.1), (8L, 0.1))
+      .toDF("doc_id", "score")
+    val out = Dedup.keepBest(clusters, scores)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    // cluster 1: docs 2 and 3 tie at 0.9 -> smallest id (2) wins, size 3
+    // cluster 7: docs 7 and 8 tie at 0.1 -> 7 wins, size 2
+    assert(out == Seq((1L, 2L, 0.9, 3L), (7L, 7L, 0.1, 2L)), out.toString)
+  }
+
   test("repetition stats: duplicate n-gram fractions per position") {
     import spark.implicits._
     val df = Seq(
