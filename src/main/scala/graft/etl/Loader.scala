@@ -127,11 +127,25 @@ final class ParquetLoader(warehouseDir: String, schema: String) extends Loader {
       else cleaned(df).repartition(partitionBy.map(org.apache.spark.sql.functions.col): _*)
     // dynamic partition overwrite is a per-write option (no session-conf
     // toggle): Overwrite then only replaces the partition values the
-    // frame actually carries
+    // frame actually carries. EXCEPT when the existing table was written
+    // UNPARTITIONED (a replace-mode table being switched to incremental):
+    // dynamic overwrite would leave the old root-level files next to the
+    // new partition dirs — a mixed, double-counting layout. Detect that
+    // and make the first incremental write a one-time full partitioned
+    // rewrite (semantically what replace mode held anyway: the current
+    // window).
+    val migrate = dynamic && {
+      val tdir = new java.io.File(dir(table).stripPrefix("file://").stripPrefix("file:"))
+      Option(tdir.listFiles()).exists(_.exists(f =>
+        f.isFile && f.getName.endsWith(".parquet")))
+    }
+    if (migrate)
+      System.err.println(s"[load] $table: existing unpartitioned layout; first " +
+        "incremental write performs a one-time full partitioned rewrite")
     val mode = if (dynamic) SaveMode.Overwrite else saveMode(ifExists)
     writeCounted(clustered)(
       _.write.mode(mode)
-        .option("partitionOverwriteMode", if (dynamic) "dynamic" else "static")
+        .option("partitionOverwriteMode", if (dynamic && !migrate) "dynamic" else "static")
         .partitionBy(partitionBy: _*).parquet(dir(table)))
   }
 

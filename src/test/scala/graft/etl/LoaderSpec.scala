@@ -132,6 +132,19 @@ class LoaderSpec extends SparkSpec {
     assert(ld.load(jan2, "inc", "upsert_partitions", partitionBy = Seq("month")) == 1L)
     val rows = ld.table(spark, "inc").select("id").collect().map(_.getLong(0)).sorted.toSeq
     assert(rows == Seq(3L, 9L), rows.toString)
+    // switching a replace-mode (unpartitioned) table to incremental must
+    // NOT interleave layouts: the first incremental write fully rewrites
+    // the dir partitioned (old root-level files gone, data readable)
+    assert(ld.load(jan.drop("month").withColumn("month",
+      org.apache.spark.sql.functions.lit("2024-03")), "flatfirst", "replace") == 2L)
+    assert(ld.load(feb, "flatfirst", "upsert_partitions", partitionBy = Seq("month")) == 1L)
+    val flat = new java.io.File(s"$wh/s/flatfirst")
+    assert(!flat.listFiles().exists(f => f.isFile && f.getName.endsWith(".parquet")),
+      "root-level files must not survive the migration")
+    assert(ld.table(spark, "flatfirst").count() == 1L) // migrated = current window only
+    // and the NEXT incremental write is partition-scoped again
+    assert(ld.load(jan, "flatfirst", "upsert_partitions", partitionBy = Seq("month")) == 2L)
+    assert(ld.table(spark, "flatfirst").count() == 3L)
     // the mode requires a partitioned layout, and JDBC sinks reject it
     intercept[IllegalArgumentException] { ld.load(jan, "inc2", "upsert_partitions") }
     val jd = new JdbcLoader(s"jdbc:derby:memory:graftinc${System.nanoTime()};create=true",
