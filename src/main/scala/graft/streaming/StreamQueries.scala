@@ -59,5 +59,41 @@ object StreamQueries {
     Some(s"""SELECT CAST(ts AS DATE) AS day, ${oSum("value")} AS total, COUNT(*) AS n
       FROM events GROUP BY day ORDER BY day"""))
 
-  val all: Seq[Q] = Seq(c40)
+  // C47: streaming DEDUP conformance — `dropDuplicatesWithinWatermark`
+  // promoted from suite-only behavior tests to a hash-checked query. The
+  // stream is the events source UNIONED WITH ITSELF (every event arrives
+  // twice, the at-least-once delivery shape a dedup stage exists for);
+  // dedup on event_id must collapse it back to exactly the batch
+  // per-day counts. The oracle is the PLAIN batch aggregation, so a
+  // single leaked duplicate or dropped event breaks the hash.
+  val c47 = Q(
+    "c47_stream_dedup",
+    (s, d) => {
+      val batchSchema = s.read.parquet(s"$d/events.parquet").schema
+      def src = {
+        val raw = s.readStream.schema(batchSchema).parquet(s"$d/events.parque[t]")
+        if (raw.schema("ts").dataType == LongType)
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else raw
+      }
+      val doubled = src.union(src)
+      val deduped = doubled
+        .withWatermark("ts", "1 day")
+        .dropDuplicatesWithinWatermark("event_id")
+      val agg = deduped
+        .groupBy(window(col("ts"), "1 day"))
+        .agg(dsum(col("value")).as("total"), count(lit(1)).as("n"))
+        .select(to_date(col("window.start")).as("day"), col("total"), col("n"))
+      val q = agg.writeStream
+        .format("memory").queryName("graft_c47_stream")
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_c47_stream").orderBy(col("day"))
+    },
+    Some(s"""SELECT CAST(ts AS DATE) AS day, ${oSum("value")} AS total, COUNT(*) AS n
+      FROM events GROUP BY day ORDER BY day"""))
+
+  val all: Seq[Q] = Seq(c40, c47)
 }
