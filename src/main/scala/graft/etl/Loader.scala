@@ -134,10 +134,15 @@ final class ParquetLoader(warehouseDir: String, schema: String) extends Loader {
     // and make the first incremental write a one-time full partitioned
     // rewrite (semantically what replace mode held anyway: the current
     // window).
+    // detection goes through the Hadoop filesystem, not java.io: an
+    // object-store warehouse (s3a://) would silently return "no files"
+    // from a local File listing and dynamic-overwrite a mixed layout —
+    // the exact corruption this guard exists to prevent
     val migrate = dynamic && {
-      val tdir = new java.io.File(dir(table).stripPrefix("file://").stripPrefix("file:"))
-      Option(tdir.listFiles()).exists(_.exists(f =>
-        f.isFile && f.getName.endsWith(".parquet")))
+      val p = new org.apache.hadoop.fs.Path(dir(table))
+      val fs = p.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
+      fs.exists(p) && fs.listStatus(p).exists(s =>
+        s.isFile && s.getPath.getName.endsWith(".parquet"))
     }
     if (migrate)
       System.err.println(s"[load] $table: existing unpartitioned layout; first " +
@@ -153,7 +158,11 @@ final class ParquetLoader(warehouseDir: String, schema: String) extends Loader {
     spark.read.parquet(dir(name))
 
   override def readBack(spark: SparkSession, table: String): Option[DataFrame] =
-    Some(this.table(spark, table))
+    // mergeSchema: an incremental raw table accumulates months whose
+    // schemas drift (the reason prunedScan merges on the source side);
+    // a single-footer schema pick could silently lose a column that
+    // first appears in the newest month
+    Some(spark.read.option("mergeSchema", "true").parquet(dir(table)))
 
   /** Compact a table's file layout to ~`targetBytes` per output file —
     * the operational answer to the small-files problem: streaming
@@ -231,6 +240,14 @@ final class ParquetLoader(warehouseDir: String, schema: String) extends Loader {
     // columns for the toggle window.
     val df = {
       val isolated = spark.newSession()
+      // carry the caller's runtime SQL confs over (newSession starts
+      // from the SparkContext conf only — a runtime-set conf like
+      // ignoreCorruptFiles or a rebase mode must apply to this read
+      // too); static/immutable entries are skipped
+      spark.conf.getAll.foreach { case (k, v) =>
+        try isolated.conf.set(k, v)
+        catch { case _: org.apache.spark.sql.AnalysisException => () }
+      }
       isolated.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
       isolated.read.parquet(path.toString)
     }

@@ -173,6 +173,11 @@ object Sync {
     }.sum
 
   def run(spark: SparkSession, cfg: EngineConfig, loader: Loader, opts: Options): RunResult = {
+    // fail BEFORE any load mutates the warehouse: a zero-month window
+    // would scan unfiltered (and the incremental read-back re-scope
+    // would crash mid-run on its empty predicate, leaving raw mutated
+    // but normalized stale)
+    require(opts.months >= 1, s"sync window must be >= 1 month, got ${opts.months}")
     val window = CurSource.lastMonths(opts.months, opts.asOf)
     val accountIds: Seq[String] =
       if (opts.allAccounts) Nil else Accounts.activeIds()
@@ -243,8 +248,25 @@ object Sync {
               // layout lets every reader prune to the days it touches.
               // Incremental mode rewrites only the dates in this window
               // (CUR re-issues whole months, so a month's dates are
-              // always complete in the incoming frame).
-              loader.load(normalized, s"${table}_normalized",
+              // always complete in the incoming frame) — EXCEPT null
+              // dates (try_cast failures on malformed timestamps): the
+              // null partition is shared across windows, so a dynamic
+              // overwrite would replace EVERY window's malformed rows
+              // with just this window's. Exclude them in incremental
+              // mode and surface the count instead of silently losing
+              // prior windows' rows.
+              val incNullDropped =
+                if (!opts.incremental) 0L
+                else normalized.filter(col("date").isNull).count()
+              if (incNullDropped > 0L)
+                System.err.println(s"[sync] $table: $incNullDropped row(s) with " +
+                  "unparseable dates excluded from the incremental normalized " +
+                  "load (the shared null partition cannot be window-scoped); " +
+                  "they remain in the raw table")
+              val toLoad =
+                if (opts.incremental) normalized.filter(col("date").isNotNull)
+                else normalized
+              loader.load(toLoad, s"${table}_normalized",
                 ifExists = if (opts.incremental) "upsert_partitions" else "replace",
                 partitionBy = Seq("date"))
             }

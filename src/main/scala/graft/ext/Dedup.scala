@@ -320,13 +320,16 @@ object Dedup {
     * pipeline: given cluster labels ([[connectedComponents]] output) and
     * per-doc quality scores, keep the highest-scoring member of each
     * cluster (ties to the smallest id) and report the cluster size.
-    * Both windows share one partitioning on cluster_rep — a single
-    * exchange at any corpus size. */
+    * Cluster members MISSING from `scores` still count toward
+    * `n_members` and rank last (null score, descending order puts nulls
+    * last) — an inner join would silently delete them and misreport the
+    * cluster size. Both windows share one partitioning on cluster_rep —
+    * a single exchange at any corpus size. */
   def keepBest(clusters: DataFrame, scores: DataFrame,
       idCol: String = "doc_id", scoreCol: String = "score"): DataFrame = {
     val byCluster = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_rep"))
-    val ranked = byCluster.orderBy(col(scoreCol).desc, col(idCol))
-    clusters.join(scores, idCol)
+    val ranked = byCluster.orderBy(col(scoreCol).desc_nulls_last, col(idCol))
+    clusters.join(scores, Seq(idCol), "left")
       .withColumn("__rn", row_number().over(ranked))
       .withColumn("n_members", count(lit(1)).over(byCluster))
       .filter(col("__rn") === 1)

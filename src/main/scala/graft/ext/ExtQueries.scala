@@ -615,7 +615,8 @@ object ExtQueries {
     "e25_editdist_dedup",
     (s, d) => {
       val docs = T.documents(s, d)
-      Dedup.minhashCandidatesPortable(docs, "doc_id", "text", minEstSim = 0.5)
+      Dedup.minhashCandidatesPortable(docs, "doc_id", "text",
+        k = mhK, bands = mhBands, minEstSim = 0.5)
         .join(docs.select(col("doc_id").as("doc1"), col("text").as("t1")), "doc1")
         .join(docs.select(col("doc_id").as("doc2"), col("text").as("t2")), "doc2")
         .select(col("doc1"), col("doc2"), col("est_sim"),
@@ -645,8 +646,7 @@ object ExtQueries {
         Dedup.minhashCandidatesPortable(docs, "doc_id", "text",
           k = mhK, bands = mhBands, minEstSim = 0.4))
       val scores = docs.select(col("doc_id"),
-        least(lit(1.0), size(split(col("text"), " ")).cast("double") / 100)
-          .as("length_score"))
+        TextOps.lengthScoreCol(TextOps.tokens(col("text"))).as("length_score"))
       Dedup.keepBest(clusters, scores, scoreCol = "length_score")
         .orderBy(col("cluster_rep"))
     },

@@ -89,7 +89,10 @@ object TextOps {
   private def stopRatioCol(tok: Column): Column =
     hitCount(tok, stopwords("en")).cast(DoubleType) / size(tok)
 
-  private def lengthScoreCol(tok: Column): Column =
+  // private[ext]: e26's keep-best selection reuses the exact e09 signal
+  // rather than restating the formula (no drift between the two
+  // oracle-checked queries)
+  private[ext] def lengthScoreCol(tok: Column): Column =
     least(lit(1.0), size(tok).cast(DoubleType) / 100)
 
   /** Stopword-hit-rate language ID: score each profile, pick the argmax

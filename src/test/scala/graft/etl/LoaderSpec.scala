@@ -154,6 +154,21 @@ class LoaderSpec extends SparkSpec {
     }
   }
 
+  test("ParquetLoader: readBack merges schemas across drifted files") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft_wh").toString
+    val ld = new ParquetLoader(wh, "s")
+    ld.ensureNamespace()
+    // two appends with drifted columns — an incremental raw table's
+    // shape as CUR schemas evolve month over month
+    assert(ld.load(Seq((1L, "a")).toDF("id", "old_col"), "drift", "append") == 1L)
+    assert(ld.load(Seq((2L, 7.5)).toDF("id", "new_col"), "drift", "append") == 1L)
+    val back = ld.readBack(spark, "drift").get
+    assert(back.columns.toSet == Set("id", "old_col", "new_col"),
+      s"readBack must merge drifted schemas, got ${back.columns.mkString(",")}")
+    assert(back.count() == 2L)
+  }
+
   test("ParquetLoader: fail mode errors when the table exists") {
     val wh = Files.createTempDirectory("graft_wh").toString
     val ld = new ParquetLoader(wh, "s")

@@ -305,6 +305,55 @@ class SyncE2ESpec extends SparkSpec {
       .filter(month(col("date")) === 1).count() == 0)
   }
 
+  test("incremental sync excludes malformed-date rows and preserves prior windows") {
+    import spark.implicits._
+    // STRING usage dates, one unparseable per month: the null date
+    // partition is shared across windows, so incremental mode must
+    // exclude (and surface) those rows instead of letting month 2's
+    // dynamic overwrite silently delete month 1's
+    val root = Files.createTempDirectory("graft_cur_nulldate").toString
+    val rows = Seq(
+      ("2024-01-05 10:00:00", "jan-ok-1", 1.0, 2024, 1),
+      ("2024-01-06 11:00:00", "jan-ok-2", 2.0, 2024, 1),
+      ("not-a-date",          "jan-bad",  3.0, 2024, 1),
+      ("2024-02-05 10:00:00", "feb-ok",   4.0, 2024, 2),
+      ("garbage",             "feb-bad",  5.0, 2024, 2))
+      .toDF("line_item_usage_start_date", "product_servicename",
+        "line_item_unblended_cost", "year", "month")
+      .withColumn("line_item_usage_account_id", lit("999999999999"))
+    rows.write.partitionBy("year", "month").parquet(s"$root/cur-n")
+    val wh = Files.createTempDirectory("graft_wh").toString
+    val loader = new ParquetLoader(wh, "s")
+    val c = EngineConfig(
+      sourceRoot = s"file://$root", curPaths = Seq("cur-n"),
+      warehouseDir = wh, jdbcUrl = None, jdbcUser = "", jdbcPassword = "",
+      schema = "s", syncMonths = 1, logLevel = "WARN")
+    def run(asOf: String) = Sync.run(spark, c, loader,
+      Sync.Options(months = 1, asOf = LocalDate.parse(asOf),
+        allAccounts = true, incremental = true))
+    assert(run("2024-01-15").tables.map(_.status) == Seq("success"))
+    val norm1 = loader.table(spark, "cur_n_normalized")
+    assert(norm1.count() == 2L) // jan-bad excluded, surfaced on stderr
+    assert(norm1.filter(col("date").isNull).count() == 0L)
+    assert(run("2024-02-15").tables.map(_.status) == Seq("success"))
+    val norm2 = loader.table(spark, "cur_n_normalized")
+    // January's parseable rows survived February's incremental sync
+    assert(norm2.filter(month(col("date")) === 1).count() == 2L)
+    assert(norm2.filter(month(col("date")) === 2).count() == 1L)
+    // malformed rows remain available in raw for reprocessing
+    assert(loader.table(spark, "raw_cur_n").count() == 5L)
+  }
+
+  test("sync rejects a zero-month window before touching the warehouse") {
+    val wh = Files.createTempDirectory("graft_wh").toString
+    val loader = new ParquetLoader(wh, "s")
+    intercept[IllegalArgumentException] {
+      Sync.run(spark, cfg(wh), loader,
+        Sync.Options(months = 0, asOf = LocalDate.parse("2024-01-15")))
+    }
+    assert(!new java.io.File(s"$wh/s/raw_cur_a").exists)
+  }
+
   test("durable costs view: CREATE OR REPLACE VIEW over the parquet sink") {
     val wh = Files.createTempDirectory("graft_wh").toString
     val loader = new ParquetLoader(wh, "s")

@@ -176,6 +176,16 @@ class DedupSimilaritySpec extends SparkSpec {
     // cluster 1: docs 2 and 3 tie at 0.9 -> smallest id (2) wins, size 3
     // cluster 7: docs 7 and 8 tie at 0.1 -> 7 wins, size 2
     assert(out == Seq((1L, 2L, 0.9, 3L), (7L, 7L, 0.1, 2L)), out.toString)
+    // members MISSING from scores still count toward n_members and rank
+    // last — an inner join would silently delete them
+    val partial = Dedup.keepBest(clusters, scores.filter(col("doc_id") =!= 3L))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sortBy(_._1).toSeq
+    assert(partial == Seq((1L, 2L, 3L), (7L, 7L, 2L)), partial.toString)
+    // a cluster whose members are ALL unscored keeps its smallest id
+    val none = Dedup.keepBest(clusters.filter(col("cluster_rep") === 7L),
+      scores.filter(col("doc_id") < 0))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+    assert(none == Seq((7L, 7L, 2L)), none.toString)
   }
 
   test("repetition stats: duplicate n-gram fractions per position") {
