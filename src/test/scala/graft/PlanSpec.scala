@@ -144,6 +144,29 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("C45: salted join spreads the key — join keys include the salt column") {
+    val p = plan("c45_salted_join")
+    // the equi-join must run on (l_suppkey, __salt): a salt that fell out
+    // of the join keys would silently devolve to a many-to-many join
+    assert(p.contains("__salt"), s"salt column missing from the physical join:\n$p")
+    // and the salt never leaks into the aggregation output
+    assert(!"Aggregate.*__salt".r.findFirstIn(p).isDefined)
+  }
+
+  test("E23: LSH dup-pairs self-join shares the bucket-front exchange at scale") {
+    // same discipline as E5/E6: under the sort-merge shape (the plan at
+    // scale) both sides must reuse one (tbl, bucket) exchange so the
+    // bucketing front — including its observe metric node — runs once
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = Queries.byName("e23_cosine_dup_lsh").fn(spark, sf001)
+      df.collect()
+      assert(df.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+        "e23 bucket front must be computed once under sort-merge self-join")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("every declared query has a distinct name and every oracle points at one") {
     val names = Queries.all.map(_.name)
     assert(names.distinct.size == names.size)
