@@ -247,5 +247,35 @@ object ConformanceSqlFns {
           FROM lineitem WHERE l_orderkey < 1000)
       ORDER BY l_orderkey, l_linenumber, measure"""))
 
-  val all: Seq[Q] = Seq(c22, c23, c24, c25, c26, c27, c28, c29, c30, c36, c37, c41)
+  // C48: correlated subqueries — the SQL-surface family the declared
+  // set didn't yet cover: a correlated SCALAR aggregate subquery
+  // (Catalyst decorrelates it into a join under the hood) and a
+  // correlated EXISTS (planned as a semi join), in one statement. The
+  // scalar aggregate uses the decimal-sum float rule so the per-customer
+  // mean is order-independent on both engines.
+  val c48 = Q(
+    "c48_correlated_subquery",
+    (s, d) => {
+      graft.Tables.registerAll(s, d)
+      s.sql("""SELECT o.o_orderkey, o.o_totalprice,
+          o.o_totalprice - (SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                              / COUNT(*)
+                            FROM orders o2 WHERE o2.o_custkey = o.o_custkey) AS vs_cust_avg
+        FROM orders o
+        WHERE o.o_orderkey <= 2000
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+        ORDER BY o.o_orderkey""")
+    },
+    Some("""SELECT o.o_orderkey, o.o_totalprice,
+        o.o_totalprice - (SELECT CAST(SUM(CAST(o2.o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+                            / COUNT(*)
+                          FROM orders o2 WHERE o2.o_custkey = o.o_custkey) AS vs_cust_avg
+      FROM orders o
+      WHERE o.o_orderkey <= 2000
+        AND EXISTS (SELECT 1 FROM lineitem l
+                    WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+      ORDER BY o.o_orderkey"""))
+
+  val all: Seq[Q] = Seq(c22, c23, c24, c25, c26, c27, c28, c29, c30, c36, c37, c41, c48)
 }
