@@ -277,5 +277,31 @@ object ConformanceSqlFns {
                     WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
       ORDER BY o.o_orderkey"""))
 
-  val all: Seq[Q] = Seq(c22, c23, c24, c25, c26, c27, c28, c29, c30, c36, c37, c41, c48)
+  // C49: LATERAL correlated subquery — the per-row top-k join shape
+  // (for each customer, their single most expensive order). Catalyst
+  // plans the decorrelated lateral as a join + per-key limit; DuckDB
+  // runs the same ANSI LATERAL. Unique (o_totalprice, o_orderkey)
+  // ordering keeps the picked row deterministic on both engines.
+  val c49 = Q(
+    "c49_lateral_topk",
+    (s, d) => {
+      graft.Tables.registerAll(s, d)
+      s.sql("""SELECT c.c_custkey, c.c_name, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o.o_orderkey, o.o_totalprice FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 1) t
+        WHERE c.c_custkey <= 500
+        ORDER BY c.c_custkey""")
+    },
+    Some("""SELECT c.c_custkey, c.c_name, t.o_orderkey, t.o_totalprice
+      FROM customer c,
+      LATERAL (SELECT o.o_orderkey, o.o_totalprice FROM orders o
+               WHERE o.o_custkey = c.c_custkey
+               ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 1) t
+      WHERE c.c_custkey <= 500
+      ORDER BY c.c_custkey"""))
+
+  val all: Seq[Q] = Seq(c22, c23, c24, c25, c26, c27, c28, c29, c30, c36, c37, c41,
+    c48, c49)
 }
