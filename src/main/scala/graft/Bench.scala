@@ -66,16 +66,76 @@ object Bench {
       }
       val ok = times.forall(_._2)
       val sorted = times.map(_._1).sorted
-      val median = sorted(sorted.size / 2)
-      (name, if (ok) median else -median, ok)
+      QueryResult(name, sorted.head, sorted(sorted.size / 2), sorted.last, ok)
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map(r => "\"" + r.name + "\":" + f"${r.signedMedian}%.3f")
       .mkString("{", ",", "}")
-    val failed = results.filterNot(_._3).map("\"" + _._1 + "\"").mkString("[", ",", "]")
-    val total = results.filter(_._3).map(_._2).sum
+    // full rep spread per query (VERDICT r6 item 1): a contaminated rep is
+    // invisible in a bare median — recording [min, median, max] makes the
+    // record self-diagnosing. min-of-N is robust to transient co-located
+    // load (cold-rep clearing already keeps min honest), so it rides along
+    // as the load-insensitive reading.
+    val spread = results.map(r =>
+      "\"" + r.name + "\":[" + f"${r.min}%.3f" + "," + f"${r.median}%.3f" + "," + f"${r.max}%.3f" + "]")
+      .mkString("{", ",", "}")
+    val qsMin = results.map(r => "\"" + r.name + "\":" + f"${r.signedMin}%.3f")
+      .mkString("{", ",", "}")
+    // queries whose rep spread exceeds 3x: the signature of host
+    // contamination mid-suite (BENCH_r06 recorded e24 at 15.26s where the
+    // verified idle number was 0.44s — a 29x outlier a spread would have
+    // flagged on the spot)
+    val suspect = results
+      .filter(r => r.ok && r.min > 0 && r.max / r.min > 3.0)
+      .map("\"" + _.name + "\"").mkString("[", ",", "]")
+    val failed = results.filterNot(_.ok).map("\"" + _.name + "\"").mkString("[", ",", "]")
+    val total = results.filter(_.ok).map(_.median).sum
+    val totalMin = results.filter(_.ok).map(_.min).sum
     val (fixtureSec, syncSec) = syncMirror(spark, sfDir)
-    println(s"""{"metric":"conformance_total_s","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"n_ok":${results.count(_._3)},"n_queries":${results.size},"sync_e2e_s":${f"$syncSec%.3f"},"sync_fixture_s":${f"$fixtureSec%.3f"},"sf":"$sfDir"}""")
+    val env = hostFingerprint()
+    println(s"""{"metric":"conformance_total_s","value":$total,"unit":"sec","value_min":${f"$totalMin%.3f"},"queries":$qs,"queries_min":$qsMin,"spread":$spread,"suspect":$suspect,"failed":$failed,"n_ok":${results.count(_.ok)},"n_queries":${results.size},"reps":$reps,"sync_e2e_s":${f"$syncSec%.3f"},"sync_fixture_s":${f"$fixtureSec%.3f"},$env"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  private case class QueryResult(name: String, min: Double, median: Double,
+                                 max: Double, ok: Boolean) {
+    def signedMedian: Double = if (ok) median else -median
+    def signedMin: Double = if (ok) min else -min
+  }
+
+  /** Host-state fingerprint emitted INTO the bench JSON (VERDICT r6 item 1):
+    * load average and any OTHER JVMs alive on the host at report time. A
+    * stray sbt/test JVM or a loaded host is the known cause of contaminated
+    * records (r5: orphaned sbt JVM; r6: 29x tail divergence), and putting
+    * the evidence in the record itself means a bad run is diagnosable after
+    * the fact without shell access to the host at the time it ran. */
+  private def hostFingerprint(): String = {
+    val load =
+      try {
+        val f = scala.io.Source.fromFile("/proc/loadavg")
+        try f.mkString.trim.split("\\s+").take(3).mkString("[", ",", "]")
+        finally f.close()
+      } catch { case _: Throwable => "[]" }
+    val stray =
+      try {
+        import scala.jdk.CollectionConverters._
+        val self = ProcessHandle.current().pid()
+        ProcessHandle.allProcesses().iterator().asScala
+          .filter(_.pid() != self)
+          .filter(_.info().command().map[Boolean](c => c.endsWith("/java") || c == "java")
+            .orElse(false))
+          .map { p =>
+            // first meaningful classpath-free token of the command line, so
+            // the record says WHAT was running (sbt? a test runner?), capped
+            // to keep the JSON line small
+            val hint = p.info().arguments().map[String] { a =>
+              a.filterNot(s => s.startsWith("-") || s.contains("/jars/"))
+                .headOption.getOrElse("")
+            }.orElse("").take(80)
+            "\"" + (p.pid().toString + ":" + hint).replace("\"", "'") + "\""
+          }
+          .take(16).toSeq.mkString("[", ",", "]")
+      } catch { case _: Throwable => "[]" }
+    s""""loadavg":$load,"stray_jvms":$stray,"""
   }
 
   /** End-to-end sync mirror (scan → filter → normalize → write → costs
