@@ -141,12 +141,38 @@ final class ParquetLoader(warehouseDir: String, schema: String) extends Loader {
     val migrate = dynamic && {
       val p = new org.apache.hadoop.fs.Path(dir(table))
       val fs = p.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
-      fs.exists(p) && fs.listStatus(p).exists(s =>
-        s.isFile && s.getPath.getName.endsWith(".parquet"))
+      if (!fs.exists(p)) false
+      else {
+        val rootFiles = fs.listStatus(p).exists(s =>
+          s.isFile && s.getPath.getName.endsWith(".parquet"))
+        // A table partitioned by DIFFERENT columns has no root files, so
+        // the unpartitioned check alone would let dynamic overwrite
+        // interleave two partition layouts (e.g. date=... dirs next to
+        // year=.../month=... dirs — the same double-counting corruption).
+        // Recover the existing keys by walking the first `k=`-named child
+        // at each level and compare against the requested partitionBy.
+        @annotation.tailrec
+        def keyChain(cur: org.apache.hadoop.fs.Path,
+            acc: List[String]): List[String] =
+          fs.listStatus(cur).find(s =>
+            s.isDirectory && s.getPath.getName.contains("=")) match {
+            case Some(d) =>
+              keyChain(d.getPath, acc :+ d.getPath.getName.takeWhile(_ != '='))
+            case None => acc
+          }
+        val existing = keyChain(p, Nil)
+        val mismatch = existing.nonEmpty && existing != partitionBy.toList
+        if (rootFiles)
+          System.err.println(s"[load] $table: existing unpartitioned layout; " +
+            "first incremental write performs a one-time full partitioned rewrite")
+        else if (mismatch)
+          System.err.println(s"[load] $table: existing layout is partitioned by " +
+            s"(${existing.mkString(", ")}) but this write requests " +
+            s"(${partitionBy.mkString(", ")}); performing a one-time full " +
+            "rewrite instead of interleaving two partition layouts")
+        rootFiles || mismatch
+      }
     }
-    if (migrate)
-      System.err.println(s"[load] $table: existing unpartitioned layout; first " +
-        "incremental write performs a one-time full partitioned rewrite")
     val mode = if (dynamic) SaveMode.Overwrite else saveMode(ifExists)
     writeCounted(clustered)(
       _.write.mode(mode)
@@ -364,7 +390,13 @@ final class JdbcLoader(url: String, user: String, password: String, schema: Stri
           existing.sortBy(_.name.toLowerCase)
             .zip(out.schema.fields.sortBy(_.name.toLowerCase))
             .forall { case (a, b) =>
-              a.name.equalsIgnoreCase(b.name) && a.dataType == b.dataType
+              a.name.equalsIgnoreCase(b.name) && a.dataType == b.dataType &&
+                // nullability tightening (existing NOT NULL, incoming
+                // nullable) is a schema change too: TRUNCATE would destroy
+                // the rows and then the insert fails on the first null —
+                // exactly the truncate-then-fail mode this check prevents.
+                // Loosening (existing nullable) is always TRUNCATE-safe.
+                (a.nullable || !b.nullable)
             }
     }
     if (mode == SaveMode.Overwrite && !truncate) dropForOverwrite(table)
@@ -381,13 +413,36 @@ final class JdbcLoader(url: String, user: String, password: String, schema: Stri
     * None when the table does not exist. Existence goes through the
     * metadata probe first so a transient failure on the schema read
     * propagates instead of reading as "absent" (which would needlessly
-    * drop-and-recreate). The read resolves schema only — no data query. */
+    * drop-and-recreate). The read resolves schema only — no data query.
+    *
+    * Nullability comes from JDBC DatabaseMetaData, NOT the Spark
+    * read-back: Spark's JDBC reader marks every column nullable
+    * (verified on Derby — metadata says NOT NULL, the read-back schema
+    * says nullable), which would blind the truncate-safety check to
+    * nullability tightening. Columns the metadata probe cannot resolve
+    * (pattern quirks) stay at the read-back's nullable=true, which is
+    * the conservative direction for that check. */
   private def targetSparkSchema(df: DataFrame,
       table: String): Option[Seq[org.apache.spark.sql.types.StructField]] = {
     val exists = withConnection(c => tableExists(c, table))
     if (!exists) None
-    else Some(df.sparkSession.read.jdbc(url, qualified(table), props)
-      .schema.fields.toSeq)
+    else {
+      val fields = df.sparkSession.read.jdbc(url, qualified(table), props)
+        .schema.fields.toSeq
+      val notNull = withConnection { c =>
+        val md = c.getMetaData
+        Seq(table, table.toUpperCase, table.toLowerCase).view.map { t =>
+          val rs = md.getColumns(null, null, likeQuoted(md, t), null)
+          val cols = Iterator.continually(rs)
+            .takeWhile(_.next())
+            .map(r => (r.getString("COLUMN_NAME"), r.getString("IS_NULLABLE")))
+            .toList
+          cols.collect { case (n, "NO") => n.toLowerCase }.toSet -> cols.nonEmpty
+        }.collectFirst { case (nn, true) => nn }.getOrElse(Set.empty[String])
+      }
+      Some(fields.map(f =>
+        if (notNull(f.name.toLowerCase)) f.copy(nullable = false) else f))
+    }
   }
 
   /** Drop the target ahead of a schema-changing overwrite. CASCADE first
@@ -420,17 +475,22 @@ final class JdbcLoader(url: String, user: String, password: String, schema: Stri
     * rows. Identifier case: unquoted DDL is case-folded per dialect
     * (Derby/PG fold opposite directions), so the probe tries the exact,
     * upper- and lower-cased forms. */
+  /** Escape LIKE metacharacters for DatabaseMetaData pattern arguments:
+    * every `_` in our underscore-heavy names is a single-char wildcard
+    * unless escaped with the driver's escape string. */
+  private def likeQuoted(md: java.sql.DatabaseMetaData, s: String): String = {
+    val esc = Option(md.getSearchStringEscape).getOrElse("\\")
+    s.flatMap { case c @ ('_' | '%') => esc + c; case c => c.toString }
+  }
+
   private def tableExists(c: java.sql.Connection, table: String): Boolean = {
     val md = c.getMetaData
     // getTables arguments are LIKE patterns: every `_` in our
     // underscore-heavy names is a single-char wildcard unless escaped,
     // and a false-positive match here would send COUNT(*) at a
     // nonexistent table — the exact masquerade this probe exists to end
-    val esc = Option(md.getSearchStringEscape).getOrElse("\\")
-    def quote(s: String): String =
-      s.flatMap { case c @ ('_' | '%') => esc + c; case c => c.toString }
     def probe(s: String, t: String): Boolean = {
-      val rs = md.getTables(null, quote(s), quote(t), null)
+      val rs = md.getTables(null, likeQuoted(md, s), likeQuoted(md, t), null)
       try rs.next() finally rs.close()
     }
     probe(schema, table) ||

@@ -246,29 +246,41 @@ object Sync {
                 normSource, Normalize.awsCur, table, lit(syncTs))
               // serving queries filter/group on date — a date-partitioned
               // layout lets every reader prune to the days it touches.
-              // Incremental mode rewrites only the dates in this window
+              // Incremental mode rewrites only the dates IN THIS WINDOW
               // (CUR re-issues whole months, so a month's dates are
-              // always complete in the incoming frame) — EXCEPT null
-              // dates (try_cast failures on malformed timestamps): the
-              // null partition is shared across windows, so a dynamic
-              // overwrite would replace EVERY window's malformed rows
-              // with just this window's. Exclude them in incremental
-              // mode and surface the count instead of silently losing
-              // prior windows' rows.
-              val incNullDropped =
-                if (!opts.incremental) 0L
-                else normalized.filter(col("date").isNull).count()
-              if (incNullDropped > 0L)
-                System.err.println(s"[sync] $table: $incNullDropped row(s) with " +
-                  "unparseable dates excluded from the incremental normalized " +
-                  "load (the shared null partition cannot be window-scoped); " +
-                  "they remain in the raw table")
+              // always complete in the incoming frame). Any date
+              // partition shared with another window must not load:
+              //  - null dates (try_cast failures on malformed
+              //    timestamps) — the null partition is shared across
+              //    every window;
+              //  - non-null dates OUTSIDE the window (stray adjustment/
+              //    refund rows a month export dates into a prior month)
+              //    — dynamic overwrite would replace that prior date's
+              //    ENTIRE partition with only this window's stray rows.
+              // Excluded rows remain in raw for reprocessing.
               val toLoad =
-                if (opts.incremental) normalized.filter(col("date").isNotNull)
-                else normalized
-              loader.load(toLoad, s"${table}_normalized",
+                if (!opts.incremental) normalized
+                else {
+                  val inWindow = window.months
+                    .map(m => year(col("date")) === m.getYear &&
+                      month(col("date")) === m.getMonthValue)
+                    .reduce(_ || _)
+                  normalized.filter(col("date").isNotNull && inWindow)
+                }
+              val loaded = loader.load(toLoad, s"${table}_normalized",
                 ifExists = if (opts.incremental) "upsert_partitions" else "replace",
                 partitionBy = Seq("date"))
+              // normalize is a row-preserving select over the window's
+              // raw rows, so excluded = rawRows - loaded — read off the
+              // two writes' existing Observations with no extra action
+              // (a separate count() here would re-run the whole
+              // normalization once per table per sync).
+              if (opts.incremental && loaded < rawRows)
+                System.err.println(s"[sync] $table: ${rawRows - loaded} row(s) " +
+                  "excluded from the incremental normalized load (null or " +
+                  "out-of-window dates — their date partitions are shared " +
+                  "with other sync windows); the rows remain in the raw table")
+              loaded
             }
           if (rawRows > 0L && !opts.rawOnly) processed :+= table
           // Surface silently-skipped files (see auditSkippedFiles)

@@ -329,7 +329,12 @@ object Dedup {
       idCol: String = "doc_id", scoreCol: String = "score"): DataFrame = {
     val byCluster = org.apache.spark.sql.expressions.Window.partitionBy(col("cluster_rep"))
     val ranked = byCluster.orderBy(col(scoreCol).desc_nulls_last, col(idCol))
-    clusters.join(scores, Seq(idCol), "left")
+    // one score row per id before the join: duplicate id rows in `scores`
+    // would multiply cluster-member rows and inflate n_members (the
+    // reported cluster size) even though row_number still yields one
+    // winner — keep each id's best score, matching the ranking's take
+    val best = scores.groupBy(col(idCol)).agg(max(col(scoreCol)).as(scoreCol))
+    clusters.join(best, Seq(idCol), "left")
       .withColumn("__rn", row_number().over(ranked))
       .withColumn("n_members", count(lit(1)).over(byCluster))
       .filter(col("__rn") === 1)

@@ -145,6 +145,17 @@ class LoaderSpec extends SparkSpec {
     // and the NEXT incremental write is partition-scoped again
     assert(ld.load(jan, "flatfirst", "upsert_partitions", partitionBy = Seq("month")) == 2L)
     assert(ld.table(spark, "flatfirst").count() == 3L)
+    // a table partitioned by DIFFERENT columns (layout change, e.g.
+    // partitionBy(day) -> partitionBy(month)) has no root-level files, so
+    // it must be caught by the key-name comparison: one-time full rewrite,
+    // never two interleaved layouts
+    assert(ld.load(jan.withColumnRenamed("month", "day"),
+      "relayout", "upsert_partitions", partitionBy = Seq("day")) == 2L)
+    assert(ld.load(feb, "relayout", "upsert_partitions", partitionBy = Seq("month")) == 1L)
+    val relayoutDirs = new java.io.File(s"$wh/s/relayout").listFiles()
+      .filter(_.isDirectory).map(_.getName.takeWhile(_ != '=')).distinct.toSeq
+    assert(relayoutDirs == Seq("month"), s"old layout must not survive: $relayoutDirs")
+    assert(ld.table(spark, "relayout").count() == 1L) // rewrite = current window only
     // the mode requires a partitioned layout, and JDBC sinks reject it
     intercept[IllegalArgumentException] { ld.load(jan, "inc2", "upsert_partitions") }
     val jd = new JdbcLoader(s"jdbc:derby:memory:graftinc${System.nanoTime()};create=true",
@@ -243,5 +254,35 @@ class LoaderSpec extends SparkSpec {
     assert(ld.load(df3, "vt", "replace") == 1L)
     assert(ld.table(spark, "vt").columns.map(_.toLowerCase).toSet ==
       Set("id", "name", "score"))
+  }
+
+  test("JdbcLoader (Derby): nullability tightening is a schema change, not a TRUNCATE") {
+    import spark.implicits._
+    val url = s"jdbc:derby:memory:graftnull${System.nanoTime()};create=true"
+    val ld = new JdbcLoader(url, "", "", "APP")
+    def exec(sql: String): Unit = {
+      val c = java.sql.DriverManager.getConnection(url)
+      try { c.createStatement().execute(sql); () } finally c.close()
+    }
+    // first load: product-encoder Long is non-nullable -> id BIGINT NOT NULL
+    assert(ld.load(df2, "nt", "replace") == 2L)
+    exec("CREATE VIEW APP.nt_v AS SELECT \"id\" FROM APP.nt")
+    // an incoming NULLABLE id over the existing NOT NULL column: same
+    // names, same types — but TRUNCATE would destroy the rows and the
+    // insert would then fail on the constraint. Must take the
+    // drop-and-recreate path (which Derby's dependent view turns into
+    // the clear error), leaving the rows untouched.
+    val nullable = Seq((Option(1L), "a"), (Option(2L), "b"))
+      .toDF("id", "Resource.Tags/env")
+    assert(nullable.schema("id").nullable, "fixture must be nullable")
+    val err = intercept[IllegalStateException] { ld.load(nullable, "nt", "replace") }
+    assert(err.getMessage.contains("dependent view"))
+    assert(ld.table(spark, "nt").count() == 2L) // rows survived (no truncate)
+    // with the view gone, the tightening goes through as drop+recreate
+    exec("DROP VIEW APP.nt_v")
+    assert(ld.load(nullable, "nt", "replace") == 2L)
+    // and the now-nullable target accepts the same frame via TRUNCATE
+    // (loosened direction is always truncate-safe)
+    assert(ld.load(df2, "nt", "replace") == 2L)
   }
 }

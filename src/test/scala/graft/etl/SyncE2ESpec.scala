@@ -344,6 +344,44 @@ class SyncE2ESpec extends SparkSpec {
     assert(loader.table(spark, "raw_cur_n").count() == 5L)
   }
 
+  test("incremental sync excludes out-of-window dates instead of clobbering prior windows") {
+    import spark.implicits._
+    // A month export can carry rows DATED into a prior month (refunds,
+    // adjustments, boundary timestamps). Their date partitions belong to
+    // the prior window, so February's dynamic overwrite must not replace
+    // January's date=2024-01-05 partition with only February's stray row.
+    val root = Files.createTempDirectory("graft_cur_oow").toString
+    val rows = Seq(
+      ("2024-01-05 10:00:00", "jan-ok-1",  1.0, 2024, 1),
+      ("2024-01-06 11:00:00", "jan-ok-2",  2.0, 2024, 1),
+      ("2024-02-05 10:00:00", "feb-ok",    4.0, 2024, 2),
+      // the stray: February's export, January's date
+      ("2024-01-05 09:00:00", "feb-stray", -1.0, 2024, 2))
+      .toDF("line_item_usage_start_date", "product_servicename",
+        "line_item_unblended_cost", "year", "month")
+      .withColumn("line_item_usage_account_id", lit("999999999999"))
+    rows.write.partitionBy("year", "month").parquet(s"$root/cur-o")
+    val wh = Files.createTempDirectory("graft_wh").toString
+    val loader = new ParquetLoader(wh, "s")
+    val c = EngineConfig(
+      sourceRoot = s"file://$root", curPaths = Seq("cur-o"),
+      warehouseDir = wh, jdbcUrl = None, jdbcUser = "", jdbcPassword = "",
+      schema = "s", syncMonths = 1, logLevel = "WARN")
+    def run(asOf: String) = Sync.run(spark, c, loader,
+      Sync.Options(months = 1, asOf = LocalDate.parse(asOf),
+        allAccounts = true, incremental = true))
+    assert(run("2024-01-15").tables.map(_.status) == Seq("success"))
+    assert(loader.table(spark, "cur_o_normalized").count() == 2L)
+    assert(run("2024-02-15").tables.map(_.status) == Seq("success"))
+    val norm = loader.table(spark, "cur_o_normalized")
+    // BOTH January rows survived (date=2024-01-05 not replaced by the
+    // stray), February loaded only its in-window row
+    assert(norm.filter(month(col("date")) === 1).count() == 2L)
+    assert(norm.filter(month(col("date")) === 2).count() == 1L)
+    // the stray remains in raw's February partition for reprocessing
+    assert(loader.table(spark, "raw_cur_o").filter(col("month") === 2).count() == 2L)
+  }
+
   test("sync rejects a zero-month window before touching the warehouse") {
     val wh = Files.createTempDirectory("graft_wh").toString
     val loader = new ParquetLoader(wh, "s")

@@ -186,6 +186,13 @@ class DedupSimilaritySpec extends SparkSpec {
       scores.filter(col("doc_id") < 0))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
     assert(none == Seq((7L, 7L, 2L)), none.toString)
+    // duplicate id rows in `scores` must not multiply cluster members:
+    // n_members stays the true cluster size and the id's best score wins
+    val dup = Dedup.keepBest(clusters,
+      scores.unionAll(Seq((2L, 0.2), (2L, 0.7)).toDF("doc_id", "score")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(dup == Seq((1L, 2L, 0.9, 3L), (7L, 7L, 0.1, 2L)), dup.toString)
   }
 
   test("repetition stats: duplicate n-gram fractions per position") {
