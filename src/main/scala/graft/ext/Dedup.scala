@@ -241,79 +241,113 @@ object Dedup {
   }
 
   /** Near-dup clusters from candidate pairs: connected components by
-    * min-label propagation, the canonical-document step of a dedup
+    * alternating large-star/small-star contraction (the public
+    * MapReduce-CC algorithm of Kiveris et al., "Connected Components in
+    * MapReduce and Beyond"), the canonical-document step of a dedup
     * pipeline (keep `cluster_rep`, drop the rest).
     *
-    * Algorithm: every endpoint starts labeled with its own id; each
-    * round every node takes the min of its label and its neighbors'
-    * labels — after diameter(G) rounds labels are the component minima
-    * (the same fixpoint GraphX's Pregel CC computes). Each round is one
-    * shuffle (join on the edge destination + groupBy); near-dup
-    * components are tiny and flat, so rounds ≈ 2–3 in practice with
-    * `maxIter` as the safety cap. Convergence is detected by the sum of
-    * labels, which strictly decreases until fixpoint — one cheap scalar
-    * aggregate per round instead of a row-diff join. Iterations persist
-    * and the loop unpersists the previous round, so lineage stays one
+    * Each round rewires the edge set toward a star per component:
+    *  - large-star: every neighbor LARGER than a node is re-pointed at
+    *    the minimum of that node's closed neighborhood;
+    *  - small-star: every neighbor SMALLER than a node (plus the node)
+    *    is re-pointed at the minimum of those.
+    * Both steps preserve connectivity, and the alternation converges in
+    * O(log diameter) rounds — min-label propagation (the previous
+    * implementation) needs diameter rounds, which on chain-shaped
+    * components at 100 TB is the difference between ~5 and ~30+
+    * shuffle rounds. Flat near-dup components still converge in 2-3
+    * rounds, with `maxIter` as the safety cap.
+    *
+    * Convergence is detected by the per-node label sum (least of self
+    * and neighbors), which is monotone non-increasing under both steps
+    * (every rewire points a node at something ≤ its dropped neighbor)
+    * and stalls exactly at the fixpoint where labels are the component
+    * minima. Decimal sum: a long sum over billions of 63-bit ids would
+    * overflow (and throw under ANSI); decimal sums are exact. Rounds
+    * persist and unpersist the previous round, so lineage stays one
     * round deep at any corpus size.
     *
     * Output: (doc_id, cluster_rep) for every document that appears in a
     * pair; singletons are their own trivial cluster and are omitted.
     * The returned frame is persisted (it backs the converged labels) —
     * call `.unpersist()` on it when done. If `maxIter` rounds pass
-    * without convergence (a component of diameter > maxIter), a warning
-    * is logged and the current (non-minimal for the farthest nodes)
-    * labels are returned. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    * without convergence, a warning is logged and the current
+    * (non-minimal for the farthest nodes) labels are returned. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame =
+    connectedComponentsWithRounds(pairs, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of contraction rounds run —
+    * exposed for tests that pin the O(log diameter) convergence. */
+  private[ext] def connectedComponentsWithRounds(
+      pairs: DataFrame, maxIter: Int = 20): (DataFrame, Int) = {
     // both edge directions from ONE pass over the input — a union of two
     // selects would execute the (possibly expensive) upstream candidate
     // pipeline twice to materialize the edge cache
-    val edges = pairs.select(explode(array(
-        struct(col("doc1").as("a"), col("doc2").as("b")),
-        struct(col("doc2").as("a"), col("doc1").as("b")))).as("e"))
-      .select(col("e.a").as("a"), col("e.b").as("b"))
+    def symmetrize(df: DataFrame): DataFrame =
+      df.select(explode(array(
+          struct(col("a"), col("b")),
+          struct(col("b").as("a"), col("a").as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+    var edges = symmetrize(
+        pairs.select(col("doc1").as("a"), col("doc2").as("b")))
       .persist()
-    // seed labels WITH the first propagation round folded in: the node
-    // set needed a shuffle anyway (distinct), so aggregate min(self,
-    // neighbors) in that same exchange — one round of the loop for free
-    var labels = edges.groupBy(col("a"))
+    // per-node labels double as the convergence metric AND the result:
+    // least(self, min neighbor) equals the component minimum once the
+    // edge set has contracted to stars
+    def labelsOf(e: DataFrame): DataFrame = e.groupBy(col("a"))
       .agg(least(col("a"), min(col("b"))).as("rep"))
       .select(col("a").as("doc"), col("rep"))
-      .persist()
-    // convergence metric in decimal: a long sum over billions of 63-bit
-    // ids would overflow (and throw under ANSI); decimal sums are exact.
-    // An empty node set sums to NULL → converged-empty, not an NPE.
+    // an empty node set sums to NULL → converged-empty, not an NPE
     def labelSum(df: DataFrame): Option[BigDecimal] =
       Option(df.agg(org.apache.spark.sql.functions.sum(
         col("rep").cast(DecimalType(38, 0)))).collect().head.getDecimal(0))
         .map(BigDecimal(_))
+    var labels = labelsOf(edges).persist()
     var prevSum: Option[BigDecimal] = None
     var curSum = labelSum(labels)
     var i = 0
     while (curSum.isDefined && prevSum.forall(p => curSum.exists(_ < p)) && i < maxIter) {
       prevSum = curSum
-      val neighborMin = edges.join(labels, edges("b") === labels("doc"))
-        .groupBy(col("a")).agg(min(col("rep")).as("nmin"))
-      val next = labels.join(neighborMin, labels("doc") === neighborMin("a"), "left")
-        .select(col("doc"), least(col("rep"), coalesce(col("nmin"), col("rep"))).as("rep"))
-        .persist()
-      curSum = labelSum(next)
+      // large-star: group the symmetric edges by center a with
+      // m = min(a ∪ neighbors); every neighbor b > a re-points at m.
+      // (Edges to SMALLER neighbors are handled by the smaller
+      // endpoint's own group, so every undirected edge survives exactly
+      // once, oriented larger → smaller.)
+      val m1 = edges.groupBy(col("a"))
+        .agg(least(col("a"), min(col("b"))).as("m"))
+      val large = edges.join(m1, "a").where(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+      // small-star on the now-directed (a > b) edges: m = min neighbor;
+      // each smaller neighbor AND the center re-point at m. Self-loops
+      // (b == m) drop; distinct bounds the edge count per round.
+      val m2 = large.groupBy(col("a")).agg(min(col("b")).as("m"))
+      val small = large.join(m2, "a")
+        .select(explode(array(
+            struct(col("b").as("a"), col("m").as("b")),
+            struct(col("a"), col("m").as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
+        .where(col("a") =!= col("b"))
+        .distinct()
+      val nextEdges = symmetrize(small).persist()
+      val nextLabels = labelsOf(nextEdges).persist()
+      curSum = labelSum(nextLabels) // materializes nextLabels AND nextEdges
+      edges.unpersist()
       labels.unpersist()
-      labels = next
+      edges = nextEdges
+      labels = nextLabels
       i += 1
     }
     if (i == maxIter && prevSum.exists(p => curSum.exists(_ < p)))
       System.err.println(s"[graft] connectedComponents stopped at maxIter=$maxIter " +
-        "without converging — a component's diameter exceeds the round budget; " +
-        "labels for its farthest nodes are not the component minimum")
+        "without converging — labels for the farthest nodes of some component " +
+        "are not yet the component minimum")
     // The rename-only projection has sameResult with the persisted
     // labels plan, so it scans (and releases, via .unpersist()) the SAME
-    // cache entry — re-persisting it here double-registered the entry
-    // (the CacheManager "already cached" warning), and the
-    // labels.unpersist() that followed DROPPED the shared entry, so every
-    // downstream scan of the result re-ran the whole candidate pipeline.
+    // cache entry — re-persisting it here would double-register the
+    // entry and a later unpersist would drop it for both (see r5 note).
     // labels is already materialized by the loop's final labelSum action.
     edges.unpersist()
-    labels.select(col("doc").as("doc_id"), col("rep").as("cluster_rep"))
+    (labels.select(col("doc").as("doc_id"), col("rep").as("cluster_rep")), i)
   }
 
   /** Canonical-document selection — the DECISION step of a near-dup

@@ -103,6 +103,19 @@ class DedupSimilaritySpec extends SparkSpec {
       20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("connected components contract a 64-doc chain in O(log diameter) rounds") {
+    import spark.implicits._
+    // diameter-63 chain: min-label propagation needs 63 rounds (and
+    // would bail at maxIter=20 with wrong far labels); the large-star/
+    // small-star alternation must converge correctly in O(log) rounds
+    val chain = (1L until 64L).map(i => (i, i + 1)).toDF("doc1", "doc2")
+    val (labels, rounds) = Dedup.connectedComponentsWithRounds(chain, maxIter = 20)
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(got == (1L to 64L).map(i => (i, 1L)), got.take(8).toString)
+    assert(rounds <= 10, s"expected O(log diameter) rounds, got $rounds")
+    labels.unpersist()
+  }
+
   test("connected components on an empty pair set returns empty, not a crash") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("doc1", "doc2")
