@@ -263,9 +263,16 @@ object Dedup {
     * (every rewire points a node at something ≤ its dropped neighbor)
     * and stalls exactly at the fixpoint where labels are the component
     * minima. Decimal sum: a long sum over billions of 63-bit ids would
-    * overflow (and throw under ANSI); decimal sums are exact. Rounds
-    * persist and unpersist the previous round, so lineage stays one
-    * round deep at any corpus size.
+    * overflow (and throw under ANSI); decimal sums are exact.
+    *
+    * Each round's edge set is lineage-TRUNCATED (checkpoint when the
+    * session has a checkpoint dir, localCheckpoint otherwise — set a
+    * reliable dir on a real cluster, where localCheckpoint blocks die
+    * with a lost executor): a star round references its input edges
+    * several times (two group-join stages), so chained lazily the
+    * logical plan grows ~4x per round — exponential — and persist alone
+    * bounds execution but not the plan, which AQE stringifies on every
+    * update. Truncation keeps both execution and plan one round deep.
     *
     * Output: (doc_id, cluster_rep) for every document that appears in a
     * pair; singletons are their own trivial cluster and are omitted.
@@ -288,9 +295,14 @@ object Dedup {
           struct(col("a"), col("b")),
           struct(col("b").as("a"), col("a").as("b")))).as("e"))
         .select(col("e.a").as("a"), col("e.b").as("b"))
-    var edges = symmetrize(
-        pairs.select(col("doc1").as("a"), col("doc2").as("b")))
-      .persist()
+    // eager truncation (see scaladoc): materializes the round and cuts
+    // the logical plan to a leaf. Freed blocks are reclaimed by the
+    // ContextCleaner once the previous round's frame goes unreferenced.
+    def truncated(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
+      else df.localCheckpoint()
+    var edges = truncated(symmetrize(
+      pairs.select(col("doc1").as("a"), col("doc2").as("b"))))
     // per-node labels double as the convergence metric AND the result:
     // least(self, min neighbor) equals the component minimum once the
     // edge set has contracted to stars
@@ -328,10 +340,9 @@ object Dedup {
         .select(col("e.a").as("a"), col("e.b").as("b"))
         .where(col("a") =!= col("b"))
         .distinct()
-      val nextEdges = symmetrize(small).persist()
+      val nextEdges = truncated(symmetrize(small))
       val nextLabels = labelsOf(nextEdges).persist()
-      curSum = labelSum(nextLabels) // materializes nextLabels AND nextEdges
-      edges.unpersist()
+      curSum = labelSum(nextLabels) // materializes nextLabels
       labels.unpersist()
       edges = nextEdges
       labels = nextLabels
@@ -346,8 +357,56 @@ object Dedup {
     // cache entry — re-persisting it here would double-register the
     // entry and a later unpersist would drop it for both (see r5 note).
     // labels is already materialized by the loop's final labelSum action.
-    edges.unpersist()
     (labels.select(col("doc").as("doc_id"), col("rep").as("cluster_rep")), i)
+  }
+
+  /** Handles to every stage of [[dedupPipeline]]. `candidates` and
+    * `confirmed` are persisted — call [[unpersistAll]] when done (the
+    * clusters frame is persisted by [[connectedComponents]] and is
+    * released there too). */
+  final case class DedupPipeline(
+      candidates: DataFrame, confirmed: DataFrame,
+      clusters: DataFrame, kept: DataFrame) {
+    def unpersistAll(): Unit = {
+      candidates.unpersist(); confirmed.unpersist(); clusters.unpersist(); ()
+    }
+  }
+
+  /** The composed end-to-end fuzzy-dedup pipeline: MinHash-LSH
+    * candidates → exact edit-distance confirmation → connected-component
+    * clusters → keep-best canonical selection — sharing ONE candidate
+    * front. Run as separate queries (e05/e25/e15/e26 declare each stage
+    * self-contained for the oracle), the shingle→signature→band front is
+    * recomputed per stage; at 100 TB that front IS the dominant cost, so
+    * the composed form computes it once (persisted) and derives every
+    * later stage from that frame.
+    *
+    * `scores` must carry (`doc_id`, `scoreCol`) — one row per doc (see
+    * [[keepBest]]). Returns handles to all four stages; a caller that
+    * materializes several of them still pays for the candidate front
+    * once. */
+  def dedupPipeline(docs: DataFrame, idCol: String, textCol: String,
+      scores: DataFrame, scoreCol: String = "score",
+      k: Int = 32, bands: Int = 8, minEstSim: Double = 0.4,
+      maxEdit: Int = 5): DedupPipeline = {
+    val candidates =
+      minhashCandidatesPortable(docs, idCol, textCol, k, bands,
+        minEstSim = minEstSim)
+        .persist()
+    // exact confirmation strictly on the sketched candidates (the
+    // O(len²) DP per pair is affordable exactly because the sketch
+    // bounds the pair count); persisted because it both feeds the
+    // cluster step's edge build and is a deliverable of its own
+    val confirmed = candidates
+      .join(docs.select(col(idCol).as("doc1"), col(textCol).as("t1")), "doc1")
+      .join(docs.select(col(idCol).as("doc2"), col(textCol).as("t2")), "doc2")
+      .select(col("doc1"), col("doc2"), col("est_sim"),
+        levenshtein(col("t1"), col("t2")).cast(IntegerType).as("edit_dist"))
+      .filter(col("edit_dist") <= maxEdit)
+      .persist()
+    val clusters = connectedComponents(confirmed)
+    val kept = keepBest(clusters, scores, scoreCol = scoreCol)
+    DedupPipeline(candidates, confirmed, clusters, kept)
   }
 
   /** Canonical-document selection — the DECISION step of a near-dup

@@ -153,8 +153,11 @@ object ExtQueries {
   // closes the components with a recursive CTE.
   // The recursive connected-components restatement over the candidate
   // pairs, shared by e15 (raw clusters) and e26 (keep-best selection).
-  private val ccCtes: String =
-    """cand AS (SELECT doc1, doc2 FROM est WHERE est_sim >= 0.4),
+  /** Recursive connected-components CTEs over an arbitrary pair CTE
+    * body (`SELECT doc1, doc2 ...`) — shared by e15/e26 (sketch-level
+    * pairs) and e27 (edit-distance-confirmed pairs). */
+  private def ccCtesOver(candSelect: String): String =
+    s"""cand AS ($candSelect),
       nodes AS (SELECT DISTINCT doc FROM
         (SELECT doc1 AS doc FROM cand UNION ALL SELECT doc2 AS doc FROM cand)),
       edges AS (SELECT doc1 AS a, doc2 AS b FROM cand
@@ -164,6 +167,9 @@ object ExtQueries {
         SELECT r.src, e.b AS node FROM reach r JOIN edges e ON e.a = r.node),
       clusters AS (SELECT src AS doc_id, MIN(node) AS cluster_rep
         FROM reach GROUP BY src)"""
+
+  private val ccCtes: String =
+    ccCtesOver("SELECT doc1, doc2 FROM est WHERE est_sim >= 0.4")
 
   val e15 = Q(
     "e15_near_dup_clusters",
@@ -663,7 +669,44 @@ object ExtQueries {
       SELECT cluster_rep, doc_id AS keep_id, length_score, n_members
       FROM ranked WHERE rn = 1 ORDER BY cluster_rep"""))
 
+  // The composed pipeline (VERDICT r6 item 2): e05 (candidates) → e25
+  // (edit-distance confirm) → e15 (clusters) → e26 (keep-best) as ONE
+  // flow over ONE persisted candidate front, instead of four queries
+  // that each recompute the shingle/signature/band front. Clustering
+  // runs on CONFIRMED pairs (sketch proposes, exact Levenshtein ≤ 5
+  // disposes), so the clusters — and the survivors — can differ from
+  // e26's sketch-only clusters: this is the pipeline a user actually
+  // ships. The oracle replays candidates (mhCtes), confirmation
+  // (levenshtein join), recursive CC over the confirmed pairs, and the
+  // ROW_NUMBER pick, end to end.
+  val e27 = Q(
+    "e27_dedup_pipeline",
+    (s, d) => {
+      val docs = T.documents(s, d)
+      val scores = docs.select(col("doc_id"),
+        TextOps.lengthScoreCol(TextOps.tokens(col("text"))).as("length_score"))
+      Dedup.dedupPipeline(docs, "doc_id", "text", scores,
+        scoreCol = "length_score", k = mhK, bands = mhBands,
+        minEstSim = 0.4, maxEdit = 5)
+        .kept.orderBy(col("cluster_rep"))
+    },
+    Some(s"""WITH RECURSIVE $mhCtes,
+      ${ccCtesOver(s"""SELECT c.doc1, c.doc2 FROM est c
+          JOIN documents a ON a.doc_id = c.doc1
+          JOIN documents b ON b.doc_id = c.doc2
+          WHERE c.est_sim >= 0.4 AND levenshtein(a.text, b.text) <= 5""")},
+      sc AS (SELECT doc_id,
+          LEAST(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100) AS length_score
+        FROM documents),
+      ranked AS (SELECT c.cluster_rep, c.doc_id, sc.length_score,
+          ROW_NUMBER() OVER (PARTITION BY c.cluster_rep
+            ORDER BY sc.length_score DESC, c.doc_id) AS rn,
+          COUNT(*) OVER (PARTITION BY c.cluster_rep) AS n_members
+        FROM clusters c JOIN sc ON sc.doc_id = c.doc_id)
+      SELECT cluster_rep, doc_id AS keep_id, length_score, n_members
+      FROM ranked WHERE rn = 1 ORDER BY cluster_rep"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
-      e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26)
+      e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27)
 }

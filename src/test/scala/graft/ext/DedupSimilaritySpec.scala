@@ -116,6 +116,33 @@ class DedupSimilaritySpec extends SparkSpec {
     labels.unpersist()
   }
 
+  test("dedupPipeline shares one persisted candidate front across all stages") {
+    import spark.implicits._
+    val scores = docs.select(col("doc_id"), lit(1.0).as("score"))
+    val p = Dedup.dedupPipeline(docs, "doc_id", "text", scores)
+    try {
+      // the confirmation stage scans the persisted candidate frame, not
+      // a recomputed shingle/signature/band front
+      val confirmedPlan = p.confirmed.queryExecution.executedPlan.toString
+      assert(confirmedPlan.contains("InMemoryTableScan"), confirmedPlan.take(400))
+      assert(!confirmedPlan.contains("graft_minhash"),
+        "confirm stage must reuse the cached front, not recompute signatures")
+      // clusters are the persisted CC labels; kept reads them from cache
+      val keptPlan = p.kept.queryExecution.executedPlan.toString
+      assert(keptPlan.contains("InMemoryTableScan"), keptPlan.take(400))
+      // stage consistency: every kept row's cluster has >= 2 members
+      // (singletons are omitted by CC), and keep_id is a cluster member
+      val kept = p.kept.collect()
+      assert(kept.nonEmpty)
+      assert(kept.forall(_.getLong(3) >= 2L))
+      val members = p.clusters.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(kept.forall(r => members.contains((r.getLong(1), r.getLong(0)))))
+      // confirmation is strictly a subset of candidates
+      assert(p.confirmed.count() <= p.candidates.count())
+    } finally p.unpersistAll()
+  }
+
   test("connected components on an empty pair set returns empty, not a crash") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Long)].toDF("doc1", "doc2")
