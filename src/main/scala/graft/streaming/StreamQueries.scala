@@ -95,5 +95,42 @@ object StreamQueries {
     Some(s"""SELECT CAST(ts AS DATE) AS day, ${oSum("value")} AS total, COUNT(*) AS n
       FROM events GROUP BY day ORDER BY day"""))
 
-  val all: Seq[Q] = Seq(c40, c47)
+  // C50: the stateful-processing capability (`flatMapGroupsWithState`,
+  // [[CostState.budgetAlerts]]) promoted from suite-only behavior tests
+  // to a hash-checked query: drain the events file stream through the
+  // per-account budget latch and compare the SET of tripped accounts to
+  // the batch restatement (accounts whose total cost reaches the
+  // budget). The alert's emission-time running total depends on
+  // micro-batch boundaries, so the declared output is the deterministic
+  // part — (account_id, budget) — while "exactly one alert per crossing
+  // account, none below" is precisely the latch semantics under test.
+  // Budget sits 0.005 off any representable per-account sum (nearest
+  // real sum is >0.5 away at every SF), so double summation order can't
+  // flip a membership.
+  val c50 = Q(
+    "c50_stream_stateful",
+    (s, d) => {
+      import s.implicits._
+      val batchSchema = s.read.parquet(s"$d/events.parquet").schema
+      val raw = s.readStream.schema(batchSchema).parquet(s"$d/events.parque[t]")
+      val ev = raw
+        .select(col("user_id").cast("string").as("account_id"),
+          col("value").as("cost"))
+        .as[CostState.CostEvent]
+      val alerts = CostState.budgetAlerts(s, ev, budget = 3300.005)
+      val q = alerts.toDF()
+        .select(col("account_id"), col("budget"))
+        .writeStream
+        .format("memory").queryName("graft_c50_stream")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_c50_stream").orderBy(col("account_id"))
+    },
+    Some("""SELECT CAST(user_id AS VARCHAR) AS account_id, 3300.005 AS budget
+      FROM events GROUP BY account_id HAVING SUM(value) >= 3300.005
+      ORDER BY account_id"""))
+
+  val all: Seq[Q] = Seq(c40, c47, c50)
 }
