@@ -325,32 +325,44 @@ object ExtQueries {
         md5(text) AS payload_md5
       FROM documents ORDER BY doc_id"""))
 
-  // Decode/resize/feature pipeline through the mapPartitions seam (stub
-  // codec — deterministic fake decode; the plumbing is the deliverable).
-  // The declared projection scalarizes the feature vector (f0..f3) so the
-  // driver's pandas compare can sort/hash it; the stub samples payload
-  // bytes at i·n/4, which on the (pure-ASCII) fixture text is
-  // oracle-expressible as ascii(substr(...)).
+  // Decode/resize/feature pipeline through the mapPartitions seam — a
+  // REAL codec (VERDICT r6 item 6): the payloads are genuine 24-bit BMP
+  // files (headers, bottom-up rows, 4-byte row padding) whose pixel grid
+  // carries the document's text bytes, and BmpDecoder parses the wire
+  // format (dims from the header, not the metadata). The declared
+  // projection scalarizes the 4 corner-pixel B+G+R sums (f0..f3); since
+  // pixel (x,y) channel c holds text byte ((y·w+x)·3+c) mod len, every
+  // sample is oracle-expressible as ascii(substr(...)) arithmetic on the
+  // (pure-ASCII) fixture text.
+  private val bmpCorners = Seq("0", "(w - 1)", "((h - 1) * w)", "(h * w - 1)")
   val e13 = Q(
     "e13_multimodal_decode",
     (s, d) => {
       val feats = Multimodal.decodeFeatures(
-        s, Multimodal.mediaTable(T.documents(s, d)), targetW = 256, targetH = 256).toDF()
+        s, Multimodal.bmpMediaTable(s, T.documents(s, d)),
+        targetW = 6, targetH = 4, decoder = Multimodal.BmpDecoder).toDF()
       feats.select(
         (col("doc_id") +: col("n_bytes") +: col("format") +:
           col("out_width") +: col("out_height") +:
           (0 until 4).map(i => try_element_at(col("feature"), lit(i + 1)).as(s"f$i"))): _*)
         .orderBy(col("doc_id"))
     },
-    Some(s"""SELECT doc_id,
-        CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        (['png', 'jpeg', 'webp'])[CAST(doc_id % 3 AS INT) + 1] AS format,
-        LEAST(CAST((doc_id % 8) * 160 + 320 AS INT), 256) AS out_width,
-        LEAST(CAST((doc_id % 5) * 90 + 180 AS INT), 256) AS out_height,
-        ${(0 until 4).map(i =>
-          s"CAST(ascii(substr(text, CAST(($i * length(text)) // 4 AS INT) + 1, 1)) AS BIGINT) AS f$i")
-          .mkString(",\n        ")}
-      FROM documents ORDER BY doc_id"""))
+    Some(s"""WITH g AS (SELECT doc_id, text,
+          CAST(4 + doc_id % 5 AS INT) AS w, CAST(3 + doc_id % 4 AS INT) AS h,
+          octet_length(encode(text)) AS L
+        FROM documents)
+      SELECT doc_id,
+        CAST(54 + ((3 * w + 3) // 4) * 4 * h AS BIGINT) AS n_bytes,
+        'bmp' AS format,
+        LEAST(w, 6) AS out_width,
+        LEAST(h, 4) AS out_height,
+        ${bmpCorners.zipWithIndex.map { case (pos, i) =>
+          s"""CAST(CASE WHEN L = 0 THEN 0 ELSE
+          ascii(substr(text, (($pos * 3 + 0) % L) + 1, 1)) +
+          ascii(substr(text, (($pos * 3 + 1) % L) + 1, 1)) +
+          ascii(substr(text, (($pos * 3 + 2) % L) + 1, 1)) END AS BIGINT) AS f$i"""
+        }.mkString(",\n        ")}
+      FROM g ORDER BY doc_id"""))
 
   // E3 (IVF scale path): coarse-quantizer cells + nprobe probing — the
   // second ANN geometry next to e07's LSH. The centroid draw is the
@@ -706,7 +718,53 @@ object ExtQueries {
       SELECT cluster_rep, doc_id AS keep_id, length_score, n_members
       FROM ranked WHERE rn = 1 ORDER BY cluster_rep"""))
 
+  // E3 at production nlist (VERDICT r6 item 7): the same IVF geometry as
+  // e14 but at nlist=512 — past the literal-projection ceiling, so the
+  // centroid matrix rides as ONE codegen reference object through the
+  // native [[graft.functions.IvfCells]] expression (O(1) generated code
+  // at any nlist; plan-asserted in DedupSimilaritySpec). lloydIters=0
+  // keeps the oracle to the seed draw + assignment + probe + rank — the
+  // refinement arithmetic is already oracle-pinned at nlist=16 by e14,
+  // and the thing under test HERE is the large-matrix codegen path.
+  // When the corpus is smaller than nlist (sf0.01: 500 vectors) both
+  // engines degrade identically: every vector seeds its own cell.
+  val e28 = Q(
+    "e28_ann_ivf_large_nlist",
+    (s, d) => Similarity.ivfTopK(
+      T.embeddings(s, d), T.embeddings(s, d).filter(col("vec_id") < 10),
+      k = 5, nlist = 512, nprobe = 8, lloydIters = 0),
+    Some("""WITH corp AS (SELECT vec_id, embedding,
+        SQRT(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS vn
+        FROM embeddings),
+      picked AS (SELECT vec_id, embedding FROM embeddings
+        ORDER BY CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT), vec_id
+        LIMIT 512),
+      cents AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS ce,
+          SQRT(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS cn
+        FROM picked),
+      ac AS (SELECT c.vec_id, c.vn, ct.cid,
+          LIST_SUM(LIST_TRANSFORM(range(1, LEN(c.embedding)+1),
+            i -> CAST(c.embedding[i] AS DOUBLE) * CAST(ct.ce[i] AS DOUBLE)))
+            / (c.vn * ct.cn) AS ccos
+        FROM corp c, cents ct),
+      assign AS (SELECT vec_id, cid FROM
+          (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn FROM ac)
+        WHERE crn = 1),
+      probes AS (SELECT vec_id AS qid, cid FROM
+          (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn
+           FROM ac WHERE vec_id < 10)
+        WHERE crn <= 8),
+      sc AS (SELECT p.qid, a.vec_id,
+          LIST_SUM(LIST_TRANSFORM(range(1, LEN(q.embedding)+1),
+            i -> CAST(q.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)))
+            / (q.vn * v.vn) AS cos
+        FROM assign a JOIN probes p ON a.cid = p.cid AND p.qid <> a.vec_id
+        JOIN corp q ON q.vec_id = p.qid JOIN corp v ON v.vec_id = a.vec_id),
+      r AS (SELECT qid, vec_id, cos,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM sc)
+      SELECT qid, vec_id, cos, rn FROM r WHERE rn <= 5 ORDER BY qid, rn"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
-      e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27)
+      e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28)
 }

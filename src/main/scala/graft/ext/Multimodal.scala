@@ -8,9 +8,14 @@ import org.apache.spark.sql.types._
   * payloads + typed metadata structs, with decode/feature-extract/
   * resize/frame-sample implemented as per-partition batch operators.
   *
-  * The decode step is STUBBED (no image/audio codecs in this
-  * environment): [[DecodeStub]] produces a deterministic fake — but the
-  * Spark-side plumbing is real and is what matters at 100 TB:
+  * Two decoders sit behind the seam: [[BmpDecoder]] is a REAL pure-JVM
+  * codec for uncompressed 24-bit BMP (signature check, little-endian
+  * header parse, bottom-up vs top-down row order, 4-byte row padding —
+  * the full wire format, not a fake), used by the declared e13 query
+  * over [[bmpMediaTable]]'s real BMP payloads. [[DecodeStub]] remains
+  * for formats with no in-container codec (png/jpeg/webp dispatch in
+  * the e12 metadata fixture). The Spark-side plumbing is shared and is
+  * what matters at 100 TB:
   *  - payloads live in a `binary` column (parquet handles natively,
   *    scans stay columnar, metadata prunes without touching bytes);
   *  - decode runs via `mapPartitions` over an iterator (one batch per
@@ -60,12 +65,101 @@ object Multimodal {
       octet_length(col("payload")).cast(LongType).as("n_bytes"),
       md5(col("payload")).as("payload_md5"))
 
-  /** The decode seam. A real implementation would wrap an image codec;
-    * the stub "decodes" deterministically from the bytes so tests can
-    * assert exact values. Runs inside mapPartitions — batch-at-a-time,
-    * no driver involvement, executor-parallel. */
+  /** The decode seam. Implementations parse the payload bytes (a real
+    * codec for BMP below; a deterministic stub for codec-less formats).
+    * Runs inside mapPartitions — batch-at-a-time, no driver
+    * involvement, executor-parallel. */
   trait Decoder extends Serializable {
     def decode(row: MediaRow, targetW: Int, targetH: Int): MediaFeatures
+  }
+
+  /** Minimal uncompressed 24-bit BMP writer (BITMAPFILEHEADER +
+    * BITMAPINFOHEADER, BI_RGB, bottom-up rows, rows padded to 4 bytes).
+    * Pixel channel `c` of pixel (x, y) carries `src[((y·w+x)·3+c) mod
+    * |src|]` — a flat byte grid over the source text, so an external
+    * SQL oracle can restate any sampled pixel arithmetically. Public
+    * format: en.wikipedia.org/wiki/BMP_file_format. */
+  object Bmp {
+    val HeaderSize = 54
+    def rowSize(w: Int): Int = ((3 * w + 3) / 4) * 4
+    def encode(w: Int, h: Int, src: Array[Byte]): Array[Byte] = {
+      require(w > 0 && h > 0, s"bmp dims out of range: ${w}x$h")
+      val rs = rowSize(w)
+      val out = new Array[Byte](HeaderSize + rs * h)
+      val bb = java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte).putInt(out.length)
+        .putShort(0).putShort(0).putInt(HeaderSize)
+      bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+        .putInt(0).putInt(rs * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var c = 0
+          while (c < 3) {
+            val p = (y * w + x) * 3 + c
+            out(HeaderSize + (h - 1 - y) * rs + x * 3 + c) =
+              if (src.isEmpty) 0 else src(p % src.length)
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+  }
+
+  /** Real BMP decode: validates the `BM` signature, reads the pixel
+    * data offset, dimensions, bit depth and compression from the
+    * little-endian headers, and honors bottom-up (positive height) vs
+    * top-down (negative height) row order and 4-byte row padding.
+    * Dimensions come from the HEADER, not the metadata columns — a
+    * codec trusts the bytes. Features are the 4 corner pixels' B+G+R
+    * sums; resize keeps the nearest-neighbor clamp semantics on the
+    * reported output box. */
+  object BmpDecoder extends Decoder {
+    override def decode(r: MediaRow, targetW: Int, targetH: Int): MediaFeatures = {
+      val p = r.payload
+      require(p.length >= Bmp.HeaderSize && p(0) == 'B' && p(1) == 'M',
+        s"doc ${r.doc_id}: not a BMP payload")
+      val bb = java.nio.ByteBuffer.wrap(p).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val dataOff = bb.getInt(10)
+      require(bb.getInt(14) >= 40, s"doc ${r.doc_id}: pre-v3 BMP header")
+      val w = bb.getInt(18)
+      val rawH = bb.getInt(22)
+      val topDown = rawH < 0
+      val h = math.abs(rawH)
+      require(bb.getShort(28) == 24, s"doc ${r.doc_id}: only 24bpp supported")
+      require(bb.getInt(30) == 0, s"doc ${r.doc_id}: compressed BMP unsupported")
+      val rs = Bmp.rowSize(w)
+      require(p.length >= dataOff + rs * h, s"doc ${r.doc_id}: truncated pixel array")
+      def px(x: Int, y: Int, c: Int): Int = {
+        val fileRow = if (topDown) y else h - 1 - y
+        p(dataOff + fileRow * rs + x * 3 + c) & 0xff
+      }
+      val corners = Array((0, 0), (w - 1, 0), (0, h - 1), (w - 1, h - 1))
+      val feature = corners.map { case (x, y) =>
+        (px(x, y, 0) + px(x, y, 1) + px(x, y, 2)).toLong
+      }
+      MediaFeatures(r.doc_id, p.length.toLong, r.format,
+        math.min(w, targetW), math.min(h, targetH), feature)
+    }
+  }
+
+  /** Media table with REAL BMP payloads: each document's text bytes are
+    * laid out as the pixel grid of a small w×h 24-bit BMP (dims derived
+    * from doc_id so the oracle can recompute them). Fixture generation
+    * runs as a typed per-partition map — the same executor-parallel
+    * shape the decode path uses. */
+  def bmpMediaTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
+      val w = (4 + id % 5).toInt
+      val h = (3 + id % 4).toInt
+      MediaRow(id, Bmp.encode(w, h,
+        text.getBytes(java.nio.charset.StandardCharsets.UTF_8)), "bmp", w, h)
+    }.toDF()
   }
 
   object DecodeStub extends Decoder {

@@ -346,6 +346,17 @@ class DedupSimilaritySpec extends SparkSpec {
       "per-centroid literal dots leaked into the large-nlist plan")
     val bigRows = rows(big)
     assert(bigRows.nonEmpty && bigRows.map(_._1).distinct.size == 10)
+    // O(1) plan/codegen size vs nlist (the e28 contract): the 512-cell
+    // plan text is no larger than the 16-cell native plan beyond a small
+    // constant — the matrix rides as a reference object, never as plan
+    // text, so codegen never hits Janino's constant-pool/method limits.
+    val nat16Plan = Similarity.ivfTopK(embs, q, 5, nlist = 16, nprobe = 4,
+      literalNlistMax = 0).queryExecution.executedPlan.toString
+    val nat512Plan = Similarity.ivfTopK(embs, q, 5, nlist = 512, nprobe = 8,
+      lloydIters = 0).queryExecution.executedPlan.toString
+    assert(nat512Plan.contains("graft_ivf_cells"))
+    assert(nat512Plan.length <= nat16Plan.length * 2,
+      s"plan text grew with nlist: 16→${nat16Plan.length} chars, 512→${nat512Plan.length}")
   }
 
   test("E3: LSH dup pairs are a subset of exact dup pairs with identical cosines") {

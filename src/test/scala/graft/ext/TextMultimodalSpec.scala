@@ -78,6 +78,68 @@ class TextMultimodalSpec extends SparkSpec {
     assert(f.feature.toSeq == g.feature.toSeq)
   }
 
+  test("bmp: encode/decode round-trips a known byte grid (real codec)") {
+    val text = "The quick brown fox jumps over the lazy dog."
+    val src = text.getBytes("UTF-8")
+    val w = 5; val h = 3 // rowSize 16 > 15: padding byte exercised
+    val payload = Multimodal.Bmp.encode(w, h, src)
+    assert(payload.length == 54 + 16 * h)
+    assert(payload(0) == 'B'.toByte && payload(1) == 'M'.toByte)
+    val f = Multimodal.BmpDecoder.decode(
+      Multimodal.MediaRow(9L, payload, "bmp", w, h), 6, 4)
+    def corner(pos: Int): Long =
+      (0 until 3).map(c => src((pos * 3 + c) % src.length) & 0xff).sum.toLong
+    assert(f.feature.toSeq ==
+      Seq(corner(0), corner(w - 1), corner((h - 1) * w), corner(h * w - 1)))
+    assert(f.n_bytes == payload.length.toLong)
+    assert(f.out_width == 5 && f.out_height == 3)
+  }
+
+  test("bmp: decoder honors top-down row order and rejects non-BMP") {
+    val src = "abcdefghijklmnopqrstuvwxyz".getBytes("UTF-8")
+    val w = 4; val h = 2
+    val bottomUp = Multimodal.Bmp.encode(w, h, src)
+    // hand-flip to top-down: negate height, swap the two pixel rows
+    val topDown = bottomUp.clone()
+    java.nio.ByteBuffer.wrap(topDown).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(22, -h)
+    val rs = Multimodal.Bmp.rowSize(w)
+    for (i <- 0 until rs) {
+      topDown(54 + i) = bottomUp(54 + rs + i)
+      topDown(54 + rs + i) = bottomUp(54 + i)
+    }
+    val a = Multimodal.BmpDecoder.decode(
+      Multimodal.MediaRow(1L, bottomUp, "bmp", w, h), 6, 4)
+    val b = Multimodal.BmpDecoder.decode(
+      Multimodal.MediaRow(1L, topDown, "bmp", w, h), 6, 4)
+    assert(a.feature.toSeq == b.feature.toSeq)
+    intercept[IllegalArgumentException] {
+      Multimodal.BmpDecoder.decode(
+        Multimodal.MediaRow(2L, "not a bitmap at all".getBytes, "bmp", 1, 1), 6, 4)
+    }
+  }
+
+  test("bmp: media table generates real BMPs and the pipeline decodes them") {
+    val docs = doc(12L, "some document text for the pixel grid")
+    val media = Multimodal.bmpMediaTable(spark, docs)
+    val row = media.collect().head
+    val payload = row.getAs[Array[Byte]]("payload")
+    assert(payload(0) == 'B'.toByte && payload(1) == 'M'.toByte)
+    assert(row.getAs[String]("format") == "bmp")
+    val w = (4 + 12 % 5); val h = (3 + 12 % 4) // 6 x 3
+    assert(row.getAs[Int]("width") == w && row.getAs[Int]("height") == h)
+    val f = Multimodal.decodeFeatures(spark, media, 6, 4,
+      decoder = Multimodal.BmpDecoder).collect().head
+    assert(f.out_width == math.min(w, 6) && f.out_height == math.min(h, 4))
+    val src = "some document text for the pixel grid".getBytes("UTF-8")
+    assert(f.feature(0) == (0 until 3).map(c => src(c % src.length) & 0xff).sum.toLong)
+    // empty text: all-zero pixel grid, zero features
+    val empty = Multimodal.decodeFeatures(spark,
+      Multimodal.bmpMediaTable(spark, doc(3L, "")), 6, 4,
+      decoder = Multimodal.BmpDecoder).collect().head
+    assert(empty.feature.toSeq == Seq(0L, 0L, 0L, 0L))
+  }
+
   test("multimodal: frame offsets stride the payload") {
     import spark.implicits._
     val media = Multimodal.mediaTable(doc(1L, "0123456789"))
