@@ -1,5 +1,6 @@
 package graft.etl
 
+import org.apache.hadoop.fs.{Path => HPath}
 import org.apache.spark.sql.{DataFrame, Observation, SaveMode, SparkSession}
 import org.apache.spark.sql.functions.{count, lit}
 
@@ -102,12 +103,27 @@ trait Loader extends AutoCloseable {
     sqlText.split(";").map(_.trim).filter(_.nonEmpty).toSeq
 }
 
+object Loader {
+  /** Filesystem schemes whose `rename` is a non-atomic copy+delete —
+    * [[ParquetLoader.compact]]'s directory swap refuses these. */
+  val copyRenameSchemes: Set[String] =
+    Set("s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs", "oss", "swift", "cosn")
+}
+
 /** Parquet warehouse sink: `warehouseDir/schema/table/` per table. */
 final class ParquetLoader(warehouseDir: String, schema: String) extends Loader {
   private def dir(table: String) = s"$warehouseDir/$schema/$table"
 
-  override def ensureNamespace(): Unit =
-    new java.io.File(s"$warehouseDir/$schema").mkdirs()
+  override def ensureNamespace(): Unit = {
+    // through the Hadoop filesystem (not java.io) so a non-file: warehouse
+    // scheme (hdfs, the graftfs contract test) creates its namespace too
+    val conf = SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    val p = new HPath(s"$warehouseDir/$schema")
+    p.getFileSystem(conf).mkdirs(p)
+    ()
+  }
 
   override def load(df: DataFrame, table: String, ifExists: String,
       partitionBy: Seq[String]): Long = {
@@ -203,18 +219,30 @@ final class ParquetLoader(warehouseDir: String, schema: String) extends Loader {
     * columns (re-clustered one file per value, the loader's write
     * discipline) with directory names preserved verbatim.
     *
-    * Local-filesystem warehouses only (java.io listing + rename): an
-    * object-store warehouse needs a committer-based rewrite instead of a
-    * directory swap — guarded with a clear error rather than a null
-    * crash. Returns (filesBefore, filesAfter). */
+    * Runs through the Hadoop FileSystem API, so any warehouse
+    * filesystem with ATOMIC directory rename works (local, HDFS, or a
+    * custom scheme — contract-tested over `graftfs://`). Object-store
+    * schemes are refused by name: their "rename" is a copy+delete, so
+    * the swap loses its crash-safety — those need a committer-based
+    * rewrite instead. Returns (filesBefore, filesAfter). */
   def compact(spark: SparkSession, table: String, targetBytes: Long = 128L << 20): (Int, Int) = {
     require(targetBytes > 0, s"compact targetBytes must be positive, got $targetBytes")
-    require(!warehouseDir.contains("://") || warehouseDir.startsWith("file:"),
-      s"compact requires a local-filesystem warehouse, got $warehouseDir")
-    val path = new java.io.File(dir(table).stripPrefix("file://").stripPrefix("file:"))
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-    }
+    val path = new HPath(dir(table))
+    val hadoopConf = spark.sessionState.newHadoopConf()
+    // guard on the PATH's scheme before resolving the filesystem: an
+    // object-store path should get this error, not a missing-connector
+    // ClassNotFoundException from getFileSystem
+    val scheme = Option(path.toUri.getScheme).orElse(
+      Option(org.apache.hadoop.fs.FileSystem.getDefaultUri(hadoopConf).getScheme))
+      .getOrElse("file")
+    require(!Loader.copyRenameSchemes.contains(scheme),
+      s"compact's two-rename directory swap needs atomic rename; '$scheme' renames " +
+        "by copy+delete — use a committer-based rewrite for object-store warehouses")
+    val fs = path.getFileSystem(hadoopConf)
+    def rm(p: HPath): Unit = { fs.delete(p, true); () }
+    def isDir(p: HPath): Boolean =
+      try fs.getFileStatus(p).isDirectory
+      catch { case _: java.io.FileNotFoundException => false }
     // Crash recovery from an interrupted previous compaction: the
     // two-rename swap is not atomic, so repair before starting —
     //  - `__old` present, table dir gone: the crash hit between retire
@@ -230,30 +258,30 @@ final class ParquetLoader(warehouseDir: String, schema: String) extends Loader {
     //    rather than guess;
     //  - leftover `__compact` alone: a dead write — discard (its data
     //    still lives in the table).
-    val retired = new java.io.File(path.getParentFile, s"${path.getName}__old")
-    val staging = new java.io.File(path.getParentFile, s"${path.getName}__compact")
-    if (retired.isDirectory && !path.isDirectory) {
+    val retired = new HPath(path.getParent, s"${path.getName}__old")
+    val staging = new HPath(path.getParent, s"${path.getName}__compact")
+    if (isDir(retired) && !isDir(path)) {
       System.err.println(s"[compact] recovering interrupted swap: restoring $retired")
-      if (!retired.renameTo(path)) sys.error(s"compact: cannot restore $retired to $path")
-    } else if (retired.isDirectory && staging.isDirectory) {
+      if (!fs.rename(retired, path)) sys.error(s"compact: cannot restore $retired to $path")
+    } else if (isDir(retired) && isDir(staging)) {
       sys.error(s"compact: found BOTH $retired and $staging next to a live table " +
         s"directory — a load ran after an interrupted swap, so $retired holds " +
         s"pre-crash rows absent from $path. Reconcile manually (append $retired's " +
         s"files into $path, or remove $retired if its rows are obsolete), then re-run")
-    } else if (retired.isDirectory) {
+    } else if (isDir(retired)) {
       System.err.println(s"[compact] removing leftover $retired from interrupted cleanup")
       rm(retired)
     }
-    if (staging.isDirectory) rm(staging)
-    require(path.isDirectory, s"compact: no such table directory: $path")
-    def parquetFiles(f: java.io.File): Seq[java.io.File] = {
-      val kids = Option(f.listFiles()).map(_.toSeq).getOrElse(Nil)
-      kids.filter(_.isFile).filter(_.getName.endsWith(".parquet")) ++
-        kids.filter(_.isDirectory).flatMap(parquetFiles)
+    if (isDir(staging)) rm(staging)
+    require(isDir(path), s"compact: no such table directory: $path")
+    def parquetFiles(p: HPath): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val kids = fs.listStatus(p).toSeq
+      kids.filter(s => s.isFile && s.getPath.getName.endsWith(".parquet")) ++
+        kids.filter(_.isDirectory).flatMap(s => parquetFiles(s.getPath))
     }
     val before = parquetFiles(path)
     if (before.isEmpty) return (0, 0) // nothing to compact (empty table dir)
-    val totalBytes = before.map(_.length()).sum
+    val totalBytes = before.map(_.getLen).sum
     // Read with partition-column TYPE INFERENCE OFF: inference would
     // rewrite a zero-padded or string-typed partition value (month=01)
     // as its inferred form (month=1), changing directory names for any
@@ -281,7 +309,7 @@ final class ParquetLoader(warehouseDir: String, schema: String) extends Loader {
     // schema but absent from every leaf file's own columns — recluster by
     // them; flat tables get an even coalesce to the byte-derived count
     val partCols = {
-      val leaf = spark.read.parquet(before.head.toString).columns.toSet
+      val leaf = spark.read.parquet(before.head.getPath.toString).columns.toSet
       df.columns.filterNot(leaf.contains).toSeq
     }
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
@@ -291,7 +319,7 @@ final class ParquetLoader(warehouseDir: String, schema: String) extends Loader {
         // targetBytes does not split an oversized single value (that
         // needs a salt keyed on per-value sizes); surface the discard
         // instead of silently honoring only part of the contract
-        val maxDir = before.groupBy(_.getParentFile).values.map(_.map(_.length()).sum).max
+        val maxDir = before.groupBy(_.getPath.getParent).values.map(_.map(_.getLen).sum).max
         if (maxDir > targetBytes)
           System.err.println(f"[compact] warning: largest partition value holds " +
             f"${maxDir / 1048576.0}%.1f MiB > target ${targetBytes / 1048576.0}%.1f MiB; " +
@@ -305,9 +333,9 @@ final class ParquetLoader(warehouseDir: String, schema: String) extends Loader {
     // table dir; the recovery block at entry (and any operator following
     // the same rule: rename `__old` back) repairs that state. Write-phase
     // failures leave the original untouched.
-    if (!path.renameTo(retired)) sys.error(s"compact: cannot retire $path")
-    if (!staging.renameTo(path)) {
-      retired.renameTo(path) // roll back
+    if (!fs.rename(path, retired)) sys.error(s"compact: cannot retire $path")
+    if (!fs.rename(staging, path)) {
+      fs.rename(retired, path) // roll back
       sys.error(s"compact: cannot promote $staging")
     }
     rm(retired)
