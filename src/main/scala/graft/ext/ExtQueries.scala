@@ -764,7 +764,26 @@ object ExtQueries {
           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM sc)
       SELECT qid, vec_id, cos, rn FROM r WHERE rn <= 5 ORDER BY qid, rn"""))
 
+  // E4 (chunking): token-window chunks with overlap — the prep step
+  // between corpus filtering and tokenization. Map-only (no shuffle);
+  // the oracle replays the identical start-position arithmetic
+  // (Spark sequence(0, n-ov-1, step) inclusive ≡ DuckDB
+  // range(0, max(n-ov,1), step) exclusive) and list slicing.
+  val e29 = Q(
+    "e29_chunking",
+    (s, d) => TextOps.chunk(T.documents(s, d), "doc_id", "text",
+      chunkTokens = 64, overlapTokens = 16)
+      .orderBy(col("doc_id"), col("chunk_id")),
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      st AS (SELECT doc_id, ws, t.s AS start,
+          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY t.s) - 1 AS chunk_id
+        FROM w, UNNEST(range(0, greatest(len(ws) - 16, 1), 48)) AS t(s))
+      SELECT doc_id, chunk_id,
+        CAST(LEAST(64, len(ws) - start) AS BIGINT) AS n_tokens,
+        array_to_string(ws[start+1 : start+64], ' ') AS chunk_text
+      FROM st ORDER BY doc_id, chunk_id"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
-      e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28)
+      e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29)
 }

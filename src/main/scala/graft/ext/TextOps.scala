@@ -173,6 +173,41 @@ object TextOps {
         .as("dup_token_ratio"))
   }
 
+  /** Token-window chunking with overlap — the standard training-data
+    * prep step between filtering and tokenization: split each document
+    * into chunks of `chunkTokens` whitespace tokens, consecutive chunks
+    * sharing `overlapTokens`. The final chunk absorbs the tail (it may
+    * be shorter but always carries at least one new token, so no chunk
+    * is pure overlap and every token lands in ≥1 chunk).
+    *
+    * Map-only — tokens + posexplode(sequence) + slice ride the scan, no
+    * shuffle: at 100 TB chunking is a streaming pass like every other
+    * TextOps projection, and the output explodes rows (not bytes: each
+    * token is copied at most ⌈chunk/step⌉ ≈ 1+overlap/step times).
+    * Pure integer position arithmetic → restatable by the SQL oracle.
+    *
+    * A document with fewer than `chunkTokens` tokens yields exactly one
+    * chunk (empty text included: `split` yields a single empty token —
+    * same convention both engines). */
+  def chunk(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 64, overlapTokens: Int = 16): DataFrame = {
+    require(chunkTokens > 0 && overlapTokens >= 0 && overlapTokens < chunkTokens,
+      s"chunk geometry out of range: chunk=$chunkTokens overlap=$overlapTokens")
+    val step = chunkTokens - overlapTokens
+    df.select(col(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"),
+        posexplode(sequence(lit(0),
+          greatest(size(col("__toks")) - overlapTokens - 1, lit(0)), lit(step)))
+          .as(Seq("chunk_id", "__start")))
+      .select(
+        col(idCol),
+        col("chunk_id").cast(LongType),
+        least(lit(chunkTokens), size(col("__toks")) - col("__start"))
+          .cast(LongType).as("n_tokens"),
+        array_join(slice(col("__toks"), col("__start") + 1, lit(chunkTokens)), " ")
+          .as("chunk_text"))
+  }
+
   /** Content fingerprint: md5 of the case-folded text — the exact-dup
     * key for E1 at scale (hash once, group by 16 bytes, never by the
     * full text). */

@@ -140,6 +140,51 @@ class TextMultimodalSpec extends SparkSpec {
     assert(empty.feature.toSeq == Seq(0L, 0L, 0L, 0L))
   }
 
+  test("chunking: windows cover every token with exact overlap") {
+    import spark.implicits._
+    def chunksOf(text: String, chunk: Int, overlap: Int) =
+      TextOps.chunk(doc(1L, text), "doc_id", "text", chunk, overlap)
+        .orderBy(col("chunk_id"))
+        .select("chunk_id", "n_tokens", "chunk_text")
+        .as[(Long, Long, String)].collect().toList
+
+    // 5 tokens, chunk=3, overlap=1 -> starts 0 and 2
+    assert(chunksOf("a b c d e", 3, 1) ==
+      List((0L, 3L, "a b c"), (1L, 3L, "c d e")))
+    // consecutive chunks share exactly `overlap` tokens
+    val cs = chunksOf(Seq.tabulate(20)(i => s"t$i").mkString(" "), 8, 3)
+    cs.sliding(2).foreach {
+      case List((_, _, a), (_, _, b)) =>
+        assert(a.split(' ').takeRight(3).toSeq == b.split(' ').take(3).toSeq)
+      case _ =>
+    }
+    // every token appears in at least one chunk, in order
+    assert(cs.flatMap(_._3.split(' ')).distinct == Seq.tabulate(20)(i => s"t$i"))
+    // a doc shorter than the window is one chunk; never a pure-overlap tail
+    assert(chunksOf("x y", 8, 3) == List((0L, 2L, "x y")))
+    assert(chunksOf(Seq.tabulate(8)(i => s"t$i").mkString(" "), 8, 3).size == 1)
+    // empty text: split yields one empty token -> one empty chunk
+    assert(chunksOf("", 4, 1) == List((0L, 1L, "")))
+    // geometry guards
+    intercept[IllegalArgumentException] {
+      TextOps.chunk(doc(1L, "a"), "doc_id", "text", 4, 4)
+    }
+  }
+
+  test("multimodal: parquet media scan prunes the binary payload for metadata-only reads") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_media").toString
+    Multimodal.bmpMediaTable(spark, doc(5L, "pixel payload text here"))
+      .write.mode("overwrite").parquet(dir)
+    val dims = spark.read.parquet(dir).select("doc_id", "format", "width", "height")
+    val plan = dims.queryExecution.executedPlan.toString
+    // the claim e12 makes at 100 TB: dimension/format projections never
+    // deserialize the media bytes — ReadSchema excludes the payload column
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.nonEmpty && !readSchema.contains("payload"),
+      s"payload not pruned from scan:\n$plan")
+    assert(dims.count() == 1)
+  }
+
   test("multimodal: frame offsets stride the payload") {
     import spark.implicits._
     val media = Multimodal.mediaTable(doc(1L, "0123456789"))
