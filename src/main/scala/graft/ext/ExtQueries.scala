@@ -783,7 +783,29 @@ object ExtQueries {
         array_to_string(ws[start+1 : start+64], ' ') AS chunk_text
       FROM st ORDER BY doc_id, chunk_id"""))
 
+  // E4 (retrieval): deterministic TF-IDF top-k — integer idf weights
+  // ((N·10⁶) div df: floor division is exact and engine-portable where
+  // float ln(N/df) drifts in the last ulp), DECIMAL-exact score sums.
+  // Weights broadcast; the posting-list side shuffles on hashed keys.
+  val e30 = Q(
+    "e30_tfidf_search",
+    (s, d) => TextOps.tfidfTopK(T.documents(s, d), "doc_id", "text",
+      terms = Seq("vector", "merge", "window"), k = 10)
+      .orderBy(col("rn")),
+    Some("""WITH tok AS (SELECT doc_id, t.term FROM documents,
+          UNNEST(string_split(text, ' ')) AS t(term)),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      w AS (SELECT term,
+          ((SELECT COUNT(*) FROM documents) * 1000000) // COUNT(*) AS w
+        FROM tf WHERE term IN ('vector', 'merge', 'window') GROUP BY term),
+      sc AS (SELECT tf.doc_id, CAST(SUM(tf.tf * w.w) AS BIGINT) AS score
+        FROM tf JOIN w USING (term) GROUP BY 1),
+      r AS (SELECT doc_id, score,
+          ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn FROM sc)
+      SELECT doc_id, score, rn FROM r WHERE rn <= 10 ORDER BY rn"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
-      e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29)
+      e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
+      e30)
 }

@@ -208,6 +208,46 @@ object TextOps {
           .as("chunk_text"))
   }
 
+  /** Deterministic TF-IDF top-k search — the relevance-ranking /
+    * corpus-query primitive (quality-aware retrieval, targeted corpus
+    * slicing) as one declarative plan:
+    *
+    *  - `tf`: per-(doc, term) counts from one exploded scan — the
+    *    inverted index, partitioned by its natural key;
+    *  - `df` → integer idf weight `(N · idfScale) div df` per QUERY
+    *    term only (floor division on int64: exact, order-independent,
+    *    restatable by any SQL engine — the reason this flavor is
+    *    hash-checkable where a float `ln(N/df)` would drift in the
+    *    last ulp across engines);
+    *  - score: Σ tf·w per doc, accumulated in DECIMAL(38,0) (exact at
+    *    any corpus size; the declared output casts to long), ranked
+    *    desc with doc_id tie-break, top-k via TakeOrdered.
+    *
+    * Scale shape: the weights side aggregates only the query terms'
+    * posting rows and joins back BROADCAST (|terms| rows); the big
+    * side shuffles twice (doc×term agg, then per-doc sum) on hashed
+    * keys. `N` is one bounded count action (the idf numerator). */
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int, idfScale: Long = 1000000L): DataFrame = {
+    require(terms.nonEmpty && k > 0 && idfScale > 0,
+      s"tfidf geometry out of range: terms=${terms.size} k=$k scale=$idfScale")
+    val n = docs.count()
+    val tf = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val weights = tf.where(col("term").isin(terms: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .withColumn("w", expr(s"${n * idfScale}L div df"))
+      .select(col("term"), col("w"))
+    val scored = tf.join(broadcast(weights), "term")
+      .groupBy(col(idCol))
+      .agg(sum((col("tf") * col("w")).cast(DecimalType(38, 0)))
+        .cast(LongType).as("score"))
+    import org.apache.spark.sql.expressions.Window
+    scored.orderBy(col("score").desc, col(idCol)).limit(k)
+      .withColumn("rn", row_number()
+        .over(Window.orderBy(col("score").desc, col(idCol))).cast(LongType))
+  }
+
   /** Content fingerprint: md5 of the case-folded text — the exact-dup
     * key for E1 at scale (hash once, group by 16 bytes, never by the
     * full text). */

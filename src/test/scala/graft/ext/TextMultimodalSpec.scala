@@ -185,6 +185,27 @@ class TextMultimodalSpec extends SparkSpec {
     assert(dims.count() == 1)
   }
 
+  test("tfidf: rarer terms weigh more; scores are exact integers; weights broadcast") {
+    import spark.implicits._
+    // 4 docs; "rare" appears in 1, "common" in all 4
+    val docs = Seq(
+      (1L, "common rare"),
+      (2L, "common common"),
+      (3L, "common stuff here"),
+      (4L, "common more words")).toDF("doc_id", "text")
+    val hits = TextOps.tfidfTopK(docs, "doc_id", "text",
+      terms = Seq("rare", "common"), k = 4)
+    val rows = hits.select("doc_id", "score", "rn")
+      .as[(Long, Long, Long)].collect().toList
+    // weights: N=4, scale 1e6 -> w(rare)=4000000, w(common)=1000000
+    // doc1 = 1*4e6 + 1*1e6; doc2 = tf2 * 1e6; docs 3,4 = 1e6 (tie -> id)
+    assert(rows == List(
+      (1L, 5000000L, 1L), (2L, 2000000L, 2L), (3L, 1000000L, 3L), (4L, 1000000L, 4L)))
+    // the |terms|-row weights side must broadcast, never shuffle-join
+    val plan = hits.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"weights join not broadcast:\n$plan")
+  }
+
   test("multimodal: frame offsets stride the payload") {
     import spark.implicits._
     val media = Multimodal.mediaTable(doc(1L, "0123456789"))
