@@ -804,8 +804,48 @@ object ExtQueries {
           ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn FROM sc)
       SELECT doc_id, score, rn FROM r WHERE rn <= 10 ORDER BY rn"""))
 
+  // E5 (real resize): nearest-neighbor resample inside the BMP decode —
+  // output pixel (x,y) samples source ((x·w) div outW, (y·h) div outH),
+  // so the features are corners of the RESIZED grid (≠ e13's source
+  // corners whenever the box actually shrinks: fixture widths reach 8
+  // against the 6×4 target). Same ascii(substr(...)) oracle arithmetic,
+  // composed with the integer grid map.
+  private val bmpResizeCorners =
+    Seq(("0", "0"), ("ow - 1", "0"), ("0", "oh - 1"), ("ow - 1", "oh - 1"))
+  val e31 = Q(
+    "e31_multimodal_resize",
+    (s, d) => {
+      val feats = Multimodal.decodeFeatures(
+        s, Multimodal.bmpMediaTable(s, T.documents(s, d)),
+        targetW = 6, targetH = 4, decoder = Multimodal.BmpResizeDecoder).toDF()
+      feats.select(
+        (col("doc_id") +: col("n_bytes") +: col("format") +:
+          col("out_width") +: col("out_height") +:
+          (0 until 4).map(i => try_element_at(col("feature"), lit(i + 1)).as(s"f$i"))): _*)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH g AS (SELECT doc_id, text,
+          CAST(4 + doc_id % 5 AS INT) AS w, CAST(3 + doc_id % 4 AS INT) AS h,
+          LEAST(CAST(4 + doc_id % 5 AS INT), 6) AS ow,
+          LEAST(CAST(3 + doc_id % 4 AS INT), 4) AS oh,
+          octet_length(encode(text)) AS L
+        FROM documents)
+      SELECT doc_id,
+        CAST(54 + ((3 * w + 3) // 4) * 4 * h AS BIGINT) AS n_bytes,
+        'bmp' AS format,
+        ow AS out_width,
+        oh AS out_height,
+        ${bmpResizeCorners.zipWithIndex.map { case ((xo, yo), i) =>
+          val pos = s"(((($yo) * h) // oh) * w + ((($xo) * w) // ow))"
+          s"""CAST(CASE WHEN L = 0 THEN 0 ELSE
+          ascii(substr(text, (($pos * 3 + 0) % L) + 1, 1)) +
+          ascii(substr(text, (($pos * 3 + 1) % L) + 1, 1)) +
+          ascii(substr(text, (($pos * 3 + 2) % L) + 1, 1)) END AS BIGINT) AS f$i"""
+        }.mkString(",\n        ")}
+      FROM g ORDER BY doc_id"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
-      e30)
+      e30, e31)
 }

@@ -110,40 +110,72 @@ object Multimodal {
     }
   }
 
-  /** Real BMP decode: validates the `BM` signature, reads the pixel
-    * data offset, dimensions, bit depth and compression from the
+  /** Parsed BMP: header-derived dimensions plus random access to pixel
+    * channel (x, y, c) accounting for row order and padding. */
+  private[ext] final case class ParsedBmp(
+      w: Int, h: Int, nBytes: Long, px: (Int, Int, Int) => Int)
+
+  /** Shared wire-format parse: validates the `BM` signature, reads the
+    * pixel data offset, dimensions, bit depth and compression from the
     * little-endian headers, and honors bottom-up (positive height) vs
     * top-down (negative height) row order and 4-byte row padding.
     * Dimensions come from the HEADER, not the metadata columns — a
-    * codec trusts the bytes. Features are the 4 corner pixels' B+G+R
-    * sums; resize keeps the nearest-neighbor clamp semantics on the
-    * reported output box. */
+    * codec trusts the bytes. */
+  private[ext] def parseBmp(docId: Long, p: Array[Byte]): ParsedBmp = {
+    require(p.length >= Bmp.HeaderSize && p(0) == 'B' && p(1) == 'M',
+      s"doc $docId: not a BMP payload")
+    val bb = java.nio.ByteBuffer.wrap(p).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val dataOff = bb.getInt(10)
+    require(bb.getInt(14) >= 40, s"doc $docId: pre-v3 BMP header")
+    val w = bb.getInt(18)
+    val rawH = bb.getInt(22)
+    val topDown = rawH < 0
+    val h = math.abs(rawH)
+    require(bb.getShort(28) == 24, s"doc $docId: only 24bpp supported")
+    require(bb.getInt(30) == 0, s"doc $docId: compressed BMP unsupported")
+    val rs = Bmp.rowSize(w)
+    require(p.length >= dataOff + rs * h, s"doc $docId: truncated pixel array")
+    ParsedBmp(w, h, p.length.toLong, (x, y, c) => {
+      val fileRow = if (topDown) y else h - 1 - y
+      p(dataOff + fileRow * rs + x * 3 + c) & 0xff
+    })
+  }
+
+  /** Real BMP decode. Features are the 4 SOURCE corner pixels' B+G+R
+    * sums; the reported output box keeps the clamp semantics (see
+    * [[BmpResizeDecoder]] for features off the resized grid). */
   object BmpDecoder extends Decoder {
     override def decode(r: MediaRow, targetW: Int, targetH: Int): MediaFeatures = {
-      val p = r.payload
-      require(p.length >= Bmp.HeaderSize && p(0) == 'B' && p(1) == 'M',
-        s"doc ${r.doc_id}: not a BMP payload")
-      val bb = java.nio.ByteBuffer.wrap(p).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      val dataOff = bb.getInt(10)
-      require(bb.getInt(14) >= 40, s"doc ${r.doc_id}: pre-v3 BMP header")
-      val w = bb.getInt(18)
-      val rawH = bb.getInt(22)
-      val topDown = rawH < 0
-      val h = math.abs(rawH)
-      require(bb.getShort(28) == 24, s"doc ${r.doc_id}: only 24bpp supported")
-      require(bb.getInt(30) == 0, s"doc ${r.doc_id}: compressed BMP unsupported")
-      val rs = Bmp.rowSize(w)
-      require(p.length >= dataOff + rs * h, s"doc ${r.doc_id}: truncated pixel array")
-      def px(x: Int, y: Int, c: Int): Int = {
-        val fileRow = if (topDown) y else h - 1 - y
-        p(dataOff + fileRow * rs + x * 3 + c) & 0xff
-      }
-      val corners = Array((0, 0), (w - 1, 0), (0, h - 1), (w - 1, h - 1))
+      val b = parseBmp(r.doc_id, r.payload)
+      val corners = Array((0, 0), (b.w - 1, 0), (0, b.h - 1), (b.w - 1, b.h - 1))
       val feature = corners.map { case (x, y) =>
-        (px(x, y, 0) + px(x, y, 1) + px(x, y, 2)).toLong
+        (b.px(x, y, 0) + b.px(x, y, 1) + b.px(x, y, 2)).toLong
       }
-      MediaFeatures(r.doc_id, p.length.toLong, r.format,
-        math.min(w, targetW), math.min(h, targetH), feature)
+      MediaFeatures(r.doc_id, b.nBytes, r.format,
+        math.min(b.w, targetW), math.min(b.h, targetH), feature)
+    }
+  }
+
+  /** BMP decode + REAL nearest-neighbor resize: the output box is
+    * (min(w, targetW), min(h, targetH)) and output pixel (x, y)
+    * samples source pixel ((x·w) div outW, (y·h) div outH) — the
+    * standard NN grid map, integer-exact so an external SQL oracle can
+    * restate any resized sample. Features are the RESIZED image's
+    * corner B+G+R sums, which differ from the source corners whenever
+    * the resize actually shrinks (e.g. w=8 → outW=6 maps the right
+    * edge to source column (5·8) div 6 = 6, not 7). */
+  object BmpResizeDecoder extends Decoder {
+    override def decode(r: MediaRow, targetW: Int, targetH: Int): MediaFeatures = {
+      val b = parseBmp(r.doc_id, r.payload)
+      val outW = math.min(b.w, targetW)
+      val outH = math.min(b.h, targetH)
+      def srcPx(xo: Int, yo: Int, c: Int): Int =
+        b.px(xo * b.w / outW, yo * b.h / outH, c)
+      val corners = Array((0, 0), (outW - 1, 0), (0, outH - 1), (outW - 1, outH - 1))
+      val feature = corners.map { case (x, y) =>
+        (srcPx(x, y, 0) + srcPx(x, y, 1) + srcPx(x, y, 2)).toLong
+      }
+      MediaFeatures(r.doc_id, b.nBytes, r.format, outW, outH, feature)
     }
   }
 

@@ -206,6 +206,79 @@ class TextMultimodalSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"weights join not broadcast:\n$plan")
   }
 
+  test("bmp: nearest-neighbor resize samples the mapped grid, identity when box fits") {
+    val text = "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    val src = text.getBytes("UTF-8")
+    val w = 8; val h = 6
+    val row = Multimodal.MediaRow(3L, Multimodal.Bmp.encode(w, h, src), "bmp", w, h)
+    val rz = Multimodal.BmpResizeDecoder.decode(row, 6, 4)
+    assert(rz.out_width == 6 && rz.out_height == 4)
+    def corner(x: Int, y: Int): Long = {
+      val pos = y * w + x
+      (0 until 3).map(c => src((pos * 3 + c) % src.length) & 0xff).sum.toLong
+    }
+    // right/bottom corners map through the NN grid: (5*8)/6=6, (3*6)/4=4
+    assert(rz.feature.toSeq ==
+      Seq(corner(0, 0), corner(6, 0), corner(0, 4), corner(6, 4)))
+    // the source-corner decoder disagrees exactly where the shrink bites
+    val plain = Multimodal.BmpDecoder.decode(row, 6, 4)
+    assert(plain.feature.toSeq ==
+      Seq(corner(0, 0), corner(7, 0), corner(0, 5), corner(7, 5)))
+    // a box that already fits is the identity: both decoders agree
+    val id1 = Multimodal.BmpResizeDecoder.decode(row, 8, 6)
+    val id2 = Multimodal.BmpDecoder.decode(row, 8, 6)
+    assert(id1.feature.toSeq == id2.feature.toSeq)
+  }
+
+  test("bmp: property — round trip holds over random geometry and payload") {
+    import org.scalacheck.Gen
+    val cases = Gen.zip(Gen.choose(1, 13), Gen.choose(1, 9),
+      Gen.listOf(Gen.choose(0, 255)).map(_.map(_.toByte).toArray))
+    val seeds = org.scalacheck.rng.Seed(42L)
+    Iterator.iterate(seeds)(_.next).take(60).foreach { seed =>
+      cases.apply(Gen.Parameters.default, seed).foreach { case (w, h, bytes) =>
+        val payload = Multimodal.Bmp.encode(w, h, bytes)
+        val f = Multimodal.BmpDecoder.decode(
+          Multimodal.MediaRow(1L, payload, "bmp", w, h), w, h)
+        assert(f.n_bytes == 54L + Multimodal.Bmp.rowSize(w) * h)
+        assert(f.out_width == w && f.out_height == h)
+        def expect(pos: Int): Long =
+          if (bytes.isEmpty) 0L
+          else (0 until 3).map(c => bytes((pos * 3 + c) % bytes.length) & 0xff).sum.toLong
+        assert(f.feature.toSeq ==
+          Seq(expect(0), expect(w - 1), expect((h - 1) * w), expect(h * w - 1)))
+      }
+    }
+  }
+
+  test("chunking: property — full coverage and exact overlap at random geometry") {
+    import org.scalacheck.Gen
+    import spark.implicits._
+    val cases = Gen.zip(Gen.choose(1, 120), Gen.choose(2, 12))
+      .flatMap { case (n, c) => Gen.choose(0, c - 1).map(o => (n, c, o)) }
+    val seed0 = org.scalacheck.rng.Seed(7L)
+    Iterator.iterate(seed0)(_.next).take(25).foreach { seed =>
+      cases.apply(Gen.Parameters.default, seed).foreach { case (n, c, o) =>
+        val toks = Seq.tabulate(n)(i => s"w$i")
+        val out = TextOps.chunk(doc(9L, toks.mkString(" ")), "doc_id", "text", c, o)
+          .orderBy(col("chunk_id")).select("chunk_text", "n_tokens")
+          .as[(String, Long)].collect().toList
+        val chunks = out.map(_._1.split(' ').toSeq)
+        // coverage in order, no token lost or reordered
+        assert(chunks.head.head == "w0" && chunks.last.last == s"w${n - 1}")
+        assert(chunks.flatten.distinct == toks)
+        // every non-final chunk is full size; overlap is exact
+        chunks.init.foreach(ch => assert(ch.size == c))
+        chunks.sliding(2).foreach {
+          case List(a, b) => assert(a.takeRight(o) == b.take(o))
+          case _ =>
+        }
+        // n_tokens matches the materialized chunk
+        out.foreach { case (t, nt) => assert(t.split(' ').length.toLong == nt) }
+      }
+    }
+  }
+
   test("multimodal: frame offsets stride the payload") {
     import spark.implicits._
     val media = Multimodal.mediaTable(doc(1L, "0123456789"))
