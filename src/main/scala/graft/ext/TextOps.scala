@@ -226,17 +226,23 @@ object TextOps {
     * Scale shape: the weights side aggregates only the query terms'
     * posting rows and joins back BROADCAST (|terms| rows); the big
     * side shuffles twice (doc×term agg, then per-doc sum) on hashed
-    * keys. `N` is one bounded count action (the idf numerator). */
+    * keys. `N` (the idf numerator) is NOT a separate `docs.count()`
+    * action — that would be a second full corpus scan at 100 TB; it is
+    * a one-row distinct-doc aggregate over the SAME tf subplan
+    * (`split` yields ≥1 token for every document, empty text included,
+    * so distinct doc ids in tf ≡ corpus cardinality), cross-joined
+    * broadcast into the |terms|-row weights side. */
   def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
       terms: Seq[String], k: Int, idfScale: Long = 1000000L): DataFrame = {
     require(terms.nonEmpty && k > 0 && idfScale > 0,
       s"tfidf geometry out of range: terms=${terms.size} k=$k scale=$idfScale")
-    val n = docs.count()
     val tf = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val nDf = tf.agg(count_distinct(col(idCol)).as("__n"))
     val weights = tf.where(col("term").isin(terms: _*))
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .withColumn("w", expr(s"${n * idfScale}L div df"))
+      .crossJoin(broadcast(nDf))
+      .withColumn("w", expr(s"(__n * ${idfScale}L) div df"))
       .select(col("term"), col("w"))
     val scored = tf.join(broadcast(weights), "term")
       .groupBy(col(idCol))
