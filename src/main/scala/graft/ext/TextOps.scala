@@ -223,28 +223,36 @@ object TextOps {
     *    any corpus size; the declared output casts to long), ranked
     *    desc with doc_id tie-break, top-k via TakeOrdered.
     *
-    * Scale shape: the weights side aggregates only the query terms'
-    * posting rows and joins back BROADCAST (|terms| rows); the big
-    * side shuffles twice (doc×term agg, then per-doc sum) on hashed
-    * keys. `N` (the idf numerator) is NOT a separate `docs.count()`
-    * action — that would be a second full corpus scan at 100 TB; it is
-    * a one-row distinct-doc aggregate over the SAME tf subplan
-    * (`split` yields ≥1 token for every document, empty text included,
-    * so distinct doc ids in tf ≡ corpus cardinality), cross-joined
-    * broadcast into the |terms|-row weights side. */
+    * Scale shape — ONE exploded corpus scan: the token stream is
+    * filtered to the query terms BEFORE the (doc, term) aggregate, and
+    * both consumers (the per-term df aggregate and the scoring join)
+    * sit on the identical subplan, so the exchange is computed once
+    * and reused (plan-asserted in PlanSpec; an inner join against the
+    * query-term weights restricts tf to those terms anyway, so the
+    * early filter is a pure optimization). Weights join back BROADCAST
+    * (|terms| rows). `N` (the idf numerator) is a `count(*)` over the
+    * docs frame cross-joined broadcast into the weights side — column
+    * pruning makes that a zero-data-column parquet scan, not a second
+    * pass over the text. */
   def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
       terms: Seq[String], k: Int, idfScale: Long = 1000000L): DataFrame = {
     require(terms.nonEmpty && k > 0 && idfScale > 0,
       s"tfidf geometry out of range: terms=${terms.size} k=$k scale=$idfScale")
-    val tf = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+    val tfQ = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .where(col("term").isin(terms: _*))
       .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val nDf = tf.agg(count_distinct(col(idCol)).as("__n"))
-    val weights = tf.where(col("term").isin(terms: _*))
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDf = docs.agg(count(lit(1)).as("__n"))
+    val weights = tfQ
+      // df = count of (doc, term) rows; phrased over tf (≥ 1 by
+      // construction, so the value is identical to count(*)) to keep
+      // this branch's subplan bit-equal to the scoring side — column
+      // pruning would otherwise rewrite it distinct-only and the
+      // shared exchange could not be reused
+      .groupBy(col("term")).agg(count(when(col("tf") >= 1, 1)).as("df"))
       .crossJoin(broadcast(nDf))
       .withColumn("w", expr(s"(__n * ${idfScale}L) div df"))
       .select(col("term"), col("w"))
-    val scored = tf.join(broadcast(weights), "term")
+    val scored = tfQ.join(broadcast(weights), "term")
       .groupBy(col(idCol))
       .agg(sum((col("tf") * col("w")).cast(DecimalType(38, 0)))
         .cast(LongType).as("score"))

@@ -167,6 +167,19 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("E30: tfidf consumers share the posting-list exchange; weights broadcast") {
+    // the (doc, term) tf aggregate feeds the scoring join AND the
+    // one-row corpus-cardinality aggregate — the second consumer must
+    // reuse the exchange, not re-run the exploded corpus scan
+    val df = Queries.byName("e30_tfidf_search").fn(spark, sf001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"),
+      s"tf exchange must be shared across consumers:\n${p.take(3000)}")
+    assert(p.contains("BroadcastHashJoin"), "weights side must broadcast")
+    assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n${p.take(3000)}")
+  }
+
   test("every declared query has a distinct name and every oracle points at one") {
     val names = Queries.all.map(_.name)
     assert(names.distinct.size == names.size)
