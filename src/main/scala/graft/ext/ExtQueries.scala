@@ -844,8 +844,26 @@ object ExtQueries {
         }.mkString(",\n        ")}
       FROM g ORDER BY doc_id"""))
 
+  // E4 (novelty): inverse-bigram-frequency rarity — the corpus-level
+  // complement of e24's intra-doc repetition. One exploded bigram
+  // stream, one gram exchange (window count, no count-table join),
+  // integer div contributions, a single final IEEE division rounded.
+  val e32 = Q(
+    "e32_novelty",
+    (s, d) => TextOps.noveltyScore(T.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id")),
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      g AS (SELECT doc_id, concat(ws[i], ' ', ws[i+1]) AS gram
+        FROM w, UNNEST(range(1, greatest(len(ws), 1))) AS t(i)),
+      c AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY gram) AS cf FROM g),
+      sc AS (SELECT doc_id, COUNT(*) AS n_bigrams, SUM(1000000 // cf) AS nv
+        FROM c GROUP BY 1)
+      SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+        ROUND(CAST(nv AS DOUBLE) / n_bigrams, 4) AS novelty
+      FROM sc ORDER BY doc_id"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
-      e30, e31)
+      e30, e31, e32)
 }

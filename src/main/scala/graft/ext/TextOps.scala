@@ -262,6 +262,47 @@ object TextOps {
         .over(Window.orderBy(col("score").desc, col(idCol))).cast(LongType))
   }
 
+  /** Corpus-frequency novelty score — the counts-based rarity signal
+    * (inverse bigram frequency) quality pipelines use next to
+    * [[repetitionStats]]: boilerplate scores near 0 (its bigrams occur
+    * corpus-wide), novel text scores high. Per document:
+    * `novelty = round(mean over bigram positions of (scale div cf), 4)`
+    * where cf is the bigram's corpus occurrence count — integer floor
+    * division keeps every contribution exact and engine-portable; the
+    * single final division is one IEEE op (no order-dependent float
+    * summation).
+    *
+    * Scale shape: ONE exploded bigram stream, ONE exchange on the gram
+    * (the corpus count rides a partition-wide window count — no
+    * count-table self-join, no second scan), then the per-doc
+    * aggregate. A pathologically hot bigram makes one window partition
+    * large (the usual n-gram skew); its contribution is `scale div cf
+    * ≈ 0`, so a production run can salt or drop ultra-hot grams
+    * without moving scores — the declared query keeps the exact
+    * unbounded semantics. */
+  def noveltyScore(docs: DataFrame, idCol: String, textCol: String,
+      scale: Long = 1000000L): DataFrame = {
+    require(scale > 0, s"novelty scale must be positive, got $scale")
+    import org.apache.spark.sql.expressions.Window
+    val grams = docs
+      .select(col(idCol), tokens(col(textCol)).as("__toks"))
+      // sequence(1, n-1) would count DOWN for n < 2 (Spark generates
+      // descending sequences when start > stop) — guard to an empty list
+      .withColumn("__grams", when(size(col("__toks")) >= 2,
+        expr("transform(sequence(1, size(__toks) - 1), " +
+          "i -> concat(element_at(__toks, i), ' ', element_at(__toks, i + 1)))"))
+        .otherwise(array().cast("array<string>")))
+      .select(col(idCol), explode(col("__grams")).as("gram"))
+    grams
+      .withColumn("cf", count(lit(1)).over(Window.partitionBy(col("gram"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(expr(s"${scale}L div cf")).as("__nv"))
+      .select(col(idCol),
+        col("n_bigrams").cast(LongType),
+        round(col("__nv").cast(DoubleType) / col("n_bigrams"), 4).as("novelty"))
+  }
+
   /** Content fingerprint: md5 of the case-folded text — the exact-dup
     * key for E1 at scale (hash once, group by 16 bytes, never by the
     * full text). */
