@@ -132,5 +132,55 @@ object StreamQueries {
       FROM events GROUP BY account_id HAVING SUM(value) >= 3300.005
       ORDER BY account_id"""))
 
-  val all: Seq[Q] = Seq(c40, c47, c50)
+  // C51: STREAM-STREAM inner join — the last headline Structured
+  // Streaming operator next to windows (c40), watermark dedup (c47) and
+  // arbitrary state (c50). Two event streams (purchases, clicks) join
+  // per user under an event-time range (click within the hour before
+  // the purchase) with watermarks on BOTH sides — the bounded-state
+  // production shape: each side's state retires once the other's
+  // watermark passes the range. Drained with AvailableNow and
+  // hash-checked against the batch join restated in epoch-micros
+  // arithmetic (the session reads nanos as micros; stating the range
+  // in micros keeps both engines on identical integer compares). */
+  val c51 = Q(
+    "c51_stream_stream_join",
+    (s, d) => {
+      val batchSchema = s.read.parquet(s"$d/events.parquet").schema
+      def src = {
+        val raw = s.readStream.schema(batchSchema).parquet(s"$d/events.parque[t]")
+        if (raw.schema("ts").dataType == LongType)
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else raw
+      }
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"),
+          col("ts").as("p_ts"), col("value").as("p_value"))
+        .withWatermark("p_ts", "1 day")
+      val clicks = src.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 day")
+      val joined = purchases.join(clicks,
+        col("user_id") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") <= col("p_ts"))
+        .select(col("p_id"), col("c_id"), col("user_id"), col("p_value"))
+      val q = joined.writeStream
+        .format("memory").queryName("graft_c51_stream")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_c51_stream").orderBy(col("p_id"), col("c_id"))
+    },
+    Some("""SELECT p.event_id AS p_id, c.event_id AS c_id, p.user_id,
+        p.value AS p_value
+      FROM events p JOIN events c
+        ON p.event_type = 'purchase' AND c.event_type = 'click'
+        AND c.user_id = p.user_id
+        AND epoch_ns(c.ts) // 1000
+          BETWEEN epoch_ns(p.ts) // 1000 - 3600000000 AND epoch_ns(p.ts) // 1000
+      ORDER BY p_id, c_id"""))
+
+  val all: Seq[Q] = Seq(c40, c47, c50, c51)
 }
