@@ -302,6 +302,43 @@ object ConformanceSqlFns {
       WHERE c.c_custkey <= 500
       ORDER BY c.c_custkey"""))
 
+  // C52: RECURSIVE CTE (Spark 4's WITH RECURSIVE, UNION ALL recursion) —
+  // the calendar-spine pattern: generate every month between the
+  // corpus's first and last order date by recursion (80 levels, under
+  // the engine's default 100-level limit), then left-join monthly order
+  // totals so gap months surface as zeros instead of vanishing. The
+  // oracle replays the identical spine with DuckDB's own recursion
+  // (+ INTERVAL 1 MONTH ≡ add_months on month starts).
+  val c52 = Q(
+    "c52_recursive_month_spine",
+    (s, d) => {
+      T.orders(s, d).createOrReplaceTempView("orders")
+      s.sql(s"""WITH RECURSIVE months(m) AS (
+          SELECT CAST(date_trunc('MONTH', (SELECT MIN(o_orderdate) FROM orders)) AS DATE)
+          UNION ALL
+          SELECT add_months(m, 1) FROM months
+          WHERE m < CAST(date_trunc('MONTH', (SELECT MAX(o_orderdate) FROM orders)) AS DATE)),
+        agg AS (SELECT CAST(date_trunc('MONTH', o_orderdate) AS DATE) AS m,
+            COUNT(*) AS n_orders, ${oSum("o_totalprice")} AS total
+          FROM orders GROUP BY 1)
+        SELECT months.m AS month, COALESCE(agg.n_orders, 0) AS n_orders,
+          COALESCE(agg.total, CAST(0 AS DOUBLE)) AS total
+        FROM months LEFT JOIN agg ON agg.m = months.m
+        ORDER BY month""")
+    },
+    Some(s"""WITH RECURSIVE months(m) AS (
+        SELECT CAST(date_trunc('month', (SELECT MIN(o_orderdate) FROM orders)) AS DATE)
+        UNION ALL
+        SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+        WHERE m < CAST(date_trunc('month', (SELECT MAX(o_orderdate) FROM orders)) AS DATE)),
+      agg AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+          COUNT(*) AS n_orders, ${oSum("o_totalprice")} AS total
+        FROM orders GROUP BY 1)
+      SELECT months.m AS month, COALESCE(agg.n_orders, 0) AS n_orders,
+        COALESCE(agg.total, CAST(0 AS DOUBLE)) AS total
+      FROM months LEFT JOIN agg ON agg.m = months.m
+      ORDER BY month"""))
+
   val all: Seq[Q] = Seq(c22, c23, c24, c25, c26, c27, c28, c29, c30, c36, c37, c41,
-    c48, c49)
+    c48, c49, c52)
 }
