@@ -853,8 +853,8 @@ object ExtQueries {
     (s, d) => TextOps.noveltyScore(T.documents(s, d), "doc_id", "text")
       .orderBy(col("doc_id")),
     Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-      g AS (SELECT doc_id, concat(ws[i], ' ', ws[i+1]) AS gram
-        FROM w, UNNEST(range(1, greatest(len(ws), 1))) AS t(i)),
+      g AS (SELECT doc_id, concat_ws(' ', ws[i], ws[i+1]) AS gram
+        FROM w, UNNEST(range(1, greatest(len(ws) - 1, 1) + 1)) AS t(i)),
       c AS (SELECT doc_id, COUNT(*) OVER (PARTITION BY gram) AS cf FROM g),
       sc AS (SELECT doc_id, COUNT(*) AS n_bigrams, SUM(1000000 // cf) AS nv
         FROM c GROUP BY 1)

@@ -272,29 +272,31 @@ object TextOps {
     * single final division is one IEEE op (no order-dependent float
     * summation).
     *
-    * Scale shape: ONE exploded bigram stream, ONE exchange on the gram
-    * (the corpus count rides a partition-wide window count — no
-    * count-table self-join, no second scan), then the per-doc
-    * aggregate. A pathologically hot bigram makes one window partition
-    * large (the usual n-gram skew); its contribution is `scale div cf
-    * ≈ 0`, so a production run can salt or drop ultra-hot grams
-    * without moving scores — the declared query keeps the exact
-    * unbounded semantics. */
+    * Scale shape: the gram stream is the native codegen'd
+    * [[graft.functions.ShingleHashes]] expression (one 64-bit hash per
+    * bigram position, no string allocation — a transform/concat HOF
+    * here kicks the projection out of whole-stage codegen and measured
+    * 4× slower at sf0.1), the corpus counts are a map-side-partial
+    * hash aggregate on those longs, and the count table joins back
+    * with an ADAPTIVE strategy: AQE broadcasts it when the vocabulary
+    * is small, co-partitioned shuffle join when it isn't. Counting by
+    * hash equals counting by string barring an xxhash64 collision
+    * (~2⁻⁶⁴ per pair) — same trade e24 declares, and the DuckDB oracle
+    * counts the bigram STRINGS, so a collision would break the hash
+    * compare rather than hide. A pathologically hot bigram is the
+    * usual n-gram skew; its contribution is `scale div cf ≈ 0`, so a
+    * production run can salt or drop ultra-hot grams without moving
+    * scores — the declared query keeps the exact unbounded
+    * semantics. */
   def noveltyScore(docs: DataFrame, idCol: String, textCol: String,
       scale: Long = 1000000L): DataFrame = {
     require(scale > 0, s"novelty scale must be positive, got $scale")
-    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val grams = docs
-      .select(col(idCol), tokens(col(textCol)).as("__toks"))
-      // sequence(1, n-1) would count DOWN for n < 2 (Spark generates
-      // descending sequences when start > stop) — guard to an empty list
-      .withColumn("__grams", when(size(col("__toks")) >= 2,
-        expr("transform(sequence(1, size(__toks) - 1), " +
-          "i -> concat(element_at(__toks, i), ' ', element_at(__toks, i + 1)))"))
-        .otherwise(array().cast("array<string>")))
-      .select(col(idCol), explode(col("__grams")).as("gram"))
-    grams
-      .withColumn("cf", count(lit(1)).over(Window.partitionBy(col("gram"))))
+      .select(col(idCol),
+        explode(call_function("graft_shingle_hashes", col(textCol), lit(2))).as("gram"))
+    val cf = grams.groupBy(col("gram")).agg(count(lit(1)).as("cf"))
+    grams.join(cf, "gram")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(expr(s"${scale}L div cf")).as("__nv"))

@@ -281,18 +281,20 @@ class TextMultimodalSpec extends SparkSpec {
 
   test("novelty: unique bigrams score scale, repeated corpus bigrams score less") {
     import spark.implicits._
-    // "a b" occurs 3x corpus-wide; every other bigram once
+    // "a b" occurs 3x corpus-wide; every other gram once
     val docs = Seq(
       (1L, "a b c"),       // grams: "a b"(cf 3), "b c"(cf 1)
       (2L, "a b a b"),     // grams: "a b"(3), "b a"(1), "a b"(3)
-      (3L, "x"),           // no bigrams -> excluded
+      (3L, "x"),           // < 2 tokens: ONE whole-text gram (the
+                           // shingle convention e02/e24 declare)
       (4L, "p q")).toDF("doc_id", "text") // one unique gram
     val rows = TextOps.noveltyScore(docs, "doc_id", "text")
       .orderBy("doc_id").as[(Long, Long, Double)].collect().toList
     // doc1: (1e6/3=333333 + 1e6)/2 = 666666.5; doc2: (333333+1e6+333333)/3
-    // = 555555.3333 -> .3333; doc4: 1e6
+    // = 555555.3333 -> .3333; doc3 and doc4: one unique gram each -> 1e6
     assert(rows == List(
-      (1L, 2L, 666666.5), (2L, 3L, 555555.3333), (4L, 1L, 1000000.0)))
+      (1L, 2L, 666666.5), (2L, 3L, 555555.3333),
+      (3L, 1L, 1000000.0), (4L, 1L, 1000000.0)))
   }
 
   test("multimodal: frame offsets stride the payload") {
