@@ -131,10 +131,18 @@ object Multimodal {
     val rawH = bb.getInt(22)
     val topDown = rawH < 0
     val h = math.abs(rawH)
+    // hostile-header guards: a negative/zero dimension or a data offset
+    // inside the headers would otherwise surface as an
+    // ArrayIndexOutOfBounds from px() instead of a diagnosable reject
+    require(w > 0 && h > 0 && w <= (1 << 20) && h <= (1 << 20),
+      s"doc $docId: implausible BMP dimensions ${w}x$rawH")
+    require(dataOff >= Bmp.HeaderSize && dataOff <= p.length,
+      s"doc $docId: pixel data offset $dataOff out of range")
     require(bb.getShort(28) == 24, s"doc $docId: only 24bpp supported")
     require(bb.getInt(30) == 0, s"doc $docId: compressed BMP unsupported")
     val rs = Bmp.rowSize(w)
-    require(p.length >= dataOff + rs * h, s"doc $docId: truncated pixel array")
+    require(p.length.toLong >= dataOff.toLong + rs.toLong * h,
+      s"doc $docId: truncated pixel array")
     ParsedBmp(w, h, p.length.toLong, (x, y, c) => {
       val fileRow = if (topDown) y else h - 1 - y
       p(dataOff + fileRow * rs + x * 3 + c) & 0xff

@@ -117,6 +117,19 @@ class TextMultimodalSpec extends SparkSpec {
       Multimodal.BmpDecoder.decode(
         Multimodal.MediaRow(2L, "not a bitmap at all".getBytes, "bmp", 1, 1), 6, 4)
     }
+    // hostile headers reject cleanly, never index out of bounds
+    def corrupt(at: Int, v: Int): Array[Byte] = {
+      val b = Multimodal.Bmp.encode(4, 2, "abcdef".getBytes)
+      java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(at, v)
+      b
+    }
+    for ((at, v) <- Seq((18, -4), (18, 0), (10, 7), (10, 1 << 30), (18, 1 << 24))) {
+      val e = intercept[IllegalArgumentException] {
+        Multimodal.BmpDecoder.decode(
+          Multimodal.MediaRow(3L, corrupt(at, v), "bmp", 4, 2), 6, 4)
+      }
+      assert(e.getMessage.contains("doc 3"), s"($at,$v): ${e.getMessage}")
+    }
   }
 
   test("bmp: media table generates real BMPs and the pipeline decodes them") {
