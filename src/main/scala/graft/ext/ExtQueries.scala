@@ -862,8 +862,43 @@ object ExtQueries {
         ROUND(CAST(nv AS DOUBLE) / n_bigrams, 4) AS novelty
       FROM sc ORDER BY doc_id"""))
 
+  // E5 (error isolation): lenient decode over a batch with
+  // deterministically corrupted payloads (every 97th doc carries
+  // non-BMP bytes) — bad rows fail AS DATA (ok=false, zeroed box,
+  // null feature) instead of aborting the task, the O24 discipline at
+  // the row level. The oracle replays the corruption rule and both
+  // arms' arithmetic; the reject MESSAGE is engine-specific and stays
+  // out of the declared projection.
+  val e33 = Q(
+    "e33_multimodal_lenient",
+    (s, d) => {
+      val res = Multimodal.decodeFeaturesLenient(
+        s, Multimodal.bmpMediaTable(s, T.documents(s, d), corruptEvery = 97),
+        targetW = 6, targetH = 4, decoder = Multimodal.BmpDecoder).toDF()
+      res.select(col("doc_id"), col("ok"), col("n_bytes"),
+          col("out_width"), col("out_height"),
+          try_element_at(col("feature"), lit(1)).as("f0"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH g AS (SELECT doc_id, text,
+          CAST(4 + doc_id % 5 AS INT) AS w, CAST(3 + doc_id % 4 AS INT) AS h,
+          octet_length(encode(text)) AS L
+        FROM documents)
+      SELECT doc_id,
+        (doc_id % 97 <> 0) AS ok,
+        CASE WHEN doc_id % 97 = 0 THEN CAST(L AS BIGINT)
+             ELSE CAST(54 + ((3 * w + 3) // 4) * 4 * h AS BIGINT) END AS n_bytes,
+        CAST(CASE WHEN doc_id % 97 = 0 THEN 0 ELSE LEAST(w, 6) END AS INT) AS out_width,
+        CAST(CASE WHEN doc_id % 97 = 0 THEN 0 ELSE LEAST(h, 4) END AS INT) AS out_height,
+        CASE WHEN doc_id % 97 = 0 THEN NULL
+             WHEN L = 0 THEN 0
+             ELSE CAST(ascii(substr(text, ((0 * 3 + 0) % L) + 1, 1)) +
+                  ascii(substr(text, ((0 * 3 + 1) % L) + 1, 1)) +
+                  ascii(substr(text, ((0 * 3 + 2) % L) + 1, 1)) AS BIGINT) END AS f0
+      FROM g ORDER BY doc_id"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
-      e30, e31, e32)
+      e30, e31, e32, e33)
 }

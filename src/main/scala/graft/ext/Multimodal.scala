@@ -192,13 +192,21 @@ object Multimodal {
     * from doc_id so the oracle can recompute them). Fixture generation
     * runs as a typed per-partition map — the same executor-parallel
     * shape the decode path uses. */
-  def bmpMediaTable(spark: SparkSession, docs: DataFrame): DataFrame = {
+  def bmpMediaTable(spark: SparkSession, docs: DataFrame,
+      corruptEvery: Long = 0): DataFrame = {
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
       val w = (4 + id % 5).toInt
       val h = (3 + id % 4).toInt
-      MediaRow(id, Bmp.encode(w, h,
-        text.getBytes(java.nio.charset.StandardCharsets.UTF_8)), "bmp", w, h)
+      // corruptEvery > 0: every corruptEvery-th doc carries its raw text
+      // bytes instead of a BMP — the deterministic bad-payload fixture
+      // for the lenient-decode path (never a valid BMP: the fixture
+      // vocabulary cannot produce a 'BM' signature)
+      val payload =
+        if (corruptEvery > 0 && id % corruptEvery == 0)
+          text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        else Bmp.encode(w, h, text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      MediaRow(id, payload, "bmp", w, h)
     }.toDF()
   }
 
@@ -226,6 +234,42 @@ object Multimodal {
     import spark.implicits._
     media.as[MediaRow].mapPartitions { it =>
       it.map(decoder.decode(_, targetW, targetH))
+    }
+  }
+
+  /** Decoded row with per-row error isolation: `ok=false` rows carry
+    * the reject reason and null-ish features instead of killing the
+    * task. */
+  final case class MediaResult(
+      doc_id: Long, ok: Boolean, error: String,
+      n_bytes: Long, out_width: Int, out_height: Int, feature: Array[Long])
+
+  /** [[decodeFeatures]] with per-row error isolation — the multimodal
+    * analogue of the sync's corrupt-file skip (O24): at 100 TB a media
+    * batch WILL contain undecodable payloads, and one bad row must
+    * fail as data (`ok=false` + reason) rather than as a task abort
+    * that retries the whole partition into the same exception four
+    * times. Same mapPartitions seam; the try/catch rides inside the
+    * iterator, so throughput for healthy rows is unchanged. */
+  def decodeFeaturesLenient(
+      spark: SparkSession, media: DataFrame,
+      targetW: Int = 256, targetH: Int = 256,
+      decoder: Decoder = DecodeStub): Dataset[MediaResult] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { it =>
+      it.map { r =>
+        try {
+          val f = decoder.decode(r, targetW, targetH)
+          MediaResult(f.doc_id, ok = true, error = "",
+            f.n_bytes, f.out_width, f.out_height, f.feature)
+        } catch {
+          case e: IllegalArgumentException =>
+            MediaResult(r.doc_id, ok = false,
+              error = Option(e.getMessage).getOrElse("decode failed"),
+              n_bytes = r.payload.length.toLong, out_width = 0, out_height = 0,
+              feature = Array.empty[Long])
+        }
+      }
     }
   }
 

@@ -310,6 +310,24 @@ class TextMultimodalSpec extends SparkSpec {
       (3L, 1L, 1000000.0), (4L, 1L, 1000000.0)))
   }
 
+  test("multimodal: lenient decode isolates bad rows as data, not task aborts") {
+    import spark.implicits._
+    val docs = Seq((0L, "corrupt me"), (1L, "healthy payload text"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.bmpMediaTable(spark, docs, corruptEvery = 97)
+    val rows = Multimodal.decodeFeaturesLenient(spark, media, 6, 4,
+      decoder = Multimodal.BmpDecoder)
+      .collect().sortBy(_.doc_id)
+    assert(!rows(0).ok && rows(0).error.contains("doc 0") && rows(0).feature.isEmpty)
+    assert(rows(0).n_bytes == "corrupt me".length.toLong)
+    assert(rows(1).ok && rows(1).error.isEmpty && rows(1).feature.length == 4)
+    // the strict path still throws on the same batch
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeFeatures(spark, media, 6, 4,
+        decoder = Multimodal.BmpDecoder).collect()
+    }
+  }
+
   test("multimodal: frame offsets stride the payload") {
     import spark.implicits._
     val media = Multimodal.mediaTable(doc(1L, "0123456789"))
