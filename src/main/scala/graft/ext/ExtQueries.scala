@@ -897,8 +897,59 @@ object ExtQueries {
                   ascii(substr(text, ((0 * 3 + 2) % L) + 1, 1)) AS BIGINT) END AS f0
       FROM g ORDER BY doc_id"""))
 
+  // E3 (composed tiers): IVF at production nlist over the INT8-quantized
+  // corpus — the storage tier (e22: 4× smaller vectors, exact integer
+  // dot products) composed with the coarse geometry (e28: native
+  // reference-object cells). Quantized components are integral, so
+  // every dot accumulates exactly in f64 regardless of order — the
+  // quantized tier is MORE oracle-stable than full precision, which is
+  // part of why real systems ship it. Oracle = e22's quantization CTE
+  // feeding e28's seed-draw/assign/probe/rank skeleton.
+  val e34 = Q(
+    "e34_ann_ivf_int8",
+    (s, d) => {
+      val q = Similarity.quantizeInt8(T.embeddings(s, d))
+        .select(col("vec_id"), col("q").as("embedding"))
+      Similarity.ivfTopK(q, q.filter(col("vec_id") < 10),
+        k = 5, nlist = 512, nprobe = 8, lloydIters = 0)
+        .withColumnRenamed("cos", "qcos")
+    },
+    Some("""WITH n AS (SELECT vec_id, embedding,
+          LIST_MAX(LIST_TRANSFORM(embedding, x -> ABS(CAST(x AS DOUBLE)))) AS ma
+        FROM embeddings),
+      qv AS (SELECT vec_id, CASE WHEN ma = 0 THEN LIST_TRANSFORM(embedding, x -> 0.0)
+          ELSE LIST_TRANSFORM(embedding, x -> TRUNC(CAST(x AS DOUBLE) * 127.0 / ma)) END AS q
+        FROM n),
+      corp AS (SELECT vec_id, q,
+          SQRT(LIST_SUM(LIST_TRANSFORM(q, x -> x*x))) AS vn FROM qv),
+      picked AS (SELECT vec_id, q FROM qv
+        ORDER BY CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT), vec_id
+        LIMIT 512),
+      cents AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, q AS ce,
+          SQRT(LIST_SUM(LIST_TRANSFORM(q, x -> x*x))) AS cn
+        FROM picked),
+      ac AS (SELECT c.vec_id, c.vn, ct.cid,
+          LIST_SUM(LIST_TRANSFORM(range(1, LEN(c.q)+1), i -> c.q[i] * ct.ce[i]))
+            / (c.vn * ct.cn) AS ccos
+        FROM corp c, cents ct),
+      assign AS (SELECT vec_id, cid FROM
+          (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn FROM ac)
+        WHERE crn = 1),
+      probes AS (SELECT vec_id AS qid, cid FROM
+          (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn
+           FROM ac WHERE vec_id < 10)
+        WHERE crn <= 8),
+      sc AS (SELECT p.qid, a.vec_id,
+          LIST_SUM(LIST_TRANSFORM(range(1, LEN(q.q)+1), i -> q.q[i] * v.q[i]))
+            / (q.vn * v.vn) AS qcos
+        FROM assign a JOIN probes p ON a.cid = p.cid AND p.qid <> a.vec_id
+        JOIN corp q ON q.vec_id = p.qid JOIN corp v ON v.vec_id = a.vec_id),
+      r AS (SELECT qid, vec_id, qcos,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY qcos DESC, vec_id) AS rn FROM sc)
+      SELECT qid, vec_id, qcos, rn FROM r WHERE rn <= 5 ORDER BY qid, rn"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
-      e30, e31, e32, e33)
+      e30, e31, e32, e33, e34)
 }

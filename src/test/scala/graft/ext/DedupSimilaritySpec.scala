@@ -359,6 +359,19 @@ class DedupSimilaritySpec extends SparkSpec {
       s"plan text grew with nlist: 16→${nat16Plan.length} chars, 512→${nat512Plan.length}")
   }
 
+  test("E3: int8-quantized IVF agrees with full-precision IVF on most neighbors") {
+    def hits(corpus: org.apache.spark.sql.DataFrame) = {
+      val q = corpus.filter(col("vec_id") < 10)
+      Similarity.ivfTopK(corpus, q, 5, nlist = 16, nprobe = 4, lloydIters = 0)
+        .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val full = hits(embs)
+    val qz = Similarity.quantizeInt8(embs).select(col("vec_id"), col("q").as("embedding"))
+    val int8 = hits(qz)
+    val agree = (full intersect int8).size.toDouble / full.size
+    assert(agree >= 0.6, s"int8 IVF agreement $agree < 0.6 vs full precision")
+  }
+
   test("E3: LSH dup pairs are a subset of exact dup pairs with identical cosines") {
     val slice = embs.filter(col("vec_id") < 1000)
     def toMap(df: org.apache.spark.sql.DataFrame) =
