@@ -114,8 +114,11 @@ object ExtQueries {
 
   // The oracle restatement of the portable MinHash-LSH pipeline, shared
   // by e05 (candidate pairs) and e15 (clusters over those pairs).
-  private val mhCtes: String =
-    s"""w AS (SELECT doc_id AS doc, string_split(text,' ') ws FROM documents),
+  /** The MinHash front CTEs over an arbitrary (doc_id, text) source —
+    * `documents` for the standalone queries, the filtered set for the
+    * e35 capstone. */
+  private def mhCtesFrom(src: String): String =
+    s"""w AS (SELECT doc_id AS doc, string_split(text,' ') ws FROM $src),
       sh AS (SELECT DISTINCT doc, concat_ws(' ', ws[i], ws[i+1], ws[i+2]) s
              FROM w, UNNEST(range(1, greatest(len(ws)-2,1)+1)) t(i)),
       hb AS (SELECT doc, CAST(('0x'||substr(md5(s),1,6)) AS BIGINT) AS h FROM sh),
@@ -138,6 +141,8 @@ object ExtQueries {
           CAST(list_sum(list_transform(range(1,$mhK+1),
             i -> CASE WHEN s1[i] = s2[i] THEN 1 ELSE 0 END)) AS DOUBLE)/$mhK AS est_sim
         FROM pairs)"""
+
+  private val mhCtes: String = mhCtesFrom("documents")
 
   val e05 = Q(
     "e05_minhash_candidates",
@@ -948,8 +953,77 @@ object ExtQueries {
           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY qcos DESC, vec_id) AS rn FROM sc)
       SELECT qid, vec_id, qcos, rn FROM r WHERE rn <= 5 ORDER BY qid, rn"""))
 
+  // THE capstone: the full corpus-prep pipeline a training-data run
+  // ships, as ONE declared flow — quality filter (e20's gates) →
+  // fuzzy dedup over the SURVIVING docs (e27's shared-front pipeline:
+  // candidates → edit-distance confirm → CC → keep-best) → token-window
+  // chunking (e29) of the deduped corpus. Non-clustered filtered docs
+  // pass through untouched; clustered docs are represented by their
+  // keep-best winner. The oracle composes the already-pinned CTEs of
+  // every stage end to end (filter gates → MinHash front over the
+  // filtered set → levenshtein confirm → recursive CC → ROW_NUMBER
+  // pick → chunk arithmetic).
+  val e35 = Q(
+    "e35_corpus_pipeline",
+    (s, d) => {
+      val docs = T.documents(s, d)
+      val filtered = TextOps.qualityFilter(docs, "doc_id", "text",
+        lang = "en", minTokens = 20, maxPunctRatio = 0.15, minStopwordRatio = 0.01)
+      val fdocs = docs.join(filtered.select("doc_id"), "doc_id")
+      val pipe = Dedup.dedupPipeline(fdocs, "doc_id", "text",
+        filtered.select(col("doc_id"), col("length_score")),
+        scoreCol = "length_score", k = mhK, bands = mhBands,
+        minEstSim = 0.4, maxEdit = 5)
+      val survivors = fdocs.select("doc_id")
+        .join(pipe.clusters.select("doc_id"), Seq("doc_id"), "left_anti")
+        .union(pipe.kept.select(col("keep_id").as("doc_id")))
+      val out = TextOps.chunk(fdocs.join(survivors, "doc_id"), "doc_id", "text",
+        chunkTokens = 64, overlapTokens = 16)
+        .orderBy(col("doc_id"), col("chunk_id"))
+      // materialize before releasing the pipeline's shared front
+      val rows = out.cache()
+      rows.count()
+      pipe.unpersistAll()
+      rows
+    },
+    Some(s"""WITH RECURSIVE scored AS (SELECT doc_id, $langScoreSql,
+        (CAST(length(text) AS DOUBLE) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+          / CAST(length(text) AS DOUBLE) AS punct_ratio,
+        CAST(len(list_filter(string_split(text, ' '),
+            t -> list_contains($stopList, t))) AS DOUBLE)
+          / len(string_split(text, ' ')) AS stopword_ratio,
+        LEAST(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100) AS length_score,
+        len(string_split(text, ' ')) AS n_tokens
+      FROM documents),
+      best AS (SELECT *, GREATEST(score_de, score_en, score_es, score_fr) AS b FROM scored),
+      keepf AS (SELECT doc_id, length_score FROM best
+        WHERE b > 0 AND score_en = b AND score_de <> b AND n_tokens >= 20
+          AND punct_ratio <= 0.15 AND stopword_ratio >= 0.01),
+      fdocs AS (SELECT d.doc_id, d.text FROM documents d JOIN keepf USING (doc_id)),
+      ${mhCtesFrom("fdocs")},
+      ${ccCtesOver(s"""SELECT c.doc1, c.doc2 FROM est c
+          JOIN fdocs a ON a.doc_id = c.doc1
+          JOIN fdocs b ON b.doc_id = c.doc2
+          WHERE c.est_sim >= 0.4 AND levenshtein(a.text, b.text) <= 5""")},
+      ranked AS (SELECT c.cluster_rep, c.doc_id,
+          ROW_NUMBER() OVER (PARTITION BY c.cluster_rep
+            ORDER BY k.length_score DESC, c.doc_id) AS rn
+        FROM clusters c JOIN keepf k ON k.doc_id = c.doc_id),
+      survivors AS (SELECT doc_id FROM fdocs
+          WHERE doc_id NOT IN (SELECT doc_id FROM clusters)
+        UNION ALL SELECT doc_id FROM ranked WHERE rn = 1),
+      sdocs AS (SELECT f.doc_id, string_split(f.text, ' ') AS ws
+        FROM fdocs f JOIN survivors s USING (doc_id)),
+      st AS (SELECT doc_id, ws, t.s AS start,
+          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY t.s) - 1 AS chunk_id
+        FROM sdocs, UNNEST(range(0, greatest(len(ws) - 16, 1), 48)) AS t(s))
+      SELECT doc_id, chunk_id,
+        CAST(LEAST(64, len(ws) - start) AS BIGINT) AS n_tokens,
+        array_to_string(ws[start+1 : start+64], ' ') AS chunk_text
+      FROM st ORDER BY doc_id, chunk_id"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
-      e30, e31, e32, e33, e34)
+      e30, e31, e32, e33, e34, e35)
 }
