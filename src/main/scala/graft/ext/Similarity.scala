@@ -307,13 +307,17 @@ object Similarity {
     * integer dot products ≤ 64·127² stay exact in the f64 fold. */
   def quantizeInt8(df: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    // q via the native codegen'd expression (graft.functions.QuantizeI8):
+    // the transform-HOF formulation fell out of whole-stage codegen and
+    // re-ran interpreted on every consumer scan (3× in the e34 IVF
+    // composition). Bit parity with the HOF sequence is spec-pinned.
     val xd = (x: Column) => x.cast(DoubleType)
     val ma = array_max(transform(col(vecCol), x => abs(xd(x))))
     df.select(col(idCol),
-      when(ma === 0.0, transform(col(vecCol), _ => lit(0f)))
-        .otherwise(transform(col(vecCol),
-          x => (xd(x) * 127.0 / ma).cast(IntegerType).cast(FloatType)))
-        .as("q"),
+      call_function("graft_quantize_i8", col(vecCol)).as("q"),
+      // scale keeps the HOF form: only computed when a caller selects it
+      // (column pruning drops it from e22/e34's plans)
       (ma / 127.0).as("scale"))
   }
 

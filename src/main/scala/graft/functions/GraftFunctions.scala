@@ -75,6 +75,12 @@ object GraftFunctions {
         }
         PortableShingleHashes(children.head, n)
       }),
+    (new FunctionIdentifier("graft_quantize_i8"),
+      new ExpressionInfo(classOf[QuantizeI8].getName, "graft_quantize_i8"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_quantize_i8 takes exactly 1 argument")
+        QuantizeI8(children.head)
+      }),
     (new FunctionIdentifier("graft_ivf_cells"),
       new ExpressionInfo(classOf[IvfCells].getName, "graft_ivf_cells"),
       (children: Seq[Expression]) => {

@@ -170,3 +170,65 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
 }
+
+/** Symmetric int8 quantization of a float vector (the e22 tier):
+  * `q_i = trunc(x_i · 127 / max|x|)`, emitted as integral floats; an
+  * all-zero (or empty) vector quantizes to zeros.
+  *
+  * Why native: the `transform`-based formulation is a higher-order
+  * function, which kicks its whole projection out of whole-stage
+  * codegen AND re-runs per consumer — the IVF composition (e34) scans
+  * the quantized corpus three times (seed draw, assignment, probing),
+  * paying the interpreted transform each pass. This is one fused
+  * codegen'd loop: max-abs pass + quantize pass, no boxing.
+  *
+  * Bit parity with the HOF path: max over |x| as double (order-free),
+  * `(x · 127.0 / ma)` in double, cast-to-int truncation toward zero,
+  * widen to float — the exact sequence
+  * `(xd(x) * 127.0 / ma).cast(IntegerType).cast(FloatType)` performs. */
+object QuantizeI8 {
+  def compute(vec: ArrayData): GenericArrayData = {
+    val n = vec.numElements()
+    var ma = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(vec.getFloat(i).toDouble)
+      if (a > ma) ma = a
+      i += 1
+    }
+    val out = new Array[Any](n)
+    i = 0
+    if (ma == 0.0) {
+      while (i < n) { out(i) = 0f; i += 1 }
+    } else {
+      while (i < n) {
+        out(i) = (vec.getFloat(i).toDouble * 127.0 / ma).toInt.toFloat
+        i += 1
+      }
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class QuantizeI8(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<float>, got $t")
+  }
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.FloatType, containsNull = false)
+  override def prettyName: String = "graft_quantize_i8"
+
+  override def nullSafeEval(input: Any): Any =
+    QuantizeI8.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.QuantizeI8.compute($v); // graft_quantize_i8")
+
+  override protected def withNewChildInternal(newChild: Expression): QuantizeI8 =
+    copy(child = newChild)
+}

@@ -359,6 +359,24 @@ class DedupSimilaritySpec extends SparkSpec {
       s"plan text grew with nlist: 16→${nat16Plan.length} chars, 512→${nat512Plan.length}")
   }
 
+  test("E3: native int8 quantizer is bit-equal to the HOF formulation") {
+    import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType}
+    val xd = (x: org.apache.spark.sql.Column) => x.cast(DoubleType)
+    val ma = array_max(transform(col("embedding"), x => abs(xd(x))))
+    val hof = when(ma === 0.0, transform(col("embedding"), _ => lit(0f)))
+      .otherwise(transform(col("embedding"),
+        x => (xd(x) * 127.0 / ma).cast(IntegerType).cast(FloatType)))
+    graft.functions.GraftFunctions.register(spark)
+    val zeroVec = spark.range(1).select(lit(9999L).as("vec_id"),
+      array(lit(0f), lit(-0f), lit(0f)).as("embedding"))
+    val diff = embs.select(col("embedding")).unionByName(zeroVec.select(col("embedding")))
+      .select(hof.as("a"),
+        call_function("graft_quantize_i8", col("embedding")).as("b"))
+      .filter(not(col("a") === col("b")))
+      .count()
+    assert(diff == 0L, s"$diff vectors quantize differently native vs HOF")
+  }
+
   test("E3: int8-quantized IVF agrees with full-precision IVF on most neighbors") {
     def hits(corpus: org.apache.spark.sql.DataFrame) = {
       val q = corpus.filter(col("vec_id") < 10)
