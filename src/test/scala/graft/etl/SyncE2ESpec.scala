@@ -457,6 +457,26 @@ class SyncE2ESpec extends SparkSpec {
       new ParquetLoader("s3a://bucket/wh", "s").compact(spark, "t")
     }
     assert(err.getMessage.contains("atomic rename"), err.getMessage)
+
+    // incremental mode over the non-file scheme: dynamic partition
+    // overwrite (directory-level staging/commit inside the writer) and
+    // the migration guard's k=-chain walk both run through the
+    // FileSystem API — February's sync must accumulate next to January
+    // in the graftfs warehouse, not clobber it
+    val whI = Files.createTempDirectory("graft_wh_ofs_inc").toString
+    val loaderI = new ParquetLoader(s"graftfs://$whI", "s")
+    val cI = c.copy(warehouseDir = s"graftfs://$whI")
+    def runInc(asOf: String) = Sync.run(spark, cI, loaderI,
+      Sync.Options(months = 1, asOf = LocalDate.parse(asOf),
+        allAccounts = true, incremental = true))
+    assert(runInc("2024-01-15").tables.map(_.status) == Seq("warning")) // the corrupt file
+    val jan = loaderI.table(spark, "cur_g_normalized").count()
+    assert(jan > 0)
+    assert(runInc("2024-02-15").tables.map(_.status) == Seq("success"))
+    val norm = loaderI.table(spark, "cur_g_normalized")
+    assert(norm.filter(month(col("date")) === 1).count() == jan,
+      "January must survive February's incremental sync over graftfs")
+    assert(norm.filter(month(col("date")) === 2).count() > 0)
   }
 
   test("sync rejects a zero-month window before touching the warehouse") {
