@@ -31,7 +31,11 @@ object StreamQueries {
 
   val c40 = Q(
     "c40_stream_window",
-    (s, d) => {
+    (outer, d) => {
+      // isolated session sized for streaming state (see c51): windowed
+      // aggregation keeps one store per shuffle partition
+      val s = outer.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "8")
       // schema pinned from a batch probe (file streams require it); the
       // nanos ts arrives as int64 under the session's legacy read conf
       // and converts exactly like Tables.events
@@ -68,7 +72,11 @@ object StreamQueries {
   // single leaked duplicate or dropped event breaks the hash.
   val c47 = Q(
     "c47_stream_dedup",
-    (s, d) => {
+    (outer, d) => {
+      // isolated session sized for streaming state (see c51): dedup +
+      // window stores per shuffle partition
+      val s = outer.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "8")
       val batchSchema = s.read.parquet(s"$d/events.parquet").schema
       def src = {
         val raw = s.readStream.schema(batchSchema).parquet(s"$d/events.parque[t]")
@@ -109,7 +117,10 @@ object StreamQueries {
   // flip a membership.
   val c50 = Q(
     "c50_stream_stateful",
-    (s, d) => {
+    (outer, d) => {
+      // isolated session sized for streaming state (see c51)
+      val s = outer.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "8")
       import s.implicits._
       val batchSchema = s.read.parquet(s"$d/events.parquet").schema
       val raw = s.readStream.schema(batchSchema).parquet(s"$d/events.parque[t]")
@@ -144,7 +155,15 @@ object StreamQueries {
   // in micros keeps both engines on identical integer compares). */
   val c51 = Q(
     "c51_stream_stream_join",
-    (s, d) => {
+    (outer, d) => {
+      // stream-stream join keeps TWO state stores per shuffle partition;
+      // at the batch suite's 32 partitions that is 64 store lifecycles
+      // per micro-batch for a bounded drain. An isolated session (shared
+      // SparkContext, own SQLConf) sizes the streaming state at 8
+      // partitions without touching the caller's conf; output content is
+      // partitioning-independent.
+      val s = outer.newSession()
+      s.conf.set("spark.sql.shuffle.partitions", "8")
       val batchSchema = s.read.parquet(s"$d/events.parquet").schema
       def src = {
         val raw = s.readStream.schema(batchSchema).parquet(s"$d/events.parque[t]")
