@@ -32,10 +32,10 @@ object StreamQueries {
   val c40 = Q(
     "c40_stream_window",
     (outer, d) => {
-      // isolated session sized for streaming state (see c51): windowed
-      // aggregation keeps one store per shuffle partition
-      val s = outer.newSession()
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      // isolated session sized for streaming state (see c51), on the
+      // RocksDB backend ([[StateBackend]]): windowed aggregation keeps
+      // one store per shuffle partition
+      val s = StateBackend.isolatedStreamSession(outer)
       // schema pinned from a batch probe (file streams require it); the
       // nanos ts arrives as int64 under the session's legacy read conf
       // and converts exactly like Tables.events
@@ -73,10 +73,9 @@ object StreamQueries {
   val c47 = Q(
     "c47_stream_dedup",
     (outer, d) => {
-      // isolated session sized for streaming state (see c51): dedup +
-      // window stores per shuffle partition
-      val s = outer.newSession()
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      // isolated session sized for streaming state (see c51), RocksDB
+      // backend: dedup + window stores per shuffle partition
+      val s = StateBackend.isolatedStreamSession(outer)
       val batchSchema = s.read.parquet(s"$d/events.parquet").schema
       def src = {
         val raw = s.readStream.schema(batchSchema).parquet(s"$d/events.parque[t]")
@@ -118,9 +117,9 @@ object StreamQueries {
   val c50 = Q(
     "c50_stream_stateful",
     (outer, d) => {
-      // isolated session sized for streaming state (see c51)
-      val s = outer.newSession()
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      // isolated session sized for streaming state (see c51), RocksDB
+      // backend for the flatMapGroupsWithState user state
+      val s = StateBackend.isolatedStreamSession(outer)
       import s.implicits._
       val batchSchema = s.read.parquet(s"$d/events.parquet").schema
       val raw = s.readStream.schema(batchSchema).parquet(s"$d/events.parque[t]")
@@ -160,10 +159,11 @@ object StreamQueries {
       // at the batch suite's 32 partitions that is 64 store lifecycles
       // per micro-batch for a bounded drain. An isolated session (shared
       // SparkContext, own SQLConf) sizes the streaming state at 8
-      // partitions without touching the caller's conf; output content is
-      // partitioning-independent.
-      val s = outer.newSession()
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      // partitions without touching the caller's conf, and puts the join
+      // buffers on RocksDB ([[StateBackend]]) — the two-sided join state
+      // is exactly the store that outgrows heap first at 100 TB. Output
+      // content is partitioning-independent.
+      val s = StateBackend.isolatedStreamSession(outer)
       val batchSchema = s.read.parquet(s"$d/events.parquet").schema
       def src = {
         val raw = s.readStream.schema(batchSchema).parquet(s"$d/events.parque[t]")

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Proves the RocksDB state backend (VERDICT r7 item 1) actually ENGAGES
+  * for queries built on [[StateBackend.isolatedStreamSession]] — the same
+  * helper every streaming conformance query (c40/c47/c50/c51) and the
+  * incremental sync use. Engagement is asserted from query progress:
+  * RocksDB publishes provider-specific custom metrics
+  * (`rocksdbCommitLatency` etc.) on each stateful operator's
+  * `StateOperatorProgress`; the default HDFS-backed provider publishes
+  * `loadedMapCacheHitCount` instead and NO rocksdb-prefixed keys. A
+  * silent fall-back to the default provider would fail this suite, so
+  * "runs on RocksDB" is a tested property, not a config comment. */
+class RocksDBStateSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.from(java.time.Instant.parse(s))
+
+  test("isolatedStreamSession carries the RocksDB provider conf") {
+    val s = StateBackend.isolatedStreamSession(spark)
+    assert(s.conf.get("spark.sql.streaming.stateStore.providerClass")
+      === StateBackend.RocksDBProvider)
+    assert(s.conf.get("spark.sql.shuffle.partitions") === "8")
+    // isolation: the outer (batch) session's conf is untouched
+    val outerProvider =
+      spark.conf.get("spark.sql.streaming.stateStore.providerClass", "default")
+    assert(outerProvider != StateBackend.RocksDBProvider)
+  }
+
+  test("stateful aggregation on the isolated session runs on RocksDB stores") {
+    val s = StateBackend.isolatedStreamSession(spark, shufflePartitions = 2)
+    import s.implicits._
+    implicit val sctx = s.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val agg = mem.toDF().toDF("event_ts", "service", "cost")
+      .withWatermark("event_ts", "1 hour")
+      .groupBy(window(col("event_ts"), "1 hour"), col("service"))
+      .agg(sum(col("cost")).as("total"))
+    val q = agg.writeStream.format("memory").queryName("rocksdb_engaged")
+      .outputMode("complete").start()
+    try {
+      mem.addData((ts("2024-01-01T10:10:00Z"), "s3", 1.0),
+        (ts("2024-01-01T10:20:00Z"), "ec2", 2.0))
+      q.processAllAvailable()
+      mem.addData((ts("2024-01-01T11:10:00Z"), "s3", 3.0))
+      q.processAllAvailable()
+      val stateOps = q.recentProgress.flatMap(p => p.stateOperators)
+      assert(stateOps.nonEmpty, "no stateful operator progress recorded")
+      val metricKeys = stateOps.flatMap(_.customMetrics.keySet().toArray).map(_.toString)
+      assert(metricKeys.exists(_.startsWith("rocksdb")),
+        s"no rocksdb custom metrics — provider did not engage; saw: ${metricKeys.distinct.sorted.take(10).mkString(", ")}")
+      // and state actually holds the open windows (2 services × windows)
+      assert(stateOps.map(_.numRowsTotal).max >= 2)
+    } finally q.stop()
+  }
+
+  test("watermark dedup state lives on RocksDB too") {
+    val s = StateBackend.isolatedStreamSession(spark, shufflePartitions = 2)
+    import s.implicits._
+    implicit val sctx = s.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val deduped = StreamingSync.dedupedEvents(
+      mem.toDF().toDF("event_ts", "event_id", "cost"),
+      "event_ts", Seq("event_id"), "1 hour")
+    val q = deduped.writeStream.format("memory").queryName("rocksdb_dedup")
+      .outputMode("append").start()
+    try {
+      mem.addData((ts("2024-01-01T10:00:00Z"), 1L, 5.0),
+        (ts("2024-01-01T10:05:00Z"), 1L, 5.0),
+        (ts("2024-01-01T10:10:00Z"), 2L, 7.0))
+      q.processAllAvailable()
+      val out = s.table("rocksdb_dedup").collect()
+      assert(out.length === 2, s"dedup broke on RocksDB: ${out.mkString}")
+      val metricKeys = q.recentProgress.flatMap(_.stateOperators)
+        .flatMap(_.customMetrics.keySet().toArray).map(_.toString)
+      assert(metricKeys.exists(_.startsWith("rocksdb")),
+        "dedup state not on RocksDB")
+    } finally q.stop()
+  }
+}
