@@ -9,6 +9,14 @@ object Verify {
     // optional 3rd arg: comma-separated query-name filter (dev iteration;
     // the driver always passes exactly two args → full run)
     val only: Option[Set[String]] = args.drop(2).headOption.map(_.split(',').toSet)
+    // a fully-misspelled filter would otherwise run NOTHING and look
+    // like instant success in dev iteration — fail loudly instead
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"[verify] unknown query name(s): ${unknown.toSeq.sorted.mkString(", ")} " +
+          s"(declared: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")})")
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

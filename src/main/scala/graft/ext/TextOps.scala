@@ -265,7 +265,11 @@ object TextOps {
       .select(col("term"), col("w"))
     val scored = tfQ.join(broadcast(weights), "term")
       .groupBy(col(idCol))
-      .agg(sum((col("tf") * col("w")).cast(DecimalType(38, 0)))
+      // widen BEFORE the multiply: w reaches N·idfScale when df=1, so
+      // tf*w in LongType could wrap silently in non-ANSI mode at large N
+      // — casting tf to decimal first keeps the whole accumulation
+      // overflow-free (exact at any corpus size, as documented)
+      .agg(sum(col("tf").cast(DecimalType(38, 0)) * col("w"))
         .cast(LongType).as("score"))
     import org.apache.spark.sql.expressions.Window
     scored.orderBy(col("score").desc, col(idCol)).limit(k)

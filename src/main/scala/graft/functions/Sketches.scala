@@ -187,22 +187,39 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   * widen to float — the exact sequence
   * `(xd(x) * 127.0 / ma).cast(IntegerType).cast(FloatType)` performs. */
 object QuantizeI8 {
+  /** Null-element semantics mirror the HOF formulation bit-for-bit
+    * (parity is spec-pinned in DedupSimilaritySpec E3, now over
+    * null-bearing vectors too — the embeddings parquet declares
+    * nullable list elements, so `containsNull=true` is the real input
+    * shape): `array_max` skips nulls when computing the scale; an
+    * all-null (or empty) vector has a NULL scale, so every element maps
+    * to null; a zero-scale vector hits the HOF's `when(ma === 0)`
+    * constant branch, which rewrites EVERY element (nulls included) to
+    * 0f; otherwise null elements stay null and the rest quantize. */
   def compute(vec: ArrayData): GenericArrayData = {
     val n = vec.numElements()
     var ma = 0.0
+    var seen = false
     var i = 0
     while (i < n) {
-      val a = math.abs(vec.getFloat(i).toDouble)
-      if (a > ma) ma = a
+      if (!vec.isNullAt(i)) {
+        seen = true
+        val a = math.abs(vec.getFloat(i).toDouble)
+        if (a > ma) ma = a
+      }
       i += 1
     }
     val out = new Array[Any](n)
     i = 0
-    if (ma == 0.0) {
+    if (!seen) {
+      while (i < n) { out(i) = null; i += 1 }
+    } else if (ma == 0.0) {
       while (i < n) { out(i) = 0f; i += 1 }
     } else {
       while (i < n) {
-        out(i) = (vec.getFloat(i).toDouble * 127.0 / ma).toInt.toFloat
+        out(i) =
+          if (vec.isNullAt(i)) null
+          else (vec.getFloat(i).toDouble * 127.0 / ma).toInt.toFloat
         i += 1
       }
     }
@@ -218,8 +235,13 @@ case class QuantizeI8(child: Expression) extends UnaryExpression {
     case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<float>, got $t")
   }
 
-  override def dataType: DataType =
-    ArrayType(org.apache.spark.sql.types.FloatType, containsNull = false)
+  override def dataType: DataType = child.dataType match {
+    // element nullability follows the input: a null element quantizes to
+    // null (HOF parity); a containsNull=false input yields none
+    case ArrayType(_, n) =>
+      ArrayType(org.apache.spark.sql.types.FloatType, containsNull = n)
+    case _ => ArrayType(org.apache.spark.sql.types.FloatType, containsNull = false)
+  }
   override def prettyName: String = "graft_quantize_i8"
 
   override def nullSafeEval(input: Any): Any =

@@ -367,12 +367,24 @@ class DedupSimilaritySpec extends SparkSpec {
       .otherwise(transform(col("embedding"),
         x => (xd(x) * 127.0 / ma).cast(IntegerType).cast(FloatType)))
     graft.functions.GraftFunctions.register(spark)
-    val zeroVec = spark.range(1).select(lit(9999L).as("vec_id"),
+    val nullF = lit(null).cast(FloatType)
+    val edgeVecs = spark.range(1).select(lit(9999L).as("vec_id"),
       array(lit(0f), lit(-0f), lit(0f)).as("embedding"))
-    val diff = embs.select(col("embedding")).unionByName(zeroVec.select(col("embedding")))
+      // null-bearing shapes (the embeddings parquet declares nullable
+      // elements, so containsNull=true is the production input type):
+      // mixed null, all-null, and zero-scale-with-null
+      .unionByName(spark.range(1).select(lit(9998L).as("vec_id"),
+        array(lit(2f), nullF, lit(-4f)).as("embedding")))
+      .unionByName(spark.range(1).select(lit(9997L).as("vec_id"),
+        array(nullF, nullF).as("embedding")))
+      .unionByName(spark.range(1).select(lit(9996L).as("vec_id"),
+        array(lit(0f), nullF).as("embedding")))
+    val diff = embs.select(col("embedding")).unionByName(edgeVecs.select(col("embedding")))
       .select(hof.as("a"),
         call_function("graft_quantize_i8", col("embedding")).as("b"))
-      .filter(not(col("a") === col("b")))
+      // null-safe compare: plain === is NULL when an element is null,
+      // which would silently exclude exactly the rows under test
+      .filter(not(col("a") <=> col("b")))
       .count()
     assert(diff == 0L, s"$diff vectors quantize differently native vs HOF")
   }
