@@ -105,14 +105,36 @@ trait Loader extends AutoCloseable {
 
 object Loader {
   /** Filesystem schemes whose `rename` is a non-atomic copy+delete —
-    * [[ParquetLoader.compact]]'s directory swap refuses these. */
+    * [[ParquetLoader.compact]] uses the manifest/pointer commit
+    * ([[ManifestCommit]]) on these instead of the two-rename swap. */
   val copyRenameSchemes: Set[String] =
     Set("s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs", "oss", "swift", "cosn")
+
+  /** The effective object-store scheme set: the built-ins plus any
+    * schemes named in the `graft.compact.objectStoreSchemes` session
+    * conf (comma-separated) — how a deployment flags a custom
+    * FileSystem whose rename is a copy+delete (and how the contract
+    * test drives the manifest path over `graftfs://`). */
+  def objectStoreSchemes(spark: SparkSession): Set[String] =
+    copyRenameSchemes ++ spark.conf.get("graft.compact.objectStoreSchemes", "")
+      .split(',').map(_.trim).filter(_.nonEmpty)
 }
 
 /** Parquet warehouse sink: `warehouseDir/schema/table/` per table. */
 final class ParquetLoader(warehouseDir: String, schema: String) extends Loader {
   private def dir(table: String) = s"$warehouseDir/$schema/$table"
+
+  /** The table's LIVE data directory: the base dir normally, or the
+    * committed generation when an object-store compaction has flipped a
+    * [[ManifestCommit]] manifest. Self-describing (driven by manifest
+    * presence, not scheme), so every read and write path below resolves
+    * identically; the cost on never-compacted tables is one existence
+    * probe. */
+  private def dataDir(spark: SparkSession, table: String): String = {
+    val base = new HPath(dir(table))
+    val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+    ManifestCommit.resolve(fs, base).toString
+  }
 
   override def ensureNamespace(): Unit = {
     // through the Hadoop filesystem (not java.io) so a non-file: warehouse
@@ -154,8 +176,12 @@ final class ParquetLoader(warehouseDir: String, schema: String) extends Loader {
     // object-store warehouse (s3a://) would silently return "no files"
     // from a local File listing and dynamic-overwrite a mixed layout —
     // the exact corruption this guard exists to prevent
+    // all writes land in the manifest-resolved generation: after an
+    // object-store compaction, appends must reach the directory readers
+    // resolve, not the retired base dir
+    val target = dataDir(df.sparkSession, table)
     val migrate = dynamic && {
-      val p = new org.apache.hadoop.fs.Path(dir(table))
+      val p = new org.apache.hadoop.fs.Path(target)
       val fs = p.getFileSystem(df.sparkSession.sessionState.newHadoopConf())
       if (!fs.exists(p)) false
       else {
@@ -193,18 +219,18 @@ final class ParquetLoader(warehouseDir: String, schema: String) extends Loader {
     writeCounted(clustered)(
       _.write.mode(mode)
         .option("partitionOverwriteMode", if (dynamic && !migrate) "dynamic" else "static")
-        .partitionBy(partitionBy: _*).parquet(dir(table)))
+        .partitionBy(partitionBy: _*).parquet(target))
   }
 
   override def table(spark: SparkSession, name: String): DataFrame =
-    spark.read.parquet(dir(name))
+    spark.read.parquet(dataDir(spark, name))
 
   override def readBack(spark: SparkSession, table: String): Option[DataFrame] =
     // mergeSchema: an incremental raw table accumulates months whose
     // schemas drift (the reason prunedScan merges on the source side);
     // a single-footer schema pick could silently lose a column that
     // first appears in the newest month
-    Some(spark.read.option("mergeSchema", "true").parquet(dir(table)))
+    Some(spark.read.option("mergeSchema", "true").parquet(dataDir(spark, table)))
 
   /** Compact a table's file layout to ~`targetBytes` per output file —
     * the operational answer to the small-files problem: streaming
@@ -219,25 +245,31 @@ final class ParquetLoader(warehouseDir: String, schema: String) extends Loader {
     * columns (re-clustered one file per value, the loader's write
     * discipline) with directory names preserved verbatim.
     *
-    * Runs through the Hadoop FileSystem API, so any warehouse
-    * filesystem with ATOMIC directory rename works (local, HDFS, or a
-    * custom scheme — contract-tested over `graftfs://`). Object-store
-    * schemes are refused by name: their "rename" is a copy+delete, so
-    * the swap loses its crash-safety — those need a committer-based
-    * rewrite instead. Returns (filesBefore, filesAfter). */
+    * Runs through the Hadoop FileSystem API. Two commit strategies by
+    * scheme ([[Loader.objectStoreSchemes]]):
+    *  - filesystems with ATOMIC directory rename (local, HDFS, a custom
+    *    scheme — contract-tested over `graftfs://`): the two-rename
+    *    directory swap below;
+    *  - object stores (s3/gs/abfs/..., where "rename" is a copy+delete
+    *    and the swap loses its crash-safety): the [[ManifestCommit]]
+    *    pointer flip — new generation written in full to a versioned
+    *    sibling dir, committed by one atomic manifest PUT, old
+    *    generation deleted after. Path-based views created BEFORE an
+    *    object-store compaction point at the retired generation;
+    *    recreate them (CostsView.createDurable is idempotent) after.
+    * Returns (filesBefore, filesAfter). */
   def compact(spark: SparkSession, table: String, targetBytes: Long = 128L << 20): (Int, Int) = {
     require(targetBytes > 0, s"compact targetBytes must be positive, got $targetBytes")
     val path = new HPath(dir(table))
     val hadoopConf = spark.sessionState.newHadoopConf()
-    // guard on the PATH's scheme before resolving the filesystem: an
-    // object-store path should get this error, not a missing-connector
-    // ClassNotFoundException from getFileSystem
+    // pick the strategy off the PATH's scheme before resolving the
+    // filesystem, so a mis-deployed connector surfaces as its own
+    // ClassNotFound, not as a wrong commit protocol
     val scheme = Option(path.toUri.getScheme).orElse(
       Option(org.apache.hadoop.fs.FileSystem.getDefaultUri(hadoopConf).getScheme))
       .getOrElse("file")
-    require(!Loader.copyRenameSchemes.contains(scheme),
-      s"compact's two-rename directory swap needs atomic rename; '$scheme' renames " +
-        "by copy+delete — use a committer-based rewrite for object-store warehouses")
+    if (Loader.objectStoreSchemes(spark).contains(scheme))
+      return manifestCompact(spark, path, hadoopConf, targetBytes)
     val fs = path.getFileSystem(hadoopConf)
     def rm(p: HPath): Unit = { fs.delete(p, true); () }
     def isDir(p: HPath): Boolean =
@@ -274,13 +306,66 @@ final class ParquetLoader(warehouseDir: String, schema: String) extends Loader {
     }
     if (isDir(staging)) rm(staging)
     require(isDir(path), s"compact: no such table directory: $path")
-    def parquetFiles(p: HPath): Seq[org.apache.hadoop.fs.FileStatus] = {
-      val kids = fs.listStatus(p).toSeq
-      kids.filter(s => s.isFile && s.getPath.getName.endsWith(".parquet")) ++
-        kids.filter(_.isDirectory).flatMap(s => parquetFiles(s.getPath))
-    }
-    val before = parquetFiles(path)
+    val before = parquetFilesIn(fs, path)
     if (before.isEmpty) return (0, 0) // nothing to compact (empty table dir)
+    val (clustered, partCols) = reclustered(spark, path, before, targetBytes)
+    clustered.write.mode(SaveMode.Overwrite)
+      .partitionBy(partCols: _*).parquet(staging.toString)
+    // two-rename swap: retire the old dir, promote staging. NOT atomic —
+    // a crash between the renames leaves `__old` + `__compact` and no
+    // table dir; the recovery block at entry (and any operator following
+    // the same rule: rename `__old` back) repairs that state. Write-phase
+    // failures leave the original untouched.
+    if (!fs.rename(path, retired)) sys.error(s"compact: cannot retire $path")
+    if (!fs.rename(staging, path)) {
+      fs.rename(retired, path) // roll back
+      sys.error(s"compact: cannot promote $staging")
+    }
+    rm(retired)
+    (before.size, parquetFilesIn(fs, path).size)
+  }
+
+  /** Object-store flavor of [[compact]]: same read+recluster, committed
+    * by the [[ManifestCommit]] pointer flip instead of directory
+    * renames. Entry repair discards dead writes / finishes lost
+    * cleanups; the manifest overwrite is the single atomic commit
+    * point, so there is NO window with a missing live directory. */
+  private def manifestCompact(spark: SparkSession, base: HPath,
+      hadoopConf: org.apache.hadoop.conf.Configuration, targetBytes: Long): (Int, Int) = {
+    val fs = base.getFileSystem(hadoopConf)
+    val data = ManifestCommit.repair(fs, base)
+    require(fs.exists(data) && fs.getFileStatus(data).isDirectory,
+      s"compact: no such table directory: $data")
+    val before = parquetFilesIn(fs, data)
+    if (before.isEmpty) return (0, 0)
+    val (clustered, partCols) = reclustered(spark, data, before, targetBytes)
+    val next = ManifestCommit.currentVersion(fs, base).getOrElse(0L) + 1
+    val target = ManifestCommit.versionDir(base, next)
+    // a crashed previous write to this generation was discarded by
+    // repair only if the version advanced; same-version leftovers are
+    // replaced by the Overwrite below
+    clustered.write.mode(SaveMode.Overwrite)
+      .partitionBy(partCols: _*).parquet(target.toString)
+    ManifestCommit.commit(fs, base, next) // THE commit: one manifest PUT
+    System.err.println(s"[compact] $base now serves from $target; " +
+      "recreate path-based views created before this compaction")
+    fs.delete(data, true) // best-effort; a lost cleanup is repaired on next entry
+    (before.size, parquetFilesIn(fs, target).size)
+  }
+
+  /** Recursive leaf-file listing (partition dirs included). */
+  private def parquetFilesIn(fs: org.apache.hadoop.fs.FileSystem,
+      p: HPath): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val kids = fs.listStatus(p).toSeq
+    kids.filter(s => s.isFile && s.getPath.getName.endsWith(".parquet")) ++
+      kids.filter(_.isDirectory).flatMap(s => parquetFilesIn(fs, s.getPath))
+  }
+
+  /** Shared compaction read+recluster: returns the frame repartitioned
+    * to the target layout and the partition columns to write with. */
+  private def reclustered(spark: SparkSession, data: HPath,
+      before: Seq[org.apache.hadoop.fs.FileStatus],
+      targetBytes: Long): (DataFrame, Seq[String]) = {
     val totalBytes = before.map(_.getLen).sum
     // Read with partition-column TYPE INFERENCE OFF: inference would
     // rewrite a zero-padded or string-typed partition value (month=01)
@@ -303,7 +388,7 @@ final class ParquetLoader(warehouseDir: String, schema: String) extends Loader {
         catch { case _: org.apache.spark.sql.AnalysisException => () }
       }
       isolated.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled", "false")
-      isolated.read.parquet(path.toString)
+      isolated.read.parquet(data.toString)
     }
     // partition columns (year=/month=/date= dirs) are those in the read
     // schema but absent from every leaf file's own columns — recluster by
@@ -326,27 +411,19 @@ final class ParquetLoader(warehouseDir: String, schema: String) extends Loader {
             "partitioned compaction writes one file per value")
         df.repartition(partCols.map(org.apache.spark.sql.functions.col): _*)
       } else df.repartition(nOut)
-    clustered.write.mode(SaveMode.Overwrite)
-      .partitionBy(partCols: _*).parquet(staging.toString)
-    // two-rename swap: retire the old dir, promote staging. NOT atomic —
-    // a crash between the renames leaves `__old` + `__compact` and no
-    // table dir; the recovery block at entry (and any operator following
-    // the same rule: rename `__old` back) repairs that state. Write-phase
-    // failures leave the original untouched.
-    if (!fs.rename(path, retired)) sys.error(s"compact: cannot retire $path")
-    if (!fs.rename(staging, path)) {
-      fs.rename(retired, path) // roll back
-      sys.error(s"compact: cannot promote $staging")
-    }
-    rm(retired)
-    (before.size, parquetFiles(path).size)
+    (clustered, partCols)
   }
 
-  override def sqlRef(table: String): Option[String] =
+  override def sqlRef(table: String): Option[String] = {
+    // resolve through the manifest when a session is at hand, so a view
+    // created AFTER an object-store compaction names the live generation
+    val resolved = SparkSession.getActiveSession
+      .map(s => dataDir(s, table)).getOrElse(dir(table))
     // backticks inside a backtick-quoted identifier escape by doubling —
     // an adversarial warehouse path cannot break out of (or inject into)
     // the view DDL this ref is interpolated into
-    Some(s"parquet.`${dir(table).replace("`", "``")}`")
+    Some(s"parquet.`${resolved.replace("`", "``")}`")
+  }
 
   override def runSqlScript(spark: SparkSession, path: String): Unit =
     statements(new String(java.nio.file.Files.readAllBytes(

@@ -1,0 +1,120 @@
+package graft.etl
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
+/** Manifest/pointer commit for table rewrites on filesystems WITHOUT
+  * atomic directory rename (object stores: s3/s3a/gs/abfs/..., where
+  * "rename" is a copy+delete and [[ParquetLoader.compact]]'s two-rename
+  * swap loses its crash-safety).
+  *
+  * Layout: the live data directory is either the base table dir
+  * (`.../table`, no manifest — every table starts here) or a versioned
+  * sibling (`.../table__v00001`) named by a tiny manifest object
+  * (`.../table__manifest`) holding the current version number. A rewrite
+  * writes the new generation to `table__v(N+1)` in full, then COMMITS by
+  * overwriting the manifest — on a real object store a single-object PUT
+  * is atomic and strongly consistent (S3 consistency model; the same
+  * last-file-wins commit point Iceberg/Delta build on), so readers
+  * resolve either wholly-old or wholly-new data, never a mix. The
+  * retired generation is deleted after the flip; losing that cleanup to
+  * a crash leaves garbage, never wrong results.
+  *
+  * Crash repair (run on entry, mirroring the rename path's recovery
+  * block): version dirs OTHER than the manifest's current one are
+  * dead writes (higher version: crash before the flip — the manifest
+  * never pointed at them) or lost cleanups (lower version / leftover
+  * base dir: crash after the flip — all post-flip loads resolve to the
+  * current dir, so the old one is strictly obsolete). Both delete
+  * safely. Unlike the rename swap there is NO window where the live
+  * directory is missing, so the rename path's refuse-and-reconcile case
+  * (a load recreating the table dir mid-swap) cannot arise: the flip IS
+  * the commit point, and loads before/after it land in the generation
+  * readers resolve. The operational contract shared with the rename
+  * path stands: no concurrent loads DURING a compaction (rows appended
+  * to the old generation while the rewrite runs are not in the new one).
+  *
+  * Reference behavior this serves: the reference stores its warehouse
+  * on exactly such a filesystem (s3, reference src/sources/aws_cur.py:60-66)
+  * and its loaders rewrite tables in place; small-files maintenance on
+  * that storage class needs this commit shape.
+  */
+private[etl] object ManifestCommit {
+
+  def manifestPath(base: HPath): HPath =
+    new HPath(base.getParent, s"${base.getName}__manifest")
+
+  def versionDir(base: HPath, v: Long): HPath =
+    new HPath(base.getParent, f"${base.getName}__v$v%05d")
+
+  /** Current committed version, if a manifest exists. */
+  def currentVersion(fs: FileSystem, base: HPath): Option[Long] = {
+    val mp = manifestPath(base)
+    if (!fs.exists(mp)) None
+    else {
+      val in = fs.open(mp)
+      val txt =
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim
+        finally in.close()
+      val v = txt.toLong
+      require(v > 0, s"manifest $mp holds invalid version '$txt'")
+      Some(v)
+    }
+  }
+
+  /** The directory readers and writers should use: the manifest's
+    * version dir when committed, the base dir otherwise. Self-describing
+    * — no scheme check; a table never compacted on an object store has
+    * no manifest and resolves to its base dir at zero extra cost beyond
+    * one existence probe. */
+  def resolve(fs: FileSystem, base: HPath): HPath =
+    currentVersion(fs, base).map(versionDir(base, _)).getOrElse(base)
+
+  /** All `table__vNNNNN` sibling dirs, with their version numbers. */
+  def listVersionDirs(fs: FileSystem, base: HPath): Seq[(Long, HPath)] = {
+    val prefix = s"${base.getName}__v"
+    if (!fs.exists(base.getParent)) Seq.empty
+    else fs.listStatus(base.getParent).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .flatMap { s =>
+        val suffix = s.getPath.getName.drop(prefix.length)
+        suffix.toLongOption.map(v => (v, s.getPath))
+      }
+  }
+
+  /** Repair interrupted rewrites; returns the live data dir. Fails only
+    * when the manifest names a directory that does not exist — that is
+    * data loss from outside interference, not a crash window this
+    * protocol produces. */
+  def repair(fs: FileSystem, base: HPath): HPath = {
+    val cur = currentVersion(fs, base)
+    listVersionDirs(fs, base).foreach { case (v, p) =>
+      if (!cur.contains(v)) {
+        System.err.println(s"[compact] discarding ${if (cur.exists(_ > v)) "stale generation" else "dead write"} $p")
+        fs.delete(p, true)
+      }
+    }
+    cur match {
+      case Some(v) =>
+        val live = versionDir(base, v)
+        if (!fs.exists(live))
+          sys.error(s"compact: manifest ${manifestPath(base)} names $live which does " +
+            "not exist — the committed generation was removed out-of-band; restore it " +
+            "or delete the manifest to fall back to the base directory")
+        // leftover base dir = the first flip's lost cleanup (all loads
+        // after the flip resolve to the version dir)
+        if (fs.exists(base)) {
+          System.err.println(s"[compact] discarding pre-manifest generation $base")
+          fs.delete(base, true)
+        }
+        live
+      case None => base
+    }
+  }
+
+  /** Commit generation `v`: overwrite the manifest object. One PUT —
+    * the atomic commit point. */
+  def commit(fs: FileSystem, base: HPath, v: Long): Unit = {
+    val out = fs.create(manifestPath(base), true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+  }
+}

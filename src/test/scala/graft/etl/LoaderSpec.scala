@@ -116,6 +116,96 @@ class LoaderSpec extends SparkSpec {
     assert(ld.table(spark, "r").count() == 2)
   }
 
+  test("ParquetLoader: manifest compact flips generations; reads/appends/views follow") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // flag file: as an object-store scheme for this test — the same conf
+    // hook a deployment uses for a custom copy-rename FileSystem; unset
+    // in finally so other suites' compacts keep the rename path
+    spark.conf.set("graft.compact.objectStoreSchemes", "file")
+    try {
+      val wh = Files.createTempDirectory("graft_wh_m").toString
+      val ld = new ParquetLoader(wh, "s")
+      ld.ensureNamespace()
+      val rows = (1 to 50).map(i => (i.toLong, s"v$i")).toDF("id", "v").repartition(4)
+      (1 to 4).foreach(_ => ld.load(rows, "m", "append"))
+      val (b, a) = ld.compact(spark, "m")
+      assert(b > a && a >= 1, s"$b -> $a")
+      // base dir retired, generation 1 live, manifest committed
+      assert(!new java.io.File(s"$wh/s/m").exists)
+      assert(new java.io.File(s"$wh/s/m__v00001").isDirectory)
+      assert(new java.io.File(s"$wh/s/m__manifest").isFile)
+      val back = ld.table(spark, "m")
+      assert(back.count() == 200L)
+      assert(back.agg(sum(col("id"))).collect().head.getLong(0) == 4L * (1 to 50).sum)
+      assert(back.inputFiles.forall(_.contains("m__v00001")), "reads must resolve via manifest")
+      // appends land in the LIVE generation, not the retired base dir
+      ld.load(rows, "m", "append")
+      assert(ld.table(spark, "m").count() == 250L)
+      assert(!new java.io.File(s"$wh/s/m").exists, "append must not resurrect the base dir")
+      // second compact: generation 2, generation 1 retired
+      ld.compact(spark, "m")
+      assert(new java.io.File(s"$wh/s/m__v00002").isDirectory)
+      assert(!new java.io.File(s"$wh/s/m__v00001").exists)
+      assert(ld.table(spark, "m").count() == 250L)
+      // a view created after the flip names the live generation
+      assert(ld.sqlRef("m").get.contains("m__v00002"), ld.sqlRef("m").get)
+    } finally spark.conf.unset("graft.compact.objectStoreSchemes")
+  }
+
+  test("ParquetLoader: manifest compact repairs every crash window on entry") {
+    import spark.implicits._
+    spark.conf.set("graft.compact.objectStoreSchemes", "file")
+    try {
+      val wh = Files.createTempDirectory("graft_wh_mc").toString
+      val ld = new ParquetLoader(wh, "s")
+      ld.ensureNamespace()
+      ld.load(df2, "m", "replace")
+      ld.compact(spark, "m") // baseline: generation 1 live
+      def gen(n: Int) = new java.io.File(f"$wh/s/m__v$n%05d")
+      assert(gen(1).isDirectory)
+
+      // window A — crash BEFORE the flip: a dead-write generation dir
+      // exists but the manifest never pointed at it. Repair discards it;
+      // the compact then produces its own generation 2.
+      assert(gen(2).mkdirs())
+      Files.write(gen(2).toPath.resolve("part-dead.parquet"), "junk".getBytes)
+      ld.compact(spark, "m")
+      assert(ld.table(spark, "m").count() == 2L, "dead write must not leak rows")
+      assert(gen(2).isDirectory && !gen(1).exists)
+
+      // window B — crash AFTER the flip, cleanup lost: a stale OLD
+      // generation remains. Readers never see it (resolution is
+      // manifest-driven); the next compact finishes the cleanup.
+      assert(gen(1).mkdirs())
+      Files.write(gen(1).toPath.resolve("part-stale.parquet"), "junk".getBytes)
+      assert(ld.table(spark, "m").count() == 2L, "stale generation must be invisible")
+      ld.compact(spark, "m") // → generation 3
+      assert(!gen(1).exists && gen(3).isDirectory)
+
+      // window C — FIRST flip's lost cleanup: the pre-manifest base dir
+      // remains. Same repair: invisible to readers, deleted on entry.
+      val base = new java.io.File(s"$wh/s/m")
+      assert(base.mkdirs())
+      Files.write(base.toPath.resolve("part-pre.parquet"), "junk".getBytes)
+      assert(ld.table(spark, "m").count() == 2L)
+      ld.compact(spark, "m")
+      assert(!base.exists)
+
+      // window D — manifest names a generation that is GONE (out-of-band
+      // deletion, not a crash window this protocol produces): loud error,
+      // nothing guessed
+      val live = gen(4)
+      assert(live.isDirectory)
+      def rmTree(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+      }
+      rmTree(live)
+      val err = intercept[RuntimeException] { ld.compact(spark, "m") }
+      assert(err.getMessage.contains("out-of-band"), err.getMessage)
+    } finally spark.conf.unset("graft.compact.objectStoreSchemes")
+  }
+
   test("ParquetLoader: upsert_partitions rewrites only the incoming partition values") {
     import spark.implicits._
     val wh = Files.createTempDirectory("graft_wh").toString

@@ -452,11 +452,24 @@ class SyncE2ESpec extends SparkSpec {
     assert(loader.table(spark, "raw_cur_g").count() == rawCount)
     assert(!new java.io.File(s"$wh/s/raw_cur_g__old").exists)
     assert(!new java.io.File(s"$wh/s/raw_cur_g__compact").exists)
-    // ...and still refuses a copy-rename object-store scheme by name
-    val err = intercept[IllegalArgumentException] {
-      new ParquetLoader("s3a://bucket/wh", "s").compact(spark, "t")
-    }
-    assert(err.getMessage.contains("atomic rename"), err.getMessage)
+    // ...and when graftfs is FLAGGED as an object-store scheme (rename =
+    // copy+delete), compaction switches to the manifest/pointer commit:
+    // new generation dir + atomic manifest flip instead of the swap.
+    // Same warehouse, same table, end-to-end over the non-file scheme.
+    spark.conf.set("graft.compact.objectStoreSchemes", "graftfs")
+    try {
+      val (b2, a2) = loader.compact(spark, "raw_cur_g")
+      assert(b2 > 0 && a2 <= b2, s"manifest compact $b2 -> $a2")
+      assert(new java.io.File(s"$wh/s/raw_cur_g__manifest").isFile)
+      assert(new java.io.File(s"$wh/s/raw_cur_g__v00001").isDirectory)
+      assert(!new java.io.File(s"$wh/s/raw_cur_g").exists,
+        "retired base generation must be cleaned up")
+      val resolved = loader.table(spark, "raw_cur_g")
+      assert(resolved.count() == rawCount)
+      assert(resolved.inputFiles.forall(f =>
+        f.startsWith("graftfs://") && f.contains("raw_cur_g__v00001")),
+        "reads must resolve the committed generation through graftfs")
+    } finally spark.conf.unset("graft.compact.objectStoreSchemes")
 
     // incremental mode over the non-file scheme: dynamic partition
     // overwrite (directory-level staging/commit inside the writer) and
