@@ -548,4 +548,64 @@ object Dedup {
       .select(col("doc1"), col("doc2"), col("jaccard"))
   }
 
+  /** E1 at PARAGRAPH granularity — boilerplate removal: real pretraining
+    * pipelines dedup at document AND paragraph level (headers, footers,
+    * license blocks repeat across otherwise-distinct pages; dropping the
+    * whole document would lose unique prose, keeping it verbatim trains
+    * on the boilerplate). Per document:
+    *
+    *  1. split into fixed `paraTokens`-token paragraphs (the corpus has
+    *     no structural delimiters, so the paragraph boundary is the
+    *     same deterministic token-window geometry [[TextOps.chunk]]
+    *     pins, overlap 0 — swap in a `split(text, "\n\n")` boundary
+    *     for corpora that carry one);
+    *  2. fingerprint each paragraph (md5 — the e01 discipline: the
+    *     count shuffle carries 16-byte hashes, never paragraph text);
+    *  3. a paragraph whose fingerprint occurs in MORE than `maxDocs`
+    *     distinct documents is boilerplate — drop every instance;
+    *  4. reassemble each document from its kept paragraphs in order.
+    *
+    * Scale shape: the hot-fingerprint set is tiny by construction
+    * (boilerplate is the head of the distribution), so it broadcasts
+    * back onto the paragraph stream — one fingerprint-keyed exchange
+    * for the count, zero shuffles of document text beyond the final
+    * per-doc reassembly, which groups on the already-partitioned doc
+    * id. Duplicate paragraphs WITHIN one document count that document
+    * once (distinct-doc count) and are kept or dropped together.
+    *
+    * Reference anchor: the reference dedups nothing (cost rows are
+    * unique by line item); this is the LLM-corpus extension surface
+    * (SURVEY §2.5), composed into the e35 pipeline variant. */
+  def paragraphDedup(docs: DataFrame, idCol: String, textCol: String,
+      paraTokens: Int = 20, maxDocs: Int = 1): DataFrame = {
+    require(paraTokens > 0 && maxDocs >= 1,
+      s"paragraph geometry out of range: paraTokens=$paraTokens maxDocs=$maxDocs")
+    val paras = docs
+      .select(col(idCol), TextOps.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol),
+        posexplode(sequence(lit(0),
+          greatest(size(col("__toks")) - 1, lit(0)), lit(paraTokens)))
+          .as(Seq("para_id", "__start")),
+        col("__toks"))
+      .select(col(idCol), col("para_id").cast(LongType),
+        array_join(slice(col("__toks"), col("__start") + 1, lit(paraTokens)), " ")
+          .as("para"))
+      .withColumn("fp", md5(col("para").cast("binary")))
+    val hot = paras.groupBy(col("fp"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") > maxDocs)
+      .select(col("fp"))
+    // LEFT join against the broadcast hot set: one pass flags, counts
+    // and reassembles — collect_list skips the nulled-out hot rows, and
+    // array_sort on (para_id, para) structs restores document order
+    val flagged = paras.join(broadcast(hot).withColumn("__hot", lit(1)), Seq("fp"), "left")
+    flagged.groupBy(col(idCol))
+      .agg(
+        array_join(transform(array_sort(collect_list(
+          when(col("__hot").isNull, struct(col("para_id"), col("para"))))),
+          x => x.getField("para")), " ").as("clean_text"),
+        count(when(col("__hot").isNull, 1)).as("n_kept"),
+        count(when(col("__hot").isNotNull, 1)).as("n_dropped"))
+  }
+
 }

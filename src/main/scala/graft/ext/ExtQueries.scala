@@ -1022,8 +1022,37 @@ object ExtQueries {
         array_to_string(ws[start+1 : start+64], ' ') AS chunk_text
       FROM st ORDER BY doc_id, chunk_id"""))
 
+  // E1 (paragraph granularity): boilerplate removal — paragraphs whose
+  // fingerprint occurs in more than one distinct document are dropped
+  // from EVERY document, and documents are reassembled from what
+  // remains. Paragraph boundary = the pinned 20-token window (this
+  // corpus carries no structural delimiters); the count shuffle moves
+  // md5 fingerprints, the hot set broadcasts back (e01's discipline at
+  // one level finer). Oracle restates the window split + distinct-doc
+  // count + ordered string_agg reassembly.
+  val e36 = Q(
+    "e36_paragraph_dedup",
+    (s, d) => Dedup.paragraphDedup(T.documents(s, d), "doc_id", "text",
+      paraTokens = 20, maxDocs = 1)
+      .orderBy(col("doc_id")),
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      st AS (SELECT doc_id, ws, t.s AS start,
+          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY t.s) - 1 AS para_id
+        FROM w, UNNEST(range(0, greatest(len(ws), 1), 20)) AS t(s)),
+      p AS (SELECT doc_id, para_id,
+          array_to_string(ws[start+1 : start+20], ' ') AS para FROM st),
+      hot AS (SELECT para FROM p GROUP BY para HAVING COUNT(DISTINCT doc_id) > 1),
+      f AS (SELECT p.doc_id, p.para_id, p.para, hot.para IS NOT NULL AS is_hot
+        FROM p LEFT JOIN hot USING (para))
+      SELECT doc_id,
+        COALESCE(string_agg(CASE WHEN NOT is_hot THEN para END, ' ' ORDER BY para_id),
+          '') AS clean_text,
+        COUNT(CASE WHEN NOT is_hot THEN 1 END) AS n_kept,
+        COUNT(CASE WHEN is_hot THEN 1 END) AS n_dropped
+      FROM f GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
-      e30, e31, e32, e33, e34, e35)
+      e30, e31, e32, e33, e34, e35, e36)
 }

@@ -19,6 +19,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Dedup.exact(once, Seq("k")).count() == 2)
   }
 
+  test("E1: paragraph dedup drops cross-doc boilerplate, keeps within-doc repeats") {
+    import spark.implicits._
+    // 4-token paragraphs. "h1 h2 h3 h4" is boilerplate (3 docs); doc 3
+    // repeats its own unique paragraph twice (kept: distinct-doc count
+    // is 1); doc 4 is ALL boilerplate (reassembles to empty text)
+    val df = Seq(
+      (1L, "h1 h2 h3 h4 a1 a2 a3 a4"),
+      (2L, "h1 h2 h3 h4 b1 b2 b3 b4"),
+      (3L, "c1 c2 c3 c4 c1 c2 c3 c4"),
+      (4L, "h1 h2 h3 h4")).toDF("doc_id", "text")
+    val out = Dedup.paragraphDedup(df, "doc_id", "text", paraTokens = 4, maxDocs = 1)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq == Seq(
+      (1L, "a1 a2 a3 a4", 1L, 1L),
+      (2L, "b1 b2 b3 b4", 1L, 1L),
+      (3L, "c1 c2 c3 c4 c1 c2 c3 c4", 2L, 0L),
+      (4L, "", 0L, 1L)))
+    // scale shape: the hot-fingerprint set joins back as a BROADCAST
+    val plan = Dedup.paragraphDedup(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"hot set must broadcast, plan:\n${plan.take(2000)}")
+  }
+
   test("E2: identical documents get identical MinHash signatures and SimHash 0 distance") {
     import spark.implicits._
     val df = Seq((1L, "the quick brown fox jumps over the lazy dog"),
