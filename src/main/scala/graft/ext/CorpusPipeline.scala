@@ -1,0 +1,84 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Observation}
+import org.apache.spark.sql.functions._
+
+/** The production corpus-prep flow a training-data run ships, with a
+  * SINK at the end: quality filter (e20's gates) → paragraph-level
+  * boilerplate removal (e36) → fuzzy document dedup over ONE persisted
+  * MinHash front (e27's pipeline) → token-window chunking (e29) →
+  * parquet write.
+  *
+  * Why this exists next to the declared capstone queries (e35/e38):
+  * those return a DataFrame to the harness, so they must materialize
+  * their output (cache) BEFORE releasing the pipeline's shared front —
+  * at 100 TB the chunked corpus is the largest frame in the whole flow
+  * and executor storage is the wrong place for it. The production shape
+  * writes chunks to the sink WHILE the candidate front is still
+  * persisted, then releases the front after the write action: no cache
+  * entry larger than the front ever exists, and nothing survives the
+  * run (spec-asserted in CorpusPipelineSpec).
+  *
+  * Reference anchor: the reference's pipeline ends in a loader the same
+  * way (extract → transform → load, src/main.py); this is that contract
+  * for the LLM-corpus surface.
+  */
+object CorpusPipeline {
+
+  /** Handles to the composed flow: the chunk frame (NOT cached — the
+    * caller decides to write or materialize) plus the dedup pipeline
+    * whose persisted front the chunk plan references. Callers MUST run
+    * their action before `pipe.unpersistAll()`. */
+  final case class Prepared(chunks: DataFrame, pipe: Dedup.DedupPipeline)
+
+  /** Declare the full filter → paragraph-dedup → doc-dedup → chunk flow.
+    * Geometry defaults match the declared queries (e20/e36/e27/e29), so
+    * e38 and the sink path run the same plan. */
+  def prepare(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+      lang: String = "en", minTokens: Int = 20, maxPunctRatio: Double = 0.15,
+      minStopwordRatio: Double = 0.01, paraTokens: Int = 20, paraMaxDocs: Int = 1,
+      k: Int = 32, bands: Int = 8, minEstSim: Double = 0.4, maxEdit: Int = 5,
+      chunkTokens: Int = 64, overlapTokens: Int = 16): Prepared = {
+    val filtered = TextOps.qualityFilter(docs, idCol, textCol,
+      lang = lang, minTokens = minTokens, maxPunctRatio = maxPunctRatio,
+      minStopwordRatio = minStopwordRatio)
+    val fdocs = docs.join(filtered.select(idCol), idCol)
+    // paragraph-level boilerplate removal BEFORE document dedup: shared
+    // headers/footers otherwise make distinct documents look like
+    // near-dups (their shingles are dominated by the boilerplate), and
+    // the cleaned text is what the chunker should emit anyway. Documents
+    // reduced to nothing by the cleaning drop out of the corpus.
+    val pdocs = Dedup.paragraphDedup(fdocs, idCol, textCol,
+      paraTokens = paraTokens, maxDocs = paraMaxDocs)
+      .filter(col("clean_text") =!= "")
+      .select(col(idCol), col("clean_text").as(textCol))
+    val pipe = Dedup.dedupPipeline(pdocs, idCol, textCol,
+      filtered.select(col(idCol), col("length_score")),
+      scoreCol = "length_score", k = k, bands = bands,
+      minEstSim = minEstSim, maxEdit = maxEdit)
+    val survivors = pdocs.select(idCol)
+      .join(pipe.clusters.select(idCol), Seq(idCol), "left_anti")
+      .union(pipe.kept.select(col("keep_id").as(idCol)))
+    val chunks = TextOps.chunk(pdocs.join(survivors, idCol), idCol, textCol,
+      chunkTokens = chunkTokens, overlapTokens = overlapTokens)
+    Prepared(chunks, pipe)
+  }
+
+  final case class WriteResult(chunksWritten: Long, path: String)
+
+  /** The sink-parameterized production path: ONE write action drives
+    * the whole flow off the persisted candidate front; the front is
+    * released after the action completes. The row count rides the same
+    * action as an `Observation` — no second pass. */
+  def prepareAndWrite(docs: DataFrame, outPath: String,
+      mode: String = "overwrite",
+      idCol: String = "doc_id", textCol: String = "text"): WriteResult = {
+    val p = prepare(docs, idCol, textCol)
+    val obs = Observation()
+    try {
+      p.chunks.observe(obs, count(lit(1)).as("rows"))
+        .write.mode(mode).parquet(outPath)
+    } finally p.pipe.unpersistAll() // after the action — or on its failure
+    WriteResult(obs.get("rows").asInstanceOf[Long], outPath)
+  }
+}

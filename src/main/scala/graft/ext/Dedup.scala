@@ -281,12 +281,25 @@ object Dedup {
     * without convergence, a warning is logged and the current
     * (non-minimal for the farthest nodes) labels are returned. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame =
-    connectedComponentsWithRounds(pairs, maxIter)._1
+    connectedComponentsFull(pairs, maxIter)._1
 
   /** [[connectedComponents]] plus the number of contraction rounds run —
     * exposed for tests that pin the O(log diameter) convergence. */
   private[ext] def connectedComponentsWithRounds(
       pairs: DataFrame, maxIter: Int = 20): (DataFrame, Int) = {
+    val (labels, rounds, _) = connectedComponentsFull(pairs, maxIter)
+    (labels, rounds)
+  }
+
+  /** Full handles: (clusters, rounds, final contracted edge frame). The
+    * edge frame is the LAST round's `localCheckpoint` — its blocks back
+    * the labels cache's lineage, so it must outlive any consumer that
+    * may recompute the labels; [[DedupPipeline.unpersistAll]] releases
+    * it together with the stage caches (standalone callers rely on the
+    * ContextCleaner reclaiming it when the frame goes unreferenced —
+    * the declared-query pattern). */
+  private[ext] def connectedComponentsFull(
+      pairs: DataFrame, maxIter: Int = 20): (DataFrame, Int, DataFrame) = {
     // both edge directions from ONE pass over the input — a union of two
     // selects would execute the (possibly expensive) upstream candidate
     // pipeline twice to materialize the edge cache
@@ -301,6 +314,7 @@ object Dedup {
     def truncated(df: DataFrame): DataFrame =
       if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint()
       else df.localCheckpoint()
+    // see [[releaseTruncated]] — Dataset.unpersist() can't reach these
     var edges = truncated(symmetrize(
       pairs.select(col("doc1").as("a"), col("doc2").as("b"))))
     // per-node labels double as the convergence metric AND the result:
@@ -344,6 +358,10 @@ object Dedup {
       val nextLabels = labelsOf(nextEdges).persist()
       curSum = labelSum(nextLabels) // materializes nextLabels
       labels.unpersist()
+      // truncation is EAGER, so nextEdges' blocks are a self-contained
+      // leaf by now — the previous round's checkpoint can be released
+      // deterministically instead of waiting on the ContextCleaner
+      releaseTruncated(edges)
       edges = nextEdges
       labels = nextLabels
       i += 1
@@ -357,8 +375,22 @@ object Dedup {
     // cache entry — re-persisting it here would double-register the
     // entry and a later unpersist would drop it for both (see r5 note).
     // labels is already materialized by the loop's final labelSum action.
-    (labels.select(col("doc").as("doc_id"), col("rep").as("cluster_rep")), i)
+    (labels.select(col("doc").as("doc_id"), col("rep").as("cluster_rep")), i, edges)
   }
+
+  /** Release the block-manager storage behind a `localCheckpoint`ed
+    * frame. `Dataset.unpersist()` only uncaches cacheManager entries;
+    * a local checkpoint is an RDD-LEVEL persist wrapped in a
+    * `LogicalRDD` leaf, invisible to the cache manager — without this,
+    * checkpoint blocks linger until the ContextCleaner GCs the frame.
+    * No-op for reliable (file-based) checkpoints and plain frames. */
+  private[ext] def releaseTruncated(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+        ()
+      case _ => ()
+    }
 
   /** Handles to every stage of [[dedupPipeline]]. `candidates` and
     * `confirmed` are persisted — call [[unpersistAll]] when done (the
@@ -366,9 +398,16 @@ object Dedup {
     * released there too). */
   final case class DedupPipeline(
       candidates: DataFrame, confirmed: DataFrame,
-      clusters: DataFrame, kept: DataFrame) {
+      clusters: DataFrame, kept: DataFrame,
+      private val ccEdges: DataFrame) {
     def unpersistAll(): Unit = {
-      candidates.unpersist(); confirmed.unpersist(); clusters.unpersist(); ()
+      candidates.unpersist(); confirmed.unpersist(); clusters.unpersist()
+      // the CC loop's final localCheckpoint backs the (now-released)
+      // labels cache's lineage; releasing it here instead of waiting on
+      // the ContextCleaner means a completed pipeline run leaves ZERO
+      // cache entries behind (spec-asserted in CorpusPipelineSpec)
+      releaseTruncated(ccEdges)
+      ()
     }
   }
 
@@ -404,9 +443,9 @@ object Dedup {
         levenshtein(col("t1"), col("t2")).cast(IntegerType).as("edit_dist"))
       .filter(col("edit_dist") <= maxEdit)
       .persist()
-    val clusters = connectedComponents(confirmed)
+    val (clusters, _, ccEdges) = connectedComponentsFull(confirmed)
     val kept = keepBest(clusters, scores, scoreCol = scoreCol)
-    DedupPipeline(candidates, confirmed, clusters, kept)
+    DedupPipeline(candidates, confirmed, clusters, kept, ccEdges)
   }
 
   /** Canonical-document selection — the DECISION step of a near-dup

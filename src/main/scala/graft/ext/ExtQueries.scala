@@ -1,6 +1,7 @@
 package graft.ext
 
 import graft.{Q, Tables => T}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Declared conformance queries for the LLM-data-pipeline extension
@@ -980,9 +981,12 @@ object ExtQueries {
       val out = TextOps.chunk(fdocs.join(survivors, "doc_id"), "doc_id", "text",
         chunkTokens = 64, overlapTokens = 16)
         .orderBy(col("doc_id"), col("chunk_id"))
-      // materialize before releasing the pipeline's shared front
-      val rows = out.cache()
-      rows.count()
+      // materialize before releasing the pipeline's shared front; the
+      // single-live-copy discipline releases the PREVIOUS invocation's
+      // copy (bench runs the query 7×; see capstoneCache). The
+      // production flow writes to a sink instead and caches nothing —
+      // CorpusPipeline.prepareAndWrite.
+      val rows = capstoneCache(out)
       pipe.unpersistAll()
       rows
     },
@@ -1050,6 +1054,22 @@ object ExtQueries {
         COUNT(CASE WHEN NOT is_hot THEN 1 END) AS n_kept,
         COUNT(CASE WHEN is_hot THEN 1 END) AS n_dropped
       FROM f GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** Single-live-copy cache for the capstone outputs (e35/e38): each
+    * invocation materializes its frame, then releases the PREVIOUS
+    * invocation's cached copy. The harness holds the returned frame only
+    * until it writes/times it, but bench runs a query 7× — without this
+    * every rep pinned another full chunked corpus in executor storage
+    * for the remainder of the 92-query run, waiting on GC-driven
+    * cleanup. */
+  private val lastCapstone = new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+  private def capstoneCache(out: DataFrame): DataFrame = {
+    val rows = out.cache()
+    rows.count() // materialize before the caller releases upstream caches
+    val prev = lastCapstone.getAndSet(rows)
+    if (prev != null) prev.unpersist(false)
+    rows
+  }
 
   /** One oracle-side PQ-Lloyd round over the codebooks (the
     * [[lloydRoundSql]] discipline one level finer): encode every corpus
@@ -1151,8 +1171,75 @@ object ExtQueries {
           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) AS rn FROM sc)
       SELECT qid, vec_id, adc, rn FROM rk WHERE rn <= 5 ORDER BY qid, rn"""))
 
+  // THE capstone, v2: e35's flow with PARAGRAPH-level boilerplate
+  // removal (e36) composed between the quality gates and the document
+  // dedup — the production ordering ([[CorpusPipeline]]): shared
+  // headers/footers are dropped from every document first (so they
+  // can't make distinct documents look like near-dups), documents
+  // cleaned to nothing drop out, and the chunker emits the CLEANED
+  // text. Same declared geometry as every component query; the oracle
+  // splices e36's paragraph CTEs into e35's end-to-end restatement.
+  val e38 = Q(
+    "e38_corpus_pipeline_para",
+    (s, d) => {
+      val p = CorpusPipeline.prepare(T.documents(s, d))
+      val out = p.chunks.orderBy(col("doc_id"), col("chunk_id"))
+      val rows = capstoneCache(out)
+      p.pipe.unpersistAll()
+      rows
+    },
+    Some(s"""WITH RECURSIVE scored AS (SELECT doc_id, $langScoreSql,
+        (CAST(length(text) AS DOUBLE) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+          / CAST(length(text) AS DOUBLE) AS punct_ratio,
+        CAST(len(list_filter(string_split(text, ' '),
+            t -> list_contains($stopList, t))) AS DOUBLE)
+          / len(string_split(text, ' ')) AS stopword_ratio,
+        LEAST(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100) AS length_score,
+        len(string_split(text, ' ')) AS n_tokens
+      FROM documents),
+      best AS (SELECT *, GREATEST(score_de, score_en, score_es, score_fr) AS b FROM scored),
+      keepf AS (SELECT doc_id, length_score FROM best
+        WHERE b > 0 AND score_en = b AND score_de <> b AND n_tokens >= 20
+          AND punct_ratio <= 0.15 AND stopword_ratio >= 0.01),
+      fdocs AS (SELECT d.doc_id, d.text FROM documents d JOIN keepf USING (doc_id)),
+      pw AS (SELECT doc_id, string_split(text, ' ') AS ws FROM fdocs),
+      pst AS (SELECT doc_id, ws, t.s AS start,
+          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY t.s) - 1 AS para_id
+        FROM pw, UNNEST(range(0, greatest(len(ws), 1), 20)) AS t(s)),
+      pp AS (SELECT doc_id, para_id,
+          array_to_string(ws[start+1 : start+20], ' ') AS para FROM pst),
+      phot AS (SELECT para FROM pp GROUP BY para HAVING COUNT(DISTINCT doc_id) > 1),
+      pf AS (SELECT pp.doc_id, pp.para_id, pp.para, phot.para IS NOT NULL AS is_hot
+        FROM pp LEFT JOIN phot USING (para)),
+      pclean AS (SELECT doc_id,
+          COALESCE(string_agg(CASE WHEN NOT is_hot THEN para END, ' ' ORDER BY para_id),
+            '') AS text
+        FROM pf GROUP BY doc_id),
+      pdocs AS (SELECT doc_id, text FROM pclean WHERE text <> ''),
+      ${mhCtesFrom("pdocs")},
+      ${ccCtesOver(s"""SELECT c.doc1, c.doc2 FROM est c
+          JOIN pdocs a ON a.doc_id = c.doc1
+          JOIN pdocs b ON b.doc_id = c.doc2
+          WHERE c.est_sim >= 0.4 AND levenshtein(a.text, b.text) <= 5""")},
+      ranked AS (SELECT c.cluster_rep, c.doc_id,
+          ROW_NUMBER() OVER (PARTITION BY c.cluster_rep
+            ORDER BY k.length_score DESC, c.doc_id) AS rn
+        FROM clusters c JOIN keepf k ON k.doc_id = c.doc_id),
+      survivors AS (SELECT doc_id FROM pdocs
+          WHERE doc_id NOT IN (SELECT doc_id FROM clusters)
+        UNION ALL SELECT doc_id FROM ranked WHERE rn = 1),
+      sdocs AS (SELECT f.doc_id, string_split(f.text, ' ') AS ws
+        FROM pdocs f JOIN survivors s USING (doc_id)),
+      st AS (SELECT doc_id, ws, t.s AS start,
+          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY t.s) - 1 AS chunk_id
+        FROM sdocs, UNNEST(range(0, greatest(len(ws) - 16, 1), 48)) AS t(s))
+      SELECT doc_id, chunk_id,
+        CAST(LEAST(64, len(ws) - start) AS BIGINT) AS n_tokens,
+        array_to_string(ws[start+1 : start+64], ' ') AS chunk_text
+      FROM st ORDER BY doc_id, chunk_id"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
-      e30, e31, e32, e33, e34, e35, e36, e37)
+      e30, e31, e32, e33, e34, e35, e36, e37, e38)
 }
