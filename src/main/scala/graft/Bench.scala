@@ -46,8 +46,9 @@ object Bench {
         3
       }
     }.getOrElse(3).max(1)
+    val repsExplicit = sys.env.contains("SPARK_GRAFT_REPS")
     val results = selected.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      def runRep(): (Double, Boolean) = {
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -64,6 +65,16 @@ object Bench {
         spark.catalog.clearCache()
         (elapsed, ok)
       }
+      var times = (1 to reps).map(_ => runRep())
+      // sub-second queries get 5 reps (VERDICT r7 item 8): one JVM pause
+      // dominates a 3-rep spread exactly where queries are shortest (c25
+      // tripped the suspect flag two rounds running on a reproducible
+      // pause, adjudicated benign each time). The extra cost is bounded —
+      // only sub-second medians qualify. An explicit SPARK_GRAFT_REPS
+      // wins (local iteration wants exactly what it asked for).
+      val med0 = times.map(_._1).sorted.apply(times.size / 2)
+      if (!repsExplicit && times.forall(_._2) && med0 < 1.0 && times.size < 5)
+        times = times ++ (1 to (5 - times.size)).map(_ => runRep())
       val ok = times.forall(_._2)
       val sorted = times.map(_._1).sorted
       QueryResult(name, sorted.head, sorted(sorted.size / 2), sorted.last, ok)
@@ -92,7 +103,20 @@ object Bench {
     val totalMin = results.filter(_.ok).map(_.min).sum
     val (fixtureSec, syncSec) = syncMirror(spark, sfDir)
     val env = hostFingerprint()
-    println(s"""{"metric":"conformance_total_s","value":$total,"unit":"sec","value_min":${f"$totalMin%.3f"},"queries":$qs,"queries_min":$qsMin,"spread":$spread,"suspect":$suspect,"failed":$failed,"n_ok":${results.count(_.ok)},"n_queries":${results.size},"reps":$reps,"sync_e2e_s":${f"$syncSec%.3f"},"sync_fixture_s":${f"$fixtureSec%.3f"},$env"sf":"$sfDir"}""")
+    // driver-memory discipline (VERDICT r7 item 3, BASELINE.md
+    // `peak_executor_mem`): peak heap across the whole suite, from the
+    // JVM's heap-pool high-water marks. local[NN] runs driver and
+    // executors in ONE JVM, so this bounds BOTH driver materialization
+    // and executor working set; the suite passing under
+    // SPARK_DRIVER_MEM=2g is the no-driver-side-materialization proof.
+    val peakHeapMib = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getType == java.lang.management.MemoryType.HEAP)
+        .map(_.getPeakUsage.getUsed).sum / (1L << 20)
+    }
+    val maxHeapMib = Runtime.getRuntime.maxMemory() / (1L << 20)
+    println(s"""{"metric":"conformance_total_s","value":$total,"unit":"sec","value_min":${f"$totalMin%.3f"},"queries":$qs,"queries_min":$qsMin,"spread":$spread,"suspect":$suspect,"failed":$failed,"n_ok":${results.count(_.ok)},"n_queries":${results.size},"reps":$reps,"sync_e2e_s":${f"$syncSec%.3f"},"sync_fixture_s":${f"$fixtureSec%.3f"},"peak_heap_mib":$peakHeapMib,"max_heap_mib":$maxHeapMib,$env"sf":"$sfDir"}""")
     spark.stop()
   }
 
