@@ -465,9 +465,16 @@ object Similarity {
     // (clustered) embeddings the trained codebook is the standard win,
     // so the declared query keeps 2 passes and pins the arithmetic.
     val books = (0 until pqIters.max(0)).foldLeft(seedBooks) { (cur, _) =>
+      // encode BELOW the explode: a select mixing the encode expression
+      // with posexplode would put the encode in the projection ABOVE the
+      // Generate — re-running the m×ksub×dsub distance loops once per
+      // exploded COMPONENT (64× per vector; measured 23 s/round vs <2 s
+      // at sf1). A separate projection pins one encode per input row,
+      // and Generate carries the computed code through.
       val means = corpus
-        .select(pq(cur)(col(vecCol)).getField("code").as("__code"),
-          posexplode(col(vecCol)).as(Seq("__idx", "__x")))
+        .select(col(vecCol).as("__v"),
+          pq(cur)(col(vecCol)).getField("code").as("__code"))
+        .select(col("__code"), posexplode(col("__v")).as(Seq("__idx", "__x")))
         .select(expr(s"__idx div $dsub").cast(IntegerType).as("j"),
           (col("__idx") % dsub).cast(IntegerType).as("i"), col("__x"),
           element_at(col("__code"), expr(s"__idx div $dsub").cast(IntegerType) + 1).as("c"))
