@@ -27,9 +27,17 @@ object CorpusPipeline {
 
   /** Handles to the composed flow: the chunk frame (NOT cached — the
     * caller decides to write or materialize) plus the dedup pipeline
-    * whose persisted front the chunk plan references. Callers MUST run
-    * their action before `pipe.unpersistAll()`. */
-  final case class Prepared(chunks: DataFrame, pipe: Dedup.DedupPipeline)
+    * whose persisted front the chunk plan references, and the persisted
+    * paragraph-cleaned corpus both feed on. Callers MUST run their
+    * action before [[Prepared.unpersistAll]]. */
+  final case class Prepared(chunks: DataFrame, pipe: Dedup.DedupPipeline,
+      private val pdocs: DataFrame) {
+    def unpersistAll(): Unit = {
+      pipe.unpersistAll()
+      pdocs.unpersist()
+      ()
+    }
+  }
 
   /** Declare the full filter → paragraph-dedup → doc-dedup → chunk flow.
     * Geometry defaults match the declared queries (e20/e36/e27/e29), so
@@ -48,10 +56,17 @@ object CorpusPipeline {
     // near-dups (their shingles are dominated by the boilerplate), and
     // the cleaned text is what the chunker should emit anyway. Documents
     // reduced to nothing by the cleaning drop out of the corpus.
+    // persisted: the reassembly aggregation (a full-text shuffle) feeds
+    // FOUR consumers — the candidate front, both text sides of the
+    // edit-distance confirm, the survivor anti-join and the chunker —
+    // and would otherwise recompute per consumer. MEMORY_AND_DISK so a
+    // corpus larger than storage memory spills instead of thrashing;
+    // released by Prepared.unpersistAll after the caller's action.
     val pdocs = Dedup.paragraphDedup(fdocs, idCol, textCol,
       paraTokens = paraTokens, maxDocs = paraMaxDocs)
       .filter(col("clean_text") =!= "")
       .select(col(idCol), col("clean_text").as(textCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pipe = Dedup.dedupPipeline(pdocs, idCol, textCol,
       filtered.select(col(idCol), col("length_score")),
       scoreCol = "length_score", k = k, bands = bands,
@@ -61,7 +76,7 @@ object CorpusPipeline {
       .union(pipe.kept.select(col("keep_id").as(idCol)))
     val chunks = TextOps.chunk(pdocs.join(survivors, idCol), idCol, textCol,
       chunkTokens = chunkTokens, overlapTokens = overlapTokens)
-    Prepared(chunks, pipe)
+    Prepared(chunks, pipe, pdocs)
   }
 
   final case class WriteResult(chunksWritten: Long, path: String)
@@ -78,7 +93,7 @@ object CorpusPipeline {
     try {
       p.chunks.observe(obs, count(lit(1)).as("rows"))
         .write.mode(mode).parquet(outPath)
-    } finally p.pipe.unpersistAll() // after the action — or on its failure
+    } finally p.unpersistAll() // after the action — or on its failure
     WriteResult(obs.get("rows").asInstanceOf[Long], outPath)
   }
 }

@@ -1185,7 +1185,7 @@ object ExtQueries {
       val p = CorpusPipeline.prepare(T.documents(s, d))
       val out = p.chunks.orderBy(col("doc_id"), col("chunk_id"))
       val rows = capstoneCache(out)
-      p.pipe.unpersistAll()
+      p.unpersistAll()
       rows
     },
     Some(s"""WITH RECURSIVE scored AS (SELECT doc_id, $langScoreSql,

@@ -23,7 +23,7 @@ class CorpusPipelineSpec extends SparkSpec {
     // in the flow belongs in the sink, not executor storage
     val p = CorpusPipeline.prepare(docs)
     assert(p.chunks.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-    p.pipe.unpersistAll()
+    p.unpersistAll()
 
     val res = CorpusPipeline.prepareAndWrite(docs, out)
     assert(res.chunksWritten > 0)
@@ -42,7 +42,7 @@ class CorpusPipelineSpec extends SparkSpec {
     val declared = CorpusPipeline.prepare(docs)
     val diff = written.unionAll(declared.chunks).groupBy("doc_id", "chunk_id")
       .count().filter(col("count") =!= 2).count()
-    declared.pipe.unpersistAll()
+    declared.unpersistAll()
     assert(diff == 0, s"$diff (doc_id, chunk_id) rows differ between sink and declared flow")
   }
 }
