@@ -29,8 +29,13 @@ object StreamingSync {
 
   /** Streaming variant of the CUR source: new parquet files under
     * `root` (schema pinned from a batch probe — required by file
-    * streams; pass a saved schema at 100 TB to avoid the probe). */
+    * streams; pass a saved schema at 100 TB to avoid the probe).
+    * Entering the streaming pipeline puts the session's state on the
+    * RocksDB backend ([[StateBackend.configure]], idempotent): every
+    * stateful op downstream of this source (dedup, windows, joins)
+    * gets disk-bounded state instead of the on-heap default. */
   def readCurStream(spark: SparkSession, root: String, schema: Option[StructType] = None): DataFrame = {
+    StateBackend.configure(spark)
     val sch = schema.getOrElse(spark.read.parquet(root).schema)
     spark.readStream.schema(sch).option("maxFilesPerTrigger", 16).parquet(root)
   }
@@ -77,7 +82,8 @@ object StreamingSync {
       raw: DataFrame,
       loader: Loader,
       table: String,
-      syncTs: java.sql.Timestamp): DataStreamWriter[org.apache.spark.sql.Row] =
+      syncTs: java.sql.Timestamp): DataStreamWriter[org.apache.spark.sql.Row] = {
+    StateBackend.configure(raw.sparkSession) // idempotent; see readCurStream
     raw.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -89,6 +95,7 @@ object StreamingSync {
         }
         ()
       }
+  }
 
   /** Cron-equivalent one-shot drain: process everything new, then stop. */
   def availableNow[T](w: DataStreamWriter[T], checkpoint: String): DataStreamWriter[T] =
