@@ -27,6 +27,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, I
   * score bit-for-bit: all products/sums in f64, accumulated
   * left-to-right; encode picks the minimum squared-L2 codeword with
   * ties to the SMALLER codeword id (strict `<` on the running best).
+  * NULL vector elements contribute NOTHING to a distance or dot fold —
+  * exactly the SQL restatement's semantics (a null element nulls its
+  * LIST_TRANSFORM term and LIST_SUM skips nulls); the embeddings
+  * parquet declares nullable elements, so this is the real input type
+  * (the QuantizeI8 lesson).
   */
 object PqCodes {
 
@@ -50,8 +55,10 @@ object PqCodes {
         var d = 0.0
         var i = 0
         while (i < dsub) {
-          val diff = vec.getFloat(off + i).toDouble - books(base + i).toDouble
-          d += diff * diff
+          if (!vec.isNullAt(off + i)) {
+            val diff = vec.getFloat(off + i).toDouble - books(base + i).toDouble
+            d += diff * diff
+          }
           i += 1
         }
         if (d < bestD) { bestD = d; best = c }
@@ -87,7 +94,8 @@ object PqCodes {
         var s = 0.0
         var i = 0
         while (i < dsub) {
-          s += vec.getFloat(off + i).toDouble * books(base + i).toDouble
+          if (!vec.isNullAt(off + i))
+            s += vec.getFloat(off + i).toDouble * books(base + i).toDouble
           i += 1
         }
         out(j * ksub + c) = s

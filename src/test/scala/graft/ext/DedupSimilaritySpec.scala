@@ -43,6 +43,39 @@ class DedupSimilaritySpec extends SparkSpec {
       s"hot set must broadcast, plan:\n${plan.take(2000)}")
   }
 
+  test("E1: paragraph dedup property — reassembly invariants at random corpora") {
+    import org.scalacheck.Gen
+    import spark.implicits._
+    // small vocab + short paragraphs force cross-doc paragraph collisions
+    val word = Gen.oneOf("a", "b", "c", "d")
+    val docGen = Gen.choose(1, 30).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val corpus = Gen.choose(2, 12).flatMap(k => Gen.listOfN(k, docGen))
+    val seed0 = org.scalacheck.rng.Seed(11L)
+    Iterator.iterate(seed0)(_.next).take(15).foreach { seed =>
+      corpus.apply(Gen.Parameters.default, seed).foreach { texts =>
+        val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        val paraTokens = 4
+        val out = Dedup.paragraphDedup(df, "doc_id", "text", paraTokens, maxDocs = 1)
+          .orderBy("doc_id")
+          .as[(Long, String, Long, Long)].collect().toList
+        assert(out.map(_._1) == texts.indices.map(_.toLong).toList, "one row per doc")
+        // reference restatement: split, count distinct docs per para, drop hot
+        val paras: Map[Long, Seq[String]] = texts.zipWithIndex.map { case (t, i) =>
+          i.toLong -> t.split(' ').grouped(paraTokens).map(_.mkString(" ")).toSeq
+        }.toMap
+        val hot = paras.toSeq.flatMap { case (id, ps) => ps.distinct.map(p => (p, id)) }
+          .groupBy(_._1).filter(_._2.size > 1).keySet
+        out.foreach { case (id, clean, nKept, nDropped) =>
+          val ps = paras(id)
+          val kept = ps.filterNot(hot.contains)
+          assert(nKept + nDropped == ps.size, "every paragraph accounted for")
+          assert(nKept == kept.size && clean == kept.mkString(" "),
+            s"doc $id: reassembly must be the kept paragraphs in order")
+        }
+      }
+    }
+  }
+
   test("E2: identical documents get identical MinHash signatures and SimHash 0 distance") {
     import spark.implicits._
     val df = Seq((1L, "the quick brown fox jumps over the lazy dog"),
