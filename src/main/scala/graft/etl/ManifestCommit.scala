@@ -37,6 +37,17 @@ import org.apache.hadoop.fs.{FileSystem, Path => HPath}
   * on exactly such a filesystem (s3, reference src/sources/aws_cur.py:60-66)
   * and its loaders rewrite tables in place; small-files maintenance on
   * that storage class needs this commit shape.
+  *
+  * Naming contract: `table__manifest` and `table__vNNNNN` are RESERVED
+  * sibling names (like the rename path's `__old`/`__compact`) — a user
+  * table whose name ends in `__vNNNNN` next to a same-prefix table
+  * would be mistaken for a retired generation — don't name tables that
+  * way (identifier normalization only yields a `__` pair if the source
+  * name itself carries doubled separators). Concurrency contract: ONE
+  * compactor per table at a time
+  * (two concurrent compacts would race writes to the same next
+  * generation dir) — the same single-maintainer assumption the
+  * two-rename swap carries.
   */
 private[etl] object ManifestCommit {
 
