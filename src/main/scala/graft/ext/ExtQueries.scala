@@ -1238,8 +1238,37 @@ object ExtQueries {
         array_to_string(ws[start+1 : start+64], ' ') AS chunk_text
       FROM st ORDER BY doc_id, chunk_id"""))
 
+  // E4 (sequence packing): chunks → fixed token-budget training
+  // sequences — bucketed greedy-sequential packing (the parallel shape:
+  // one window partition per bucket stream, no global cumsum), chunk
+  // geometry from e29 at overlap 0, budget 256 over 8 streams. The
+  // oracle restates the bucket hash (the e14 md5 draw arithmetic), the
+  // running total and the floor division exactly.
+  val e39 = Q(
+    "e39_sequence_packing",
+    (s, d) => TextOps.packSequences(
+      TextOps.chunk(T.documents(s, d), "doc_id", "text",
+        chunkTokens = 64, overlapTokens = 0),
+      "doc_id", "chunk_id", "n_tokens", budget = 256, buckets = 8)
+      .orderBy(col("bucket"), col("doc_id"), col("chunk_id")),
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      st AS (SELECT doc_id, ws, t.s AS start,
+          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY t.s) - 1 AS chunk_id
+        FROM w, UNNEST(range(0, greatest(len(ws), 1), 64)) AS t(s)),
+      ch AS (SELECT doc_id, chunk_id,
+          CAST(LEAST(64, len(ws) - start) AS BIGINT) AS n_tokens FROM st),
+      b AS (SELECT doc_id, chunk_id, n_tokens,
+          CAST(CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 8 AS INT)
+            AS bucket FROM ch),
+      p AS (SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket
+            ORDER BY doc_id, chunk_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+        FROM b)
+      SELECT doc_id, chunk_id, bucket, tokens_before // 256 AS seq_id, n_tokens
+      FROM p ORDER BY bucket, doc_id, chunk_id"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
-      e30, e31, e32, e33, e34, e35, e36, e37, e38)
+      e30, e31, e32, e33, e34, e35, e36, e37, e38, e39)
 }

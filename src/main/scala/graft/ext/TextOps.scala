@@ -335,4 +335,43 @@ object TextOps {
     df.select(col(idCol),
       array_min(transform(Dedup.shingles(col(textCol), shingleWidth),
         s => xxhash64(s))).as("min_shingle_hash"))
+
+  /** Sequence packing — the step between chunking ([[chunk]]) and the
+    * trainer: group chunks into fixed token-budget training sequences
+    * so batch assembly wastes no padding. This is the deterministic,
+    * shuffle-bounded flavor real pipelines run at scale:
+    *
+    *  - chunks are first scattered across `buckets` independent packing
+    *    streams by a portable hash of the document id — packing
+    *    parallelism is `buckets`, and each bucket's running total is
+    *    ONE window partition (no global sort, no single-partition
+    *    cumsum: the classic scale-killer of naive packing);
+    *  - within a bucket, chunks pack GREEDY-SEQUENTIALLY in
+    *    (doc, chunk) order: `seq_id = tokens_before div budget`.
+    *    A chunk crossing the boundary stays with its earlier sequence
+    *    (bounded overflow of at most one chunk — the standard
+    *    chunk-boundary convention; callers wanting hard caps size
+    *    `chunkTokens ≤ budget` so overflow ≤ chunkTokens).
+    *
+    * Every step is integer arithmetic over a portable hash, so the SQL
+    * oracle restates packing exactly (e39). First-fit-decreasing would
+    * pack marginally tighter but is inherently sequential — the greedy
+    * bucket-stream shape is what parallelizes to 100 TB. */
+  def packSequences(chunks: DataFrame, docCol: String, chunkCol: String,
+      tokenCol: String, budget: Int, buckets: Int = 64): DataFrame = {
+    require(budget > 0 && buckets > 0,
+      s"packing geometry out of range: budget=$budget buckets=$buckets")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col(docCol), col(chunkCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    chunks
+      .withColumn("bucket",
+        pmod(Dedup.portableHash64(col(docCol).cast(StringType)), lit(buckets))
+          .cast(IntegerType))
+      .withColumn("__before", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+      .withColumn("seq_id", expr(s"__before div $budget").cast(LongType))
+      .select(col(docCol), col(chunkCol), col("bucket"), col("seq_id"),
+        col(tokenCol))
+  }
 }

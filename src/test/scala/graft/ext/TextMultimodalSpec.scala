@@ -264,6 +264,37 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("sequence packing: budget respected up to one chunk of overflow; single exchange") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf001)
+    val chunks = TextOps.chunk(docs, "doc_id", "text", chunkTokens = 64, overlapTokens = 0)
+    val budget = 256
+    val packed = TextOps.packSequences(chunks, "doc_id", "chunk_id", "n_tokens",
+      budget = budget, buckets = 8)
+    val rows = packed.as[(Long, Long, Int, Long, Long)].collect()
+    assert(rows.length == chunks.count(), "every chunk is packed exactly once")
+    // greedy-sequential semantics: within a (bucket, seq), total tokens
+    // exceed the budget by AT MOST the final (boundary-crossing) chunk
+    rows.groupBy(r => (r._3, r._4)).foreach { case ((b, s), rs) =>
+      val total = rs.map(_._5).sum
+      val lastChunk = rs.maxBy(r => (r._1, r._2))._5
+      assert(total - lastChunk < budget,
+        s"bucket $b seq $s: ${total} tokens with last chunk $lastChunk breaks the overflow bound")
+    }
+    // sequences are contiguous per bucket (no gaps in seq_id)
+    rows.groupBy(_._3).foreach { case (b, rs) =>
+      val seqs = rs.map(_._4).distinct.sorted.toList
+      assert(seqs == (0L until seqs.length).toList,
+        s"bucket $b seq ids not contiguous: $seqs")
+    }
+    // scale shape: ONE exchange, on the bucket key (no global sort)
+    val plan = packed.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1 && plan.contains("hashpartitioning(bucket"),
+      s"packing must shuffle once on bucket:\n${plan.take(1500)}")
+    assert(!plan.contains("Exchange rangepartitioning"), "no global sort in packing")
+  }
+
   test("chunking: property — full coverage and exact overlap at random geometry") {
     import org.scalacheck.Gen
     import spark.implicits._
