@@ -206,6 +206,38 @@ class LoaderSpec extends SparkSpec {
     } finally spark.conf.unset("graft.compact.objectStoreSchemes")
   }
 
+  test("ParquetLoader: upsert_partitions targets the manifest-committed generation") {
+    import spark.implicits._
+    spark.conf.set("graft.compact.objectStoreSchemes", "file")
+    try {
+      val wh = Files.createTempDirectory("graft_wh_mu").toString
+      val ld = new ParquetLoader(wh, "s")
+      ld.ensureNamespace()
+      val jan = Seq((1L, 10.0, "2024-01"), (2L, 20.0, "2024-01")).toDF("id", "v", "month")
+      val feb = Seq((3L, 30.0, "2024-02")).toDF("id", "v", "month")
+      ld.load(jan, "mu", "upsert_partitions", partitionBy = Seq("month"))
+      ld.compact(spark, "mu") // -> generation 1 (manifest mode)
+      assert(new java.io.File(s"$wh/s/mu__manifest").isFile)
+      // dynamic partition overwrite AFTER the flip: February accumulates
+      // in the LIVE generation; re-issued January replaces only January
+      ld.load(feb, "mu", "upsert_partitions", partitionBy = Seq("month"))
+      val jan2 = Seq((9L, 90.0, "2024-01")).toDF("id", "v", "month")
+      ld.load(jan2, "mu", "upsert_partitions", partitionBy = Seq("month"))
+      val ids = ld.table(spark, "mu").select("id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(3L, 9L), ids.toString)
+      assert(!new java.io.File(s"$wh/s/mu").exists,
+        "dynamic overwrite must not resurrect the retired base dir")
+      // the migrate guard's layout walk also resolves via the manifest:
+      // a same-columns incremental write stays partition-scoped (no
+      // spurious full rewrite)
+      assert(ld.table(spark, "mu").count() == 2L)
+      // ...and a second compact rolls the generation with the data intact
+      ld.compact(spark, "mu")
+      assert(ld.table(spark, "mu").select("id").collect().map(_.getLong(0)).sorted.toSeq
+        == Seq(3L, 9L))
+    } finally spark.conf.unset("graft.compact.objectStoreSchemes")
+  }
+
   test("ParquetLoader: upsert_partitions rewrites only the incoming partition values") {
     import spark.implicits._
     val wh = Files.createTempDirectory("graft_wh").toString
