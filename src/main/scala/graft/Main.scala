@@ -19,6 +19,7 @@ object Main {
         |  sync [--months N] [--raw-only] [--dry-run] [--all-accounts] [--as-of YYYY-MM-DD] [--no-file-audit] [--incremental]
         |  compact <table> [--target-mb N]     (parquet warehouse only)
         |  query <sql> [--max-rows N]
+        |  corpus-prep <docs.parquet> <out-dir>   (filter -> dedup -> chunk -> parquet)
         |  list-accounts
         |  test-connection
         |  test-s3
@@ -63,6 +64,7 @@ object Main {
     case "sync" :: rest        => sync(parseSyncOpts(rest))
     case "compact" :: rest     => compact(rest)
     case "query" :: rest       => query(rest)
+    case "corpus-prep" :: rest => corpusPrep(rest)
     case "list-accounts" :: _  => listAccounts()
     case "test-connection" :: _ => testConnection()
     case "test-s3" :: _        => testS3()
@@ -116,6 +118,26 @@ object Main {
         System.err.println("compact applies to the parquet warehouse sink only")
         sys.exit(1)
     }
+  }
+
+  /** The LLM-corpus production flow as a CLI step (the extension-surface
+    * sibling of `sync`): quality filter → paragraph boilerplate removal
+    * → fuzzy dedup over one persisted front → token-window chunking →
+    * parquet sink, releasing all pipeline caches after the write
+    * ([[graft.ext.CorpusPipeline.prepareAndWrite]]). Input must carry
+    * (doc_id, text). */
+  private def corpusPrep(args: List[String]): Unit = {
+    val (in, out) = args match {
+      case i :: o :: Nil => (i, o)
+      case _             => usage()
+    }
+    val cfg = EngineConfig.fromEnv()
+    val spark = session(cfg)
+    try {
+      val res = graft.ext.CorpusPipeline.prepareAndWrite(
+        spark.read.parquet(in), out)
+      println(s"[corpus-prep] ${res.chunksWritten} chunks -> ${res.path}")
+    } finally spark.stop()
   }
 
   private def parseSyncOpts(args: List[String]): Sync.Options = {
