@@ -417,9 +417,10 @@ object Similarity {
     * [[graft.functions.IvfCells]] discipline); encode and LUT are
     * map-only projections; candidates come from the same broadcast
     * probe join as [[ivfTopK]]; the only driver state is the seed draw
-    * (nlist rows). The final per-candidate fold is `m` lookups via a
-    * small HOF — 8 elements per row, an order of magnitude cheaper
-    * than the dim-wide dot it replaces even interpreted. Recall vs
+    * (nlist rows). Candidates carry their codes PACKED (2 longs at the
+    * declared geometry), and the per-candidate fold is the native
+    * codegen'd [[graft.functions.PqAdc]] shift/mask/lookup loop —
+    * the scoring join stays inside whole-stage codegen. Recall vs
     * the un-quantized IVF of the same geometry is pinned in spec. */
   def ivfPqTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
@@ -493,11 +494,15 @@ object Similarity {
     val centNorms = typedLit(cents.map(_._3).toSeq)
     def cells(vec: Column, vn: Column, n: Int): Column =
       call_function("graft_ivf_cells", vec, vn, centsFlat, centNorms, lit(n), lit(dim))
+    // candidate state = cid + id + PACKED codes + reconstructed norm:
+    // 2 longs of codes at the declared m=16/ksub=64 instead of 256 bytes
+    // of f32 (or 64+ bytes of unpacked ints) — the storage form the
+    // 100 TB claim is about, and what the probe join actually carries
     val encoded = corpus
       .withColumn("__enc", pq(books)(col(vecCol)))
       .select(col(idCol),
         element_at(cells(col(vecCol), l2norm(col(vecCol)), 1), 1).as("cid"),
-        col("__enc.code").as("code"), col("__enc.rnorm").as("__rnorm"))
+        col("__enc.packed").as("packed"), col("__enc.rnorm").as("__rnorm"))
     val probed = queries
       .select(col(idCol).as("qid"), col(vecCol).as("__qe"),
         l2norm(col(vecCol)).as("__qn"))
@@ -505,11 +510,16 @@ object Similarity {
         typedLit(books.toSeq), lit(m), lit(ksub), lit(dsub)))
       .withColumn("cid", explode(cells(col("__qe"), col("__qn"), nprobe)))
       .select(col("qid"), col("__qn"), col("lut"), col("cid"))
+    // scoring kernel: native codegen'd shift/mask/lookup loop over the
+    // packed codes (graft_pq_adc) — the hot path of the probe join; the
+    // HOF formulation of the same fold ran interpreted per candidate.
+    // Identical j-ascending f64 accumulation, so the oracle restatement
+    // (Σ of per-subspace dots in j order) is unchanged bit-for-bit.
     val scored = encoded.join(broadcast(probed), Seq("cid"))
       .filter(col("qid") =!= col(idCol))
-      .withColumn("adc", aggregate(
-        transform(col("code"), (c, j) => element_at(col("lut"), j * lit(ksub) + c + 1)),
-        lit(0.0), (acc, x) => acc + x) / (col("__qn") * col("__rnorm")))
+      .withColumn("adc",
+        call_function("graft_pq_adc", col("packed"), col("lut"), lit(m), lit(ksub))
+          / (col("__qn") * col("__rnorm")))
     val w = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col(idCol))
     scored
       .withColumn("rn", row_number().over(w).cast(LongType))

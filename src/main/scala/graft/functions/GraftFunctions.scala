@@ -115,6 +115,17 @@ object GraftFunctions {
         val (books, ints) = pqArgs("graft_pq_encode", children)
         PqEncode(children.head, books, ints(0), ints(1), ints(2))
       }),
+    (new FunctionIdentifier("graft_pq_adc"),
+      new ExpressionInfo(classOf[PqAdc].getName, "graft_pq_adc"),
+      (children: Seq[Expression]) => {
+        require(children.size == 4, "graft_pq_adc takes (packed, lut, m, ksub)")
+        val ints = children.drop(2).map {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_pq_adc geometry must be integer literals, got $other")
+        }
+        PqAdc(children.head, children(1), ints(0), ints(1))
+      }),
     (new FunctionIdentifier("graft_pq_lut"),
       new ExpressionInfo(classOf[PqLut].getName, "graft_pq_lut"),
       (children: Seq[Expression]) => {

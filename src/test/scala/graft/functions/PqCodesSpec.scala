@@ -43,6 +43,42 @@ class PqCodesSpec extends SparkSpec {
     assert(lut == Seq(0.0, 0.1f.toDouble * 1.0, 4.0, 0.0))
   }
 
+  test("packed codes round-trip and native ADC equals the explicit lut fold") {
+    import org.scalacheck.Gen
+    // larger geometry so packing spans words: m=16, ksub=64, dsub=4 over
+    // 64-dim vectors (the e37 shape) with a random codebook
+    val m = 16; val ksub = 64; val dsub = 4
+    val seed0 = org.scalacheck.rng.Seed(5L)
+    val bookGen = Gen.listOfN(m * ksub * dsub, Gen.choose(-100, 100).map(_ / 10f))
+    val vecGen = Gen.listOfN(m * dsub, Gen.choose(-100, 100).map(_ / 10f))
+    Iterator.iterate(seed0)(_.next).take(10).foreach { seed =>
+      Gen.zip(bookGen, vecGen).apply(Gen.Parameters.default, seed).foreach {
+        case (bk, v) =>
+          GraftFunctions.register(spark)
+          val df = spark.range(1).select(typedLit(v).as("v"))
+          def f(fn: String) = call_function(fn, col("v"), typedLit(bk),
+            lit(m), lit(ksub), lit(dsub))
+          val r = df.select(f("graft_pq_encode").as("e"),
+              call_function("graft_pq_adc", col("e.packed"),
+                f("graft_pq_lut"), lit(m), lit(ksub)).as("adc"),
+              f("graft_pq_lut").as("lut"))
+            .collect().head
+          val code = r.getStruct(0).getSeq[Int](0)
+          val packed = r.getStruct(0).getSeq[Long](1)
+          // round-trip: unpack (6 bits, 10 codes/word, big-endian) = code
+          val unpacked = (0 until m).map { j =>
+            ((packed(j / 10) >>> (6 * (9 - j % 10))) & 63L).toInt
+          }
+          assert(unpacked == code, s"pack round-trip broke: $code vs $unpacked")
+          assert(packed.length == 2)
+          // native ADC == the explicit j-ascending lut fold
+          val lut = r.getSeq[Double](2)
+          val expected = (0 until m).foldLeft(0.0)((acc, j) => acc + lut(j * ksub + code(j)))
+          assert(r.getDouble(1) == expected, "native ADC diverged from the lut fold")
+      }
+    }
+  }
+
   test("all-null vector encodes to codeword 0 everywhere with zero dots") {
     val nullF = lit(null).cast(FloatType)
     val df = spark.range(1).select(array(nullF, nullF, nullF, nullF).as("v"))
