@@ -1267,8 +1267,75 @@ object ExtQueries {
       SELECT doc_id, chunk_id, bucket, tokens_before // 256 AS seq_id, n_tokens
       FROM p ORDER BY bucket, doc_id, chunk_id"""))
 
+  // E4 (privacy): PII scrub. The synthetic corpus carries no PII, so the
+  // declared query deterministically APPENDS PII-shaped tokens derived
+  // from doc_id (one email, one dotted-quad, one SSN-shaped id per doc)
+  // on BOTH engines, then redacts and counts — the operator does real
+  // matching work and the oracle restates injection + scrub verbatim
+  // (patterns interpolated from the same constants the Spark side
+  // compiles, so the two sides cannot drift).
+  val e40 = Q(
+    "e40_pii_redact",
+    (s, d) => TextOps.piiRedact(
+      T.documents(s, d).select(col("doc_id"), concat(
+        col("text"),
+        lit(" contact u"), col("doc_id").cast("string"),
+        lit("@ex.org via 10.0."), (col("doc_id") % 256).cast("string"),
+        lit(".7 ssn 123-45-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text")),
+      "doc_id", "text")
+      .orderBy(col("doc_id")),
+    Some(s"""WITH inj AS (SELECT doc_id,
+        text || ' contact u' || CAST(doc_id AS VARCHAR) ||
+          '@ex.org via 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+          '.7 ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+          AS text
+      FROM documents)
+      SELECT doc_id,
+        regexp_replace(regexp_replace(regexp_replace(text,
+          '${TextOps.EmailRe}', '<EMAIL>', 'g'),
+          '${TextOps.SsnRe}', '<ID>', 'g'),
+          '${TextOps.Ipv4Re}', '<IP>', 'g') AS clean,
+        CAST(len(regexp_extract_all(text, '${TextOps.EmailRe}', 0)) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(text, '${TextOps.Ipv4Re}', 0)) AS BIGINT) AS n_ips,
+        CAST(len(regexp_extract_all(text, '${TextOps.SsnRe}', 0)) AS BIGINT) AS n_ids
+      FROM inj ORDER BY doc_id"""))
+
+  // E4 (mixing): exact per-source cap — rank-by-portable-hash inside
+  // each source, keep the cap smallest. Unlike e18's expectation-rate
+  // mix, the kept count is exact and the kept set is a prefix under a
+  // growing cap. One shuffle on source; see Sampling.capPerStratum for
+  // the 100 TB pre-filter note.
+  val e41 = Q(
+    "e41_source_cap",
+    (s, d) => Sampling.capPerStratum(T.documents(s, d), "doc_id", "source", cap = 10)
+      .select(col("doc_id"), col("source"), col("rank_in_stratum"))
+      .orderBy(col("source"), col("rank_in_stratum")),
+    Some("""SELECT doc_id, source, rank_in_stratum FROM (
+        SELECT doc_id, source,
+          CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY
+            CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,6)) AS BIGINT), doc_id)
+            AS BIGINT) AS rank_in_stratum
+        FROM documents)
+      WHERE rank_in_stratum <= 10 ORDER BY source, rank_in_stratum"""))
+
+  // E4 (shuffle): deterministic global shuffle to (shard, pos) — the
+  // terminal "write N training shards" placement. One shuffle on the
+  // 8-way hash shard; within-shard order is the same portable hash.
+  val e42 = Q(
+    "e42_shard_shuffle",
+    (s, d) => Sampling.shardAssign(T.documents(s, d), "doc_id", nShards = 8)
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos")),
+    Some("""SELECT doc_id, CAST(h % 8 AS INT) AS shard,
+        CAST(ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS BIGINT) AS pos
+      FROM (SELECT doc_id,
+          CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,6)) AS BIGINT) AS h
+        FROM documents)
+      ORDER BY shard, pos"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
-      e30, e31, e32, e33, e34, e35, e36, e37, e38, e39)
+      e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41, e42)
 }

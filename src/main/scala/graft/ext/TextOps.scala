@@ -320,6 +320,35 @@ object TextOps {
         round(col("__nv").cast(DoubleType) / col("n_bigrams"), 4).as("novelty"))
   }
 
+  /** PII patterns, restricted to constructs Java regex and RE2 read
+    * identically (character classes, bounded repeats, `\b` — no
+    * lookaround), so an external engine can restate the scrub
+    * verbatim. */
+  final val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  final val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  final val SsnRe = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+
+  /** PII scrub: redact email addresses, dotted-quad IPs and SSN-shaped
+    * ids to typed placeholders, counting each class — the privacy pass
+    * a public-corpus pipeline runs before training. Counts are taken on
+    * the raw text; replacement order (email → id → ip) is fixed so both
+    * engines chain identically (a placeholder never creates a later
+    * match). Map-only and codegen'd: three chained `regexp_replace` and
+    * three `regexp_extract_all` counts ride one projection over the
+    * scan — at 100 TB this pipelines with the parquet read, no shuffle,
+    * no UDF. */
+  def piiRedact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def cnt(pat: String): Column =
+      size(regexp_extract_all(col(textCol), lit(pat), lit(0))).cast(LongType)
+    df.select(
+      col(idCol),
+      regexp_replace(regexp_replace(regexp_replace(col(textCol),
+        EmailRe, "<EMAIL>"), SsnRe, "<ID>"), Ipv4Re, "<IP>").as("clean"),
+      cnt(EmailRe).as("n_emails"),
+      cnt(Ipv4Re).as("n_ips"),
+      cnt(SsnRe).as("n_ids"))
+  }
+
   /** Content fingerprint: md5 of the case-folded text — the exact-dup
     * key for E1 at scale (hash once, group by 16 bytes, never by the
     * full text). */

@@ -32,6 +32,45 @@ class SamplingSpec extends SparkSpec {
     assert(!bySrc.contains("src1"), "permille=0 keeps none")
   }
 
+  test("per-stratum cap keeps exactly cap rows, as a prefix under growth") {
+    val per = Sampling.capPerStratum(docs, "doc_id", "source", cap = 3)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sizes = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    sizes.foreach { case (src, n) =>
+      assert(per.getOrElse(src, 0L) == math.min(3L, n),
+        s"$src: expected min(3, $n), got ${per.getOrElse(src, 0L)}")
+    }
+    val small = Sampling.capPerStratum(docs, "doc_id", "source", cap = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val big = Sampling.capPerStratum(docs, "doc_id", "source", cap = 7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(big), "raising the cap must only add rows")
+    val again = Sampling.capPerStratum(docs, "doc_id", "source", cap = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(small == again, "selection must be deterministic")
+  }
+
+  test("shard assignment is a total, deterministic, dense placement") {
+    val out = Sampling.shardAssign(docs, "doc_id", nShards = 4)
+      .select("doc_id", "shard", "pos").collect()
+    assert(out.length == docs.count(), "every row is placed exactly once")
+    assert(out.map(_.getLong(0)).distinct.length == out.length)
+    out.groupBy(_.getInt(1)).foreach { case (shard, rows) =>
+      assert(shard >= 0 && shard < 4)
+      val ps = rows.map(_.getLong(2)).sorted
+      assert(ps.head == 1L && ps.last == ps.length.toLong &&
+        ps.distinct.length == ps.length,
+        s"shard $shard positions not dense 1..n: ${ps.take(5).mkString(",")}...")
+    }
+    val again = Sampling.shardAssign(docs, "doc_id", nShards = 4)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(again == out.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet,
+      "placement must be identical across runs")
+  }
+
   test("length stats: counts and percentile ordering per stratum") {
     val rows = Sampling.lengthStats(docs, "lang", "text").collect()
     assert(rows.nonEmpty)

@@ -20,6 +20,26 @@ class TextMultimodalSpec extends SparkSpec {
     assert(row.getAs[Double]("mean_token_len") == (3 + 5 + 3 + 3) / 4.0)
   }
 
+  test("pii redaction scrubs emails, ips and ssn-shaped ids with counts") {
+    val row = TextOps.piiRedact(doc(1,
+      "mail a.b+c@ex.co.uk or b@x.io, host 192.168.0.1, ssn 123-45-6789, v1.2 ok"),
+      "doc_id", "text").collect().head
+    assert(row.getAs[String]("clean") ==
+      "mail <EMAIL> or <EMAIL>, host <IP>, ssn <ID>, v1.2 ok")
+    assert(row.getAs[Long]("n_emails") == 2)
+    assert(row.getAs[Long]("n_ips") == 1)
+    assert(row.getAs[Long]("n_ids") == 1)
+  }
+
+  test("pii redaction leaves clean text untouched and counts zero") {
+    val row = TextOps.piiRedact(doc(2, "no pii here, just words and 42"),
+      "doc_id", "text").collect().head
+    assert(row.getAs[String]("clean") == "no pii here, just words and 42")
+    assert(row.getAs[Long]("n_emails") == 0)
+    assert(row.getAs[Long]("n_ips") == 0)
+    assert(row.getAs[Long]("n_ids") == 0)
+  }
+
   test("subword count splits letter/digit/punct boundaries") {
     val n = doc(1, "abc123 def!").select(
       TextOps.subwordCount(col("text")).as("n")).collect().head.getInt(0)
