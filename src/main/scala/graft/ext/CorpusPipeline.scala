@@ -96,4 +96,24 @@ object CorpusPipeline {
     } finally p.unpersistAll() // after the action — or on its failure
     WriteResult(obs.get("rows").asInstanceOf[Long], outPath)
   }
+
+  /** Terminal shard placement as a WRITER: the e42 contract
+    * (deterministic pseudorandom order, hash-dense shards) applied to
+    * the written corpus — `repartition(nShards, shard)` +
+    * `sortWithinPartitions(shard, hash, id)` + `partitionBy(shard)`.
+    * Same single exchange as the declared rank flavor with no window
+    * function materialized: each task streams its sorted run straight
+    * into its shard directory, so at 100 TB the placement costs one
+    * shuffle and the files come out in reproducible order. */
+  def writeSharded(rows: DataFrame, outPath: String, nShards: Int,
+      idCol: String = "doc_id", mode: String = "overwrite"): WriteResult = {
+    val h = Dedup.portableHash24(col(idCol).cast("string"))
+    val obs = Observation()
+    rows.withColumn("shard", (h % nShards).cast("int"))
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), h, col(idCol))
+      .observe(obs, count(lit(1)).as("rows"))
+      .write.mode(mode).partitionBy("shard").parquet(outPath)
+    WriteResult(obs.get("rows").asInstanceOf[Long], outPath)
+  }
 }

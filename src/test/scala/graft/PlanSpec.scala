@@ -180,6 +180,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"unexpected cartesian:\n${p.take(3000)}")
   }
 
+  test("E40: pii scrub is map-only — no exchange anywhere in the plan") {
+    val p = plan("e40_pii_redact")
+    // the orderBy contributes the single range exchange of the declared
+    // (sorted) flavor; the scrub itself must introduce no hash shuffle
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"pii scrub must not shuffle:\n$p")
+  }
+
+  test("E41/E42: cap and shard placement each ride ONE hash exchange") {
+    Seq("e41_source_cap" -> "source", "e42_shard_shuffle" -> "shard")
+      .foreach { case (q, key) =>
+        val p = plan(q)
+        val n = "Exchange hashpartitioning".r.findAllMatchIn(p).size
+        assert(n == 1, s"$q: expected exactly one hash exchange (on $key), got $n:\n$p")
+      }
+  }
+
   test("every declared query has a distinct name and every oracle points at one") {
     val names = Queries.all.map(_.name)
     assert(names.distinct.size == names.size)

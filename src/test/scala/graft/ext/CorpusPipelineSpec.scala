@@ -45,4 +45,25 @@ class CorpusPipelineSpec extends SparkSpec {
     declared.unpersistAll()
     assert(diff == 0, s"$diff (doc_id, chunk_id) rows differ between sink and declared flow")
   }
+
+  test("writeSharded: shard dirs partition the corpus exactly as the e42 contract") {
+    val docs = T.documents(spark, "/root/testdata/sf0.01")
+    val out = Files.createTempDirectory("graft_shard_out").toString + "/shards"
+    val res = CorpusPipeline.writeSharded(docs, out, nShards = 4)
+    assert(res.chunksWritten == docs.count(), "every row placed exactly once")
+
+    val back = spark.read.parquet(out)
+    assert(back.count() == res.chunksWritten)
+    // the partition column materializes the placement; it must equal the
+    // declared rank flavor's shard assignment row for row
+    val expected = Sampling.shardAssign(docs, "doc_id", nShards = 4)
+      .select(col("doc_id"), col("shard").as("expected_shard"))
+    val mism = back.select(col("doc_id"), col("shard"))
+      .join(expected, "doc_id")
+      .filter(col("shard") =!= col("expected_shard")).count()
+    assert(mism == 0, s"$mism rows landed in a different shard than e42 assigns")
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(dirs == (0 until 4).map(i => s"shard=$i").toSet, s"got $dirs")
+  }
 }
