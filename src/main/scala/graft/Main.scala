@@ -19,7 +19,7 @@ object Main {
         |  sync [--months N] [--raw-only] [--dry-run] [--all-accounts] [--as-of YYYY-MM-DD] [--no-file-audit] [--incremental]
         |  compact <table> [--target-mb N]     (parquet warehouse only)
         |  query <sql> [--max-rows N]
-        |  corpus-prep <docs.parquet> <out-dir>   (filter -> dedup -> chunk -> parquet)
+        |  corpus-prep <docs.parquet> <out-dir> [--shards N]   (filter -> dedup -> chunk -> parquet)
         |  list-accounts
         |  test-connection
         |  test-s3
@@ -127,16 +127,18 @@ object Main {
     * ([[graft.ext.CorpusPipeline.prepareAndWrite]]). Input must carry
     * (doc_id, text). */
   private def corpusPrep(args: List[String]): Unit = {
-    val (in, out) = args match {
-      case i :: o :: Nil => (i, o)
-      case _             => usage()
+    val (in, out, shards) = args match {
+      case i :: o :: Nil                      => (i, o, None)
+      case i :: o :: "--shards" :: n :: Nil   => (i, o, Some(num(n).toInt))
+      case _                                  => usage()
     }
     val cfg = EngineConfig.fromEnv()
     val spark = session(cfg)
     try {
       val res = graft.ext.CorpusPipeline.prepareAndWrite(
-        spark.read.parquet(in), out)
-      println(s"[corpus-prep] ${res.chunksWritten} chunks -> ${res.path}")
+        spark.read.parquet(in), out, shards = shards)
+      val how = shards.map(n => s" in $n shards").getOrElse("")
+      println(s"[corpus-prep] ${res.chunksWritten} chunks$how -> ${res.path}")
     } finally spark.stop()
   }
 

@@ -84,17 +84,27 @@ object CorpusPipeline {
   /** The sink-parameterized production path: ONE write action drives
     * the whole flow off the persisted candidate front; the front is
     * released after the action completes. The row count rides the same
-    * action as an `Observation` — no second pass. */
+    * action as an `Observation` — no second pass. With `shards` set,
+    * the write lands as deterministic training shards via
+    * [[writeSharded]] (doc-keyed placement, so every chunk of a
+    * document stays in one shard; chunk_id breaks within-doc ties so
+    * the on-disk order is total). */
   def prepareAndWrite(docs: DataFrame, outPath: String,
       mode: String = "overwrite",
-      idCol: String = "doc_id", textCol: String = "text"): WriteResult = {
+      idCol: String = "doc_id", textCol: String = "text",
+      shards: Option[Int] = None): WriteResult = {
     val p = prepare(docs, idCol, textCol)
-    val obs = Observation()
     try {
-      p.chunks.observe(obs, count(lit(1)).as("rows"))
-        .write.mode(mode).parquet(outPath)
+      shards match {
+        case Some(n) =>
+          writeSharded(p.chunks, outPath, n, idCol, mode, tieCols = Seq("chunk_id"))
+        case None =>
+          val obs = Observation()
+          p.chunks.observe(obs, count(lit(1)).as("rows"))
+            .write.mode(mode).parquet(outPath)
+          WriteResult(obs.get("rows").asInstanceOf[Long], outPath)
+      }
     } finally p.unpersistAll() // after the action — or on its failure
-    WriteResult(obs.get("rows").asInstanceOf[Long], outPath)
   }
 
   /** Terminal shard placement as a WRITER: the e42 contract
@@ -106,12 +116,14 @@ object CorpusPipeline {
     * into its shard directory, so at 100 TB the placement costs one
     * shuffle and the files come out in reproducible order. */
   def writeSharded(rows: DataFrame, outPath: String, nShards: Int,
-      idCol: String = "doc_id", mode: String = "overwrite"): WriteResult = {
+      idCol: String = "doc_id", mode: String = "overwrite",
+      tieCols: Seq[String] = Nil): WriteResult = {
     val h = Dedup.portableHash24(col(idCol).cast("string"))
     val obs = Observation()
     rows.withColumn("shard", (h % nShards).cast("int"))
       .repartition(nShards, col("shard"))
-      .sortWithinPartitions(col("shard"), h, col(idCol))
+      .sortWithinPartitions(
+        (Seq(col("shard"), h, col(idCol)) ++ tieCols.map(col)): _*)
       .observe(obs, count(lit(1)).as("rows"))
       .write.mode(mode).partitionBy("shard").parquet(outPath)
     WriteResult(obs.get("rows").asInstanceOf[Long], outPath)

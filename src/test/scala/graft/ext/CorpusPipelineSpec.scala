@@ -46,6 +46,29 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(diff == 0, s"$diff (doc_id, chunk_id) rows differ between sink and declared flow")
   }
 
+  test("prepareAndWrite --shards: sharded sink holds the same chunks, doc-cohesive") {
+    val docs = T.documents(spark, "/root/testdata/sf0.01")
+    val flat = Files.createTempDirectory("graft_corpus_flat").toString + "/chunks"
+    val shrd = Files.createTempDirectory("graft_corpus_shrd").toString + "/chunks"
+    val before = cachedRddIds
+    val a = CorpusPipeline.prepareAndWrite(docs, flat)
+    val b = CorpusPipeline.prepareAndWrite(docs, shrd, shards = Some(4))
+    assert(a.chunksWritten == b.chunksWritten, "sharding must not change content")
+    assert((cachedRddIds -- before).isEmpty, "no cache survives the sharded run")
+
+    val sharded = spark.read.parquet(shrd)
+    // same (doc, chunk) set as the flat sink
+    val diff = sharded.select("doc_id", "chunk_id")
+      .unionAll(spark.read.parquet(flat).select("doc_id", "chunk_id"))
+      .groupBy("doc_id", "chunk_id").count().filter(col("count") =!= 2).count()
+    assert(diff == 0, s"$diff chunk rows differ between flat and sharded sinks")
+    // doc cohesion: every chunk of a document lands in ONE shard
+    val split = sharded.groupBy("doc_id")
+      .agg(countDistinct(col("shard")).as("n_shards"))
+      .filter(col("n_shards") > 1).count()
+    assert(split == 0, s"$split documents split across shards")
+  }
+
   test("writeSharded: shard dirs partition the corpus exactly as the e42 contract") {
     val docs = T.documents(spark, "/root/testdata/sf0.01")
     val out = Files.createTempDirectory("graft_shard_out").toString + "/shards"
