@@ -1334,8 +1334,66 @@ object ExtQueries {
         FROM documents)
       ORDER BY shard, pos"""))
 
+  // E4 (streaming ingest): continuous corpus ingestion — the streaming
+  // family applied to the documents domain. The document stream arrives
+  // DOUBLED (union with itself: the at-least-once delivery shape),
+  // event time is the deterministic ingest stamp derived from doc_id;
+  // watermarked dedup collapses redelivery, the e20 quality gates run
+  // stateless inside the micro-batch, and the per-source admission
+  // stats aggregate in complete mode, drained with AvailableNow on the
+  // RocksDB state backend (same lifecycle discipline as c47/c50/c51).
+  // The oracle is the BATCH restatement of the e20 gate grouped by
+  // source — one leaked duplicate or dropped/extra document breaks the
+  // count hash.
+  val e43 = Q(
+    "e43_stream_corpus_ingest",
+    (outer, d) => {
+      val s = graft.streaming.StateBackend.isolatedStreamSession(outer)
+      val batchSchema = s.read.parquet(s"$d/documents.parquet").schema
+      def src = s.readStream.schema(batchSchema).parquet(s"$d/documents.parque[t]")
+      val deduped = src.union(src)
+        // +1 day so the earliest stamp clears the operator's initial
+        // watermark (epoch 0): a ts exactly AT the watermark is expired
+        .withColumn("ts", timestamp_micros((col("doc_id") + lit(86400L)) * lit(1000000L)))
+        .withWatermark("ts", "1 day")
+        .dropDuplicatesWithinWatermark("doc_id")
+      val gated = TextOps.qualityFilter(deduped, "doc_id", "text",
+        lang = "en", minTokens = 20, maxPunctRatio = 0.15,
+        minStopwordRatio = 0.01, keep = Seq("source"))
+      val agg = gated.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      val q = agg.writeStream
+        .format("memory").queryName("graft_e43_stream")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_e43_stream").orderBy(col("source"))
+    },
+    Some(s"""WITH scored AS (SELECT doc_id, source, $langScoreSql,
+        (CAST(length(text) AS DOUBLE) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+          / CAST(length(text) AS DOUBLE) AS punct_ratio,
+        CAST(len(list_filter(string_split(text, ' '),
+            t -> list_contains($stopList, t))) AS DOUBLE)
+          / len(string_split(text, ' ')) AS stopword_ratio,
+        len(string_split(text, ' ')) AS n_tokens
+      FROM documents),
+      best AS (SELECT *, GREATEST(score_de, score_en, score_es, score_fr) AS b FROM scored),
+      lang AS (SELECT doc_id, source, punct_ratio, stopword_ratio, n_tokens,
+        CASE WHEN b = 0 THEN 'und'
+             WHEN score_de = b THEN 'de' WHEN score_en = b THEN 'en'
+             WHEN score_es = b THEN 'es' ELSE 'fr' END AS lang_guess
+      FROM best)
+      SELECT source, COUNT(*) AS n_docs,
+        MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      FROM lang
+      WHERE lang_guess = 'en' AND n_tokens >= 20
+        AND punct_ratio <= 0.15 AND stopword_ratio >= 0.01
+      GROUP BY source ORDER BY source"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
-      e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41, e42)
+      e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41, e42, e43)
 }

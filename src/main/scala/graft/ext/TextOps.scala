@@ -143,13 +143,15 @@ object TextOps {
   def qualityFilter(
       df: DataFrame, idCol: String, textCol: String,
       lang: String = "en", minTokens: Int = 20,
-      maxPunctRatio: Double = 0.15, minStopwordRatio: Double = 0.01): DataFrame = {
+      maxPunctRatio: Double = 0.15, minStopwordRatio: Double = 0.01,
+      keep: Seq[String] = Nil): DataFrame = {
     val txt = col(textCol)
     val tok = tokens(txt)
-    df.select(col(idCol), argmaxLang(langScores(tok)).as("lang_guess"),
+    df.select((Seq(col(idCol)) ++ keep.map(col) ++ Seq(
+        argmaxLang(langScores(tok)).as("lang_guess"),
         punctRatioCol(txt).as("punct_ratio"), stopRatioCol(tok).as("stopword_ratio"),
         lengthScoreCol(tok).as("length_score"),
-        size(tokens(txt)).as("__n_tokens"))
+        size(tokens(txt)).as("__n_tokens"))): _*)
       .filter(col("lang_guess") === lang &&
         col("__n_tokens") >= minTokens &&
         col("punct_ratio") <= maxPunctRatio &&
