@@ -40,6 +40,37 @@ class TextMultimodalSpec extends SparkSpec {
     assert(row.getAs[Long]("n_ids") == 0)
   }
 
+  test("pii redaction: property — counts and scrub match a reference regex pass") {
+    import org.scalacheck.Gen
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "words")
+    val email = Gen.zip(Gen.alphaLowerStr.suchThat(_.nonEmpty), Gen.oneOf("ex.org", "a.co.uk"))
+      .map { case (u, h) => s"${u.take(8)}@$h" }
+    val ip = Gen.listOfN(4, Gen.choose(0, 299)).map(_.mkString("."))
+    val ssn = Gen.zip(Gen.choose(100, 999), Gen.choose(10, 99), Gen.choose(1000, 9999))
+      .map { case (a, b, c) => s"$a-$b-$c" }
+    val token = Gen.frequency(6 -> word, 1 -> email, 1 -> ip, 1 -> ssn)
+    val text = Gen.listOfN(30, token).map(_.mkString(" "))
+    val seed0 = org.scalacheck.rng.Seed(13L)
+    val texts = Iterator.iterate(seed0)(_.next).take(20)
+      .flatMap(text.apply(Gen.Parameters.default, _)).toList
+    import spark.implicits._
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = TextOps.piiRedact(df, "doc_id", "text")
+      .orderBy(col("doc_id")).collect()
+    texts.zip(got).foreach { case (t, row) =>
+      // reference pass: the same chained java.util.regex semantics
+      def rx(p: String) = p.r.findAllIn(t).size
+      assert(row.getAs[Long]("n_emails") == rx(TextOps.EmailRe), s"emails in: $t")
+      assert(row.getAs[Long]("n_ips") == rx(TextOps.Ipv4Re), s"ips in: $t")
+      assert(row.getAs[Long]("n_ids") == rx(TextOps.SsnRe), s"ids in: $t")
+      val expect = t.replaceAll(TextOps.EmailRe, "<EMAIL>")
+        .replaceAll(TextOps.SsnRe, "<ID>").replaceAll(TextOps.Ipv4Re, "<IP>")
+      assert(row.getAs[String]("clean") == expect)
+      assert(!row.getAs[String]("clean").matches(s".*${TextOps.EmailRe}.*"),
+        "no email survives the scrub")
+    }
+  }
+
   test("subword count splits letter/digit/punct boundaries") {
     val n = doc(1, "abc123 def!").select(
       TextOps.subwordCount(col("text")).as("n")).collect().head.getInt(0)
