@@ -333,9 +333,12 @@ object TextOps {
   /** PII scrub: redact email addresses, dotted-quad IPs and SSN-shaped
     * ids to typed placeholders, counting each class — the privacy pass
     * a public-corpus pipeline runs before training. Counts are taken on
-    * the raw text; replacement order (email → id → ip) is fixed so both
-    * engines chain identically (a placeholder never creates a later
-    * match). Map-only and codegen'd: three chained `regexp_replace` and
+    * the raw text, per pattern independently — a span matching two
+    * classes (an SSN-shaped local part inside an email) counts once in
+    * EACH, deterministically on both engines. Replacement order
+    * (email → id → ip) is fixed so both engines chain identically (a
+    * placeholder never creates a later match).
+    * Map-only and codegen'd: three chained `regexp_replace` and
     * three `regexp_extract_all` counts ride one projection over the
     * scan — at 100 TB this pipelines with the parquet read, no shuffle,
     * no UDF. */
