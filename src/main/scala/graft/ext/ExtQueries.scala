@@ -1392,8 +1392,25 @@ object ExtQueries {
         AND punct_ratio <= 0.15 AND stopword_ratio >= 0.01
       GROUP BY source ORDER BY source"""))
 
+  // E4 (tokenizer precursor): vocabulary building — corpus term counts
+  // with a frequency floor, top-k by (count desc, term) with dense
+  // token ids. Top-k is TakeOrderedAndProject (no global sort of the
+  // term distribution, plan-asserted); the rank window touches only
+  // the k survivors.
+  val e44 = Q(
+    "e44_vocabulary",
+    (s, d) => TextOps.vocabulary(T.documents(s, d), "text", minCount = 5, k = 100)
+      .orderBy(col("token_id")),
+    Some("""WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+      t AS (SELECT tok AS term FROM w, UNNEST(ws) AS u(tok) WHERE length(tok) > 0),
+      c AS (SELECT term, COUNT(*) AS n FROM t GROUP BY term HAVING COUNT(*) >= 5),
+      r AS (SELECT term, n,
+          CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term) AS BIGINT) - 1 AS token_id
+        FROM c)
+      SELECT term, n, token_id FROM r WHERE token_id < 100 ORDER BY token_id"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
-      e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41, e42, e43)
+      e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41, e42, e43, e44)
 }

@@ -354,6 +354,30 @@ object TextOps {
       cnt(SsnRe).as("n_ids"))
   }
 
+  /** Vocabulary builder: the tokenizer-training precursor — corpus term
+    * counts with a frequency floor, the top `k` most frequent terms
+    * (count desc, term asc — a total, engine-neutral order) assigned
+    * dense token ids 0..k-1.
+    *
+    * Scale shape: one explode + one hash agg on the term, then top-k via
+    * `orderBy.limit`, which Spark plans as TakeOrderedAndProject —
+    * per-partition partial top-k merged once, NO global sort of the
+    * term distribution (plan-asserted). The id-assignment window runs
+    * on the k survivors only — k is the vocab size (bounded by design,
+    * like the IVF centroid collects), so its single-partition exchange
+    * carries k rows, never the corpus. */
+  def vocabulary(df: DataFrame, textCol: String, minCount: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = df.select(explode(tokens(col(textCol))).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .orderBy(col("n").desc, col("term"))
+      .limit(k)
+    top.withColumn("token_id",
+      row_number().over(Window.orderBy(col("n").desc, col("term"))).cast(LongType) - 1)
+  }
+
   /** Content fingerprint: md5 of the case-folded text — the exact-dup
     * key for E1 at scale (hash once, group by 16 bytes, never by the
     * full text). */

@@ -71,6 +71,27 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("vocabulary: frequency floor, tie order, dense ids, top-k plan") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "b b b a a c"),
+      (2L, "a b d d")).toDF("doc_id", "text")
+    val v = TextOps.vocabulary(docs, "text", minCount = 2, k = 2)
+    val rows = v.orderBy(col("token_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // counts: b=4, a=3, d=2, c=1(floored); k=2 keeps b,a with ids 0,1
+    assert(rows.toSeq == Seq(("b", 4L, 0L), ("a", 3L, 1L)))
+    // ties order lexicographically: equal counts -> term asc
+    val tied = TextOps.vocabulary(
+      Seq((1L, "x y x y")).toDF("doc_id", "text"), "text", 1, 2)
+      .orderBy(col("token_id")).collect().map(_.getString(0)).toSeq
+    assert(tied == Seq("x", "y"))
+    // scale shape: top-k is TakeOrderedAndProject, no global sort of the
+    // term distribution (the only range exchange would be a full sort)
+    val p = v.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not TakeOrdered:\n$p")
+  }
+
   test("subword count splits letter/digit/punct boundaries") {
     val n = doc(1, "abc123 def!").select(
       TextOps.subwordCount(col("text")).as("n")).collect().head.getInt(0)
