@@ -1409,8 +1409,40 @@ object ExtQueries {
         FROM c)
       SELECT term, n, token_id FROM r WHERE token_id < 100 ORDER BY token_id"""))
 
+  // E4 (corpus→ids): tokenization against the e44 vocabulary — the
+  // broadcast map-side lookup (vocab is k rows, the corpus is the big
+  // side), OOV → -1, ids reassembled in position order. Declared output
+  // is the id sequence as CSV (the driver compare handles scalars, not
+  // arrays); the operator itself returns the real array<long>.
+  val e45 = Q(
+    "e45_tokenize",
+    (s, d) => {
+      val vocab = TextOps.vocabulary(T.documents(s, d), "text", minCount = 5, k = 100)
+      TextOps.tokenize(T.documents(s, d), "doc_id", "text", vocab)
+        .select(col("doc_id"),
+          concat_ws(",", transform(col("token_ids"), x => x.cast("string"))).as("ids_csv"),
+          size(col("token_ids")).cast("long").as("n_tokens"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+      t0 AS (SELECT tok AS term FROM w, UNNEST(ws) AS u(tok) WHERE length(tok) > 0),
+      c AS (SELECT term, COUNT(*) AS n FROM t0 GROUP BY term HAVING COUNT(*) >= 5),
+      r AS (SELECT term,
+          CAST(ROW_NUMBER() OVER (ORDER BY n DESC, term) AS BIGINT) - 1 AS token_id
+        FROM c),
+      v AS (SELECT term, token_id FROM r WHERE token_id < 100),
+      d2 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      tok AS (SELECT doc_id, i, ws[i] AS term
+        FROM d2, UNNEST(range(1, len(ws)+1)) AS t(i) WHERE length(ws[i]) > 0),
+      ids AS (SELECT tok.doc_id, tok.i, COALESCE(v.token_id, -1) AS tid
+        FROM tok LEFT JOIN v ON v.term = tok.term)
+      SELECT doc_id, string_agg(CAST(tid AS VARCHAR), ',' ORDER BY i) AS ids_csv,
+        CAST(COUNT(*) AS BIGINT) AS n_tokens
+      FROM ids GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
-      e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41, e42, e43, e44)
+      e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41, e42, e43, e44,
+      e45)
 }

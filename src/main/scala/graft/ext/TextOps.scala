@@ -378,6 +378,23 @@ object TextOps {
       row_number().over(Window.orderBy(col("n").desc, col("term"))).cast(LongType) - 1)
   }
 
+  /** Tokenize against a built [[vocabulary]]: the corpus→ids step that
+    * feeds training. Every token joins the vocab MAP-SIDE (`broadcast`
+    * — the vocab is k rows, the corpus is the 100 TB side; no shuffle
+    * of the exploded tokens for the lookup), out-of-vocabulary tokens
+    * become -1, and each document's ids reassemble in position order.
+    * The one shuffle is the per-document reassembly on the id key. */
+  def tokenize(df: DataFrame, idCol: String, textCol: String,
+      vocab: DataFrame): DataFrame = {
+    val toks = df.select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "term")))
+      .filter(length(col("term")) > 0)
+    toks.join(broadcast(vocab.select(col("term"), col("token_id"))), Seq("term"), "left")
+      .select(col(idCol), col("pos"), coalesce(col("token_id"), lit(-1L)).as("tid"))
+      .groupBy(col(idCol))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("tid")))),
+        x => x.getField("tid")).as("token_ids"))
+  }
+
   /** Content fingerprint: md5 of the case-folded text — the exact-dup
     * key for E1 at scale (hash once, group by 16 bytes, never by the
     * full text). */

@@ -92,6 +92,23 @@ class TextMultimodalSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"top-k not TakeOrdered:\n$p")
   }
 
+  test("tokenize: vocab ids in position order, OOV -1, vocab broadcast") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "b b b a a c"),
+      (2L, "a zz b")).toDF("doc_id", "text")
+    val vocab = TextOps.vocabulary(docs, "text", minCount = 2, k = 10)
+    // counts: b=4(id 0), a=3(id 1); c and zz floored out -> OOV
+    val out = TextOps.tokenize(docs, "doc_id", "text", vocab)
+    val rows = out.orderBy(col("doc_id")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+    assert(rows(1L) == List(0L, 0L, 0L, 1L, 1L, -1L))
+    assert(rows(2L) == List(1L, -1L, 0L))
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"vocab lookup must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), "token-vocab join must never shuffle tokens")
+  }
+
   test("subword count splits letter/digit/punct boundaries") {
     val n = doc(1, "abc123 def!").select(
       TextOps.subwordCount(col("text")).as("n")).collect().head.getInt(0)
