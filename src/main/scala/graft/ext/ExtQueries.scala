@@ -1260,11 +1260,13 @@ object ExtQueries {
       b AS (SELECT doc_id, chunk_id, n_tokens,
           CAST(CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 8 AS INT)
             AS bucket FROM ch),
-      p AS (SELECT *, COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket
+      p AS (SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket
             ORDER BY doc_id, chunk_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tokens_before
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS tokens_before
         FROM b)
-      SELECT doc_id, chunk_id, bucket, tokens_before // 256 AS seq_id, n_tokens
+      SELECT doc_id, chunk_id, bucket,
+        CAST(tokens_before // 256 AS BIGINT) AS seq_id, n_tokens
       FROM p ORDER BY bucket, doc_id, chunk_id"""))
 
   // E4 (privacy): PII scrub. The synthetic corpus carries no PII, so the

@@ -40,6 +40,14 @@ def compare(a: pd.DataFrame, b: pd.DataFrame) -> str:
         return f"ROWS spark={len(a)} oracle={len(b)}"
     for c in a.columns:
         av, bv = a[c], b[c]
+        # The driver's gate hashes raw values, so an int64 column on one
+        # side vs float64 on the other (e.g. DuckDB HUGEINT -> pandas
+        # float64) hash-mismatches even when values are numerically
+        # equal. Mirror that strictness here instead of coercing.
+        if pd.api.types.is_integer_dtype(av) != pd.api.types.is_integer_dtype(bv) and (
+                pd.api.types.is_numeric_dtype(av) and pd.api.types.is_numeric_dtype(bv)):
+            return (f"DTYPE col={c} spark={av.dtype} oracle={bv.dtype} "
+                    "(int/float crossing would hash-mismatch in the driver)")
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
             eq = (av.astype("float64").fillna(-0.123456789e300)
                   == bv.astype("float64").fillna(-0.123456789e300))
