@@ -77,7 +77,8 @@ object Bench {
         times = times ++ (1 to (5 - times.size)).map(_ => runRep())
       val ok = times.forall(_._2)
       val sorted = times.map(_._1).sorted
-      QueryResult(name, sorted.head, sorted(sorted.size / 2), sorted.last, ok)
+      QueryResult(name, sorted.head, sorted(sorted.size / 2), sorted.last, ok,
+        times.size)
     }
     val qs = results.map(r => "\"" + r.name + "\":" + f"${r.signedMedian}%.3f")
       .mkString("{", ",", "}")
@@ -99,6 +100,11 @@ object Bench {
       .filter(r => r.ok && r.min > 0 && r.max / r.min > 3.0)
       .map("\"" + _.name + "\"").mkString("[", ",", "]")
     val failed = results.filterNot(_.ok).map("\"" + _.name + "\"").mkString("[", ",", "]")
+    // actual per-query sample counts (ADVICE r8): the sub-second 5-rep
+    // extension means the configured `reps` understates how many samples
+    // produced a min/median/max — record what actually ran
+    val repsUsed = results.map(r => "\"" + r.name + "\":" + r.reps)
+      .mkString("{", ",", "}")
     val total = results.filter(_.ok).map(_.median).sum
     val totalMin = results.filter(_.ok).map(_.min).sum
     val (fixtureSec, syncSec) = syncMirror(spark, sfDir)
@@ -116,12 +122,12 @@ object Bench {
         .map(_.getPeakUsage.getUsed).sum / (1L << 20)
     }
     val maxHeapMib = Runtime.getRuntime.maxMemory() / (1L << 20)
-    println(s"""{"metric":"conformance_total_s","value":$total,"unit":"sec","value_min":${f"$totalMin%.3f"},"queries":$qs,"queries_min":$qsMin,"spread":$spread,"suspect":$suspect,"failed":$failed,"n_ok":${results.count(_.ok)},"n_queries":${results.size},"reps":$reps,"sync_e2e_s":${f"$syncSec%.3f"},"sync_fixture_s":${f"$fixtureSec%.3f"},"peak_heap_mib":$peakHeapMib,"max_heap_mib":$maxHeapMib,$env"sf":"$sfDir"}""")
+    println(s"""{"metric":"conformance_total_s","value":$total,"unit":"sec","value_min":${f"$totalMin%.3f"},"queries":$qs,"queries_min":$qsMin,"spread":$spread,"suspect":$suspect,"failed":$failed,"n_ok":${results.count(_.ok)},"n_queries":${results.size},"reps":$reps,"reps_used":$repsUsed,"sync_e2e_s":${f"$syncSec%.3f"},"sync_fixture_s":${f"$fixtureSec%.3f"},"peak_heap_mib":$peakHeapMib,"max_heap_mib":$maxHeapMib,$env"sf":"$sfDir"}""")
     spark.stop()
   }
 
   private case class QueryResult(name: String, min: Double, median: Double,
-                                 max: Double, ok: Boolean) {
+                                 max: Double, ok: Boolean, reps: Int) {
     def signedMedian: Double = if (ok) median else -median
     def signedMin: Double = if (ok) min else -min
   }

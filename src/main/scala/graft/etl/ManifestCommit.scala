@@ -57,7 +57,22 @@ private[etl] object ManifestCommit {
   def versionDir(base: HPath, v: Long): HPath =
     new HPath(base.getParent, f"${base.getName}__v$v%05d")
 
-  /** Current committed version, if a manifest exists. */
+  /** A manifest that exists but does not hold a positive version number:
+    * the signature of a TORN commit — a crash between `fs.create` and
+    * `close` on a filesystem where creates are visible before close
+    * (real object stores flip atomically on PUT; `file://` and other
+    * conf-flagged schemes do not). Readers surface this with recovery
+    * guidance instead of an opaque NumberFormatException; [[repair]]
+    * recovers from it. */
+  final class TornManifestException(val manifest: HPath, txt: String)
+    extends RuntimeException(
+      s"manifest $manifest is empty or unparsable ('$txt') — a torn commit " +
+        "on a non-atomic filesystem. Data dirs are intact; run " +
+        "ManifestCommit.repair (CLI: compact --repair) to re-point the " +
+        "manifest at the highest surviving generation.")
+
+  /** Current committed version, if a manifest exists. Throws
+    * [[TornManifestException]] on an empty/unparsable manifest. */
   def currentVersion(fs: FileSystem, base: HPath): Option[Long] = {
     val mp = manifestPath(base)
     if (!fs.exists(mp)) None
@@ -66,9 +81,10 @@ private[etl] object ManifestCommit {
       val txt =
         try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim
         finally in.close()
-      val v = txt.toLong
-      require(v > 0, s"manifest $mp holds invalid version '$txt'")
-      Some(v)
+      txt.toLongOption.filter(_ > 0) match {
+        case some @ Some(_) => some
+        case None => throw new TornManifestException(mp, txt)
+      }
     }
   }
 
@@ -92,12 +108,32 @@ private[etl] object ManifestCommit {
       }
   }
 
-  /** Repair interrupted rewrites; returns the live data dir. Fails only
-    * when the manifest names a directory that does not exist — that is
-    * data loss from outside interference, not a crash window this
-    * protocol produces. */
+  /** Repair interrupted rewrites; returns the live data dir. A torn
+    * manifest (see [[TornManifestException]]) re-commits the highest
+    * surviving generation — or deletes the manifest to fall back to the
+    * base dir when no generation exists — BEFORE the cleanup pass, so
+    * the table is readable again without manual intervention. Fails only
+    * when an intact manifest names a directory that does not exist —
+    * that is data loss from outside interference, not a crash window
+    * this protocol produces. */
   def repair(fs: FileSystem, base: HPath): HPath = {
-    val cur = currentVersion(fs, base)
+    val cur =
+      try currentVersion(fs, base)
+      catch {
+        case torn: TornManifestException =>
+          val best = listVersionDirs(fs, base).map(_._1).maxOption
+          best match {
+            case Some(v) =>
+              System.err.println(s"[compact] ${torn.getMessage}")
+              System.err.println(s"[compact] re-committing highest surviving generation $v")
+              commit(fs, base, v)
+            case None =>
+              System.err.println(s"[compact] ${torn.getMessage}")
+              System.err.println(s"[compact] no surviving generation — reverting to base dir")
+              fs.delete(torn.manifest, false)
+          }
+          best
+      }
     listVersionDirs(fs, base).foreach { case (v, p) =>
       if (!cur.contains(v)) {
         System.err.println(s"[compact] discarding ${if (cur.exists(_ > v)) "stale generation" else "dead write"} $p")

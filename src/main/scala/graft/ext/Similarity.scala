@@ -436,6 +436,9 @@ object Similarity {
       .limit(nlist)
       .collect()
     require(picked.nonEmpty, "ivfPqTopK: empty corpus")
+    require(picked.length >= ksub,
+      s"ivfPqTopK: corpus yields only ${picked.length} codebook seed vectors, " +
+        s"need >= ksub=$ksub (shrink ksub or grow the corpus)")
     val dim = picked.head.getSeq[Float](1).size
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val dsub = dim / m
