@@ -57,7 +57,7 @@ private[etl] object ManifestCommit {
   def versionDir(base: HPath, v: Long): HPath =
     new HPath(base.getParent, f"${base.getName}__v$v%05d")
 
-  /** A manifest that exists but does not hold a positive version number:
+  /** A manifest that exists but does not hold a complete `v<N>\n` record:
     * the signature of a TORN commit — a crash between `fs.create` and
     * `close` on a filesystem where creates are visible before close
     * (real object stores flip atomically on PUT; `file://` and other
@@ -66,24 +66,37 @@ private[etl] object ManifestCommit {
     * recovers from it. */
   final class TornManifestException(val manifest: HPath, txt: String)
     extends RuntimeException(
-      s"manifest $manifest is empty or unparsable ('$txt') — a torn commit " +
-        "on a non-atomic filesystem. Data dirs are intact; run " +
-        "ManifestCommit.repair (CLI: compact --repair) to re-point the " +
-        "manifest at the highest surviving generation.")
+      s"manifest $manifest is empty, unparsable or missing its terminator " +
+        s"('$txt') — a torn commit on a non-atomic filesystem. Data dirs are " +
+        "intact; run `compact <table>` (repair runs unconditionally on entry) " +
+        "to re-point the manifest at the highest surviving generation.")
+
+  /** Parse a raw manifest record. Format: `v<digits>\n` — the leading tag
+    * and the trailing newline are begin/end markers, so a torn write that
+    * persists any proper PREFIX of the record (e.g. `v1` out of `v12\n`,
+    * which a bare-digits format would accept as version 1 and then let
+    * [[repair]] delete the REAL generation 12 as a dead write) is
+    * detected as torn instead of parsed as a smaller valid version. */
+  private[etl] def parseManifest(raw: String): Option[Long] =
+    if (raw.length >= 3 && raw.head == 'v' && raw.last == '\n') {
+      val body = raw.substring(1, raw.length - 1)
+      if (body.nonEmpty && body.forall(_.isDigit)) body.toLongOption.filter(_ > 0)
+      else None
+    } else None
 
   /** Current committed version, if a manifest exists. Throws
-    * [[TornManifestException]] on an empty/unparsable manifest. */
+    * [[TornManifestException]] on an empty/truncated/unparsable manifest. */
   def currentVersion(fs: FileSystem, base: HPath): Option[Long] = {
     val mp = manifestPath(base)
     if (!fs.exists(mp)) None
     else {
       val in = fs.open(mp)
-      val txt =
-        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8").trim
+      val raw =
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
         finally in.close()
-      txt.toLongOption.filter(_ > 0) match {
+      parseManifest(raw) match {
         case some @ Some(_) => some
-        case None => throw new TornManifestException(mp, txt)
+        case None => throw new TornManifestException(mp, raw.trim)
       }
     }
   }
@@ -131,9 +144,24 @@ private[etl] object ManifestCommit {
               System.err.println(s"[compact] ${torn.getMessage}")
               System.err.println(s"[compact] no surviving generation — reverting to base dir")
               fs.delete(torn.manifest, false)
+              if (!fs.exists(base))
+                sys.error(s"compact: torn manifest ${torn.manifest} had no surviving " +
+                  s"generation and the base directory $base is also missing — no data " +
+                  "to fall back to; restore the table from a backup")
           }
           best
       }
+    // Verify the pointer BEFORE any deletion: when the manifest names a
+    // directory that is gone, the pointer is suspect (out-of-band
+    // interference) and the cleanup pass must not touch the remaining
+    // generations — they may be the only surviving data.
+    cur.foreach { v =>
+      val live = versionDir(base, v)
+      if (!fs.exists(live))
+        sys.error(s"compact: manifest ${manifestPath(base)} names $live which does " +
+          "not exist — the committed generation was removed out-of-band; restore it " +
+          "or delete the manifest to fall back to the base directory")
+    }
     listVersionDirs(fs, base).foreach { case (v, p) =>
       if (!cur.contains(v)) {
         System.err.println(s"[compact] discarding ${if (cur.exists(_ > v)) "stale generation" else "dead write"} $p")
@@ -142,26 +170,22 @@ private[etl] object ManifestCommit {
     }
     cur match {
       case Some(v) =>
-        val live = versionDir(base, v)
-        if (!fs.exists(live))
-          sys.error(s"compact: manifest ${manifestPath(base)} names $live which does " +
-            "not exist — the committed generation was removed out-of-band; restore it " +
-            "or delete the manifest to fall back to the base directory")
         // leftover base dir = the first flip's lost cleanup (all loads
         // after the flip resolve to the version dir)
         if (fs.exists(base)) {
           System.err.println(s"[compact] discarding pre-manifest generation $base")
           fs.delete(base, true)
         }
-        live
+        versionDir(base, v)
       case None => base
     }
   }
 
-  /** Commit generation `v`: overwrite the manifest object. One PUT —
-    * the atomic commit point. */
+  /** Commit generation `v`: overwrite the manifest object with the
+    * terminated record `v<N>\n` (see [[parseManifest]]). One PUT — the
+    * atomic commit point. */
   def commit(fs: FileSystem, base: HPath, v: Long): Unit = {
     val out = fs.create(manifestPath(base), true)
-    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    try out.write(s"v$v\n".getBytes("UTF-8")) finally out.close()
   }
 }

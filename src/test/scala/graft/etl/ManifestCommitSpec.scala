@@ -1,0 +1,109 @@
+package graft.etl
+
+import java.nio.file.Files
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit coverage for the manifest/pointer commit's torn-write handling:
+  * the terminated `v<N>\n` record, prefix-torn detection, and the
+  * verify-before-delete ordering that keeps a suspect pointer from
+  * discarding the only surviving generations. Pure-filesystem tests (no
+  * SparkSession) — the protocol is FS-level. */
+class ManifestCommitSpec extends AnyFunSuite {
+
+  private def freshFs(): (FileSystem, HPath) = {
+    val dir = Files.createTempDirectory("graft_mc").toString
+    val base = new HPath(s"file:$dir/tbl")
+    (base.getFileSystem(new Configuration()), base)
+  }
+
+  private def mkGen(fs: FileSystem, base: HPath, v: Long): HPath = {
+    val p = ManifestCommit.versionDir(base, v)
+    fs.mkdirs(p)
+    val out = fs.create(new HPath(p, "part-0.parquet"), true)
+    try out.write("data".getBytes("UTF-8")) finally out.close()
+    p
+  }
+
+  private def writeManifestRaw(fs: FileSystem, base: HPath, raw: String): Unit = {
+    val out = fs.create(ManifestCommit.manifestPath(base), true)
+    try out.write(raw.getBytes("UTF-8")) finally out.close()
+  }
+
+  test("parseManifest: only a complete terminated record parses") {
+    assert(ManifestCommit.parseManifest("v12\n").contains(12L))
+    assert(ManifestCommit.parseManifest("v1\n").contains(1L))
+    // every proper prefix of `v12\n` is torn, including the bare-digits
+    // prefix `v1` that a terminator-less format would accept as v1
+    for (torn <- Seq("", "v", "v1", "v12", "12", "12\n", "v0\n", "v-1\n", "v1x\n", "v\n"))
+      assert(ManifestCommit.parseManifest(torn).isEmpty, s"'$torn' must be torn")
+  }
+
+  test("commit writes the terminated record; currentVersion round-trips") {
+    val (fs, base) = freshFs()
+    fs.mkdirs(base.getParent)
+    ManifestCommit.commit(fs, base, 7)
+    val in = fs.open(ManifestCommit.manifestPath(base))
+    val raw =
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      finally in.close()
+    assert(raw == "v7\n")
+    assert(ManifestCommit.currentVersion(fs, base).contains(7L))
+  }
+
+  test("a prefix-torn manifest re-commits the HIGHEST generation, not the prefix") {
+    val (fs, base) = freshFs()
+    mkGen(fs, base, 1)
+    val g12 = mkGen(fs, base, 12)
+    // crash persisted only `v1` of the intended `v12\n`
+    writeManifestRaw(fs, base, "v1")
+    intercept[ManifestCommit.TornManifestException] {
+      ManifestCommit.currentVersion(fs, base)
+    }
+    val live = ManifestCommit.repair(fs, base)
+    assert(live == g12, "repair must re-point at generation 12, not torn prefix 1")
+    assert(fs.exists(g12), "the real generation must survive")
+    assert(!fs.exists(ManifestCommit.versionDir(base, 1)), "stale gen 1 cleaned up")
+    assert(ManifestCommit.currentVersion(fs, base).contains(12L))
+  }
+
+  test("suspect pointer: repair refuses BEFORE deleting surviving generations") {
+    val (fs, base) = freshFs()
+    val g3 = mkGen(fs, base, 3)
+    // intact manifest names generation 5, which is gone (out-of-band)
+    writeManifestRaw(fs, base, "v5\n")
+    val err = intercept[RuntimeException] { ManifestCommit.repair(fs, base) }
+    assert(err.getMessage.contains("out-of-band"), err.getMessage)
+    assert(fs.exists(g3), "cleanup must not run when the pointer is suspect")
+  }
+
+  test("torn manifest, no surviving generation: falls back to an EXISTING base dir") {
+    val (fs, base) = freshFs()
+    fs.mkdirs(base)
+    writeManifestRaw(fs, base, "")
+    val live = ManifestCommit.repair(fs, base)
+    assert(live == base)
+    assert(!fs.exists(ManifestCommit.manifestPath(base)), "torn manifest deleted")
+  }
+
+  test("torn manifest, no surviving generation, base dir missing: loud error") {
+    val (fs, base) = freshFs()
+    fs.mkdirs(base.getParent)
+    writeManifestRaw(fs, base, "garbage")
+    val err = intercept[RuntimeException] { ManifestCommit.repair(fs, base) }
+    assert(err.getMessage.contains("also missing"), err.getMessage)
+  }
+
+  test("exception guidance names a real CLI invocation (no --repair flag)") {
+    val (fs, base) = freshFs()
+    fs.mkdirs(base.getParent)
+    writeManifestRaw(fs, base, "v9")
+    val err = intercept[ManifestCommit.TornManifestException] {
+      ManifestCommit.currentVersion(fs, base)
+    }
+    assert(!err.getMessage.contains("--repair"), err.getMessage)
+    assert(err.getMessage.contains("compact <table>"), err.getMessage)
+  }
+}
