@@ -19,7 +19,8 @@ object Main {
         |  sync [--months N] [--raw-only] [--dry-run] [--all-accounts] [--as-of YYYY-MM-DD] [--no-file-audit] [--incremental]
         |  compact <table> [--target-mb N]     (parquet warehouse only)
         |  query <sql> [--max-rows N]
-        |  corpus-prep <docs.parquet> <out-dir> [--shards N]   (filter -> dedup -> chunk -> parquet)
+        |  corpus-prep <docs.parquet> <out-dir> [--shards N] [--pack-budget TOKENS]
+        |      (filter -> dedup -> chunk [-> pack into fixed-budget sequences] -> parquet)
         |  list-accounts
         |  test-connection
         |  test-s3
@@ -125,20 +126,31 @@ object Main {
     * → fuzzy dedup over one persisted front → token-window chunking →
     * parquet sink, releasing all pipeline caches after the write
     * ([[graft.ext.CorpusPipeline.prepareAndWrite]]). Input must carry
-    * (doc_id, text). */
+    * (doc_id, text). With `--pack-budget` the sink rows are trainer-ready
+    * fixed-token-budget sequences instead of raw chunks. */
   private def corpusPrep(args: List[String]): Unit = {
-    val (in, out, shards) = args match {
-      case i :: o :: Nil                      => (i, o, None)
-      case i :: o :: "--shards" :: n :: Nil   => (i, o, Some(num(n).toInt))
-      case _                                  => usage()
+    @annotation.tailrec
+    def opts(rest: List[String], shards: Option[Int],
+        budget: Option[Int]): (Option[Int], Option[Int]) = rest match {
+      case Nil                         => (shards, budget)
+      case "--shards" :: n :: t        => opts(t, Some(num(n).toInt), budget)
+      case "--pack-budget" :: n :: t   => opts(t, shards, Some(num(n).toInt))
+      case _                           => usage()
+    }
+    val (in, out, shards, budget) = args match {
+      case i :: o :: rest =>
+        val (s, b) = opts(rest, None, None)
+        (i, o, s, b)
+      case _ => usage()
     }
     val cfg = EngineConfig.fromEnv()
     val spark = session(cfg)
     try {
       val res = graft.ext.CorpusPipeline.prepareAndWrite(
-        spark.read.parquet(in), out, shards = shards)
+        spark.read.parquet(in), out, shards = shards, packBudget = budget)
+      val what = budget.map(b => s"sequences (budget $b)").getOrElse("chunks")
       val how = shards.map(n => s" in $n shards").getOrElse("")
-      println(s"[corpus-prep] ${res.chunksWritten} chunks$how -> ${res.path}")
+      println(s"[corpus-prep] ${res.chunksWritten} $what$how -> ${res.path}")
     } finally spark.stop()
   }
 

@@ -81,6 +81,37 @@ object CorpusPipeline {
 
   final case class WriteResult(chunksWritten: Long, path: String)
 
+  /** Collapse packed chunk rows ([[TextOps.packSequences]] output) into
+    * ONE row per training sequence: `(bucket, seq_id)` → chunk count,
+    * token total, doc-id span, a portable string key `seq_key`
+    * (`"<bucket>:<seq_id>"` — the shard-placement identity), and, when
+    * `textCol` is set, the sequence text assembled from its chunks in
+    * (doc, chunk) order.
+    *
+    * Scale shape: the window in [[TextOps.packSequences]] leaves the
+    * frame hash-partitioned on `bucket`, and `bucket` is a prefix of
+    * this aggregation's grouping key `(bucket, seq_id)` — Spark reuses
+    * the existing partitioning, so the assembly adds NO exchange
+    * (plan-asserted in CorpusPipelineSpec). Each group is bounded by
+    * the token budget (one sequence), so the `collect_list` here is
+    * budget-bounded, never corpus-bounded. */
+  def assembleSequences(packed: DataFrame, docCol: String, chunkCol: String,
+      tokenCol: String, textCol: Option[String] = None): DataFrame = {
+    val baseAggs = Seq(
+      count(lit(1)).cast("long").as("n_chunks"),
+      sum(col(tokenCol)).cast("long").as("seq_tokens"),
+      min(col(docCol)).as("first_doc"),
+      max(col(docCol)).as("last_doc"))
+    val aggs = baseAggs ++ textCol.map(t =>
+      array_join(transform(
+        array_sort(collect_list(struct(col(docCol), col(chunkCol), col(t)))),
+        x => x.getField(t)), " ").as("text"))
+    packed.groupBy(col("bucket"), col("seq_id"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("seq_key",
+        concat(col("bucket").cast("string"), lit(":"), col("seq_id").cast("string")))
+  }
+
   /** The sink-parameterized production path: ONE write action drives
     * the whole flow off the persisted candidate front; the front is
     * released after the action completes. The row count rides the same
@@ -88,19 +119,39 @@ object CorpusPipeline {
     * the write lands as deterministic training shards via
     * [[writeSharded]] (doc-keyed placement, so every chunk of a
     * document stays in one shard; chunk_id breaks within-doc ties so
-    * the on-disk order is total). */
+    * the on-disk order is total).
+    *
+    * With `packBudget` set the sink emits TRAINER-READY SEQUENCES
+    * instead of raw chunks: chunks pack into fixed token-budget
+    * sequences per bucket stream ([[TextOps.packSequences]]), assemble
+    * one row per sequence with its text ([[assembleSequences]] — no
+    * extra exchange, see there), and shard placement keys on the
+    * SEQUENCE identity `seq_key`, so a training shard holds whole
+    * sequences and every run places them identically. A trainer reads
+    * the shard dirs in order and feeds `text`/`seq_tokens` straight
+    * into batch assembly — no padding-wasteful re-packing downstream. */
   def prepareAndWrite(docs: DataFrame, outPath: String,
       mode: String = "overwrite",
       idCol: String = "doc_id", textCol: String = "text",
-      shards: Option[Int] = None): WriteResult = {
+      shards: Option[Int] = None,
+      packBudget: Option[Int] = None, packBuckets: Int = 64): WriteResult = {
     val p = prepare(docs, idCol, textCol)
     try {
+      val (rows, keyCol, tieCols) = packBudget match {
+        case Some(budget) =>
+          val packed = TextOps.packSequences(p.chunks, idCol, "chunk_id",
+            "n_tokens", budget = budget, buckets = packBuckets,
+            keep = Seq("chunk_text"))
+          (assembleSequences(packed, idCol, "chunk_id", "n_tokens",
+            textCol = Some("chunk_text")), "seq_key", Nil)
+        case None => (p.chunks, idCol, Seq("chunk_id"))
+      }
       shards match {
         case Some(n) =>
-          writeSharded(p.chunks, outPath, n, idCol, mode, tieCols = Seq("chunk_id"))
+          writeSharded(rows, outPath, n, keyCol, mode, tieCols = tieCols)
         case None =>
           val obs = Observation()
-          p.chunks.observe(obs, count(lit(1)).as("rows"))
+          rows.observe(obs, count(lit(1)).as("rows"))
             .write.mode(mode).parquet(outPath)
           WriteResult(obs.get("rows").asInstanceOf[Long], outPath)
       }

@@ -1442,9 +1442,62 @@ object ExtQueries {
         CAST(COUNT(*) AS BIGINT) AS n_tokens
       FROM ids GROUP BY doc_id ORDER BY doc_id"""))
 
+  // E4 (trainer handoff): pack-then-shard — e39's bucketed packing
+  // composed with e42's deterministic placement, keyed on the SEQUENCE
+  // identity. Chunks (e29 geometry, overlap 0) pack into fixed
+  // 256-token sequences per bucket stream; each sequence collapses to
+  // one row (count, token total, doc span) WITHOUT a new exchange (the
+  // packing window already clusters on bucket, a prefix of the
+  // grouping key); placement hashes the portable "<bucket>:<seq_id>"
+  // key so every run lands sequences in the same shard at the same
+  // position. The oracle restates the whole composition — packing
+  // arithmetic, the per-sequence aggregate and the placement hash —
+  // in version-stable BIGINT casts (every HUGEINT-producing window
+  // sum, floor division and COUNT/SUM is cast explicitly).
+  val e46 = Q(
+    "e46_packed_shards",
+    (s, d) => {
+      val packed = TextOps.packSequences(
+        TextOps.chunk(T.documents(s, d), "doc_id", "text",
+          chunkTokens = 64, overlapTokens = 0),
+        "doc_id", "chunk_id", "n_tokens", budget = 256, buckets = 8)
+      val seqs = CorpusPipeline.assembleSequences(packed, "doc_id", "chunk_id", "n_tokens")
+      Sampling.shardAssign(seqs, "seq_key", nShards = 4)
+        .select(col("bucket"), col("seq_id"), col("n_chunks"), col("seq_tokens"),
+          col("first_doc"), col("last_doc"), col("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos"))
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      st AS (SELECT doc_id, ws, t.s AS start,
+          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY t.s) - 1 AS chunk_id
+        FROM w, UNNEST(range(0, greatest(len(ws), 1), 64)) AS t(s)),
+      ch AS (SELECT doc_id, chunk_id,
+          CAST(LEAST(64, len(ws) - start) AS BIGINT) AS n_tokens FROM st),
+      b AS (SELECT doc_id, chunk_id, n_tokens,
+          CAST(CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 8 AS INT)
+            AS bucket FROM ch),
+      p AS (SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY bucket
+            ORDER BY doc_id, chunk_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS tokens_before
+        FROM b),
+      seqs AS (SELECT bucket, CAST(tokens_before // 256 AS BIGINT) AS seq_id,
+          CAST(COUNT(*) AS BIGINT) AS n_chunks,
+          CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+          MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        FROM p GROUP BY bucket, CAST(tokens_before // 256 AS BIGINT)),
+      k AS (SELECT *,
+          CAST(bucket AS VARCHAR) || ':' || CAST(seq_id AS VARCHAR) AS seq_key
+        FROM seqs),
+      hk AS (SELECT *, CAST(('0x'||substr(md5(seq_key),1,6)) AS BIGINT) AS h FROM k)
+      SELECT bucket, seq_id, n_chunks, seq_tokens, first_doc, last_doc,
+        CAST(h % 4 AS INT) AS shard,
+        CAST(ROW_NUMBER() OVER (PARTITION BY h % 4 ORDER BY h, seq_key) AS BIGINT) AS pos
+      FROM hk ORDER BY shard, pos"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
       e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41, e42, e43, e44,
-      e45)
+      e45, e46)
 }

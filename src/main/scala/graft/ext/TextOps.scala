@@ -433,7 +433,8 @@ object TextOps {
     * pack marginally tighter but is inherently sequential — the greedy
     * bucket-stream shape is what parallelizes to 100 TB. */
   def packSequences(chunks: DataFrame, docCol: String, chunkCol: String,
-      tokenCol: String, budget: Int, buckets: Int = 64): DataFrame = {
+      tokenCol: String, budget: Int, buckets: Int = 64,
+      keep: Seq[String] = Nil): DataFrame = {
     require(budget > 0 && buckets > 0,
       s"packing geometry out of range: budget=$budget buckets=$buckets")
     import org.apache.spark.sql.expressions.Window
@@ -446,7 +447,7 @@ object TextOps {
           .cast(IntegerType))
       .withColumn("__before", coalesce(sum(col(tokenCol)).over(w), lit(0L)))
       .withColumn("seq_id", expr(s"__before div $budget").cast(LongType))
-      .select(col(docCol), col(chunkCol), col("bucket"), col("seq_id"),
-        col(tokenCol))
+      .select((Seq(col(docCol), col(chunkCol), col("bucket"), col("seq_id"),
+        col(tokenCol)) ++ keep.map(col)): _*)
   }
 }

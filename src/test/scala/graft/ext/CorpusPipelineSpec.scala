@@ -69,6 +69,74 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(split == 0, s"$split documents split across shards")
   }
 
+  test("pack-then-shard: trainer-ready sequences — budget, placement and assembly invariants") {
+    val docs = T.documents(spark, "/root/testdata/sf0.01")
+    val out = Files.createTempDirectory("graft_packed_out").toString + "/seqs"
+    val before = cachedRddIds
+    val budget = 256
+    val res = CorpusPipeline.prepareAndWrite(docs, out,
+      shards = Some(4), packBudget = Some(budget))
+    assert(res.chunksWritten > 0)
+    assert((cachedRddIds -- before).isEmpty, "no cache survives the packed run")
+
+    val seqs = spark.read.parquet(out)
+    assert(seqs.count() == res.chunksWritten)
+    assert(seqs.columns.toSet == Set("bucket", "seq_id", "n_chunks", "seq_tokens",
+      "first_doc", "last_doc", "text", "seq_key", "shard"))
+
+    // budget invariants of greedy-sequential packing with chunks of at
+    // most chunkTokens (the prepare() default geometry, 64): a sequence
+    // overflows by at most one chunk (< budget + chunkTokens), and every
+    // sequence except possibly the LAST of each bucket stream holds at
+    // least budget - (chunkTokens - 1) tokens (its start can sit up to
+    // chunkTokens - 1 past the boundary from the previous overflow, and
+    // it runs to at least the next boundary)
+    val chunkTokens = 64
+    val over = seqs.filter(col("seq_tokens") >= budget + chunkTokens).count()
+    assert(over == 0, s"$over sequences exceed the bounded-overflow budget")
+    val maxSeq = seqs.groupBy("bucket").agg(max(col("seq_id")).as("last_seq"))
+    val short = seqs.join(maxSeq, "bucket")
+      .filter(col("seq_id") =!= col("last_seq"))
+      .filter(col("seq_tokens") < budget - (chunkTokens - 1)).count()
+    assert(short == 0, s"$short non-terminal sequences under the packing floor")
+
+    // conservation: the sequences hold exactly the chunks the unpacked
+    // flow writes — chunk count and token totals match
+    val flat = Files.createTempDirectory("graft_packed_flat").toString + "/chunks"
+    val f = CorpusPipeline.prepareAndWrite(docs, flat)
+    val chunks = spark.read.parquet(flat)
+    val Seq(nChunks, nTokens) = seqs
+      .agg(sum(col("n_chunks")), sum(col("seq_tokens"))).head().toSeq.map(_.asInstanceOf[Long])
+    assert(nChunks == f.chunksWritten, "every chunk packed exactly once")
+    assert(nTokens == chunks.agg(sum(col("n_tokens"))).head().getLong(0),
+      "token totals conserved through packing")
+
+    // placement identity: shard == portableHash24(seq_key) % 4 (the e42
+    // contract keyed on the sequence), so placement is reproducible
+    val mism = seqs.withColumn("expected",
+        (Dedup.portableHash24(col("seq_key")) % 4).cast("int"))
+      .filter(col("shard") =!= col("expected")).count()
+    assert(mism == 0, s"$mism sequences placed off the e42 contract")
+
+    // assembled text is real: token count of the text equals seq_tokens
+    val badText = seqs.filter(
+      size(split(col("text"), " ")) =!= col("seq_tokens")).count()
+    assert(badText == 0, s"$badText sequences whose text disagrees with seq_tokens")
+  }
+
+  test("assembleSequences adds no exchange past the packing window") {
+    val docs = T.documents(spark, sf001)
+    val packed = TextOps.packSequences(
+      TextOps.chunk(docs, "doc_id", "text", chunkTokens = 64, overlapTokens = 0),
+      "doc_id", "chunk_id", "n_tokens", budget = 256, buckets = 8)
+    val seqs = CorpusPipeline.assembleSequences(packed, "doc_id", "chunk_id", "n_tokens")
+    val plan = seqs.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1,
+      s"sequence assembly must reuse the packing window's bucket partitioning " +
+        s"(ONE exchange total), got $exchanges:\n${plan.take(2000)}")
+  }
+
   test("writeSharded: shard dirs partition the corpus exactly as the e42 contract") {
     val docs = T.documents(spark, "/root/testdata/sf0.01")
     val out = Files.createTempDirectory("graft_shard_out").toString + "/shards"
