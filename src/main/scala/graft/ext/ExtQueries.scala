@@ -1495,9 +1495,31 @@ object ExtQueries {
         CAST(ROW_NUMBER() OVER (PARTITION BY h % 4 ORDER BY h, seq_key) AS BIGINT) AS pos
       FROM hk ORDER BY shard, pos"""))
 
+  // E3 (index lifecycle): build-once/serve-many — e37's IVF-PQ tier
+  // split at the production seam: TRAIN + ENCODE persist as parquet
+  // index tables (codes partitioned by cell = the inverted lists on
+  // disk, centroids, codebooks, meta), then the SERVE path loads the
+  // small model (nlist + m·ksub rows) and answers the query batch from
+  // the codes table alone — zero training scans, no retraining
+  // (plan-asserted in spec). Same geometry and arithmetic as e37, so
+  // the serve results hash-check against the SAME oracle restatement:
+  // the round-trip through parquet is the contract under test (f32/f64
+  // and packed int64 codes round-trip bit-exactly).
+  val e47 = Q(
+    "e47_ann_index_serve",
+    (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_e47_idx").toString
+      Similarity.buildIndex(T.embeddings(s, d), dir,
+        nlist = 64, m = 16, ksub = 64, pqIters = 2)
+      val idx = Similarity.loadIndex(s, dir)
+      Similarity.queryIndex(idx,
+        T.embeddings(s, d).filter(col("vec_id") < 10), k = 5, nprobe = 8)
+    },
+    e37.oracle)
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
       e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41, e42, e43, e44,
-      e45, e46)
+      e45, e46, e47)
 }

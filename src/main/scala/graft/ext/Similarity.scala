@@ -422,14 +422,33 @@ object Similarity {
     * codegen'd [[graft.functions.PqAdc]] shift/mask/lookup loop —
     * the scoring join stays inside whole-stage codegen. Recall vs
     * the un-quantized IVF of the same geometry is pinned in spec. */
+  /** A trained IVF-PQ model: coarse centroids (cid, vector, norm) and
+    * the flat codebook matrix `books[((j·ksub)+c)·dsub + i]`. Small by
+    * construction (nlist·dim + m·ksub·dsub floats) — rides the plan as
+    * reference objects, persists as a few hundred parquet rows. */
+  private[ext] final case class IvfPqModel(
+      cents: Array[(Int, Seq[Float], Double)], books: Array[Float],
+      dim: Int, dsub: Int, nlist: Int, m: Int, ksub: Int)
+
   def ivfPqTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 64, nprobe: Int = 8, m: Int = 8, ksub: Int = 16,
       pqIters: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val mod = trainIvfPq(corpus, nlist, m, ksub, pqIters, idCol, vecCol)
+    scoreWithModel(encodeWithModel(corpus, mod, idCol, vecCol),
+      queries, mod, k, nprobe, idCol, vecCol)
+  }
+
+  /** Training pass of [[ivfPqTopK]]: the hash-order seed draw, the
+    * per-subvector Lloyd refinement of the codebooks. Driver state is
+    * bounded (nlist rows + m·ksub·dsub scalars per pass). */
+  private[ext] def trainIvfPq(
+      corpus: DataFrame, nlist: Int, m: Int, ksub: Int, pqIters: Int,
+      idCol: String, vecCol: String): IvfPqModel = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    require(k > 0 && nlist > 0 && nprobe > 0 && m > 0 && ksub > 0 && ksub <= nlist,
-      s"ivfpq geometry out of range: k=$k nlist=$nlist nprobe=$nprobe m=$m ksub=$ksub")
+    require(nlist > 0 && m > 0 && ksub > 0 && ksub <= nlist,
+      s"ivfpq geometry out of range: nlist=$nlist m=$m ksub=$ksub")
     val picked = corpus
       .select(col(idCol).cast(LongType).as("__id"), col(vecCol).as("__ce"))
       .orderBy(Dedup.portableHash64(col("__id").cast(StringType)), col("__id"))
@@ -493,35 +512,50 @@ object Similarity {
       }
       next
     }
-    val centsFlat = typedLit(cents.flatMap(_._2).toSeq)
-    val centNorms = typedLit(cents.map(_._3).toSeq)
-    def cells(vec: Column, vn: Column, n: Int): Column =
-      call_function("graft_ivf_cells", vec, vn, centsFlat, centNorms, lit(n), lit(dim))
-    // candidate state = cid + id + PACKED codes + reconstructed norm:
-    // 2 longs of codes at the declared m=16/ksub=64 instead of 256 bytes
-    // of f32 (or 64+ bytes of unpacked ints) — the storage form the
-    // 100 TB claim is about, and what the probe join actually carries
-    val encoded = corpus
-      .withColumn("__enc", pq(books)(col(vecCol)))
+    IvfPqModel(cents, books, dim, dsub, nlist, m, ksub)
+  }
+
+  private def modelCells(mod: IvfPqModel)(vec: Column, vn: Column, n: Int): Column =
+    call_function("graft_ivf_cells", vec, vn,
+      typedLit(mod.cents.flatMap(_._2).toSeq),
+      typedLit(mod.cents.map(_._3).toSeq), lit(n), lit(mod.dim))
+
+  /** Encode pass of [[ivfPqTopK]]: candidate state = cid + id + PACKED
+    * codes + reconstructed norm — 2 longs of codes at the declared
+    * m=16/ksub=64 geometry instead of 256 bytes of f32 (or 64+ bytes of
+    * unpacked ints): the storage form the 100 TB claim is about, and
+    * what the probe join actually carries. */
+  private[ext] def encodeWithModel(corpus: DataFrame, mod: IvfPqModel,
+      idCol: String, vecCol: String): DataFrame =
+    corpus
+      .withColumn("__enc", call_function("graft_pq_encode", col(vecCol),
+        typedLit(mod.books.toSeq), lit(mod.m), lit(mod.ksub), lit(mod.dsub)))
       .select(col(idCol),
-        element_at(cells(col(vecCol), l2norm(col(vecCol)), 1), 1).as("cid"),
+        element_at(modelCells(mod)(col(vecCol), l2norm(col(vecCol)), 1), 1).as("cid"),
         col("__enc.packed").as("packed"), col("__enc.rnorm").as("__rnorm"))
+
+  /** Probe-and-score pass of [[ivfPqTopK]] over an already-encoded
+    * candidate table (from [[encodeWithModel]] or a persisted index).
+    * The scoring kernel is the native codegen'd shift/mask/lookup loop
+    * over the packed codes (graft_pq_adc) — the hot path of the probe
+    * join; the HOF formulation of the same fold ran interpreted per
+    * candidate. Identical j-ascending f64 accumulation, so the oracle
+    * restatement (Σ of per-subspace dots in j order) is bit-for-bit. */
+  private[ext] def scoreWithModel(encoded: DataFrame, queries: DataFrame,
+      mod: IvfPqModel, k: Int, nprobe: Int,
+      idCol: String, vecCol: String): DataFrame = {
+    require(k > 0 && nprobe > 0, s"ivfpq probe out of range: k=$k nprobe=$nprobe")
     val probed = queries
       .select(col(idCol).as("qid"), col(vecCol).as("__qe"),
         l2norm(col(vecCol)).as("__qn"))
       .withColumn("lut", call_function("graft_pq_lut", col("__qe"),
-        typedLit(books.toSeq), lit(m), lit(ksub), lit(dsub)))
-      .withColumn("cid", explode(cells(col("__qe"), col("__qn"), nprobe)))
+        typedLit(mod.books.toSeq), lit(mod.m), lit(mod.ksub), lit(mod.dsub)))
+      .withColumn("cid", explode(modelCells(mod)(col("__qe"), col("__qn"), nprobe)))
       .select(col("qid"), col("__qn"), col("lut"), col("cid"))
-    // scoring kernel: native codegen'd shift/mask/lookup loop over the
-    // packed codes (graft_pq_adc) — the hot path of the probe join; the
-    // HOF formulation of the same fold ran interpreted per candidate.
-    // Identical j-ascending f64 accumulation, so the oracle restatement
-    // (Σ of per-subspace dots in j order) is unchanged bit-for-bit.
     val scored = encoded.join(broadcast(probed), Seq("cid"))
       .filter(col("qid") =!= col(idCol))
       .withColumn("adc",
-        call_function("graft_pq_adc", col("packed"), col("lut"), lit(m), lit(ksub))
+        call_function("graft_pq_adc", col("packed"), col("lut"), lit(mod.m), lit(mod.ksub))
           / (col("__qn") * col("__rnorm")))
     val w = Window.partitionBy(col("qid")).orderBy(col("adc").desc, col(idCol))
     scored
@@ -530,4 +564,79 @@ object Similarity {
       .select(col("qid"), col(idCol), col("adc"), col("rn"))
       .orderBy(col("qid"), col("rn"))
   }
+
+  /** A persisted IVF-PQ index loaded for serving: the small model
+    * (centroids + codebooks, driver-side) plus the packed-codes table
+    * as a LAZY DataFrame over the index's parquet — the only big side,
+    * never collected. */
+  final case class IvfPqIndex private[ext] (
+      private[ext] val model: IvfPqModel, idCol: String, codes: DataFrame)
+
+  /** Build an IVF-PQ index ONCE and persist it as parquet tables —
+    * the extract side of the extract-vs-serve split a real deployment
+    * runs (train nightly over the 100 TB corpus, serve many query
+    * batches against the artifact; the reference splits its pipeline
+    * the same way, reference README.md:124-141).
+    *
+    * Layout under `path`:
+    *  - `codes/` — (id, packed, rnorm) partitioned BY CELL (`cid=`):
+    *    the inverted lists materialized as partition dirs, so a future
+    *    cell-pruned reader can skip cold cells; the big table.
+    *  - `centroids/` — nlist rows (cid, vec, norm).
+    *  - `codebooks/` — m·ksub rows (j, c, w).
+    *  - `meta/` — one row of geometry + the id column name.
+    * Training arithmetic is EXACTLY [[ivfPqTopK]]'s (same draw, same
+    * Lloyd passes), so serve results match the in-query flavor row for
+    * row — e47 is hash-checked against e37's oracle restatement. */
+  def buildIndex(corpus: DataFrame, path: String,
+      nlist: Int = 64, m: Int = 8, ksub: Int = 16, pqIters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val mod = trainIvfPq(corpus, nlist, m, ksub, pqIters, idCol, vecCol)
+    encodeWithModel(corpus, mod, idCol, vecCol)
+      .withColumnRenamed("__rnorm", "rnorm")
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/codes")
+    mod.cents.toSeq.toDF("cid", "vec", "norm")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    (for (j <- 0 until mod.m; c <- 0 until mod.ksub) yield (j, c,
+      (0 until mod.dsub).map(i => mod.books((j * mod.ksub + c) * mod.dsub + i))))
+      .toDF("j", "c", "w")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    Seq((mod.nlist, mod.m, mod.ksub, mod.dsub, mod.dim, idCol))
+      .toDF("nlist", "m", "ksub", "dsub", "dim", "id_col")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a persisted index for serving. Driver state is the SMALL side
+    * only (nlist centroids + m·ksub codebook rows); the codes table
+    * stays a lazy parquet scan. */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfPqIndex = {
+    graft.functions.GraftFunctions.register(spark)
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val (nlist, m, ksub, dsub, dim) = (meta.getInt(0), meta.getInt(1),
+      meta.getInt(2), meta.getInt(3), meta.getInt(4))
+    val idCol = meta.getString(5)
+    val cents = spark.read.parquet(s"$path/centroids").collect() // bounded: nlist rows
+      .map(r => (r.getInt(0), r.getSeq[Float](1), r.getDouble(2))).sortBy(_._1)
+    require(cents.length == nlist, s"index at $path: ${cents.length} centroids, meta says $nlist")
+    val books = Array.ofDim[Float](m * ksub * dsub)
+    spark.read.parquet(s"$path/codebooks").collect() // bounded: m·ksub rows
+      .foreach { r =>
+        val (j, c, w) = (r.getInt(0), r.getInt(1), r.getSeq[Float](2))
+        for (i <- 0 until dsub) books((j * ksub + c) * dsub + i) = w(i)
+      }
+    val codes = spark.read.parquet(s"$path/codes")
+      .select(col(idCol), col("cid").cast(IntegerType).as("cid"),
+        col("packed"), col("rnorm").as("__rnorm"))
+    IvfPqIndex(IvfPqModel(cents, books, dim, dsub, nlist, m, ksub), idCol, codes)
+  }
+
+  /** Serve a query batch against a persisted index: probe → LUT → ADC
+    * → rank, reading ONLY the index tables — zero scans of the training
+    * corpus (spec-asserted), no retraining. Same output contract as
+    * [[ivfPqTopK]]. */
+  def queryIndex(index: IvfPqIndex, queries: DataFrame, k: Int,
+      nprobe: Int = 8, vecCol: String = "embedding"): DataFrame =
+    scoreWithModel(index.codes, queries, index.model, k, nprobe, index.idCol, vecCol)
 }

@@ -491,6 +491,34 @@ class DedupSimilaritySpec extends SparkSpec {
       s"plan text grew with codebook size: ${small.length} -> ${large.length} chars")
   }
 
+  test("E3: persisted IVF-PQ index serves the exact in-query results; zero training scans") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_spec").toString
+    Similarity.buildIndex(embs, dir, nlist = 64, m = 16, ksub = 64, pqIters = 2)
+    val q = embs.filter(col("vec_id") < 10)
+    val inQuery = Similarity.ivfPqTopK(embs, q, 5, nlist = 64, nprobe = 8,
+      m = 16, ksub = 64, pqIters = 2).collect()
+    val idx = Similarity.loadIndex(spark, dir)
+    val served = Similarity.queryIndex(idx, q, k = 5, nprobe = 8).collect()
+    assert(served.toSeq == inQuery.toSeq,
+      "served results must equal the in-query flavor row for row")
+
+    // build-once/serve-many: the serve plan reads the index's codes
+    // parquet and the query batch ONLY — with an in-memory query batch,
+    // no scan of the training corpus appears anywhere in the plan
+    import spark.implicits._
+    val qmem = q.collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .toSeq.toDF("vec_id", "embedding")
+    val servePlan = Similarity.queryIndex(idx, qmem, k = 5, nprobe = 8)
+      .queryExecution.executedPlan.toString
+    assert(servePlan.contains("codes"), s"serve plan must scan the index codes:\n${servePlan.take(800)}")
+    assert(!servePlan.contains("embeddings.parquet"),
+      "serve plan must not rescan the training corpus")
+    // the codes layout IS the inverted file: one partition dir per cell
+    val cellDirs = new java.io.File(s"$dir/codes").listFiles()
+      .filter(_.isDirectory).map(_.getName).count(_.startsWith("cid="))
+    assert(cellDirs == 64, s"expected 64 cid= partition dirs, got $cellDirs")
+  }
+
   test("E3: LSH dup pairs are a subset of exact dup pairs with identical cosines") {
     val slice = embs.filter(col("vec_id") < 1000)
     def toMap(df: org.apache.spark.sql.DataFrame) =
