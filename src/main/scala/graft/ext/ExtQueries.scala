@@ -1517,9 +1517,61 @@ object ExtQueries {
     },
     e37.oracle)
 
+  /** One BPE training round as oracle SQL: pair counts over `in`'s
+    * symbol sequences (corpus-count weighted), the top pair by
+    * (count desc, pair), and the merged sequences as `out`. The merge
+    * application is the same padded double `replace` the Spark side
+    * runs ([[TextOps.bpeApplyMerge]]) — plain-string replace has
+    * identical leftmost/non-overlapping semantics in both engines.
+    * Every CTE is MATERIALIZED and the winner is applied via a CROSS
+    * JOIN of the one-row `top_$n`: with default (inlined) CTEs and
+    * scalar subqueries, each round re-expands the whole chain below it
+    * and planning goes exponential in the round count — 6 rounds hang
+    * the planner; materialized + single-reference plans in <1 s. */
+  private def bpeRoundSql(n: Int, in: String, out: String): String = s"""
+      pc_$n AS MATERIALIZED (SELECT ws[i] || ' ' || ws[i+1] AS pair,
+          CAST(SUM(n) AS BIGINT) AS cnt
+        FROM (SELECT n, string_split(seq, ' ') AS ws FROM $in),
+          UNNEST(range(1, len(ws))) AS t(i)
+        GROUP BY pair),
+      top_$n AS MATERIALIZED (SELECT pair, cnt, replace(pair, ' ', '') AS merged
+        FROM pc_$n ORDER BY cnt DESC, pair LIMIT 1),
+      $out AS MATERIALIZED (SELECT term, n,
+          trim(replace(replace(' ' || seq || ' ',
+            ' ' || t.pair || ' ', ' ' || t.merged || ' '),
+            ' ' || t.pair || ' ', ' ' || t.merged || ' ')) AS seq
+        FROM $in CROSS JOIN top_$n AS t)"""
+
+  // E4 (subword tokenizer training): distributed BPE merge learning —
+  // the step above e44's word vocabulary a real tokenizer ships. The
+  // word front is e16's pre-tokenizer classes (lowercased letter/digit
+  // runs — clean [a-z0-9] alphabet, so the space separator can never
+  // collide with a symbol), seeded at single characters; 6 rounds of
+  // pair-count → top-pair merge, ties on the pair text. Per round the
+  // Spark side does ONE exchange + a single-row collect (spec-pinned);
+  // the oracle restates every round as chained CTEs over the identical
+  // primitives (regexp word classes, lateral-unnest pair explode,
+  // padded double replace).
+  val e48 = Q(
+    "e48_bpe_merges",
+    (s, d) => TextOps.bpeMerges(T.documents(s, d), "text", rounds = 6)
+      .orderBy(col("round")),
+    Some(s"""WITH wc AS MATERIALIZED (SELECT term, COUNT(*) AS n FROM (
+          SELECT tok AS term FROM
+            (SELECT regexp_extract_all(lower(text), '[a-z]+|[0-9]+') AS rs
+             FROM documents), UNNEST(rs) AS u(tok))
+        GROUP BY term),
+      w0 AS MATERIALIZED (SELECT term, n,
+          array_to_string(regexp_extract_all(term, '.'), ' ') AS seq FROM wc),
+      ${(1 to 6).map(i => bpeRoundSql(i, s"w${i - 1}", s"w$i")).mkString(",\n")}
+      ${(1 to 6).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS round, pair, merged, cnt AS freq FROM top_$i")
+        .mkString("\nUNION ALL ")}
+      ORDER BY round"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
       e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41, e42, e43, e44,
-      e45, e46, e47)
+      e45, e46, e47, e48)
 }

@@ -395,6 +395,91 @@ object TextOps {
         x => x.getField("tid")).as("token_ids"))
   }
 
+  /** BPE word front: word-TYPE counts with each type's symbol sequence
+    * seeded at single characters. Words are e16's pre-tokenizer classes
+    * (lowercased letter runs and digit runs — the alternation both Java
+    * regex and RE2 read identically), so the symbol alphabet is clean
+    * [a-z0-9] and the sequence separator (space) can never collide with
+    * a symbol. ONE exchange (the term agg); the result is bounded by
+    * the vocabulary of word TYPES, not the corpus — the standard reason
+    * BPE training scales: every later round works on this table. */
+  private[ext] def bpeWordFront(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(regexp_extract_all(lower(col(textCol)),
+        lit("[a-z]+|[0-9]+"), lit(0))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .withColumn("seq",
+        concat_ws(" ", filter(split(col("term"), ""), x => length(x) > 0)))
+
+  /** One BPE round's pair distribution: adjacent symbol pairs of every
+    * word type, weighted by the type's corpus count. The pair is
+    * represented AS its space-joined text ("a b") — exactly the search
+    * string [[bpeApplyMerge]] uses. ONE exchange (the pair agg); the
+    * top-1 a caller takes from this is TakeOrderedAndProject, not a
+    * global sort. */
+  private[ext] def bpePairCounts(cur: DataFrame): DataFrame =
+    cur.select(col("n"), split(col("seq"), " ").as("ws"))
+      .select(col("n"), explode(transform(
+        slice(col("ws"), lit(1), size(col("ws")) - 1),
+        (x, i) => concat(x, lit(" "), element_at(col("ws"), i + lit(2))))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("n")).cast(LongType).as("cnt"))
+
+  /** Apply one merge to every word type's symbol sequence — map-only.
+    * Semantics: separator-padded plain-string replace, run twice.
+    * `replace` scans leftmost-first, non-overlapping, continuing AFTER
+    * each replacement in Spark and DuckDB alike, so the oracle restates
+    * the application verbatim. The padding makes the pair match WHOLE
+    * symbols only (a symbol ending in "a" can never match pair "a b");
+    * the second pass catches occurrences whose leading space the
+    * previous replacement consumed. Equivalent to the classic greedy
+    * left-to-right scan for every pair with distinct symbols; for a
+    * self-pair (a,a) inside an odd run it can differ from the classic
+    * scan in which residual symbol is left unmerged — deterministic and
+    * identical on both engines, which is the property that matters. */
+  private[ext] def bpeApplyMerge(cur: DataFrame, pair: String): DataFrame = {
+    val merged = pair.replace(" ", "")
+    def rep(c: Column): Column =
+      call_function("replace", c, lit(s" $pair "), lit(s" $merged "))
+    cur.withColumn("seq",
+      trim(rep(rep(concat(lit(" "), col("seq"), lit(" "))))))
+  }
+
+  final case class BpeMerge(round: Long, pair: String, merged: String, freq: Long)
+
+  /** Distributed BPE merge training — the subword-tokenizer step above
+    * [[vocabulary]]'s word level: `rounds` iterations of count-adjacent-
+    * pairs → merge-the-top-pair over the word-type front, ties on the
+    * pair text. Per round: ONE exchange (the pair agg, plan-asserted)
+    * plus a single-row driver collect of the winner — the same bounded-
+    * collect discipline as the IVF Lloyd passes. The front persists
+    * across rounds (word types, not corpus rows); released before
+    * returning. Returns the merge table (round, pair, merged, freq) —
+    * the artifact a tokenizer ships. */
+  def bpeMerges(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds > 0, s"bpe rounds out of range: $rounds")
+    val spark = df.sparkSession
+    val front = bpeWordFront(df, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val merges = Seq.newBuilder[BpeMerge]
+      var cur = front
+      var r = 1
+      var dry = false
+      while (r <= rounds && !dry) {
+        val top = bpePairCounts(cur)
+          .orderBy(col("cnt").desc, col("pair")).limit(1).collect()
+        if (top.isEmpty) dry = true // every word fully merged: nothing left
+        else {
+          val (p, c) = (top(0).getString(0), top(0).getLong(1))
+          merges += BpeMerge(r.toLong, p, p.replace(" ", ""), c)
+          cur = bpeApplyMerge(cur, p)
+          r += 1
+        }
+      }
+      import spark.implicits._
+      merges.result().toDF("round", "pair", "merged", "freq")
+    } finally { front.unpersist(blocking = false); () }
+  }
+
   /** Content fingerprint: md5 of the case-folded text — the exact-dup
     * key for E1 at scale (hash once, group by 16 bytes, never by the
     * full text). */

@@ -456,4 +456,62 @@ class TextMultimodalSpec extends SparkSpec {
       .select(col("o").cast("long")).as[Long].collect().toList
     assert(offs == List(0L, 4L, 8L))
   }
+
+  test("bpe merges: hand-computed rounds, count weighting, dry stop") {
+    import spark.implicits._
+    // word types: aa ×2, ab ×1 → pairs round 1: (a a)=2, (a b)=1.
+    // After merging (a a): aa is one symbol, only (a b)=1 remains.
+    // Round 3 has no pairs left → training stops early (dry).
+    val docs = Seq((1L, "aa ab"), (2L, "aa")).toDF("doc_id", "text")
+    val m = TextOps.bpeMerges(docs, "text", rounds = 5)
+      .as[(Long, String, String, Long)].collect().toList
+    assert(m == List((1L, "a a", "aa", 2L), (2L, "a b", "ab", 1L)))
+  }
+
+  test("bpe merges: later rounds merge previously-merged symbols") {
+    import spark.implicits._
+    // abc ×3: round 1 merges (a b) and (b c) tie at 3 → tie-break on
+    // pair text picks "a b"; round 2 merges (ab c) — a merged symbol
+    // participating as a unit, the composition property of BPE.
+    val docs = Seq((1L, "abc abc abc")).toDF("doc_id", "text")
+    val m = TextOps.bpeMerges(docs, "text", rounds = 2)
+      .as[(Long, String, String, Long)].collect().toList
+    assert(m == List((1L, "a b", "ab", 3L), (2L, "ab c", "abc", 3L)))
+  }
+
+  test("bpe merge application: self-pair on odd run is deterministic") {
+    import spark.implicits._
+    // "aaa" under merge (a a): the padded double replace leaves "aa a"
+    // (leftmost-first, non-overlapping) — same on both engines.
+    val cur = Seq(("aaa", 1L, "a a a"), ("aaaa", 1L, "a a a a"))
+      .toDF("term", "n", "seq")
+    val out = TextOps.bpeApplyMerge(cur, "a a")
+      .select("term", "seq").as[(String, String)].collect().toMap
+    assert(out("aaa") == "aa a")
+    assert(out("aaaa") == "aa aa")
+  }
+
+  test("bpe scale shape: one exchange per pair-count round, map-only merge") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf001)
+    val front = TextOps.bpeWordFront(docs, "text")
+    // the front itself is ONE exchange (the term agg)
+    val frontPlan = front.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(frontPlan).size == 1,
+      s"word front must aggregate in one exchange:\n${frontPlan.take(1200)}")
+    // each round's pair distribution adds exactly ONE more exchange
+    // (the pair agg); the top-1 is TakeOrderedAndProject, not a sort
+    val top = TextOps.bpePairCounts(front)
+      .orderBy(col("cnt").desc, col("pair")).limit(1)
+    val topPlan = top.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(topPlan).size == 2,
+      s"pair count must add one exchange over the front:\n${topPlan.take(1200)}")
+    assert(topPlan.contains("TakeOrderedAndProject"),
+      "top pair must be TakeOrderedAndProject, not a global sort")
+    // applying a merge is map-only: no exchange beyond the front's own
+    val appliedPlan = TextOps.bpeApplyMerge(front, "e r")
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(appliedPlan).size == 1,
+      s"merge application must be map-only:\n${appliedPlan.take(1200)}")
+  }
 }
