@@ -1569,9 +1569,46 @@ object ExtQueries {
         .mkString("\nUNION ALL ")}
       ORDER BY round"""))
 
+  // E4 (streaming drain): exactly-once parquet sink under at-least-once
+  // redelivery. The document stream drains through the manifest-ledger
+  // sink ([[graft.streaming.ExactlyOnce]]); then the FULL input is
+  // re-offered at an already-committed batch id — the crash-replay
+  // shape — and must be skipped. The committed table aggregates against
+  // the plain batch oracle: one double-written batch and every count in
+  // the hash doubles.
+  val e49 = Q(
+    "e49_stream_exactly_once",
+    (outer, d) => {
+      val s = graft.streaming.StateBackend.isolatedStreamSession(outer)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_e49").toString
+      val sink = s"$tmp/docs"
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val src = s.readStream.schema(schema).parquet(s"$d/documents.parque[t]")
+      val q = graft.streaming.StreamingSync.availableNow(
+        graft.streaming.ExactlyOnce.parquetSink(src, sink), s"$tmp/ckpt").start()
+      q.awaitTermination()
+      val base = new org.apache.hadoop.fs.Path(sink)
+      val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val last = graft.streaming.ExactlyOnce.lastCommitted(fs, base)
+        .getOrElse(sys.error("e49: drain committed no batch"))
+      val replayed = graft.streaming.ExactlyOnce.commitBatch(
+        s.read.parquet(s"$d/documents.parquet"), sink, last)
+      require(!replayed, "e49: replay of a committed batch id must be skipped")
+      graft.streaming.ExactlyOnce.readCommitted(s, sink)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+          sum(length(col("text"))).cast("long").as("n_chars"))
+        .orderBy(col("source"))
+    },
+    Some("""SELECT source, COUNT(*) AS n_docs,
+        MIN(doc_id) AS min_id, MAX(doc_id) AS max_id,
+        CAST(SUM(length(text)) AS BIGINT) AS n_chars
+      FROM documents GROUP BY source ORDER BY source"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
       e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41, e42, e43, e44,
-      e45, e46, e47, e48)
+      e45, e46, e47, e48, e49)
 }

@@ -1,0 +1,174 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** Exactly-once streaming parquet sink for filesystems WITHOUT atomic
+  * rename (object stores) — the streaming counterpart of
+  * [[graft.etl.ManifestCommit]].
+  *
+  * Why `foreachBatch` + a plain append is NOT exactly-once: Spark
+  * replays the last in-flight micro-batch after a crash (the batch
+  * whose offsets were checkpointed but whose commit was not), and an
+  * append-mode write run twice doubles those rows. Spark's built-in
+  * file sink solves this with its `_spark_metadata` log; the warehouse
+  * drain here needs the same property under the repo's own manifest
+  * idiom so batch compaction ([[graft.etl.ManifestCommit]]) and the
+  * streaming drain share one commit vocabulary.
+  *
+  * Layout: each micro-batch writes its rows to an OWN generation dir
+  * (`table__b<id>`, a reserved sibling name like the compactor's
+  * `__vNNNNN`), then commits by overwriting a one-object ledger
+  * (`table__stream_commits`) holding the highest committed batch id —
+  * a single PUT, atomic on a real object store. Readers resolve the
+  * committed prefix only: batch dirs with id ≤ the ledger value.
+  * Micro-batch ids are assigned monotonically by the streaming engine,
+  * so one id is enough — empty batches advance the ledger without
+  * writing a dir, and gaps read correctly.
+  *
+  * Crash windows (all proven in StreamingSyncSpec):
+  *  - crash mid-data-write: the partial dir's id is above the ledger —
+  *    invisible to readers; replay overwrites the dir, then commits;
+  *  - crash mid-ledger-PUT on a non-atomic filesystem: the ledger is
+  *    torn ([[TornLedgerException]]); the replayed batch repairs it —
+  *    everything below the replayed id was checkpoint-committed, hence
+  *    ledger-committed first (the ledger PUT precedes Spark's offset
+  *    commit), so rewriting the in-flight dir and re-committing its id
+  *    restores the invariant;
+  *  - crash after the ledger PUT but before Spark's checkpoint commit:
+  *    the replayed id is ≤ the ledger value — the write is SKIPPED,
+  *    the exactly-once case an append sink gets wrong.
+  *
+  * Contract: ONE logical stream (one checkpoint lineage) per sink base
+  * dir — same single-writer rule as Spark's file-sink metadata log and
+  * the compactor's single-maintainer rule. A fresh checkpoint restarts
+  * batch ids at 0, which the ledger would read as replays; new
+  * checkpoint ⇒ new sink dir. Small-files posture at 100 TB: one dir
+  * per micro-batch is the same file-count profile as the built-in file
+  * sink; compose [[readCommitted]] with the batch loader + compactor
+  * for periodic rewrite, as with any streaming file sink.
+  */
+object ExactlyOnce {
+
+  def ledgerPath(base: HPath): HPath =
+    new HPath(base.getParent, s"${base.getName}__stream_commits")
+
+  def batchDir(base: HPath, id: Long): HPath =
+    new HPath(base.getParent, f"${base.getName}__b$id%09d")
+
+  /** A ledger that exists but does not hold a complete `b<N>\n` record:
+    * a torn commit PUT. Readers surface it with guidance; the replayed
+    * micro-batch repairs it (see class doc). */
+  final class TornLedgerException(val ledger: HPath, txt: String)
+    extends RuntimeException(
+      s"stream ledger $ledger is empty, unparsable or missing its " +
+        s"terminator ('$txt') — a torn commit on a non-atomic filesystem. " +
+        "Batch dirs are intact; restarting the stream on its checkpoint " +
+        "replays the in-flight batch and re-commits the ledger.")
+
+  /** Parse a raw ledger record. Format: `b<digits>\n` — begin/end
+    * markers make any torn PREFIX detectable instead of readable as a
+    * smaller valid id (the failure mode [[graft.etl.ManifestCommit]]
+    * closes for the table manifest; id 0 is valid here, the first
+    * micro-batch). */
+  private[streaming] def parseLedger(raw: String): Option[Long] =
+    if (raw.length >= 3 && raw.head == 'b' && raw.last == '\n') {
+      val body = raw.substring(1, raw.length - 1)
+      if (body.nonEmpty && body.forall(_.isDigit)) body.toLongOption
+      else None
+    } else None
+
+  /** Highest committed batch id, if any batch has committed. Throws
+    * [[TornLedgerException]] on a truncated/unparsable ledger. */
+  def lastCommitted(fs: FileSystem, base: HPath): Option[Long] = {
+    val lp = ledgerPath(base)
+    if (!fs.exists(lp)) None
+    else {
+      val in = fs.open(lp)
+      val raw =
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+        finally in.close()
+      parseLedger(raw) match {
+        case some @ Some(_) => some
+        case None => throw new TornLedgerException(lp, raw.trim)
+      }
+    }
+  }
+
+  /** Commit batch `id`: one ledger PUT — the atomic commit point. */
+  def commitLedger(fs: FileSystem, base: HPath, id: Long): Unit = {
+    val out = fs.create(ledgerPath(base), true)
+    try out.write(s"b$id\n".getBytes("UTF-8")) finally out.close()
+  }
+
+  /** All `table__b*` sibling dirs with their batch ids. */
+  def listBatchDirs(fs: FileSystem, base: HPath): Seq[(Long, HPath)] = {
+    val prefix = s"${base.getName}__b"
+    if (!fs.exists(base.getParent)) Seq.empty
+    else fs.listStatus(base.getParent).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+      .flatMap { s =>
+        val suffix = s.getPath.getName.drop(prefix.length)
+        suffix.toLongOption.map(v => (v, s.getPath))
+      }
+  }
+
+  /** Idempotent per-micro-batch write: the body `foreachBatch` should
+    * run. Returns true when the batch was written, false when it was a
+    * replay of an already-committed id (skipped — the exactly-once
+    * case). A torn ledger is repaired here by construction: the
+    * replayed batch rewrites its own dir and re-commits its id. */
+  def commitBatch(batch: DataFrame, baseDir: String, batchId: Long): Boolean = {
+    val base = new HPath(baseDir)
+    val fs = base.getFileSystem(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    val last =
+      try lastCommitted(fs, base)
+      catch {
+        case torn: TornLedgerException =>
+          // replaying batch N ⇒ every id < N was ledger-committed before
+          // Spark checkpointed it; the torn PUT was for N itself (or a
+          // re-PUT of an older id, equally subsumed). Repair by falling
+          // through to rewrite-and-commit.
+          System.err.println(s"[stream] ${torn.getMessage}")
+          System.err.println(s"[stream] repairing ledger by re-committing batch $batchId")
+          Some(batchId - 1).filter(_ >= 0)
+      }
+    if (last.exists(_ >= batchId)) false
+    else {
+      if (!batch.isEmpty)
+        batch.write.mode("overwrite").parquet(batchDir(base, batchId).toString)
+      commitLedger(fs, base, batchId)
+      true
+    }
+  }
+
+  /** The committed table: a parquet read over exactly the batch dirs
+    * the ledger covers. Uncommitted (in-flight or crash-partial) dirs
+    * are invisible. Errors clearly when nothing has committed. */
+  def readCommitted(spark: SparkSession, baseDir: String): DataFrame = {
+    val base = new HPath(baseDir)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val last = lastCommitted(fs, base).getOrElse(
+      sys.error(s"stream sink $baseDir has no committed batches " +
+        s"(no ledger at ${ledgerPath(base)})"))
+    val dirs = listBatchDirs(fs, base)
+      .filter(_._1 <= last).map(_._2.toString).sorted
+    if (dirs.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(dirs: _*)
+  }
+
+  /** Streaming writer whose every micro-batch lands exactly once in
+    * `baseDir`, regardless of crash/replay. Compose with
+    * [[StreamingSync.availableNow]] for the cron-equivalent drain. */
+  def parquetSink(raw: DataFrame, baseDir: String): DataStreamWriter[Row] = {
+    StateBackend.configure(raw.sparkSession) // idempotent; see readCurStream
+    raw.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commitBatch(batch, baseDir, batchId)
+        ()
+      }
+  }
+}

@@ -145,4 +145,103 @@ class StreamingSyncSpec extends SparkSpec {
     q2.awaitTermination(60000)
     assert(loader.table(spark, "raw_cur_a").count() == 2, "checkpoint replayed files")
   }
+
+  test("exactly-once sink: replayed micro-batch cannot double-write") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_eo").toString + "/t"
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    // first delivery writes; a replay of the same id (crash after the
+    // ledger PUT, before Spark's checkpoint commit) must be SKIPPED
+    assert(ExactlyOnce.commitBatch(b0, base, 0L))
+    assert(!ExactlyOnce.commitBatch(b0, base, 0L), "replay of committed id must skip")
+    assert(ExactlyOnce.readCommitted(spark, base).count() == 2)
+    // empty batch advances the ledger without a dir
+    assert(ExactlyOnce.commitBatch(b0.filter(lit(false)), base, 1L))
+    assert(ExactlyOnce.readCommitted(spark, base).count() == 2)
+  }
+
+  test("exactly-once sink: crash mid-data-write is invisible until replay commits") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_eo2").toString + "/t"
+    val b0 = Seq((1L, "a")).toDF("id", "v")
+    assert(ExactlyOnce.commitBatch(b0, base, 0L))
+    // simulate a crash DURING batch 1's data write: dir exists (partial),
+    // ledger never advanced
+    val b1 = Seq((2L, "b"), (3L, "c")).toDF("id", "v")
+    val hp = new org.apache.hadoop.fs.Path(base)
+    b1.limit(1).write.mode("overwrite")
+      .parquet(ExactlyOnce.batchDir(hp, 1L).toString)
+    assert(ExactlyOnce.readCommitted(spark, base).count() == 1,
+      "uncommitted partial dir must be invisible to readers")
+    // replay of batch 1 overwrites the partial dir, then commits
+    assert(ExactlyOnce.commitBatch(b1, base, 1L))
+    assert(ExactlyOnce.readCommitted(spark, base).count() == 3)
+    assert(ExactlyOnce.readCommitted(spark, base)
+      .select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("exactly-once sink: torn ledger PUT is detected and repaired by the replay") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_eo3").toString + "/t"
+    val hp = new org.apache.hadoop.fs.Path(base)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val b0 = Seq((1L, "a")).toDF("id", "v")
+    assert(ExactlyOnce.commitBatch(b0, base, 0L))
+    // batch 1's data lands, then the ledger PUT tears mid-write: a
+    // prefix without the terminator (would parse as a VALID id under a
+    // bare-digits format)
+    val b1 = Seq((2L, "b")).toDF("id", "v")
+    b1.write.mode("overwrite").parquet(ExactlyOnce.batchDir(hp, 1L).toString)
+    val out = fs.create(ExactlyOnce.ledgerPath(hp), true)
+    try out.write("b1".getBytes("UTF-8")) finally out.close()
+    intercept[ExactlyOnce.TornLedgerException] {
+      ExactlyOnce.readCommitted(spark, base)
+    }
+    // the replayed batch repairs: rewrite own dir, re-commit own id
+    assert(ExactlyOnce.commitBatch(b1, base, 1L))
+    assert(ExactlyOnce.readCommitted(spark, base).count() == 2)
+    assert(ExactlyOnce.lastCommitted(fs, hp).contains(1L))
+  }
+
+  test("exactly-once sink: ledger prefix-tear of a multi-digit id is torn, not a smaller id") {
+    val hp = new org.apache.hadoop.fs.Path("/x/t")
+    assert(ExactlyOnce.parseLedger("b12\n").contains(12L))
+    assert(ExactlyOnce.parseLedger("b0\n").contains(0L), "batch 0 is a valid first commit")
+    assert(ExactlyOnce.parseLedger("b1").isEmpty, "torn prefix of b12 must not read as 1")
+    assert(ExactlyOnce.parseLedger("").isEmpty)
+    assert(ExactlyOnce.parseLedger("b\n").isEmpty)
+    assert(ExactlyOnce.parseLedger("12\n").isEmpty)
+  }
+
+  test("exactly-once sink over graftfs:// object store: drain, restart, no duplicates") {
+    import spark.implicits._
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.graftfs.impl", classOf[graft.etl.GraftFileSystem].getName)
+    val tmp = Files.createTempDirectory("graft_eo4").toString
+    val src = s"$tmp/src"
+    val sink = s"graftfs://$tmp/wh/costs"
+    val ckpt = s"$tmp/ckpt"
+    Seq(("2024-01-01 10:00:00", 1.5)).toDF("t", "cost").write.parquet(s"$src/f1")
+    val schema = spark.read
+      .option("recursiveFileLookup", "true").parquet(src).schema
+    def drain(): Unit = {
+      val raw = spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true").parquet(src)
+      val q = StreamingSync.availableNow(
+        ExactlyOnce.parquetSink(raw, sink), ckpt).start()
+      q.awaitTermination(60000)
+    }
+    drain()
+    assert(ExactlyOnce.readCommitted(spark, sink).count() == 1)
+    // restart on the same checkpoint with one new file: the old file is
+    // not re-delivered, the new one lands exactly once
+    Seq(("2024-01-02 11:00:00", 2.5)).toDF("t", "cost").write.parquet(s"$src/f2")
+    drain()
+    assert(ExactlyOnce.readCommitted(spark, sink).count() == 2)
+    // and a pure replay drain (nothing new) changes nothing
+    drain()
+    assert(ExactlyOnce.readCommitted(spark, sink).count() == 2)
+    assert(ExactlyOnce.readCommitted(spark, sink)
+      .agg(sum(col("cost"))).as[Double].head() == 4.0)
+  }
 }
