@@ -17,6 +17,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // host state AT START (VERDICT r9 item 4): idleness matters when the
+    // timings begin, not at report time. A loaded host or a foreign JVM
+    // alive NOW is what poisons the numbers — flag the whole record.
+    val loadAtStart = loadavg()
+    val strayAtStart = strayJvms()
+    val contaminated = loadAtStart.headOption.exists(_ > 1.0) || strayAtStart.nonEmpty
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -108,7 +114,6 @@ object Bench {
     val total = results.filter(_.ok).map(_.median).sum
     val totalMin = results.filter(_.ok).map(_.min).sum
     val (fixtureSec, syncSec) = syncMirror(spark, sfDir)
-    val env = hostFingerprint()
     // driver-memory discipline (VERDICT r7 item 3, BASELINE.md
     // `peak_executor_mem`): peak heap across the whole suite, from the
     // JVM's heap-pool high-water marks. local[NN] runs driver and
@@ -122,7 +127,31 @@ object Bench {
         .map(_.getPeakUsage.getUsed).sum / (1L << 20)
     }
     val maxHeapMib = Runtime.getRuntime.maxMemory() / (1L << 20)
-    println(s"""{"metric":"conformance_total_s","value":$total,"unit":"sec","value_min":${f"$totalMin%.3f"},"queries":$qs,"queries_min":$qsMin,"spread":$spread,"suspect":$suspect,"failed":$failed,"n_ok":${results.count(_.ok)},"n_queries":${results.size},"reps":$reps,"reps_used":$repsUsed,"sync_e2e_s":${f"$syncSec%.3f"},"sync_fixture_s":${f"$fixtureSec%.3f"},"peak_heap_mib":$peakHeapMib,"max_heap_mib":$maxHeapMib,$env"sf":"$sfDir"}""")
+    // record layout (VERDICT r9 item 4): SCALARS FIRST, the four
+    // ~100-entry maps last — a capture window that truncates the line
+    // keeps the headline and the contamination verdict whichever end it
+    // clips less of. The untruncated record ALSO goes to
+    // BENCH_LAST.json at the repo root (overwritten per run), so
+    // per-query timings survive any stdout capture at all.
+    val fmtLoad = (l: Seq[Double]) => l.map(v => f"$v%.2f").mkString("[", ",", "]")
+    val record =
+      s"""{"metric":"conformance_total_s","value":$total,"unit":"sec",""" +
+        s""""value_min":${f"$totalMin%.3f"},"n_ok":${results.count(_.ok)},""" +
+        s""""n_queries":${results.size},"reps":$reps,""" +
+        s""""sync_e2e_s":${f"$syncSec%.3f"},"sync_fixture_s":${f"$fixtureSec%.3f"},""" +
+        s""""peak_heap_mib":$peakHeapMib,"max_heap_mib":$maxHeapMib,""" +
+        s""""contaminated":$contaminated,"loadavg_start":${fmtLoad(loadAtStart)},""" +
+        s""""loadavg":${fmtLoad(loadavg())},""" +
+        s""""stray_jvms":${strayAtStart.map("\"" + _.replace("\"", "'") + "\"").mkString("[", ",", "]")},""" +
+        s""""sf":"$sfDir","suspect":$suspect,"failed":$failed,""" +
+        s""""queries":$qs,"queries_min":$qsMin,"spread":$spread,"reps_used":$repsUsed}"""
+    println(record)
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),
+        (record + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_LAST.json write failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 
@@ -132,41 +161,49 @@ object Bench {
     def signedMin: Double = if (ok) min else -min
   }
 
-  /** Host-state fingerprint emitted INTO the bench JSON (VERDICT r6 item 1):
-    * load average and any OTHER JVMs alive on the host at report time. A
-    * stray sbt/test JVM or a loaded host is the known cause of contaminated
-    * records (r5: orphaned sbt JVM; r6: 29x tail divergence), and putting
-    * the evidence in the record itself means a bad run is diagnosable after
-    * the fact without shell access to the host at the time it ran. */
-  private def hostFingerprint(): String = {
-    val load =
-      try {
-        val f = scala.io.Source.fromFile("/proc/loadavg")
-        try f.mkString.trim.split("\\s+").take(3).mkString("[", ",", "]")
-        finally f.close()
-      } catch { case _: Throwable => "[]" }
-    val stray =
-      try {
-        import scala.jdk.CollectionConverters._
-        val self = ProcessHandle.current().pid()
-        ProcessHandle.allProcesses().iterator().asScala
-          .filter(_.pid() != self)
-          .filter(_.info().command().map[Boolean](c => c.endsWith("/java") || c == "java")
-            .orElse(false))
-          .map { p =>
-            // first meaningful classpath-free token of the command line, so
-            // the record says WHAT was running (sbt? a test runner?), capped
-            // to keep the JSON line small
-            val hint = p.info().arguments().map[String] { a =>
-              a.filterNot(s => s.startsWith("-") || s.contains("/jars/"))
-                .headOption.getOrElse("")
-            }.orElse("").take(80)
-            "\"" + (p.pid().toString + ":" + hint).replace("\"", "'") + "\""
-          }
-          .take(16).toSeq.mkString("[", ",", "]")
-      } catch { case _: Throwable => "[]" }
-    s""""loadavg":$load,"stray_jvms":$stray,"""
-  }
+  /** Host load average (1/5/15 min), empty on any read failure. Captured
+    * at START for the contamination verdict and again at report time for
+    * the record (VERDICT r6 item 1 / r9 item 4): a stray JVM or a loaded
+    * host is the known cause of contaminated records (r5: orphaned sbt
+    * JVM; r6: 29x tail divergence), and putting the evidence in the
+    * record itself makes a bad run diagnosable after the fact. */
+  private def loadavg(): Seq[Double] =
+    try {
+      val f = scala.io.Source.fromFile("/proc/loadavg")
+      try f.mkString.trim.split("\\s+").take(3).toSeq.flatMap(_.toDoubleOption)
+      finally f.close()
+    } catch { case _: Throwable => Seq.empty }
+
+  /** Java processes that are NOT part of this bench's own process tree
+    * (VERDICT r9 item 4: the record always listed the bench's own sbt
+    * launcher — its parent — which made every record look dirty). The
+    * exclusion set is the ancestor chain (the sbt launcher that forked
+    * us, and whatever shell forked it) plus our descendants; whatever
+    * java remains is genuinely foreign and flags the run. */
+  private def strayJvms(): Seq[String] =
+    try {
+      import scala.jdk.CollectionConverters._
+      val self = ProcessHandle.current()
+      val ownTree = scala.collection.mutable.Set(self.pid())
+      var p = self.parent()
+      while (p.isPresent) { ownTree += p.get.pid(); p = p.get.parent() }
+      self.descendants().iterator().asScala.foreach(d => ownTree += d.pid())
+      ProcessHandle.allProcesses().iterator().asScala
+        .filter(p => !ownTree.contains(p.pid()))
+        .filter(_.info().command().map[Boolean](c => c.endsWith("/java") || c == "java")
+          .orElse(false))
+        .map { p =>
+          // first meaningful classpath-free token of the command line, so
+          // the record says WHAT was running (sbt? a test runner?), capped
+          // to keep the JSON line small
+          val hint = p.info().arguments().map[String] { a =>
+            a.filterNot(s => s.startsWith("-") || s.contains("/jars/"))
+              .headOption.getOrElse("")
+          }.orElse("").take(80)
+          p.pid().toString + ":" + hint
+        }
+        .take(16).toSeq
+    } catch { case _: Throwable => Seq.empty }
 
   /** End-to-end sync mirror (scan → filter → normalize → write → costs
     * view), timed on a partitioned CUR-shaped copy of the events table
