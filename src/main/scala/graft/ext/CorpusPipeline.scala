@@ -29,7 +29,11 @@ object CorpusPipeline {
     * caller decides to write or materialize) plus the dedup pipeline
     * whose persisted front the chunk plan references, and the persisted
     * paragraph-cleaned corpus both feed on. Callers MUST run their
-    * action before [[Prepared.unpersistAll]]. */
+    * action before [[Prepared.unpersistAll]] — after it, every frame
+    * here (chunks included) is UNUSABLE, not merely slow: the dedup
+    * stages' lineage bottoms out in released `localCheckpoint` blocks
+    * (see [[Dedup.DedupPipeline]]), so a post-release action fails
+    * rather than recomputes. */
   final case class Prepared(chunks: DataFrame, pipe: Dedup.DedupPipeline,
       private val pdocs: DataFrame) {
     def unpersistAll(): Unit = {

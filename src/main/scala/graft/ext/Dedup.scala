@@ -393,9 +393,12 @@ object Dedup {
     }
 
   /** Handles to every stage of [[dedupPipeline]]. `candidates` and
-    * `confirmed` are persisted — call [[unpersistAll]] when done (the
-    * clusters frame is persisted by [[connectedComponents]] and is
-    * released there too). */
+    * `confirmed` are persisted — call [[unpersistAll]] when done, after
+    * which EVERY frame in this bundle is unusable: `clusters`/`kept`
+    * lineage bottoms out in the CC loop's `localCheckpoint` blocks
+    * (truncated lineage — there is no plan to recompute from), and
+    * [[unpersistAll]] releases those blocks. Run all actions (or
+    * materialize a copy) first. */
   final case class DedupPipeline(
       candidates: DataFrame, confirmed: DataFrame,
       clusters: DataFrame, kept: DataFrame,
