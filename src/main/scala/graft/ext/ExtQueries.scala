@@ -1536,11 +1536,23 @@ object ExtQueries {
         GROUP BY pair),
       top_$n AS MATERIALIZED (SELECT pair, cnt, replace(pair, ' ', '') AS merged
         FROM pc_$n ORDER BY cnt DESC, pair LIMIT 1),
-      $out AS MATERIALIZED (SELECT term, n,
+      $out AS MATERIALIZED (${bpeApplySql(in, s"top_$n", "term, n")})"""
+
+  /** Apply `top`'s (possibly absent) winning pair to `in.seq` — the
+    * padded double replace against a LEFT JOIN of the one-row top
+    * table. When the corpus ran dry (empty `top`), the COALESCEd
+    * search string is `chr(1)` — a symbol that cannot occur in the
+    * [a-z0-9 ] alphabet, so the replace is a no-op and the chain
+    * carries sequences through unchanged, exactly like the Spark
+    * loop's early stop. */
+  private def bpeApplySql(in: String, top: String, keep: String): String = s"""
+      SELECT $keep,
           trim(replace(replace(' ' || seq || ' ',
-            ' ' || t.pair || ' ', ' ' || t.merged || ' '),
-            ' ' || t.pair || ' ', ' ' || t.merged || ' ')) AS seq
-        FROM $in CROSS JOIN top_$n AS t)"""
+            COALESCE(' ' || t.pair || ' ', chr(1)),
+            COALESCE(' ' || t.merged || ' ', chr(1))),
+            COALESCE(' ' || t.pair || ' ', chr(1)),
+            COALESCE(' ' || t.merged || ' ', chr(1)))) AS seq
+        FROM $in LEFT JOIN $top AS t ON TRUE"""
 
   // E4 (subword tokenizer training): distributed BPE merge learning —
   // the step above e44's word vocabulary a real tokenizer ships. The
@@ -1606,9 +1618,61 @@ object ExtQueries {
         CAST(SUM(length(text)) AS BIGINT) AS n_chars
       FROM documents GROUP BY source ORDER BY source"""))
 
+  // E4 (tokenizer serve path): BPE ENCODING with the e48-trained model —
+  // corpus → subword ids. Fit = e48's merge loop + the bounded symbol
+  // vocabulary (≤ alphabet+rounds entries, dense ids by count desc,
+  // symbol); encode = map-only merge application over word OCCURRENCES
+  // (the bounded merge list folds into nested replaces — no unbounded
+  // vocab broadcast at any corpus size) + one broadcast symbol join +
+  // the per-document reassembly exchange. The oracle restates the full
+  // w-chain (shared CTE template with e48), the symbol ranking, and the
+  // SAME padded-double-replace chain over the occurrence stream. CSV
+  // projection for the scalar driver compare, like e45.
+  val e50 = Q(
+    "e50_bpe_encode",
+    (s, d) => {
+      val docs = T.documents(s, d)
+      val model = TextOps.bpeFit(docs, "text", rounds = 6)
+      TextOps.bpeEncode(docs, "doc_id", "text", model)
+        .select(col("doc_id"),
+          concat_ws(",", transform(col("token_ids"), x => x.cast("string"))).as("ids_csv"),
+          col("n_subwords"), col("n_words"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH wc AS MATERIALIZED (SELECT term, COUNT(*) AS n FROM (
+          SELECT tok AS term FROM
+            (SELECT regexp_extract_all(lower(text), '[a-z]+|[0-9]+') AS rs
+             FROM documents), UNNEST(rs) AS u(tok))
+        GROUP BY term),
+      w0 AS MATERIALIZED (SELECT term, n,
+          array_to_string(regexp_extract_all(term, '.'), ' ') AS seq FROM wc),
+      ${(1 to 6).map(i => bpeRoundSql(i, s"w${i - 1}", s"w$i")).mkString(",\n")},
+      syms AS MATERIALIZED (SELECT sym, CAST(SUM(n) AS BIGINT) AS cnt
+        FROM (SELECT n, string_split(seq, ' ') AS ws FROM w6), UNNEST(ws) AS u(sym)
+        GROUP BY sym),
+      sv AS MATERIALIZED (SELECT sym,
+          CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, sym) AS BIGINT) - 1 AS sym_id
+        FROM syms),
+      docs2 AS (SELECT doc_id, i, rs[i] AS tok
+        FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+|[0-9]+') AS rs
+              FROM documents), UNNEST(range(1, len(rs)+1)) AS t(i)),
+      o0 AS MATERIALIZED (SELECT doc_id, i,
+          array_to_string(regexp_extract_all(tok, '.'), ' ') AS seq FROM docs2),
+      ${(1 to 6).map(i =>
+        s"o$i AS MATERIALIZED (${bpeApplySql(s"o${i - 1}", s"top_$i", "doc_id, i")})")
+        .mkString(",\n")},
+      sub AS (SELECT doc_id, i, j, ws[j] AS sym
+        FROM (SELECT doc_id, i, string_split(seq, ' ') AS ws FROM o6),
+          UNNEST(range(1, len(ws)+1)) AS t(j)),
+      ids AS (SELECT s.doc_id, s.i, s.j, v.sym_id FROM sub s JOIN sv v USING (sym))
+      SELECT doc_id, string_agg(CAST(sym_id AS VARCHAR), ',' ORDER BY i, j) AS ids_csv,
+        CAST(COUNT(*) AS BIGINT) AS n_subwords,
+        CAST(COUNT(CASE WHEN j = 1 THEN 1 END) AS BIGINT) AS n_words
+      FROM ids GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
       e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41, e42, e43, e44,
-      e45, e46, e47, e48, e49)
+      e45, e46, e47, e48, e49, e50)
 }

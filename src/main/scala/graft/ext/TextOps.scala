@@ -455,8 +455,31 @@ object TextOps {
     * returning. Returns the merge table (round, pair, merged, freq) —
     * the artifact a tokenizer ships. */
   def bpeMerges(df: DataFrame, textCol: String, rounds: Int): DataFrame = {
-    require(rounds > 0, s"bpe rounds out of range: $rounds")
     val spark = df.sparkSession
+    val merges = bpeFit(df, textCol, rounds).merges
+    import spark.implicits._
+    merges.toDF("round", "pair", "merged", "freq")
+  }
+
+  /** A fitted BPE tokenizer: the merge table plus the subword-symbol
+    * vocabulary (symbol → dense id by corpus count desc, symbol; ids
+    * assigned over the FINAL front, weighted by word-type counts). Both
+    * sides are BOUNDED — merges by `rounds`, symbols by the seed
+    * alphabet (≤36 for the [a-z0-9] pre-tokenizer classes) plus one new
+    * symbol per merge — so the model lives on the driver and encoding
+    * is stateless: a map-only merge application plus one broadcast join
+    * against ≤ alphabet+rounds rows. The persistence-free build/serve
+    * split of the ANN index ([[Similarity]]), at tokenizer scale. */
+  final case class BpeModel(merges: Seq[BpeMerge], symbols: Seq[(String, Long)])
+
+  /** Train a [[BpeModel]]: [[bpeMerges]]' loop (one pair-count exchange
+    * + a one-row collect per round, over the persisted word-TYPE front),
+    * then the symbol vocabulary from the final front — a bounded
+    * collect (≤ alphabet + rounds rows), the IVF-centroid discipline.
+    * The front is released before returning; the model holds no cluster
+    * state. */
+  def bpeFit(df: DataFrame, textCol: String, rounds: Int): BpeModel = {
+    require(rounds > 0, s"bpe rounds out of range: $rounds")
     val front = bpeWordFront(df, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -475,9 +498,49 @@ object TextOps {
           r += 1
         }
       }
-      import spark.implicits._
-      merges.result().toDF("round", "pair", "merged", "freq")
+      val symbols = cur
+        .select(col("n"), explode(split(col("seq"), " ")).as("sym"))
+        .groupBy(col("sym")).agg(sum(col("n")).cast(LongType).as("cnt"))
+        .orderBy(col("cnt").desc, col("sym"))
+        .collect().map(r0 => (r0.getString(0), r0.getLong(1))).toSeq
+      BpeModel(merges.result(), symbols)
     } finally { front.unpersist(blocking = false); () }
+  }
+
+  /** Encode the corpus with a fitted [[BpeModel]] — the serve path:
+    * word occurrences keep their document position, each occurrence's
+    * character seed runs the learned merges IN ORDER (map-only: the
+    * bounded merge list folds into nested `replace` columns, no per-row
+    * driver state), subwords take their dense ids through a broadcast
+    * join against the ≤ alphabet+rounds symbol table, and documents
+    * reassemble in (word, subword) position order — the ONE exchange.
+    * Every input word is covered by construction when the model was
+    * fitted on the same pre-tokenizer classes; a genuinely unseen
+    * SYMBOL (model fitted elsewhere) drops its subword — feed the
+    * training corpus through [[bpeFit]] on the same class regex.
+    * Output: (id, token_ids array, n_subwords, n_words). */
+  def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+      model: BpeModel): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val symDf = broadcast(model.symbols.zipWithIndex
+      .map { case ((s, _), i) => (s, i.toLong) }.toDF("sym", "sym_id"))
+    val seeded = df
+      .select(col(idCol), posexplode(regexp_extract_all(lower(col(textCol)),
+        lit("[a-z]+|[0-9]+"), lit(0))).as(Seq("pos", "term")))
+      .withColumn("seq",
+        concat_ws(" ", filter(split(col("term"), ""), x => length(x) > 0)))
+    val merged = model.merges.foldLeft(seeded)((d, m) => bpeApplyMerge(d, m.pair))
+    merged
+      .select(col(idCol), col("pos"),
+        posexplode(split(col("seq"), " ")).as(Seq("j", "sym")))
+      .join(symDf, "sym")
+      .groupBy(col(idCol))
+      .agg(
+        transform(array_sort(collect_list(struct(col("pos"), col("j"), col("sym_id")))),
+          x => x.getField("sym_id")).as("token_ids"),
+        count(lit(1)).cast(LongType).as("n_subwords"),
+        count(when(col("j") === 0, 1)).cast(LongType).as("n_words"))
   }
 
   /** Content fingerprint: md5 of the case-folded text — the exact-dup

@@ -491,6 +491,59 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out("aaaa") == "aa aa")
   }
 
+  test("bpe encode: hand-computed ids, n_words/n_subwords, partial merge") {
+    import spark.implicits._
+    // types: aa ×2, ab ×1. rounds=1 merges (a a): front aa→"aa", ab→"a b"
+    // symbols by (count desc, sym): aa(2)→0, a(1)→1, b(1)→2
+    val docs = Seq((1L, "aa ab"), (2L, "aa")).toDF("doc_id", "text")
+    val m1 = TextOps.bpeFit(docs, "text", rounds = 1)
+    assert(m1.symbols == Seq(("aa", 2L), ("a", 1L), ("b", 1L)))
+    val enc1 = TextOps.bpeEncode(docs, "doc_id", "text", m1)
+      .as[(Long, Seq[Long], Long, Long)].collect().sortBy(_._1).toList
+    assert(enc1 == List((1L, Seq(0L, 1L, 2L), 3L, 2L), (2L, Seq(0L), 1L, 1L)))
+    // rounds=5 runs dry after (a a),(a b): both words one symbol
+    val m2 = TextOps.bpeFit(docs, "text", rounds = 5)
+    assert(m2.merges.map(m => (m.pair, m.merged)) == Seq(("a a", "aa"), ("a b", "ab")))
+    val enc2 = TextOps.bpeEncode(docs, "doc_id", "text", m2)
+      .as[(Long, Seq[Long], Long, Long)].collect().sortBy(_._1).toList
+    assert(enc2 == List((1L, Seq(0L, 1L), 2L, 2L), (2L, Seq(0L), 1L, 1L)))
+  }
+
+  test("bpe encode: subwords concatenate back to the pre-tokenized words (roundtrip)") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf001).limit(50)
+    val model = TextOps.bpeFit(docs, "text", rounds = 6)
+    val id2sym = model.symbols.zipWithIndex.map { case ((s, _), i) => (i.toLong, s) }.toMap
+    val enc = TextOps.bpeEncode(docs, "doc_id", "text", model)
+      .select("doc_id", "token_ids", "n_words")
+      .as[(Long, Seq[Long], Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val words = docs.select(col("doc_id"),
+      regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+"), lit(0)).as("ws"))
+      .as[(Long, Seq[String])].collect().toMap
+    words.foreach { case (id, ws) =>
+      if (ws.nonEmpty) {
+        val (ids, nWords) = enc(id)
+        assert(nWords == ws.length, s"doc $id word count")
+        // merges never cross word boundaries, so the decoded symbol
+        // stream must concatenate to exactly the word concatenation
+        assert(ids.map(id2sym).mkString == ws.mkString, s"doc $id roundtrip")
+      } else assert(!enc.contains(id), s"doc $id has no words, must be absent")
+    }
+  }
+
+  test("bpe encode scale shape: broadcast symbol join, one reassembly exchange") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf001)
+    val model = TextOps.bpeFit(docs, "text", rounds = 3)
+    val plan = TextOps.bpeEncode(docs, "doc_id", "text", model)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "symbol lookup must broadcast")
+    assert(!plan.contains("SortMergeJoin"), "no shuffle join anywhere in encode")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"exactly the per-document reassembly exchange:\n${plan.take(1500)}")
+  }
+
   test("bpe scale shape: one exchange per pair-count round, map-only merge") {
     import spark.implicits._
     val docs = graft.Tables.documents(spark, sf001)
