@@ -116,6 +116,32 @@ object CorpusPipeline {
         concat(col("bucket").cast("string"), lit(":"), col("seq_id").cast("string")))
   }
 
+  /** The token-id flavor of [[assembleSequences]]: collapse packed
+    * ENCODED documents ([[TextOps.bpeEncode]] rows through
+    * [[TextOps.packSequences]] with `keep = Seq(idsCol)`) into one row
+    * per training sequence, with the sequence's token-id stream
+    * concatenated in document order — the exact array a trainer feeds
+    * to batch assembly, no text re-tokenization downstream.
+    *
+    * Same scale shape as [[assembleSequences]]: the packing window left
+    * the frame hash-partitioned on `bucket`, a prefix of the grouping
+    * key, so the collapse adds NO exchange (plan-asserted in
+    * CorpusPipelineSpec), and each group's `collect_list` is bounded by
+    * the token budget, never the corpus. */
+  def assembleTokenSequences(packed: DataFrame, docCol: String,
+      tokenCol: String, idsCol: String): DataFrame =
+    packed.groupBy(col("bucket"), col("seq_id"))
+      .agg(
+        count(lit(1)).cast("long").as("n_docs"),
+        sum(col(tokenCol)).cast("long").as("seq_tokens"),
+        min(col(docCol)).as("first_doc"),
+        max(col(docCol)).as("last_doc"),
+        flatten(transform(
+          array_sort(collect_list(struct(col(docCol), col(idsCol)))),
+          x => x.getField(idsCol))).as("token_ids"))
+      .withColumn("seq_key",
+        concat(col("bucket").cast("string"), lit(":"), col("seq_id").cast("string")))
+
   /** The sink-parameterized production path: ONE write action drives
     * the whole flow off the persisted candidate front; the front is
     * released after the action completes. The row count rides the same

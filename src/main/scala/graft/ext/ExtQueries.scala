@@ -1639,16 +1639,28 @@ object ExtQueries {
           col("n_subwords"), col("n_words"))
         .orderBy(col("doc_id"))
     },
-    Some(s"""WITH wc AS MATERIALIZED (SELECT term, COUNT(*) AS n FROM (
+    Some(s"""WITH ${bpeEncodeCtes(6)}
+      SELECT doc_id, string_agg(CAST(sym_id AS VARCHAR), ',' ORDER BY i, j) AS ids_csv,
+        CAST(COUNT(*) AS BIGINT) AS n_subwords,
+        CAST(COUNT(CASE WHEN j = 1 THEN 1 END) AS BIGINT) AS n_words
+      FROM ids GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** The full BPE fit+encode restatement shared by e50/e51: e48's merge
+    * chain over the word-type front (`wc`/`w0..wN`), the symbol
+    * vocabulary ranked on the FINAL front (`sv`), the same merge chain
+    * replayed over word OCCURRENCES (`o0..oN` keep document position),
+    * and the per-subword id stream `ids(doc_id, i, j, sym_id)`. */
+  private def bpeEncodeCtes(rounds: Int): String =
+    s"""wc AS MATERIALIZED (SELECT term, COUNT(*) AS n FROM (
           SELECT tok AS term FROM
             (SELECT regexp_extract_all(lower(text), '[a-z]+|[0-9]+') AS rs
              FROM documents), UNNEST(rs) AS u(tok))
         GROUP BY term),
       w0 AS MATERIALIZED (SELECT term, n,
           array_to_string(regexp_extract_all(term, '.'), ' ') AS seq FROM wc),
-      ${(1 to 6).map(i => bpeRoundSql(i, s"w${i - 1}", s"w$i")).mkString(",\n")},
+      ${(1 to rounds).map(i => bpeRoundSql(i, s"w${i - 1}", s"w$i")).mkString(",\n")},
       syms AS MATERIALIZED (SELECT sym, CAST(SUM(n) AS BIGINT) AS cnt
-        FROM (SELECT n, string_split(seq, ' ') AS ws FROM w6), UNNEST(ws) AS u(sym)
+        FROM (SELECT n, string_split(seq, ' ') AS ws FROM w$rounds), UNNEST(ws) AS u(sym)
         GROUP BY sym),
       sv AS MATERIALIZED (SELECT sym,
           CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, sym) AS BIGINT) - 1 AS sym_id
@@ -1658,21 +1670,75 @@ object ExtQueries {
               FROM documents), UNNEST(range(1, len(rs)+1)) AS t(i)),
       o0 AS MATERIALIZED (SELECT doc_id, i,
           array_to_string(regexp_extract_all(tok, '.'), ' ') AS seq FROM docs2),
-      ${(1 to 6).map(i =>
+      ${(1 to rounds).map(i =>
         s"o$i AS MATERIALIZED (${bpeApplySql(s"o${i - 1}", s"top_$i", "doc_id, i")})")
         .mkString(",\n")},
       sub AS (SELECT doc_id, i, j, ws[j] AS sym
-        FROM (SELECT doc_id, i, string_split(seq, ' ') AS ws FROM o6),
+        FROM (SELECT doc_id, i, string_split(seq, ' ') AS ws FROM o$rounds),
           UNNEST(range(1, len(ws)+1)) AS t(j)),
-      ids AS (SELECT s.doc_id, s.i, s.j, v.sym_id FROM sub s JOIN sv v USING (sym))
-      SELECT doc_id, string_agg(CAST(sym_id AS VARCHAR), ',' ORDER BY i, j) AS ids_csv,
-        CAST(COUNT(*) AS BIGINT) AS n_subwords,
-        CAST(COUNT(CASE WHEN j = 1 THEN 1 END) AS BIGINT) AS n_words
-      FROM ids GROUP BY doc_id ORDER BY doc_id"""))
+      ids AS (SELECT s.doc_id, s.i, s.j, v.sym_id FROM sub s JOIN sv v USING (sym))"""
+
+  // E4 (the full trainer handoff, tokenizer-aware): what a training run
+  // actually consumes — fixed-budget sequences of BPE TOKEN IDS at
+  // deterministic shard positions. e46 packs by whitespace token counts
+  // (a proxy); e51 packs by the e50 tokenizer's REAL subword counts and
+  // ships the ids: fit (bounded model) → encode (map-only + one
+  // reassembly exchange) → pack documents into 512-token sequences per
+  // bucket stream (e39 arithmetic on n_subwords) → collapse each
+  // sequence to one row with its concatenated id stream (bucket is a
+  // prefix of the grouping key — no new exchange, plan-asserted in
+  // CorpusPipelineSpec) → e42 placement on the sequence identity. The
+  // oracle composes the shared BPE chain with e46's packing/placement
+  // arithmetic, all HUGEINT-producing sums cast to BIGINT.
+  val e51 = Q(
+    "e51_tokenized_pack_shards",
+    (s, d) => {
+      val docs = T.documents(s, d)
+      val model = TextOps.bpeFit(docs, "text", rounds = 6)
+      val enc = TextOps.bpeEncode(docs, "doc_id", "text", model)
+      val packed = TextOps.packSequences(enc.withColumn("part", lit(0)),
+        "doc_id", "part", "n_subwords", budget = 512, buckets = 8,
+        keep = Seq("token_ids"))
+      val seqs = CorpusPipeline.assembleTokenSequences(
+        packed, "doc_id", "n_subwords", "token_ids")
+      Sampling.shardAssign(seqs, "seq_key", nShards = 4)
+        .select(col("bucket"), col("seq_id"), col("n_docs"), col("seq_tokens"),
+          col("first_doc"), col("last_doc"),
+          concat_ws(",", transform(col("token_ids"), x => x.cast("string"))).as("ids_csv"),
+          col("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos"))
+    },
+    Some(s"""WITH ${bpeEncodeCtes(6)},
+      enc AS (SELECT doc_id,
+          string_agg(CAST(sym_id AS VARCHAR), ',' ORDER BY i, j) AS ids_csv,
+          CAST(COUNT(*) AS BIGINT) AS n_subwords
+        FROM ids GROUP BY doc_id),
+      b AS (SELECT *,
+          CAST(CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,15)) AS BIGINT) % 8 AS INT)
+            AS bucket FROM enc),
+      p AS (SELECT *, CAST(COALESCE(SUM(n_subwords) OVER (PARTITION BY bucket
+            ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+          AS tokens_before
+        FROM b),
+      seqs AS (SELECT bucket, CAST(tokens_before // 512 AS BIGINT) AS seq_id,
+          CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(n_subwords) AS BIGINT) AS seq_tokens,
+          MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+          string_agg(ids_csv, ',' ORDER BY doc_id) AS ids_csv
+        FROM p GROUP BY bucket, CAST(tokens_before // 512 AS BIGINT)),
+      k AS (SELECT *,
+          CAST(bucket AS VARCHAR) || ':' || CAST(seq_id AS VARCHAR) AS seq_key
+        FROM seqs),
+      hk AS (SELECT *, CAST(('0x'||substr(md5(seq_key),1,6)) AS BIGINT) AS h FROM k)
+      SELECT bucket, seq_id, n_docs, seq_tokens, first_doc, last_doc, ids_csv,
+        CAST(h % 4 AS INT) AS shard,
+        CAST(ROW_NUMBER() OVER (PARTITION BY h % 4 ORDER BY h, seq_key) AS BIGINT) AS pos
+      FROM hk ORDER BY shard, pos"""))
 
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
       e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41, e42, e43, e44,
-      e45, e46, e47, e48, e49, e50)
+      e45, e46, e47, e48, e49, e50, e51)
 }

@@ -137,6 +137,68 @@ class CorpusPipelineSpec extends SparkSpec {
         s"(ONE exchange total), got $exchanges:\n${plan.take(2000)}")
   }
 
+  test("assembleTokenSequences: id conservation, per-sequence integrity, no exchange past the window") {
+    val docs = T.documents(spark, sf001)
+    val model = TextOps.bpeFit(docs, "text", rounds = 3)
+    val enc = TextOps.bpeEncode(docs, "doc_id", "text", model)
+      .withColumn("part", lit(0))
+    def build(e: org.apache.spark.sql.DataFrame) =
+      CorpusPipeline.assembleTokenSequences(
+        TextOps.packSequences(e, "doc_id", "part", "n_subwords",
+          budget = 512, buckets = 8, keep = Seq("token_ids")),
+        "doc_id", "n_subwords", "token_ids")
+
+    // plan shape on the uncached flow: the encode reassembly exchange +
+    // the packing window's bucket exchange, and NOTHING more — the
+    // sequence collapse reuses the window's partitioning
+    val plan = build(enc).queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 2,
+      s"token-sequence assembly must add no exchange past the packing window " +
+        s"(encode reassembly + window = TWO total), got $exchanges:\n${plan.take(2000)}")
+
+    val encC = enc.cache()
+    val seqs = build(encC).cache()
+    try {
+      // conservation: every encoded subword lands in exactly one sequence
+      val totalSub = encC.agg(sum(col("n_subwords"))).head().getLong(0)
+      assert(seqs.agg(sum(col("seq_tokens"))).head().getLong(0) == totalSub,
+        "seq_tokens totals conserved through packing")
+      assert(seqs.filter(size(col("token_ids")) =!= col("seq_tokens")).count() == 0,
+        "every sequence's id stream length equals its token count")
+      assert(seqs.agg(sum(col("n_docs"))).head().getLong(0) == encC.count(),
+        "every encoded document packed exactly once")
+      // exact stream reconstruction: replay the packing identity on the
+      // driver (portable 60-bit bucket hash, per-bucket doc-order
+      // cumulative sum, budget division) and demand every sequence's id
+      // stream byte-for-byte
+      def h60(s: String): Long = {
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(d.take(15), 16)
+      }
+      val encRows = encC.select(col("doc_id"), col("n_subwords"), col("token_ids"))
+        .collect().toSeq.map(r => (r.getLong(0), r.getLong(1), r.getSeq[Long](2)))
+      val assigned = encRows.groupBy { case (d0, _, _) => h60(d0.toString) % 8 }
+        .toSeq.flatMap { case (bucket, rows) =>
+          var before = 0L
+          rows.sortBy(_._1).map { case (d0, n, ids) =>
+            val seq = before / 512; before += n; ((bucket, seq), (d0, ids))
+          }
+        }
+      val expected = assigned.groupBy(_._1)
+        .map { case (k, v) => k -> v.map(_._2).sortBy(_._1).flatMap(_._2) }
+      val actual = seqs.select(col("bucket"), col("seq_id"), col("token_ids"))
+        .collect()
+        .map(r => (r.getInt(0).toLong, r.getLong(1)) -> r.getSeq[Long](2).toSeq)
+        .toMap
+      assert(actual.keySet == expected.keySet, "sequence identities match the replay")
+      expected.foreach { case (k, ids) =>
+        assert(actual(k) == ids, s"sequence $k id stream matches the driver replay")
+      }
+    } finally { seqs.unpersist(); encC.unpersist(); () }
+  }
+
   test("writeSharded: shard dirs partition the corpus exactly as the e42 contract") {
     val docs = T.documents(spark, "/root/testdata/sf0.01")
     val out = Files.createTempDirectory("graft_shard_out").toString + "/shards"
