@@ -148,26 +148,8 @@ object Dedup {
       k: Int = 32, bands: Int = 8, shingleWidth: Int = 3,
       minEstSim: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
-    graft.functions.GraftFunctions.register(df.sparkSession)
-    val r = k / bands
-    val fam = portableFamily(k)
-    // native fused shingle→md5-24 pass (the interpreted HOF string
-    // explode + md5 + conv chain was the pipeline's dominant cost)
-    val tok = df.select(col(idCol).as("doc"),
-      explode(call_function("graft_portable_shingles",
-        col(textCol), lit(shingleWidth))).as("h"))
-    val sig = tok
-      .select(col("doc") +: (0 until k).map { j =>
-        val (a, b) = fam(j)
-        ((lit(a) * col("h") + lit(b)) % PortableP).as(s"h$j")
-      }: _*)
-      .groupBy(col("doc"))
-      .agg(min(col("h0")).as("m0"),
-        (1 until k).map(j => min(col(s"h$j")).as(s"m$j")): _*)
-      .select(col("doc"), array((0 until k).map(j => col(s"m$j")): _*).as("sig"))
-    val banded = sig.select(col("doc"), col("sig"),
-      posexplode(array((0 until bands).map(b => slice(col("sig"), b * r + 1, r)): _*))
-        .as(Seq("band", "key")))
+    val sig = portableSignatures(df, idCol, textCol, k, shingleWidth)
+    val banded = portableBandKeys(sig, k, bands)
     val pruned = banded
       .withColumn("bucket_n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("key"))))
@@ -184,6 +166,179 @@ object Dedup {
           .cast(DoubleType) / k)
       .filter(col("est_sim") >= minEstSim)
       .select(col("doc1"), col("doc2"), col("est_sim"))
+  }
+
+  /** The portable signature front shared by [[minhashCandidatesPortable]]
+    * and the incremental-dedup index: `(doc, sig)` with the
+    * engine-neutral md5-24 shingle hash (native fused pass — the
+    * interpreted HOF string explode + md5 + conv chain was the
+    * pipeline's dominant cost) and the fixed affine family. ONE
+    * exchange (the per-doc min agg, map-side partial). */
+  private[ext] def portableSignatures(df: DataFrame, idCol: String,
+      textCol: String, k: Int, shingleWidth: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val fam = portableFamily(k)
+    val tok = df.select(col(idCol).as("doc"),
+      explode(call_function("graft_portable_shingles",
+        col(textCol), lit(shingleWidth))).as("h"))
+    tok
+      .select(col("doc") +: (0 until k).map { j =>
+        val (a, b) = fam(j)
+        ((lit(a) * col("h") + lit(b)) % PortableP).as(s"h$j")
+      }: _*)
+      .groupBy(col("doc"))
+      .agg(min(col("h0")).as("m0"),
+        (1 until k).map(j => min(col(s"h$j")).as(s"m$j")): _*)
+      .select(col("doc"), array((0 until k).map(j => col(s"m$j")): _*).as("sig"))
+  }
+
+  /** LSH band keys of a signature frame: `(doc, sig, band, key)`, one
+    * row per band, key = the band's signature slice. Map-only. */
+  private[ext] def portableBandKeys(sig: DataFrame, k: Int, bands: Int): DataFrame = {
+    val r = k / bands
+    sig.select(col("doc"), col("sig"),
+      posexplode(array((0 until bands).map(b => slice(col("sig"), b * r + 1, r)): _*))
+        .as(Seq("band", "key")))
+  }
+
+  // ---- E1/E2 lifecycle: the PERSISTED dedup index (build once, dedup
+  // every future ingest batch against it — the corpus text is hashed
+  // exactly once, ever) ----
+
+  final case class DedupIndexMeta(k: Int, bands: Int, shingleWidth: Int,
+      maxBucket: Int)
+
+  /** Handles to a loaded dedup index: `meta` lives on the driver (one
+    * row); the three tables stay LAZY parquet scans — loading an index
+    * over a 100 TB corpus reads nothing until a batch joins it. */
+  final case class DedupIndex(meta: DedupIndexMeta, signatures: DataFrame,
+      bandKeys: DataFrame, fingerprints: DataFrame)
+
+  /** Build the persisted dedup index for a corpus: exact fingerprints
+    * (md5 of the case-folded text — 16 bytes/doc), portable MinHash
+    * signatures, and the pre-banded LSH keys, each as a parquet table
+    * under `dir`. The signature pass runs ONCE (band keys derive from
+    * the written signatures table, not a recompute); the build-time
+    * `maxBucket` prune drops boilerplate buckets from the index so no
+    * future batch can join into a skew bucket. This is [[Similarity]]'s
+    * build/serve split applied to dedup: the alternative — re-running
+    * [[minhashCandidatesPortable]] over corpus ∪ batch per ingest —
+    * re-hashes the full corpus text every batch. */
+  def buildDedupIndex(docs: DataFrame, idCol: String, textCol: String,
+      dir: String, k: Int = 32, bands: Int = 8, shingleWidth: Int = 3,
+      maxBucket: Int = 1000): Unit = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    portableSignatures(docs, idCol, textCol, k, shingleWidth)
+      .write.mode("overwrite").parquet(s"$dir/signatures")
+    val sigT = spark.read.parquet(s"$dir/signatures")
+    portableBandKeys(sigT, k, bands)
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("key"))))
+      .filter(col("bucket_n") <= maxBucket)
+      .select(col("band"), col("key"), col("doc"))
+      .write.mode("overwrite").parquet(s"$dir/bands")
+    docs.select(col(idCol).as("doc"), md5(lower(col(textCol))).as("fp"))
+      .write.mode("overwrite").parquet(s"$dir/fingerprints")
+    Seq((k, bands, shingleWidth, maxBucket))
+      .toDF("k", "bands", "shingle_width", "max_bucket")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Load a [[buildDedupIndex]] directory: one driver row for the meta,
+    * lazy scans for everything else. */
+  def loadDedupIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DedupIndex = {
+    val m = spark.read.parquet(s"$dir/meta").head()
+    DedupIndex(
+      DedupIndexMeta(m.getAs[Int]("k"), m.getAs[Int]("bands"),
+        m.getAs[Int]("shingle_width"), m.getAs[Int]("max_bucket")),
+      spark.read.parquet(s"$dir/signatures"),
+      spark.read.parquet(s"$dir/bands"),
+      spark.read.parquet(s"$dir/fingerprints"))
+  }
+
+  /** Dedup an ingest batch against a persisted index WITHOUT touching
+    * the corpus text: per batch doc, `verdict` ∈ exact (fingerprint
+    * match, `match_doc` = lowest matching corpus doc, est_sim 1.0) /
+    * near (best LSH candidate with `est_sim >= minEstSim`, ties to the
+    * lowest corpus doc) / new (`match_doc` -1, est_sim 0.0).
+    *
+    * Scale shape — the batch is the small side BY DEFINITION of
+    * incremental ingest, so every join against the index BROADCASTS
+    * the batch-derived frame and the index tables stream map-side:
+    * the index is never shuffled, never collected, and only the
+    * (band, key, doc) / (doc, sig) / (fp, doc) columns are read. Every
+    * exchange in the plan is over a BATCH-bounded frame (the batch
+    * signature agg, the candidate dedup, the best-candidate window,
+    * the exact-match group) — none over the index (plan-asserted in
+    * DedupSimilaritySpec). A batch too large to broadcast is not an
+    * increment — run the full pipeline and rebuild. */
+  def incrementalDedup(batch: DataFrame, idCol: String, textCol: String,
+      index: DedupIndex, minEstSim: Double = 0.5): DataFrame = {
+    val k = index.meta.k
+    val bsig = portableSignatures(batch, idCol, textCol, k, index.meta.shingleWidth)
+    val bband = portableBandKeys(bsig, k, index.meta.bands)
+      .select(col("doc").as("bdoc"), col("sig").as("bsig"),
+        col("band"), col("key"))
+    val cand = broadcast(bband)
+      .join(index.bandKeys.select(col("band"), col("key"), col("doc").as("cdoc")),
+        Seq("band", "key"))
+      .select(col("bdoc"), col("bsig"), col("cdoc"))
+      .dropDuplicates("bdoc", "cdoc")
+    val est = broadcast(cand)
+      .join(index.signatures.select(col("doc").as("cdoc"), col("sig").as("csig")),
+        Seq("cdoc"))
+      .withColumn("est_sim",
+        size(filter(zip_with(col("bsig"), col("csig"), (a, b) => a === b), x => x))
+          .cast(DoubleType) / k)
+      .filter(col("est_sim") >= minEstSim)
+    val best = est
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("bdoc"))
+          .orderBy(col("est_sim").desc, col("cdoc"))))
+      .filter(col("rn") === 1)
+      .select(col("bdoc").as(idCol), col("cdoc"), col("est_sim"))
+    val exact = broadcast(
+        batch.select(col(idCol), md5(lower(col(textCol))).as("fp")))
+      .join(index.fingerprints.select(col("fp"), col("doc").as("xdoc")), Seq("fp"))
+      .groupBy(col(idCol)).agg(min(col("xdoc")).as("exact_doc"))
+    batch.select(col(idCol))
+      .join(broadcast(exact), Seq(idCol), "left")
+      .join(broadcast(best), Seq(idCol), "left")
+      .select(col(idCol),
+        when(col("exact_doc").isNotNull, "exact")
+          .when(col("cdoc").isNotNull, "near")
+          .otherwise("new").as("verdict"),
+        coalesce(col("exact_doc"), col("cdoc"), lit(-1L)).as("match_doc"),
+        when(col("exact_doc").isNotNull, lit(1.0d))
+          .otherwise(coalesce(col("est_sim"), lit(0.0d))).as("est_sim"))
+  }
+
+  /** Grow the index with newly-admitted documents (typically the `new`
+    * verdicts of a just-deduped batch): fingerprints, signatures and
+    * band keys APPEND to the parquet tables, so the next batch dedups
+    * against corpus ∪ batch with no rebuild. Appended band keys bypass
+    * the build-time `maxBucket` prune — a bucket can only exceed the
+    * bound by accumulation across many appends; rebuild to re-prune
+    * when that matters. */
+  def appendToDedupIndex(docs: DataFrame, idCol: String, textCol: String,
+      dir: String): Unit = {
+    val spark = docs.sparkSession
+    val m = spark.read.parquet(s"$dir/meta").head()
+    val k = m.getAs[Int]("k")
+    val sig = portableSignatures(docs, idCol, textCol, k,
+        m.getAs[Int]("shingle_width"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      sig.write.mode("append").parquet(s"$dir/signatures")
+      portableBandKeys(sig, k, m.getAs[Int]("bands"))
+        .select(col("band"), col("key"), col("doc"))
+        .write.mode("append").parquet(s"$dir/bands")
+      docs.select(col(idCol).as("doc"), md5(lower(col(textCol))).as("fp"))
+        .write.mode("append").parquet(s"$dir/fingerprints")
+    } finally { sig.unpersist(blocking = false); () }
   }
 
   /** 64-bit SimHash of the word multiset: per bit, vote +1/-1 by each

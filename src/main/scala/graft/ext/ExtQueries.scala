@@ -118,21 +118,27 @@ object ExtQueries {
   /** The MinHash front CTEs over an arbitrary (doc_id, text) source —
     * `documents` for the standalone queries, the filtered set for the
     * e35 capstone. */
-  private def mhCtesFrom(src: String): String =
-    s"""w AS (SELECT doc_id AS doc, string_split(text,' ') ws FROM $src),
-      sh AS (SELECT DISTINCT doc, concat_ws(' ', ws[i], ws[i+1], ws[i+2]) s
-             FROM w, UNNEST(range(1, greatest(len(ws)-2,1)+1)) t(i)),
-      hb AS (SELECT doc, CAST(('0x'||substr(md5(s),1,6)) AS BIGINT) AS h FROM sh),
-      sigs AS (SELECT doc,
+  /** The signature half of the MinHash restatement, name-prefixed so a
+    * query can run it over TWO sources (e52's corpus and batch sides):
+    * `${p}sigl(doc, sig)` plus `${p}banded(doc, sig, band, key)`. */
+  private def mhSigCtesFrom(p: String, src: String): String =
+    s"""${p}w AS (SELECT doc_id AS doc, string_split(text,' ') ws FROM $src),
+      ${p}sh AS (SELECT DISTINCT doc, concat_ws(' ', ws[i], ws[i+1], ws[i+2]) s
+             FROM ${p}w, UNNEST(range(1, greatest(len(ws)-2,1)+1)) t(i)),
+      ${p}hb AS (SELECT doc, CAST(('0x'||substr(md5(s),1,6)) AS BIGINT) AS h FROM ${p}sh),
+      ${p}sigs AS (SELECT doc,
         ${(0 until mhK).map { j =>
           val (a, b) = mhFam(j)
           s"MIN(($a*h + $b) % ${Dedup.PortableP}) AS m$j"
         }.mkString(",\n        ")}
-        FROM hb GROUP BY doc),
-      sigl AS (SELECT doc, [${(0 until mhK).map(j => s"m$j").mkString(",")}] AS sig FROM sigs),
-      banded AS (SELECT doc, sig, b.band,
+        FROM ${p}hb GROUP BY doc),
+      ${p}sigl AS (SELECT doc, [${(0 until mhK).map(j => s"m$j").mkString(",")}] AS sig FROM ${p}sigs),
+      ${p}banded AS (SELECT doc, sig, b.band,
           sig[CAST(b.band*$mhR+1 AS INT):CAST(b.band*$mhR+$mhR AS INT)] AS key
-        FROM sigl, (SELECT UNNEST(range(0,$mhBands)) AS band) b),
+        FROM ${p}sigl, (SELECT UNNEST(range(0,$mhBands)) AS band) b)"""
+
+  private def mhCtesFrom(src: String): String =
+    s"""${mhSigCtesFrom("", src)},
       pruned AS (SELECT * FROM
           (SELECT *, COUNT(*) OVER (PARTITION BY band, key) AS bucket_n FROM banded)
         WHERE bucket_n <= 1000),
@@ -1736,9 +1742,63 @@ object ExtQueries {
         CAST(ROW_NUMBER() OVER (PARTITION BY h % 4 ORDER BY h, seq_key) AS BIGINT) AS pos
       FROM hk ORDER BY shard, pos"""))
 
+  // E1 (corpus lifecycle): incremental dedup against a PERSISTED index —
+  // the build/serve split e47 gives ANN, applied to dedup. The corpus
+  // (doc_id % 5 != 4) builds fingerprint/signature/band tables once;
+  // the ingest batch (the complement) dedups against the index with
+  // zero corpus-text access: exact via fingerprint match, near via the
+  // LSH band join + best est_sim, new otherwise. Every index join
+  // broadcasts the batch side; the index is never shuffled
+  // (plan-asserted in DedupSimilaritySpec). The oracle restates both
+  // sides' signature chains with the shared prefixed template, the
+  // corpus-side bucket prune, and the verdict precedence.
+  val e52 = Q(
+    "e52_incremental_dedup",
+    (s, d) => {
+      val docs = T.documents(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("graft_e52_idx").toString
+      Dedup.buildDedupIndex(docs.filter(col("doc_id") % 5 =!= 4), "doc_id", "text",
+        dir, k = mhK, bands = mhBands)
+      val idx = Dedup.loadDedupIndex(s, dir)
+      Dedup.incrementalDedup(docs.filter(col("doc_id") % 5 === 4), "doc_id", "text",
+        idx, minEstSim = 0.4)
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 5 <> 4),
+      batch AS (SELECT * FROM documents WHERE doc_id % 5 = 4),
+      ${mhSigCtesFrom("c", "corpus")},
+      ${mhSigCtesFrom("b", "batch")},
+      cpruned AS (SELECT * FROM
+          (SELECT *, COUNT(*) OVER (PARTITION BY band, key) AS bucket_n FROM cbanded)
+        WHERE bucket_n <= 1000),
+      cand AS (SELECT DISTINCT x.doc AS bdoc, x.sig AS s1, y.doc AS cdoc, y.sig AS s2
+        FROM bbanded x JOIN cpruned y ON x.band = y.band AND x.key = y.key),
+      est AS (SELECT bdoc, cdoc,
+          CAST(list_sum(list_transform(range(1,$mhK+1),
+            i -> CASE WHEN s1[i] = s2[i] THEN 1 ELSE 0 END)) AS DOUBLE)/$mhK AS est_sim
+        FROM cand),
+      near AS (SELECT * FROM
+          (SELECT bdoc, cdoc, est_sim,
+             ROW_NUMBER() OVER (PARTITION BY bdoc ORDER BY est_sim DESC, cdoc) AS rn
+           FROM est WHERE est_sim >= 0.4)
+        WHERE rn = 1),
+      cfp AS (SELECT doc_id AS doc, md5(lower(text)) AS fp FROM corpus),
+      bfp AS (SELECT doc_id AS doc, md5(lower(text)) AS fp FROM batch),
+      ex AS (SELECT b.doc, MIN(c.doc) AS exact_doc
+        FROM bfp b JOIN cfp c USING (fp) GROUP BY b.doc)
+      SELECT bt.doc_id,
+        CASE WHEN e.exact_doc IS NOT NULL THEN 'exact'
+             WHEN n.cdoc IS NOT NULL THEN 'near' ELSE 'new' END AS verdict,
+        CAST(COALESCE(e.exact_doc, n.cdoc, -1) AS BIGINT) AS match_doc,
+        CASE WHEN e.exact_doc IS NOT NULL THEN CAST(1.0 AS DOUBLE)
+             ELSE CAST(COALESCE(n.est_sim, 0.0) AS DOUBLE) END AS est_sim
+      FROM batch bt LEFT JOIN ex e ON e.doc = bt.doc_id
+        LEFT JOIN near n ON n.bdoc = bt.doc_id
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
       e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41, e42, e43, e44,
-      e45, e46, e47, e48, e49, e50, e51)
+      e45, e46, e47, e48, e49, e50, e51, e52)
 }

@@ -575,4 +575,70 @@ class DedupSimilaritySpec extends SparkSpec {
       assert(cos.zip(cos.tail).forall { case (a, b) => a >= b }, "cos not descending")
     }
   }
+
+  test("E1 lifecycle: persisted dedup index — exact/near/new verdicts, append growth") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog while autumn " +
+      "leaves drift across the quiet village square at dusk and children " +
+      "chase paper lanterns down the cobbled lane past the old mill"
+    val corpus = Seq(
+      (1L, base),
+      (2L, "completely different content about distributed query engines " +
+        "and columnar storage formats for analytical workloads at scale " +
+        "with vectorized execution and late materialization strategies"),
+      (3L, "yet another unrelated document mentioning harvest festivals")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_idx").toString
+    Dedup.buildDedupIndex(corpus, "doc_id", "text", dir)
+    val idx = Dedup.loadDedupIndex(spark, dir)
+    assert(idx.meta == Dedup.DedupIndexMeta(32, 8, 3, 1000))
+
+    val batch = Seq(
+      (10L, base.toUpperCase), // exact after case folding
+      (11L, base.replace("dusk", "dawn")), // near: one word of ~33 changed
+      (12L, "nothing in common with any corpus document whatsoever here " +
+        "a fresh page of entirely novel prose about glacier hydrology")
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(batch, "doc_id", "text", idx, minEstSim = 0.4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out(0) == ((10L, "exact", 1L, 1.0)), s"exact verdict: ${out(0)}")
+    assert(out(1)._1 == 11L && out(1)._2 == "near" && out(1)._3 == 1L,
+      s"near verdict: ${out(1)}")
+    assert(out(1)._4 >= 0.4 && out(1)._4 < 1.0, s"near est_sim: ${out(1)._4}")
+    assert(out(2) == ((12L, "new", -1L, 0.0)), s"new verdict: ${out(2)}")
+
+    // append the admitted doc; the next batch must see it as corpus
+    Dedup.appendToDedupIndex(batch.filter(col("doc_id") === 12L),
+      "doc_id", "text", dir)
+    val idx2 = Dedup.loadDedupIndex(spark, dir)
+    val batch2 = Seq((20L, "nothing in common with any corpus document " +
+      "whatsoever here a fresh page of entirely novel prose about " +
+      "glacier hydrology")).toDF("doc_id", "text")
+    val out2 = Dedup.incrementalDedup(batch2, "doc_id", "text", idx2)
+      .head()
+    assert(out2.getString(1) == "exact" && out2.getLong(2) == 12L,
+      s"appended doc must serve as corpus: $out2")
+  }
+
+  test("E1 lifecycle: serve plan never touches corpus text — batch broadcasts, index streams") {
+    import spark.implicits._
+    val corpus = T.documents(spark, sf001)
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_idx2").toString
+    Dedup.buildDedupIndex(corpus, "doc_id", "text", dir)
+    val idx = Dedup.loadDedupIndex(spark, dir)
+    val batch = Seq((9001L, "a small ingest batch document")).toDF("doc_id", "text")
+    val plan = Dedup.incrementalDedup(batch, "doc_id", "text", idx)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet"),
+      "serving a batch must not scan the corpus table")
+    assert(!plan.contains("SortMergeJoin"),
+      s"every index join must broadcast the batch side:\n${plan.take(2000)}")
+    // the only exchanges are over batch-bounded frames: the batch
+    // signature agg, candidate dedup, the best-candidate window, the
+    // exact-match group
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 4,
+      s"index-side shuffle leaked into the serve plan ($exchanges exchanges):\n${plan.take(2000)}")
+  }
 }
