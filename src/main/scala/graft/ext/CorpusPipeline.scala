@@ -117,11 +117,12 @@ object CorpusPipeline {
   }
 
   /** The token-id flavor of [[assembleSequences]]: collapse packed
-    * ENCODED documents ([[TextOps.bpeEncode]] rows through
-    * [[TextOps.packSequences]] with `keep = Seq(idsCol)`) into one row
-    * per training sequence, with the sequence's token-id stream
-    * concatenated in document order — the exact array a trainer feeds
-    * to batch assembly, no text re-tokenization downstream.
+    * ENCODED items — whole documents or chunks, [[TextOps.bpeEncode]]
+    * rows through [[TextOps.packSequences]] with `keep = Seq(idsCol)` —
+    * into one row per training sequence, with the sequence's token-id
+    * stream concatenated in (doc, chunk) order — the exact array a
+    * trainer feeds to batch assembly, no text re-tokenization
+    * downstream.
     *
     * Same scale shape as [[assembleSequences]]: the packing window left
     * the frame hash-partitioned on `bucket`, a prefix of the grouping
@@ -129,15 +130,15 @@ object CorpusPipeline {
     * CorpusPipelineSpec), and each group's `collect_list` is bounded by
     * the token budget, never the corpus. */
   def assembleTokenSequences(packed: DataFrame, docCol: String,
-      tokenCol: String, idsCol: String): DataFrame =
+      chunkCol: String, tokenCol: String, idsCol: String): DataFrame =
     packed.groupBy(col("bucket"), col("seq_id"))
       .agg(
-        count(lit(1)).cast("long").as("n_docs"),
+        count(lit(1)).cast("long").as("n_items"),
         sum(col(tokenCol)).cast("long").as("seq_tokens"),
         min(col(docCol)).as("first_doc"),
         max(col(docCol)).as("last_doc"),
         flatten(transform(
-          array_sort(collect_list(struct(col(docCol), col(idsCol)))),
+          array_sort(collect_list(struct(col(docCol), col(chunkCol), col(idsCol)))),
           x => x.getField(idsCol))).as("token_ids"))
       .withColumn("seq_key",
         concat(col("bucket").cast("string"), lit(":"), col("seq_id").cast("string")))

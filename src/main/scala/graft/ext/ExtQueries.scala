@@ -1706,9 +1706,9 @@ object ExtQueries {
         "doc_id", "part", "n_subwords", budget = 512, buckets = 8,
         keep = Seq("token_ids"))
       val seqs = CorpusPipeline.assembleTokenSequences(
-        packed, "doc_id", "n_subwords", "token_ids")
+        packed, "doc_id", "part", "n_subwords", "token_ids")
       Sampling.shardAssign(seqs, "seq_key", nShards = 4)
-        .select(col("bucket"), col("seq_id"), col("n_docs"), col("seq_tokens"),
+        .select(col("bucket"), col("seq_id"), col("n_items"), col("seq_tokens"),
           col("first_doc"), col("last_doc"),
           concat_ws(",", transform(col("token_ids"), x => x.cast("string"))).as("ids_csv"),
           col("shard"), col("pos"))
@@ -1728,7 +1728,7 @@ object ExtQueries {
           AS tokens_before
         FROM b),
       seqs AS (SELECT bucket, CAST(tokens_before // 512 AS BIGINT) AS seq_id,
-          CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(COUNT(*) AS BIGINT) AS n_items,
           CAST(SUM(n_subwords) AS BIGINT) AS seq_tokens,
           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
           string_agg(ids_csv, ',' ORDER BY doc_id) AS ids_csv
@@ -1737,7 +1737,7 @@ object ExtQueries {
           CAST(bucket AS VARCHAR) || ':' || CAST(seq_id AS VARCHAR) AS seq_key
         FROM seqs),
       hk AS (SELECT *, CAST(('0x'||substr(md5(seq_key),1,6)) AS BIGINT) AS h FROM k)
-      SELECT bucket, seq_id, n_docs, seq_tokens, first_doc, last_doc, ids_csv,
+      SELECT bucket, seq_id, n_items, seq_tokens, first_doc, last_doc, ids_csv,
         CAST(h % 4 AS INT) AS shard,
         CAST(ROW_NUMBER() OVER (PARTITION BY h % 4 ORDER BY h, seq_key) AS BIGINT) AS pos
       FROM hk ORDER BY shard, pos"""))

@@ -520,22 +520,31 @@ object TextOps {
     * training corpus through [[bpeFit]] on the same class regex.
     * Output: (id, token_ids array, n_subwords, n_words). */
   def bpeEncode(df: DataFrame, idCol: String, textCol: String,
+      model: BpeModel): DataFrame =
+    bpeEncode(df, Seq(idCol), textCol, model)
+
+  /** [[bpeEncode]] over a COMPOSITE key (e.g. `(doc_id, chunk_id)` when
+    * encoding chunked corpora) — same plan, grouped on all key
+    * columns. */
+  def bpeEncode(df: DataFrame, idCols: Seq[String], textCol: String,
       model: BpeModel): DataFrame = {
+    require(idCols.nonEmpty, "bpeEncode needs at least one id column")
     val spark = df.sparkSession
     import spark.implicits._
     val symDf = broadcast(model.symbols.zipWithIndex
       .map { case ((s, _), i) => (s, i.toLong) }.toDF("sym", "sym_id"))
     val seeded = df
-      .select(col(idCol), posexplode(regexp_extract_all(lower(col(textCol)),
-        lit("[a-z]+|[0-9]+"), lit(0))).as(Seq("pos", "term")))
+      .select(idCols.map(col) :+
+        posexplode(regexp_extract_all(lower(col(textCol)),
+          lit("[a-z]+|[0-9]+"), lit(0))).as(Seq("pos", "term")): _*)
       .withColumn("seq",
         concat_ws(" ", filter(split(col("term"), ""), x => length(x) > 0)))
     val merged = model.merges.foldLeft(seeded)((d, m) => bpeApplyMerge(d, m.pair))
     merged
-      .select(col(idCol), col("pos"),
-        posexplode(split(col("seq"), " ")).as(Seq("j", "sym")))
+      .select(idCols.map(col) ++ Seq(col("pos"),
+        posexplode(split(col("seq"), " ")).as(Seq("j", "sym"))): _*)
       .join(symDf, "sym")
-      .groupBy(col(idCol))
+      .groupBy(idCols.map(col): _*)
       .agg(
         transform(array_sort(collect_list(struct(col("pos"), col("j"), col("sym_id")))),
           x => x.getField("sym_id")).as("token_ids"),

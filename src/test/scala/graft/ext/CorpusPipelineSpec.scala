@@ -146,7 +146,7 @@ class CorpusPipelineSpec extends SparkSpec {
       CorpusPipeline.assembleTokenSequences(
         TextOps.packSequences(e, "doc_id", "part", "n_subwords",
           budget = 512, buckets = 8, keep = Seq("token_ids")),
-        "doc_id", "n_subwords", "token_ids")
+        "doc_id", "part", "n_subwords", "token_ids")
 
     // plan shape on the uncached flow: the encode reassembly exchange +
     // the packing window's bucket exchange, and NOTHING more — the
@@ -166,7 +166,7 @@ class CorpusPipelineSpec extends SparkSpec {
         "seq_tokens totals conserved through packing")
       assert(seqs.filter(size(col("token_ids")) =!= col("seq_tokens")).count() == 0,
         "every sequence's id stream length equals its token count")
-      assert(seqs.agg(sum(col("n_docs"))).head().getLong(0) == encC.count(),
+      assert(seqs.agg(sum(col("n_items"))).head().getLong(0) == encC.count(),
         "every encoded document packed exactly once")
       // exact stream reconstruction: replay the packing identity on the
       // driver (portable 60-bit bucket hash, per-bucket doc-order
