@@ -28,26 +28,57 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = rd(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = rd(s, d, "lineitem")
 
-  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark 4
-    * rejects outright (PARQUET_TYPE_ILLEGAL). Read the physical int64 via
-    * `legacy.parquet.nanosAsLong` and convert losslessly to a timestamp:
-    * the data is µs-precision (epoch_ns % 1000 == 0 for every row), and
-    * `div` is integer division so no double rounding at 1.7e18 magnitudes.
-    * This matches bit-for-bit how DuckDB reads the same column.
+  /** Normalize an events-style `ts` column to a zoned `TimestampType`
+    * across every parquet physical flavor the driver's generator has
+    * produced (it regenerates testdata between rounds and has switched
+    * layout at least once — round 11 broke three queries on exactly this):
     *
-    * The session must be built with `spark.sql.legacy.parquet.nanosAsLong=
-    * true` (Bench/Verify/Main/SparkSpec all do) — this loader deliberately
-    * does NOT mutate the calling session's conf: a conf flip here would be
-    * a surprise side effect for concurrent sessions sharing the conf. */
+    *  - `LongType`: parquet TIMESTAMP(NANOS) read under
+    *    `spark.sql.legacy.parquet.nanosAsLong=true` (Spark 4 rejects nanos
+    *    outright otherwise), or a raw int64 epoch-nanos column. The data is
+    *    µs-precision (epoch_ns % 1000 == 0 for every row) and `div` is
+    *    integer division, so `timestamp_micros(ts div 1000)` is lossless —
+    *    bit-for-bit how DuckDB reads the same column.
+    *  - `TimestampNTZType`: parquet TIMESTAMP_MICROS(isAdjustedToUTC=0).
+    *    Every session here runs `spark.sql.session.timeZone=UTC`
+    *    (Bench/Verify/Main/SparkSpec), so `cast(TimestampType)` is a
+    *    value identity — same epoch micros, now zoned, satisfying
+    *    `unix_micros`/`withWatermark`.
+    *  - `TimestampType`: TIMESTAMP_MICROS(isAdjustedToUTC=1) — passthrough.
+    *
+    * Works on batch and streaming frames alike (the stream sources pin
+    * their schema from a batch probe of the same file). */
+  def normalizeEventTs(df: DataFrame, c: String = "ts"): DataFrame =
+    df.schema(c).dataType match {
+      case LongType         => df.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+      case TimestampNTZType => df.withColumn(c, col(c).cast(TimestampType))
+      case TimestampType    => df
+      case other => sys.error(
+        s"events.$c has unsupported type $other — expected int64 nanos, " +
+          "TIMESTAMP_NTZ micros, or zoned TIMESTAMP (testdata layout drift: " +
+          "extend Tables.normalizeEventTs)")
+    }
+
+  /** events loader, robust to the parquet timestamp flavor (see
+    * [[normalizeEventTs]]). If the file stores TIMESTAMP(NANOS) and the
+    * session lacks `spark.sql.legacy.parquet.nanosAsLong=true`, the scan
+    * itself throws at schema read — rethrown here with the fix spelled
+    * out. This loader deliberately does NOT mutate the calling session's
+    * conf: a conf flip here would be a surprise side effect for
+    * concurrent sessions sharing the conf. */
   def events(s: SparkSession, d: String): DataFrame = {
-    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "events.parquet stores parquet TIMESTAMP(NANOS), which Spark 4 rejects: " +
-        "build the session with spark.sql.legacy.parquet.nanosAsLong=true " +
-        "(Bench/Verify/Main/SparkSpec all do)")
-    val raw = rd(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    val raw =
+      try rd(s, d, "events")
+      catch {
+        case e: Throwable
+            if s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true" =>
+          throw new IllegalArgumentException(
+            "events.parquet failed to read; if it stores parquet " +
+              "TIMESTAMP(NANOS) (which Spark 4 rejects) build the session " +
+              "with spark.sql.legacy.parquet.nanosAsLong=true " +
+              "(Bench/Verify/Main/SparkSpec all do)", e)
+      }
+    normalizeEventTs(raw)
   }
   def documents(s: SparkSession, d: String): DataFrame = rd(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = rd(s, d, "embeddings")

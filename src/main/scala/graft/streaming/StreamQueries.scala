@@ -1,9 +1,9 @@
 package graft.streaming
 
-import graft.{Q, Qh}
+import graft.{Q, Qh, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import org.apache.spark.sql.types.LongType
 
 /** Declared conformance query for the streaming track: the SAME daily
   * cost-trend aggregation the batch suite declares (the D3 shape), but
@@ -29,6 +29,20 @@ import org.apache.spark.sql.types.LongType
 object StreamQueries {
   import Qh._
 
+  /** The events file-stream source, `ts` normalized to a zoned
+    * `TimestampType` whatever the parquet physical flavor
+    * ([[Tables.normalizeEventTs]] — the same normalizer the batch loader
+    * uses, so stream and batch semantics cannot drift). The schema is
+    * pinned from a batch probe (file streams require one); the source
+    * path is a glob matching exactly the one file, because a file stream
+    * rejects a plain FILE path as its basePath — the glob makes it derive
+    * basePath from the parent directory instead. */
+  private def eventStream(s: SparkSession, d: String): DataFrame = {
+    val batchSchema = s.read.parquet(s"$d/events.parquet").schema
+    Tables.normalizeEventTs(
+      s.readStream.schema(batchSchema).parquet(s"$d/events.parque[t]"))
+  }
+
   val c40 = Q(
     "c40_stream_window",
     (outer, d) => {
@@ -36,18 +50,7 @@ object StreamQueries {
       // RocksDB backend ([[StateBackend]]): windowed aggregation keeps
       // one store per shuffle partition
       val s = StateBackend.isolatedStreamSession(outer)
-      // schema pinned from a batch probe (file streams require it); the
-      // nanos ts arrives as int64 under the session's legacy read conf
-      // and converts exactly like Tables.events
-      val batchSchema = s.read.parquet(s"$d/events.parquet").schema
-      // the source path is a single FILE, which a file stream rejects as
-      // its basePath; a glob path (matching exactly that file) makes the
-      // source derive basePath from the parent directory instead
-      val raw = s.readStream.schema(batchSchema).parquet(s"$d/events.parque[t]")
-      val ev =
-        if (raw.schema("ts").dataType == LongType)
-          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        else raw
+      val ev = eventStream(s, d)
       val agg = ev
         .groupBy(window(col("ts"), "1 day"))
         .agg(dsum(col("value")).as("total"), count(lit(1)).as("n"))
@@ -76,13 +79,7 @@ object StreamQueries {
       // isolated session sized for streaming state (see c51), RocksDB
       // backend: dedup + window stores per shuffle partition
       val s = StateBackend.isolatedStreamSession(outer)
-      val batchSchema = s.read.parquet(s"$d/events.parquet").schema
-      def src = {
-        val raw = s.readStream.schema(batchSchema).parquet(s"$d/events.parque[t]")
-        if (raw.schema("ts").dataType == LongType)
-          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        else raw
-      }
+      def src = eventStream(s, d)
       val doubled = src.union(src)
       val deduped = doubled
         .withWatermark("ts", "1 day")
@@ -121,9 +118,7 @@ object StreamQueries {
       // backend for the flatMapGroupsWithState user state
       val s = StateBackend.isolatedStreamSession(outer)
       import s.implicits._
-      val batchSchema = s.read.parquet(s"$d/events.parquet").schema
-      val raw = s.readStream.schema(batchSchema).parquet(s"$d/events.parque[t]")
-      val ev = raw
+      val ev = eventStream(s, d)
         .select(col("user_id").cast("string").as("account_id"),
           col("value").as("cost"))
         .as[CostState.CostEvent]
@@ -164,13 +159,7 @@ object StreamQueries {
       // is exactly the store that outgrows heap first at 100 TB. Output
       // content is partitioning-independent.
       val s = StateBackend.isolatedStreamSession(outer)
-      val batchSchema = s.read.parquet(s"$d/events.parquet").schema
-      def src = {
-        val raw = s.readStream.schema(batchSchema).parquet(s"$d/events.parque[t]")
-        if (raw.schema("ts").dataType == LongType)
-          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        else raw
-      }
+      def src = eventStream(s, d)
       val purchases = src.filter(col("event_type") === "purchase")
         .select(col("event_id").as("p_id"), col("user_id"),
           col("ts").as("p_ts"), col("value").as("p_value"))
