@@ -127,24 +127,29 @@ object Bench {
         .map(_.getPeakUsage.getUsed).sum / (1L << 20)
     }
     val maxHeapMib = Runtime.getRuntime.maxMemory() / (1L << 20)
-    // record layout (VERDICT r9 item 4): SCALARS FIRST, the four
-    // ~100-entry maps last — a capture window that truncates the line
-    // keeps the headline and the contamination verdict whichever end it
-    // clips less of. The untruncated record ALSO goes to
-    // BENCH_LAST.json at the repo root (overwritten per run), so
-    // per-query timings survive any stdout capture at all.
+    // record layout (VERDICT r9 item 4 + ADVICE r11): SCALARS FIRST and
+    // the same headline scalars REPEATED LAST (`tail_scalars`) — the
+    // driver's capture has clipped the line at BOTH ends across rounds
+    // (r9 lost the tail maps, r11's tail window lost the leading
+    // scalars), so the headline must survive whichever end the window
+    // keeps. The untruncated record ALSO goes to BENCH_LAST.json at the
+    // repo root (overwritten per run), so per-query timings survive any
+    // stdout capture at all — prefer ingesting that file.
     val fmtLoad = (l: Seq[Double]) => l.map(v => f"$v%.2f").mkString("[", ",", "]")
+    val headline =
+      s""""value":$total,"value_min":${f"$totalMin%.3f"},""" +
+        s""""n_ok":${results.count(_.ok)},"n_queries":${results.size},""" +
+        s""""sync_e2e_s":${f"$syncSec%.3f"},"peak_heap_mib":$peakHeapMib,""" +
+        s""""contaminated":$contaminated"""
     val record =
-      s"""{"metric":"conformance_total_s","value":$total,"unit":"sec",""" +
-        s""""value_min":${f"$totalMin%.3f"},"n_ok":${results.count(_.ok)},""" +
-        s""""n_queries":${results.size},"reps":$reps,""" +
-        s""""sync_e2e_s":${f"$syncSec%.3f"},"sync_fixture_s":${f"$fixtureSec%.3f"},""" +
-        s""""peak_heap_mib":$peakHeapMib,"max_heap_mib":$maxHeapMib,""" +
-        s""""contaminated":$contaminated,"loadavg_start":${fmtLoad(loadAtStart)},""" +
+      s"""{"metric":"conformance_total_s","unit":"sec",$headline,""" +
+        s""""reps":$reps,"sync_fixture_s":${f"$fixtureSec%.3f"},""" +
+        s""""max_heap_mib":$maxHeapMib,"loadavg_start":${fmtLoad(loadAtStart)},""" +
         s""""loadavg":${fmtLoad(loadavg())},""" +
         s""""stray_jvms":${strayAtStart.map("\"" + _.replace("\"", "'") + "\"").mkString("[", ",", "]")},""" +
         s""""sf":"$sfDir","suspect":$suspect,"failed":$failed,""" +
-        s""""queries":$qs,"queries_min":$qsMin,"spread":$spread,"reps_used":$repsUsed}"""
+        s""""queries":$qs,"queries_min":$qsMin,"spread":$spread,"reps_used":$repsUsed,""" +
+        s""""tail_scalars":{$headline}}"""
     println(record)
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LAST.json"),

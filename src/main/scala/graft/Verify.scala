@@ -27,6 +27,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A query that throws must SURFACE in the driver's gate, not vanish
+    // (VERDICT r11: three queries errored before producing output, the
+    // driver's correctness file simply had no row for them, and
+    // "106 all green" looked healthier than the round before's 109).
+    // On catch: create the query's out dir anyway with a _FAILED marker
+    // (the dir exists but is unreadable as parquet → the gate reports an
+    // explicit error row) and accumulate every failure into
+    // <outDir>/errors.json for direct inspection.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
@@ -35,6 +44,15 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         e.printStackTrace()
+        errors(name) = s"${e.getClass.getName}: ${e.getMessage}"
+        val qdir = Paths.get(s"$outDir/$name")
+        try {
+          Files.createDirectories(qdir)
+          Files.writeString(qdir.resolve("_FAILED"),
+            s"${e.getClass.getName}: ${e.getMessage}\n")
+        } catch { case m: Throwable =>
+          System.err.println(s"[verify] $name: marker write failed: ${m.getMessage}")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -52,6 +70,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} quer${if (errors.size == 1) "y" else "ies"} FAILED: " +
+        errors.keys.mkString(", "))
     spark.stop()
   }
 }

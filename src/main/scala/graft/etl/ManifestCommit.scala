@@ -84,8 +84,28 @@ private[etl] object ManifestCommit {
       else None
     } else None
 
-  /** Current committed version, if a manifest exists. Throws
-    * [[TornManifestException]] on an empty/truncated/unparsable manifest. */
+  /** Parse a LEGACY (pre-`v<N>\n`) bare-digits manifest record:
+    * digits with optional trailing newline, nothing else. A candidate
+    * only — the caller must additionally verify the named generation dir
+    * EXISTS before trusting it, because bare digits carry no
+    * end-of-record marker: a torn `1` out of `12\n` parses as 1, and the
+    * existence check is the only thing separating an intact legacy
+    * pointer from a truncated one (the torn prefix's dir usually being a
+    * long-deleted generation). */
+  private[etl] def parseLegacy(raw: String): Option[Long] = {
+    val body = raw.stripSuffix("\n")
+    if (body.nonEmpty && body.forall(_.isDigit) && !body.contains('\n'))
+      body.toLongOption.filter(_ > 0)
+    else None
+  }
+
+  /** Current committed version, if a manifest exists. A legacy
+    * bare-digits record (written by pre-round-10 code) is accepted as
+    * intact ONLY when it parses fully AND its generation dir exists —
+    * read paths leave it in place (no write on read); the next [[commit]]
+    * rewrites it in `v<N>\n` form as a side effect of committing. Throws
+    * [[TornManifestException]] on an empty/truncated/unparsable
+    * manifest. */
   def currentVersion(fs: FileSystem, base: HPath): Option[Long] = {
     val mp = manifestPath(base)
     if (!fs.exists(mp)) None
@@ -94,10 +114,12 @@ private[etl] object ManifestCommit {
       val raw =
         try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
         finally in.close()
-      parseManifest(raw) match {
-        case some @ Some(_) => some
-        case None => throw new TornManifestException(mp, raw.trim)
-      }
+      parseManifest(raw)
+        .orElse(parseLegacy(raw).filter(v => fs.exists(versionDir(base, v))))
+        match {
+          case some @ Some(_) => some
+          case None => throw new TornManifestException(mp, raw.trim)
+        }
     }
   }
 

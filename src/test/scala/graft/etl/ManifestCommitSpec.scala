@@ -69,6 +69,43 @@ class ManifestCommitSpec extends AnyFunSuite {
     assert(ManifestCommit.currentVersion(fs, base).contains(12L))
   }
 
+  test("legacy bare-digits manifest: resolve reads it, repair preserves it, commit upgrades it") {
+    val (fs, base) = freshFs()
+    val g3 = mkGen(fs, base, 3)
+    val g5 = mkGen(fs, base, 5) // dead write: crash before a flip
+    // pre-round-10 manifest format: bare digits + newline
+    writeManifestRaw(fs, base, "3\n")
+    // resolve accepts the legacy pointer (its generation dir exists)
+    assert(ManifestCommit.currentVersion(fs, base).contains(3L))
+    assert(ManifestCommit.resolve(fs, base) == g3)
+    // repair preserves the pointer — it must NOT promote dead write 5
+    // above the intact legacy pointer; 5 is cleaned up as a dead write
+    assert(ManifestCommit.repair(fs, base) == g3)
+    assert(fs.exists(g3), "legacy-pointed generation must survive repair")
+    assert(!fs.exists(g5), "dead write above the legacy pointer is discarded")
+    assert(ManifestCommit.currentVersion(fs, base).contains(3L))
+    // the next commit upgrades the record to the terminated v<N> form
+    ManifestCommit.commit(fs, base, 4)
+    val in = fs.open(ManifestCommit.manifestPath(base))
+    val raw =
+      try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+      finally in.close()
+    assert(raw == "v4\n")
+  }
+
+  test("legacy bare-digits record whose generation dir is MISSING is torn, not trusted") {
+    val (fs, base) = freshFs()
+    val g12 = mkGen(fs, base, 12)
+    // a torn prefix `1` of a legacy `12\n` — generation 1 is long gone,
+    // so the existence check rejects it and repair finds the survivor
+    writeManifestRaw(fs, base, "1")
+    intercept[ManifestCommit.TornManifestException] {
+      ManifestCommit.currentVersion(fs, base)
+    }
+    assert(ManifestCommit.repair(fs, base) == g12)
+    assert(ManifestCommit.currentVersion(fs, base).contains(12L))
+  }
+
   test("suspect pointer: repair refuses BEFORE deleting surviving generations") {
     val (fs, base) = freshFs()
     val g3 = mkGen(fs, base, 3)

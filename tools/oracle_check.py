@@ -71,6 +71,11 @@ def main(sf_dir: str, out_dir: str) -> int:
     n_ok = n_bad = n_rowsonly = 0
     for qdir in sorted(d for d in out.iterdir() if d.is_dir()):
         name = qdir.name
+        marker = qdir / "_FAILED"
+        if marker.exists():
+            print(f"FAIL {name}: query threw: {marker.read_text().strip()}")
+            n_bad += 1
+            continue
         try:
             spark_df = pd.read_parquet(qdir)
         except Exception as e:
