@@ -246,24 +246,65 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$dir/meta")
   }
 
+  /** The ledger anchor for committed index appends: generation dirs
+    * `appends__b<id>` + one-object ledger `appends__stream_commits`
+    * under the index dir — the [[graft.streaming.ExactlyOnce]] commit
+    * idiom (single atomic PUT on a real object store) applied to the
+    * three-table append, so a crash mid-append can never publish a
+    * partial generation (ADVICE r10: the in-place three-table append
+    * had no commit point). */
+  private def appendsAnchor(dir: String) =
+    new org.apache.hadoop.fs.Path(s"$dir/appends")
+
   /** Load a [[buildDedupIndex]] directory: one driver row for the meta,
-    * lazy scans for everything else. */
+    * lazy scans for everything else. Each table is the base generation
+    * plus every LEDGER-COMMITTED append generation (uncommitted /
+    * crash-partial generations are invisible); a pre-ledger index (no
+    * appends ever committed) reads the base tables alone. */
   def loadDedupIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): DedupIndex = {
+    import graft.streaming.ExactlyOnce
     val m = spark.read.parquet(s"$dir/meta").head()
+    val anchor = appendsAnchor(dir)
+    val fs = anchor.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lastOpt =
+      try ExactlyOnce.lastCommitted(fs, anchor)
+      catch {
+        case torn: ExactlyOnce.TornLedgerException =>
+          // a torn PUT implies its generation staged in full (the stage
+          // completes before the PUT begins; single-appender) — resolve
+          // to the highest staged generation WITHOUT writing; the next
+          // append repairs the ledger durably
+          System.err.println(s"[dedup-index] ${torn.getMessage}")
+          ExactlyOnce.listBatchDirs(fs, anchor).map(_._1).maxOption
+      }
+    val committed = lastOpt match {
+      case Some(last) => ExactlyOnce.listBatchDirs(fs, anchor)
+        .filter(_._1 <= last).sortBy(_._1).map(_._2.toString)
+      case None => Seq.empty
+    }
+    def table(name: String): DataFrame =
+      spark.read.parquet(s"$dir/$name" +: committed.map(g => s"$g/$name"): _*)
     DedupIndex(
       DedupIndexMeta(m.getAs[Int]("k"), m.getAs[Int]("bands"),
         m.getAs[Int]("shingle_width"), m.getAs[Int]("max_bucket")),
-      spark.read.parquet(s"$dir/signatures"),
-      spark.read.parquet(s"$dir/bands"),
-      spark.read.parquet(s"$dir/fingerprints"))
+      table("signatures"), table("bands"), table("fingerprints"))
   }
 
   /** Dedup an ingest batch against a persisted index WITHOUT touching
     * the corpus text: per batch doc, `verdict` ∈ exact (fingerprint
-    * match, `match_doc` = lowest matching corpus doc, est_sim 1.0) /
-    * near (best LSH candidate with `est_sim >= minEstSim`, ties to the
-    * lowest corpus doc) / new (`match_doc` -1, est_sim 0.0).
+    * match, `match_doc` = lowest matching doc, est_sim 1.0) / near
+    * (best LSH candidate with `est_sim >= minEstSim`, ties to the
+    * lowest doc) / new (`match_doc` -1, est_sim 0.0).
+    *
+    * INTRA-batch duplicates are matched too (ADVICE r10: two copies of
+    * one document arriving in the same ingest batch must not BOTH enter
+    * the index as `new`): each batch doc is also compared — exact
+    * fingerprint and LSH — against batch docs with a STRICTLY LOWER id,
+    * so of n intra-batch copies exactly the lowest-id one can be `new`
+    * and the rest resolve to it (or to a corpus doc, whichever id is
+    * lower / similarity higher). The lower-id-only rule keeps the
+    * verdict asymmetric — no pair can mutually mark each other dup.
     *
     * Scale shape — the batch is the small side BY DEFINITION of
     * incremental ingest, so every join against the index BROADCASTS
@@ -272,9 +313,10 @@ object Dedup {
     * (band, key, doc) / (doc, sig) / (fp, doc) columns are read. Every
     * exchange in the plan is over a BATCH-bounded frame (the batch
     * signature agg, the candidate dedup, the best-candidate window,
-    * the exact-match group) — none over the index (plan-asserted in
-    * DedupSimilaritySpec). A batch too large to broadcast is not an
-    * increment — run the full pipeline and rebuild. */
+    * the exact-match group, the intra-batch self-joins) — none over the
+    * index (plan-asserted in DedupSimilaritySpec). A batch too large to
+    * broadcast is not an increment — run the full pipeline and
+    * rebuild. */
   def incrementalDedup(batch: DataFrame, idCol: String, textCol: String,
       index: DedupIndex, minEstSim: Double = 0.5): DataFrame = {
     val k = index.meta.k
@@ -282,6 +324,10 @@ object Dedup {
     val bband = portableBandKeys(bsig, k, index.meta.bands)
       .select(col("doc").as("bdoc"), col("sig").as("bsig"),
         col("band"), col("key"))
+    val estSimOf = (a: Column, b: Column) =>
+      size(filter(zip_with(a, b, (x, y) => x === y), x => x))
+        .cast(DoubleType) / k
+    // corpus LSH candidates: batch bands broadcast against the index
     val cand = broadcast(bband)
       .join(index.bandKeys.select(col("band"), col("key"), col("doc").as("cdoc")),
         Seq("band", "key"))
@@ -290,19 +336,39 @@ object Dedup {
     val est = broadcast(cand)
       .join(index.signatures.select(col("doc").as("cdoc"), col("sig").as("csig")),
         Seq("cdoc"))
-      .withColumn("est_sim",
-        size(filter(zip_with(col("bsig"), col("csig"), (a, b) => a === b), x => x))
-          .cast(DoubleType) / k)
+      .withColumn("est_sim", estSimOf(col("bsig"), col("csig")))
       .filter(col("est_sim") >= minEstSim)
-    val best = est
+      .select(col("bdoc"), col("cdoc"), col("est_sim"))
+    // intra-batch LSH candidates: band-key self-join (broadcast — both
+    // sides batch-bounded), strictly-lower id only; both signatures are
+    // already in hand — no index access
+    val estIntra = bband
+      .join(broadcast(bband.select(col("band"), col("key"),
+          col("bdoc").as("cdoc"), col("bsig").as("csig"))),
+        Seq("band", "key"))
+      .filter(col("cdoc") < col("bdoc"))
+      .select(col("bdoc"), col("bsig"), col("cdoc"), col("csig"))
+      .dropDuplicates("bdoc", "cdoc")
+      .withColumn("est_sim", estSimOf(col("bsig"), col("csig")))
+      .filter(col("est_sim") >= minEstSim)
+      .select(col("bdoc"), col("cdoc"), col("est_sim"))
+    val best = est.union(estIntra)
       .withColumn("rn", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("bdoc"))
           .orderBy(col("est_sim").desc, col("cdoc"))))
       .filter(col("rn") === 1)
       .select(col("bdoc").as(idCol), col("cdoc"), col("est_sim"))
-    val exact = broadcast(
-        batch.select(col(idCol), md5(lower(col(textCol))).as("fp")))
+    val bfp = batch.select(col(idCol), md5(lower(col(textCol))).as("fp"))
+    val exactCorpus = broadcast(bfp)
       .join(index.fingerprints.select(col("fp"), col("doc").as("xdoc")), Seq("fp"))
+      .select(col(idCol), col("xdoc"))
+    // intra-batch exact: same fingerprint, strictly-lower id (broadcast
+    // self-join — batch-bounded)
+    val exactIntra = bfp
+      .join(broadcast(bfp.select(col("fp"), col(idCol).as("xdoc"))), Seq("fp"))
+      .filter(col("xdoc") < col(idCol))
+      .select(col(idCol), col("xdoc"))
+    val exact = exactCorpus.union(exactIntra)
       .groupBy(col(idCol)).agg(min(col("xdoc")).as("exact_doc"))
     batch.select(col(idCol))
       .join(broadcast(exact), Seq(idCol), "left")
@@ -317,27 +383,61 @@ object Dedup {
   }
 
   /** Grow the index with newly-admitted documents (typically the `new`
-    * verdicts of a just-deduped batch): fingerprints, signatures and
-    * band keys APPEND to the parquet tables, so the next batch dedups
-    * against corpus ∪ batch with no rebuild. Appended band keys bypass
-    * the build-time `maxBucket` prune — a bucket can only exceed the
-    * bound by accumulation across many appends; rebuild to re-prune
-    * when that matters. */
+    * verdicts of a just-deduped batch), ATOMICALLY: the three tables'
+    * increments are staged in full into one generation dir
+    * (`appends__b<id>/{signatures,bands,fingerprints}`), then published
+    * by a single ledger PUT ([[appendsAnchor]]) — readers see all three
+    * or none, so a crash mid-append can never publish fingerprints
+    * without their band keys (the window the old in-place three-table
+    * append had). A crash before the PUT leaves an invisible partial
+    * generation that the NEXT append overwrites (same id, never
+    * committed); a torn PUT is repaired here by re-committing the
+    * highest staged generation — the stage completes before the PUT
+    * begins, so a torn ledger implies an intact generation.
+    *
+    * Single-appender contract (same as the compactor's): one appender
+    * per index at a time. Appended band keys bypass the build-time
+    * `maxBucket` prune — a bucket can only exceed the bound by
+    * accumulation across many appends; rebuild to re-prune when that
+    * matters. */
   def appendToDedupIndex(docs: DataFrame, idCol: String, textCol: String,
       dir: String): Unit = {
+    import graft.streaming.ExactlyOnce
     val spark = docs.sparkSession
     val m = spark.read.parquet(s"$dir/meta").head()
     val k = m.getAs[Int]("k")
+    val anchor = appendsAnchor(dir)
+    val fs = anchor.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val last =
+      try ExactlyOnce.lastCommitted(fs, anchor)
+      catch {
+        case torn: ExactlyOnce.TornLedgerException =>
+          val best = ExactlyOnce.listBatchDirs(fs, anchor).map(_._1).maxOption
+          System.err.println(s"[dedup-index] ${torn.getMessage}")
+          best match {
+            case Some(v) =>
+              System.err.println(s"[dedup-index] re-committing intact staged generation $v")
+              ExactlyOnce.commitLedger(fs, anchor, v)
+            case None =>
+              System.err.println("[dedup-index] no staged generation — discarding torn ledger")
+              fs.delete(ExactlyOnce.ledgerPath(anchor), false)
+          }
+          best
+      }
+    if (docs.isEmpty) return
+    val id = last.map(_ + 1).getOrElse(0L)
+    val gen = ExactlyOnce.batchDir(anchor, id)
     val sig = portableSignatures(docs, idCol, textCol, k,
         m.getAs[Int]("shingle_width"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      sig.write.mode("append").parquet(s"$dir/signatures")
+      sig.write.mode("overwrite").parquet(s"$gen/signatures")
       portableBandKeys(sig, k, m.getAs[Int]("bands"))
         .select(col("band"), col("key"), col("doc"))
-        .write.mode("append").parquet(s"$dir/bands")
+        .write.mode("overwrite").parquet(s"$gen/bands")
       docs.select(col(idCol).as("doc"), md5(lower(col(textCol))).as("fp"))
-        .write.mode("append").parquet(s"$dir/fingerprints")
+        .write.mode("overwrite").parquet(s"$gen/fingerprints")
+      ExactlyOnce.commitLedger(fs, anchor, id)
     } finally { sig.unpersist(blocking = false); () }
   }
 

@@ -25,7 +25,9 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * committed prefix only: batch dirs with id ≤ the ledger value.
   * Micro-batch ids are assigned monotonically by the streaming engine,
   * so one id is enough — empty batches advance the ledger without
-  * writing a dir, and gaps read correctly.
+  * writing a dir, and gaps read correctly. A third reserved sibling,
+  * `table__schema.json`, records the stream's schema at first commit so
+  * an all-empty-batches sink still reads as a TYPED empty table.
   *
   * Crash windows (all proven in StreamingSyncSpec):
   *  - crash mid-data-write: the partial dir's id is above the ledger —
@@ -96,6 +98,24 @@ object ExactlyOnce {
     }
   }
 
+  def schemaPath(base: HPath): HPath =
+    new HPath(base.getParent, s"${base.getName}__schema.json")
+
+  /** Persist the sink's schema once (first commit, empty or not), so
+    * [[readCommitted]] can return a TYPED empty frame when only empty
+    * batches have committed — previously it returned `emptyDataFrame`
+    * (no columns) and every downstream column reference failed to
+    * resolve (ADVICE r10). Write-if-absent: the schema of one logical
+    * stream is stable; a lost write self-heals on the next batch. */
+  private def persistSchema(fs: FileSystem, base: HPath,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val sp = schemaPath(base)
+    if (!fs.exists(sp)) {
+      val out = fs.create(sp, true)
+      try out.write(schema.json.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   /** Commit batch `id`: one ledger PUT — the atomic commit point. */
   def commitLedger(fs: FileSystem, base: HPath, id: Long): Unit = {
     val out = fs.create(ledgerPath(base), true)
@@ -137,6 +157,7 @@ object ExactlyOnce {
       }
     if (last.exists(_ >= batchId)) false
     else {
+      persistSchema(fs, base, batch.schema)
       if (!batch.isEmpty)
         batch.write.mode("overwrite").parquet(batchDir(base, batchId).toString)
       commitLedger(fs, base, batchId)
@@ -146,7 +167,10 @@ object ExactlyOnce {
 
   /** The committed table: a parquet read over exactly the batch dirs
     * the ledger covers. Uncommitted (in-flight or crash-partial) dirs
-    * are invisible. Errors clearly when nothing has committed. */
+    * are invisible. Errors clearly when nothing has committed. When the
+    * ledger covers ONLY empty batches (no data dirs), returns a typed
+    * empty frame from the persisted schema sidecar — column references
+    * resolve exactly as they would with data. */
   def readCommitted(spark: SparkSession, baseDir: String): DataFrame = {
     val base = new HPath(baseDir)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -155,8 +179,22 @@ object ExactlyOnce {
         s"(no ledger at ${ledgerPath(base)})"))
     val dirs = listBatchDirs(fs, base)
       .filter(_._1 <= last).map(_._2.toString).sorted
-    if (dirs.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(dirs: _*)
+    if (dirs.nonEmpty) spark.read.parquet(dirs: _*)
+    else {
+      val sp = schemaPath(base)
+      if (!fs.exists(sp))
+        sys.error(s"stream sink $baseDir committed only empty batches and " +
+          s"has no schema sidecar at $sp (pre-schema-sidecar sink?) — " +
+          "no schema to type the empty result with")
+      val in = fs.open(sp)
+      val raw =
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+        finally in.close()
+      val schema = org.apache.spark.sql.types.DataType.fromJson(raw)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], schema)
+    }
   }
 
   /** Streaming writer whose every micro-batch lands exactly once in

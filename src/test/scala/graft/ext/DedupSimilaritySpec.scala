@@ -621,6 +621,81 @@ class DedupSimilaritySpec extends SparkSpec {
       s"appended doc must serve as corpus: $out2")
   }
 
+  test("E1 lifecycle: intra-batch duplicates get one new + one exact/near, never two new") {
+    import spark.implicits._
+    val novel = "a fresh page of entirely novel prose about glacier " +
+      "hydrology and the slow carving of valleys by ice over millennia " +
+      "with moraines and eskers left behind as the climate warmed"
+    val corpus = Seq(
+      (1L, "completely different content about distributed query engines " +
+        "and columnar storage formats for analytical workloads at scale")
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_intra").toString
+    Dedup.buildDedupIndex(corpus, "doc_id", "text", dir)
+    val idx = Dedup.loadDedupIndex(spark, dir)
+    // 10 and 11: exact copies (after case folding); 12: near-dup of 10;
+    // none matches the corpus — pre-fix all three came back `new`
+    val batch = Seq(
+      (10L, novel),
+      (11L, novel.toUpperCase),
+      (12L, novel.replace("warmed", "shifted"))
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(batch, "doc_id", "text", idx, minEstSim = 0.4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out(0) == ((10L, "new", -1L, 0.0)), s"lowest-id copy is the keeper: ${out(0)}")
+    assert(out(1) == ((11L, "exact", 10L, 1.0)),
+      s"intra-batch exact copy must resolve to the keeper: ${out(1)}")
+    assert(out(2)._1 == 12L && out(2)._2 == "near" && out(2)._3 == 10L,
+      s"intra-batch near-dup must resolve to the keeper: ${out(2)}")
+  }
+
+  test("E1 lifecycle: index append is atomic — a crash-partial generation is invisible") {
+    import spark.implicits._
+    import graft.streaming.ExactlyOnce
+    val corpus = Seq((1L, "the original corpus document about village " +
+      "squares and paper lanterns at dusk")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_crash").toString
+    Dedup.buildDedupIndex(corpus, "doc_id", "text", dir)
+    val growth = Seq((5L, "a second admitted document with its own " +
+      "distinct prose about glacier hydrology")).toDF("doc_id", "text")
+    // simulate a crash MID-APPEND: one of the three tables staged, the
+    // ledger never PUT — the old in-place append would have published it
+    val anchor = new org.apache.hadoop.fs.Path(s"$dir/appends")
+    val gen = ExactlyOnce.batchDir(anchor, 0L)
+    growth.select(col("doc_id").as("doc"), md5(lower(col("text"))).as("fp"))
+      .write.mode("overwrite").parquet(s"$gen/fingerprints")
+    val idxAfterCrash = Dedup.loadDedupIndex(spark, dir)
+    assert(idxAfterCrash.fingerprints.count() == 1,
+      "uncommitted partial generation must be invisible")
+    // the replayed append overwrites the partial stage and commits
+    Dedup.appendToDedupIndex(growth, "doc_id", "text", dir)
+    val idx2 = Dedup.loadDedupIndex(spark, dir)
+    assert(idx2.fingerprints.count() == 2)
+    assert(idx2.signatures.count() == 2)
+    assert(idx2.bandKeys.select("doc").distinct().count() == 2)
+    // and the appended doc serves: an exact copy resolves to doc 5
+    val verdict = Dedup.incrementalDedup(
+      Seq((20L, "a second admitted document with its own distinct prose " +
+        "about glacier hydrology")).toDF("doc_id", "text"),
+      "doc_id", "text", idx2).head()
+    assert(verdict.getString(1) == "exact" && verdict.getLong(2) == 5L,
+      s"committed append must serve: $verdict")
+    // a torn ledger PUT resolves to the staged generation on read, and
+    // the next append repairs it durably
+    val fs = anchor.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(ExactlyOnce.ledgerPath(anchor), true)
+    try out.write("b0".getBytes("UTF-8")) finally out.close()
+    assert(Dedup.loadDedupIndex(spark, dir).fingerprints.count() == 2,
+      "torn ledger must resolve to the intact staged generation")
+    Dedup.appendToDedupIndex(
+      Seq((9L, "a third admitted document of wholly new text about " +
+        "harvest festivals in the northern provinces")).toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    assert(ExactlyOnce.lastCommitted(fs, anchor).contains(1L))
+    assert(Dedup.loadDedupIndex(spark, dir).fingerprints.count() == 3)
+  }
+
   test("E1 lifecycle: serve plan never touches corpus text — batch broadcasts, index streams") {
     import spark.implicits._
     val corpus = T.documents(spark, sf001)
@@ -635,10 +710,10 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       s"every index join must broadcast the batch side:\n${plan.take(2000)}")
     // the only exchanges are over batch-bounded frames: the batch
-    // signature agg, candidate dedup, the best-candidate window, the
-    // exact-match group
+    // signature aggs (corpus + intra sides), the two candidate dedups,
+    // the best-candidate window, the exact-match group
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
-    assert(exchanges <= 4,
+    assert(exchanges <= 6,
       s"index-side shuffle leaked into the serve plan ($exchanges exchanges):\n${plan.take(2000)}")
   }
 }

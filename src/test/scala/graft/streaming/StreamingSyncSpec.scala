@@ -160,6 +160,25 @@ class StreamingSyncSpec extends SparkSpec {
     assert(ExactlyOnce.readCommitted(spark, base).count() == 2)
   }
 
+  test("exactly-once sink: only-empty-batches drain reads as a TYPED empty table") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft_eo_empty").toString + "/t"
+    val schema = Seq((1L, "a")).toDF("id", "v").schema
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    assert(ExactlyOnce.commitBatch(empty, base, 0L))
+    assert(ExactlyOnce.commitBatch(empty, base, 1L))
+    val got = ExactlyOnce.readCommitted(spark, base)
+    // column references must resolve exactly as with data (ADVICE r10:
+    // emptyDataFrame here made every downstream select fail)
+    assert(got.schema == schema)
+    assert(got.filter(col("v") === "a").count() == 0)
+    // and a later data batch composes with the same schema
+    assert(ExactlyOnce.commitBatch(Seq((2L, "b")).toDF("id", "v"), base, 2L))
+    assert(ExactlyOnce.readCommitted(spark, base).select("id").as[Long]
+      .collect().toSeq == Seq(2L))
+  }
+
   test("exactly-once sink: crash mid-data-write is invisible until replay commits") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft_eo2").toString + "/t"
