@@ -25,6 +25,15 @@ object Tables {
   def customer(s: SparkSession, d: String): DataFrame  = rd(s, d, "customer")
   def supplier(s: SparkSession, d: String): DataFrame  = rd(s, d, "supplier")
   def part(s: SparkSession, d: String): DataFrame      = rd(s, d, "part")
+  // orders/lineitem are deliberately NOT ts-normalized: queries compare
+  // their timestamp columns against literals, and Catalyst adapts the
+  // LITERAL to the column's flavor — the column stays pristine and the
+  // predicate pushes into the parquet scan. Routing them through
+  // [[normalizeEventTs]] would wrap the column in a cast and lose the
+  // pushdown (the 100 TB hot path). Flavor drift on a future testdata
+  // regeneration is caught by TablesSpec's pinned-schema assertion
+  // instead; events.ts needs the normalization because zoned-only
+  // operations (unix_micros, withWatermark) reject NTZ outright.
   def orders(s: SparkSession, d: String): DataFrame    = rd(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = rd(s, d, "lineitem")
 

@@ -32,6 +32,12 @@ class PlanSpec extends SparkSpec {
     val p = plan("c02_filter_pred_mix")
     assert(p.contains("PushedFilters:") && p.contains("l_returnflag"),
       s"filters not pushed:\n$p")
+    // the l_shipdate RANGE must push too — Catalyst must adapt the
+    // literal to the column's parquet timestamp flavor, not wrap the
+    // column in a cast (which would silently drop the range from the
+    // scan and re-read every row group at 100 TB)
+    assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(l_shipdate".r.findFirstIn(p).isDefined,
+      s"l_shipdate range not pushed into the scan:\n$p")
   }
 
   test("C1: column pruning — scan reads only the 2 projected columns") {
