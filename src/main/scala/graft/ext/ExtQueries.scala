@@ -1771,8 +1771,15 @@ object ExtQueries {
       cpruned AS (SELECT * FROM
           (SELECT *, COUNT(*) OVER (PARTITION BY band, key) AS bucket_n FROM cbanded)
         WHERE bucket_n <= 1000),
+      -- corpus candidates (bucket-pruned index) plus INTRA-BATCH
+      -- candidates (band self-join, strictly-lower id — the round-12
+      -- rule: of n same-batch copies only the lowest id can be new)
       cand AS (SELECT DISTINCT x.doc AS bdoc, x.sig AS s1, y.doc AS cdoc, y.sig AS s2
-        FROM bbanded x JOIN cpruned y ON x.band = y.band AND x.key = y.key),
+        FROM bbanded x JOIN cpruned y ON x.band = y.band AND x.key = y.key
+        UNION
+        SELECT DISTINCT x.doc AS bdoc, x.sig AS s1, y.doc AS cdoc, y.sig AS s2
+        FROM bbanded x JOIN bbanded y
+          ON x.band = y.band AND x.key = y.key AND y.doc < x.doc),
       est AS (SELECT bdoc, cdoc,
           CAST(list_sum(list_transform(range(1,$mhK+1),
             i -> CASE WHEN s1[i] = s2[i] THEN 1 ELSE 0 END)) AS DOUBLE)/$mhK AS est_sim
@@ -1784,8 +1791,11 @@ object ExtQueries {
         WHERE rn = 1),
       cfp AS (SELECT doc_id AS doc, md5(lower(text)) AS fp FROM corpus),
       bfp AS (SELECT doc_id AS doc, md5(lower(text)) AS fp FROM batch),
-      ex AS (SELECT b.doc, MIN(c.doc) AS exact_doc
-        FROM bfp b JOIN cfp c USING (fp) GROUP BY b.doc)
+      ex AS (SELECT doc, MIN(exact_doc) AS exact_doc FROM (
+          SELECT b.doc, c.doc AS exact_doc FROM bfp b JOIN cfp c USING (fp)
+          UNION ALL
+          SELECT b.doc, b2.doc AS exact_doc FROM bfp b JOIN bfp b2 USING (fp)
+          WHERE b2.doc < b.doc) GROUP BY doc)
       SELECT bt.doc_id,
         CASE WHEN e.exact_doc IS NOT NULL THEN 'exact'
              WHEN n.cdoc IS NOT NULL THEN 'near' ELSE 'new' END AS verdict,
