@@ -256,6 +256,42 @@ object Dedup {
   private def appendsAnchor(dir: String) =
     new org.apache.hadoop.fs.Path(s"$dir/appends")
 
+  /** Compact an appended index into a fresh one at `outDir` WITHOUT
+    * re-hashing any text: the persisted signatures are the source of
+    * truth (band keys re-derive from them, fingerprints and meta copy),
+    * so a corpus that took a full linear text pass to index compacts in
+    * index-size time. Closes the two accumulation debts of the append
+    * path in one move: the per-append generation dirs fold into base
+    * tables (bounded file count again), and the build-time `maxBucket`
+    * prune re-applies over the GLOBAL bucket counts — appended band
+    * keys bypass it (documented on [[appendToDedupIndex]]), so a
+    * boilerplate bucket that grew past the bound across many appends is
+    * dropped here exactly as a fresh build would drop it.
+    *
+    * Output is equivalent to `buildDedupIndex` over the full corpus
+    * (spec-proven: the portable signature chain is deterministic). The
+    * caller swaps directories when satisfied — compaction deliberately
+    * does NOT write in place: the index dir is a multi-object structure
+    * and only a whole-dir swap (or the caller's own manifest over index
+    * dirs) keeps concurrent readers consistent. */
+  def compactDedupIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, outDir: String): Unit = {
+    val idx = loadDedupIndex(spark, dir) // base ∪ committed generations
+    import spark.implicits._
+    idx.signatures.write.mode("overwrite").parquet(s"$outDir/signatures")
+    val sigT = spark.read.parquet(s"$outDir/signatures")
+    portableBandKeys(sigT, idx.meta.k, idx.meta.bands)
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("key"))))
+      .filter(col("bucket_n") <= idx.meta.maxBucket)
+      .select(col("band"), col("key"), col("doc"))
+      .write.mode("overwrite").parquet(s"$outDir/bands")
+    idx.fingerprints.write.mode("overwrite").parquet(s"$outDir/fingerprints")
+    Seq((idx.meta.k, idx.meta.bands, idx.meta.shingleWidth, idx.meta.maxBucket))
+      .toDF("k", "bands", "shingle_width", "max_bucket")
+      .write.mode("overwrite").parquet(s"$outDir/meta")
+  }
+
   /** Load a [[buildDedupIndex]] directory: one driver row for the meta,
     * lazy scans for everything else. Each table is the base generation
     * plus every LEDGER-COMMITTED append generation (uncommitted /
@@ -398,8 +434,9 @@ object Dedup {
     * Single-appender contract (same as the compactor's): one appender
     * per index at a time. Appended band keys bypass the build-time
     * `maxBucket` prune — a bucket can only exceed the bound by
-    * accumulation across many appends; rebuild to re-prune when that
-    * matters. */
+    * accumulation across many appends; [[compactDedupIndex]] re-applies
+    * the prune globally (and folds the generation dirs away) without
+    * re-hashing any text. */
   def appendToDedupIndex(docs: DataFrame, idCol: String, textCol: String,
       dir: String): Unit = {
     import graft.streaming.ExactlyOnce

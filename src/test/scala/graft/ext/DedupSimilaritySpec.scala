@@ -696,6 +696,48 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Dedup.loadDedupIndex(spark, dir).fingerprints.count() == 3)
   }
 
+  test("E1 lifecycle: compaction equals a fresh build — no text re-hash, prune restored") {
+    import spark.implicits._
+    val mk = (i: Long, t: String) => (i, t)
+    // an exact-duplicate text spans corpus AND both appends: its band
+    // buckets hold 2 docs at build time (kept, ≤ maxBucket=7) but 8
+    // across the union — over the bound only by accumulation, the case
+    // the append-time prune bypass leaves behind
+    val dupText = "identical boilerplate page repeated verbatim across " +
+      "corpus and every appended batch for the bucket prune to catch"
+    val corpus = ((0L until 4L).map(i =>
+        mk(i, s"distinct corpus prose number $i about topic ${i * 7} with " +
+          s"enough words to shingle meaningfully at width three")) ++
+      Seq(mk(4L, dupText), mk(5L, dupText)))
+      .toDF("doc_id", "text")
+    val g1 = (10L until 13L).map(i => mk(i, dupText)).toDF("doc_id", "text")
+    val g2 = (13L until 16L).map(i => mk(i, dupText)).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_dedup_cmp_a").toString
+    Dedup.buildDedupIndex(corpus, "doc_id", "text", dir, maxBucket = 7)
+    Dedup.appendToDedupIndex(g1, "doc_id", "text", dir)
+    Dedup.appendToDedupIndex(g2, "doc_id", "text", dir)
+    val out = java.nio.file.Files.createTempDirectory("graft_dedup_cmp_b").toString
+    Dedup.compactDedupIndex(spark, dir, out)
+    // reference: a fresh build over the full corpus (deterministic chain)
+    val fresh = java.nio.file.Files.createTempDirectory("graft_dedup_cmp_c").toString
+    Dedup.buildDedupIndex(corpus.union(g1).union(g2), "doc_id", "text",
+      fresh, maxBucket = 7)
+    val a = Dedup.loadDedupIndex(spark, out)
+    val b = Dedup.loadDedupIndex(spark, fresh)
+    assert(a.meta == b.meta)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    assert(rows(a.signatures) == rows(b.signatures), "signatures diverge")
+    assert(rows(a.fingerprints) == rows(b.fingerprints), "fingerprints diverge")
+    assert(rows(a.bandKeys) == rows(b.bandKeys),
+      "band keys diverge — compaction must re-apply the global maxBucket prune")
+    // the prune actually bit: the appended union has at least one bucket
+    // over the bound that the UNCOMPACTED index still carries
+    val uncompacted = Dedup.loadDedupIndex(spark, dir)
+    assert(uncompacted.bandKeys.count() > a.bandKeys.count(),
+      "expected the global prune to drop accumulated boilerplate buckets")
+  }
+
   test("E1 lifecycle: serve plan never touches corpus text — batch broadcasts, index streams") {
     import spark.implicits._
     val corpus = T.documents(spark, sf001)
