@@ -303,22 +303,7 @@ object Dedup {
     val m = spark.read.parquet(s"$dir/meta").head()
     val anchor = appendsAnchor(dir)
     val fs = anchor.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val lastOpt =
-      try ExactlyOnce.lastCommitted(fs, anchor)
-      catch {
-        case torn: ExactlyOnce.TornLedgerException =>
-          // a torn PUT implies its generation staged in full (the stage
-          // completes before the PUT begins; single-appender) — resolve
-          // to the highest staged generation WITHOUT writing; the next
-          // append repairs the ledger durably
-          System.err.println(s"[dedup-index] ${torn.getMessage}")
-          ExactlyOnce.listBatchDirs(fs, anchor).map(_._1).maxOption
-      }
-    val committed = lastOpt match {
-      case Some(last) => ExactlyOnce.listBatchDirs(fs, anchor)
-        .filter(_._1 <= last).sortBy(_._1).map(_._2.toString)
-      case None => Seq.empty
-    }
+    val committed = ExactlyOnce.committedDirs(fs, anchor).map(_.toString)
     def table(name: String): DataFrame =
       spark.read.parquet(s"$dir/$name" +: committed.map(g => s"$g/$name"): _*)
     DedupIndex(
@@ -445,24 +430,8 @@ object Dedup {
     val k = m.getAs[Int]("k")
     val anchor = appendsAnchor(dir)
     val fs = anchor.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val last =
-      try ExactlyOnce.lastCommitted(fs, anchor)
-      catch {
-        case torn: ExactlyOnce.TornLedgerException =>
-          val best = ExactlyOnce.listBatchDirs(fs, anchor).map(_._1).maxOption
-          System.err.println(s"[dedup-index] ${torn.getMessage}")
-          best match {
-            case Some(v) =>
-              System.err.println(s"[dedup-index] re-committing intact staged generation $v")
-              ExactlyOnce.commitLedger(fs, anchor, v)
-            case None =>
-              System.err.println("[dedup-index] no staged generation — discarding torn ledger")
-              fs.delete(ExactlyOnce.ledgerPath(anchor), false)
-          }
-          best
-      }
+    val id = ExactlyOnce.nextAppendId(fs, anchor)
     if (docs.isEmpty) return
-    val id = last.map(_ + 1).getOrElse(0L)
     val gen = ExactlyOnce.batchDir(anchor, id)
     val sig = portableSignatures(docs, idCol, textCol, k,
         m.getAs[Int]("shingle_width"))

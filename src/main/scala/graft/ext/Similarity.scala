@@ -608,9 +608,18 @@ object Similarity {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
+  /** Ledger anchor for committed code appends (generation dirs
+    * `codes_appends__b<id>` + one-object ledger, the
+    * [[graft.streaming.ExactlyOnce]] append idiom shared with the
+    * dedup index). */
+  private def codesAnchor(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/codes_appends")
+
   /** Load a persisted index for serving. Driver state is the SMALL side
     * only (nlist centroids + m·ksub codebook rows); the codes table
-    * stays a lazy parquet scan. */
+    * stays a lazy parquet scan — the base build plus every
+    * LEDGER-COMMITTED append generation (crash-partial appends are
+    * invisible). */
   def loadIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfPqIndex = {
     graft.functions.GraftFunctions.register(spark)
     val meta = spark.read.parquet(s"$path/meta").head()
@@ -626,10 +635,43 @@ object Similarity {
         val (j, c, w) = (r.getInt(0), r.getInt(1), r.getSeq[Float](2))
         for (i <- 0 until dsub) books((j * ksub + c) * dsub + i) = w(i)
       }
-    val codes = spark.read.parquet(s"$path/codes")
+    val anchor = codesAnchor(path)
+    val fs = anchor.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gens = graft.streaming.ExactlyOnce.committedDirs(fs, anchor).map(_.toString)
+    // each root reads (and partition-prunes) its own cid= layout; the
+    // union stays a streamed scan — compact by rebuilding when the
+    // generation count matters
+    val codes = (s"$path/codes" +: gens).map(spark.read.parquet(_))
+      .reduce(_.unionByName(_))
       .select(col(idCol), col("cid").cast(IntegerType).as("cid"),
         col("packed"), col("rnorm").as("__rnorm"))
     IvfPqIndex(IvfPqModel(cents, books, dim, dsub, nlist, m, ksub), idCol, codes)
+  }
+
+  /** Grow a persisted index with new vectors WITHOUT retraining: encode
+    * with the index's frozen model (same centroid assignment, same
+    * codebooks — standard IVF practice; recall for the appended vectors
+    * matches what a fresh encode under this model gives, and the model
+    * only staleness-drifts if the vector DISTRIBUTION shifts, at which
+    * point rebuild) and stage the codes as one ledger-committed
+    * generation, `cid=`-partitioned like the base build. Atomicity and
+    * crash windows exactly as [[graft.ext.Dedup.appendToDedupIndex]]:
+    * a crash mid-stage is invisible, a torn ledger PUT re-commits.
+    * Single-appender contract. */
+  def appendToIndex(vectors: DataFrame, path: String,
+      vecCol: String = "embedding"): Unit = {
+    import graft.streaming.ExactlyOnce
+    val spark = vectors.sparkSession
+    val idx = loadIndex(spark, path) // model only; the codes scan stays unused
+    val anchor = codesAnchor(path)
+    val fs = anchor.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val id = ExactlyOnce.nextAppendId(fs, anchor)
+    if (vectors.isEmpty) return
+    encodeWithModel(vectors, idx.model, idx.idCol, vecCol)
+      .withColumnRenamed("__rnorm", "rnorm")
+      .write.mode("overwrite").partitionBy("cid")
+      .parquet(ExactlyOnce.batchDir(anchor, id).toString)
+    ExactlyOnce.commitLedger(fs, anchor, id)
   }
 
   /** Serve a query batch against a persisted index: probe → LUT → ADC

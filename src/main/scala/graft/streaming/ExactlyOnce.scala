@@ -134,6 +134,52 @@ object ExactlyOnce {
       }
   }
 
+  /** Committed generation dirs under `anchor` in id order, for batch
+    * APPEND protocols built on this ledger (dedup index, ANN codes): a
+    * torn ledger resolves READ-SIDE to the highest staged generation —
+    * under the single-appender contract the stage completes before the
+    * PUT begins, so a torn ledger implies its generation is intact —
+    * without writing (the next append repairs it durably via
+    * [[nextAppendId]]). */
+  def committedDirs(fs: FileSystem, anchor: HPath): Seq[HPath] = {
+    val lastOpt =
+      try lastCommitted(fs, anchor)
+      catch {
+        case torn: TornLedgerException =>
+          System.err.println(s"[append-ledger] ${torn.getMessage}")
+          listBatchDirs(fs, anchor).map(_._1).maxOption
+      }
+    lastOpt match {
+      case Some(last) => listBatchDirs(fs, anchor)
+        .filter(_._1 <= last).sortBy(_._1).map(_._2)
+      case None => Seq.empty
+    }
+  }
+
+  /** The id the next append generation should stage under `anchor`,
+    * repairing a torn ledger DURABLY first (re-commit the highest
+    * staged generation, or discard an orphan torn ledger). Write-side
+    * counterpart of [[committedDirs]]; single-appender contract. */
+  def nextAppendId(fs: FileSystem, anchor: HPath): Long = {
+    val last =
+      try lastCommitted(fs, anchor)
+      catch {
+        case torn: TornLedgerException =>
+          val best = listBatchDirs(fs, anchor).map(_._1).maxOption
+          System.err.println(s"[append-ledger] ${torn.getMessage}")
+          best match {
+            case Some(v) =>
+              System.err.println(s"[append-ledger] re-committing intact staged generation $v")
+              commitLedger(fs, anchor, v)
+            case None =>
+              System.err.println("[append-ledger] no staged generation — discarding torn ledger")
+              fs.delete(ledgerPath(anchor), false)
+          }
+          best
+      }
+    last.map(_ + 1).getOrElse(0L)
+  }
+
   /** Idempotent per-micro-batch write: the body `foreachBatch` should
     * run. Returns true when the batch was written, false when it was a
     * replay of an already-committed id (skipped — the exactly-once

@@ -519,6 +519,46 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(cellDirs == 64, s"expected 64 cid= partition dirs, got $cellDirs")
   }
 
+  test("E3: index append encodes with the frozen model — atomic, crash-partial invisible") {
+    import graft.streaming.ExactlyOnce
+    val dir = java.nio.file.Files.createTempDirectory("graft_idx_app").toString
+    val base = embs.filter(col("vec_id") < 400)
+    val growth = embs.filter(col("vec_id") >= 400 && col("vec_id") < 450)
+    Similarity.buildIndex(base, dir, nlist = 64, m = 16, ksub = 64, pqIters = 2)
+    // crash MID-STAGE: a partial generation without a ledger commit
+    val anchor = new org.apache.hadoop.fs.Path(s"$dir/codes_appends")
+    val idxModel = Similarity.loadIndex(spark, dir)
+    assert(idxModel.codes.count() == 400)
+    growth.limit(10).select(col("vec_id"), lit(0).as("cid"),
+        lit(Array[Byte]()).as("packed"), lit(1.0d).as("rnorm"))
+      .write.mode("overwrite").partitionBy("cid")
+      .parquet(ExactlyOnce.batchDir(anchor, 0L).toString)
+    assert(Similarity.loadIndex(spark, dir).codes.count() == 400,
+      "uncommitted partial generation must be invisible")
+    // the real append overwrites the partial stage and commits
+    Similarity.appendToIndex(growth, dir)
+    val idx2 = Similarity.loadIndex(spark, dir)
+    assert(idx2.codes.count() == 450)
+    // appended codes must equal a fresh encode under the SAME model —
+    // identical cells, identical packed codes (the frozen-model contract)
+    val fs = anchor.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(ExactlyOnce.lastCommitted(fs, anchor).contains(0L))
+    // a query that IS an appended vector must retrieve itself... the
+    // serve path excludes qid == id, so probe with a fresh qid carrying
+    // an appended vector's embedding
+    import spark.implicits._
+    val probeVec = growth.filter(col("vec_id") === 420L)
+      .collect().head.getSeq[Float](1)
+    val probe = Seq((999999L, probeVec)).toDF("vec_id", "embedding")
+    val top = Similarity.queryIndex(idx2, probe, k = 1, nprobe = 8).collect()
+    assert(top.nonEmpty && top.head.getLong(1) == 420L,
+      s"appended vector must be servable as its own nearest neighbor: ${top.toSeq}")
+    // second append gets the next generation id
+    Similarity.appendToIndex(embs.filter(col("vec_id") >= 450), dir)
+    assert(ExactlyOnce.lastCommitted(fs, anchor).contains(1L))
+    assert(Similarity.loadIndex(spark, dir).codes.count() == 500)
+  }
+
   test("E3: LSH dup pairs are a subset of exact dup pairs with identical cosines") {
     val slice = embs.filter(col("vec_id") < 1000)
     def toMap(df: org.apache.spark.sql.DataFrame) =
