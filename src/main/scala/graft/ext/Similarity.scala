@@ -648,6 +648,26 @@ object Similarity {
     IvfPqIndex(IvfPqModel(cents, books, dim, dsub, nlist, m, ksub), idCol, codes)
   }
 
+  /** Compact an appended index into a fresh one at `outPath` WITHOUT
+    * retraining: the model tables (centroids, codebooks, meta) copy
+    * through byte-identical in meaning, and the codes union (base +
+    * committed generations) rewrites as ONE `cid=`-partitioned table —
+    * the per-append generation dirs fold away, restoring the bounded
+    * file count and single-scan serve plan of a fresh build. Serving
+    * results are unchanged by construction (same model, same codes).
+    * Like [[graft.ext.Dedup.compactDedupIndex]], the caller swaps
+    * directories — no in-place rewrite of a multi-object structure. */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, outPath: String): Unit = {
+    val idx = loadIndex(spark, path)
+    idx.codes
+      .select(col(idx.idCol), col("packed"), col("__rnorm").as("rnorm"), col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$outPath/codes")
+    for (t <- Seq("centroids", "codebooks", "meta"))
+      spark.read.parquet(s"$path/$t")
+        .coalesce(1).write.mode("overwrite").parquet(s"$outPath/$t")
+  }
+
   /** Grow a persisted index with new vectors WITHOUT retraining: encode
     * with the index's frozen model (same centroid assignment, same
     * codebooks — standard IVF practice; recall for the appended vectors

@@ -557,6 +557,17 @@ class DedupSimilaritySpec extends SparkSpec {
     Similarity.appendToIndex(embs.filter(col("vec_id") >= 450), dir)
     assert(ExactlyOnce.lastCommitted(fs, anchor).contains(1L))
     assert(Similarity.loadIndex(spark, dir).codes.count() == 500)
+    // compaction folds both generations into one codes table with
+    // identical serving results and no append anchor
+    val cdir = java.nio.file.Files.createTempDirectory("graft_idx_cmp").toString
+    Similarity.compactIndex(spark, dir, cdir)
+    val cidx = Similarity.loadIndex(spark, cdir)
+    assert(cidx.codes.count() == 500)
+    assert(!new java.io.File(s"$cdir/codes_appends__stream_commits").exists())
+    val before = Similarity.queryIndex(Similarity.loadIndex(spark, dir),
+      probe, k = 5, nprobe = 8).collect().toSeq
+    val after = Similarity.queryIndex(cidx, probe, k = 5, nprobe = 8).collect().toSeq
+    assert(after == before, "compaction must not change serving results")
   }
 
   test("E3: LSH dup pairs are a subset of exact dup pairs with identical cosines") {
