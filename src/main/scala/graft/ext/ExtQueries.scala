@@ -1752,19 +1752,13 @@ object ExtQueries {
   // (plan-asserted in DedupSimilaritySpec). The oracle restates both
   // sides' signature chains with the shared prefixed template, the
   // corpus-side bucket prune, and the verdict precedence.
-  val e52 = Q(
-    "e52_incremental_dedup",
-    (s, d) => {
-      val docs = T.documents(s, d)
-      val dir = java.nio.file.Files.createTempDirectory("graft_e52_idx").toString
-      Dedup.buildDedupIndex(docs.filter(col("doc_id") % 5 =!= 4), "doc_id", "text",
-        dir, k = mhK, bands = mhBands)
-      val idx = Dedup.loadDedupIndex(s, dir)
-      Dedup.incrementalDedup(docs.filter(col("doc_id") % 5 === 4), "doc_id", "text",
-        idx, minEstSim = 0.4)
-        .orderBy(col("doc_id"))
-    },
-    Some(s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 5 <> 4),
+  /** Shared DuckDB restatement for the incremental-dedup verdicts over
+    * corpus = doc_id%5≠4 vs batch = doc_id%5=4 — used verbatim by BOTH
+    * e52 (one-shot build) and e53 (build → append → compact): compacted
+    * output equals a fresh build over the full corpus (spec-proven in
+    * DedupSimilaritySpec), so one oracle pins both lifecycles. */
+  private lazy val incrementalDedupOracle: String =
+    s"""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 5 <> 4),
       batch AS (SELECT * FROM documents WHERE doc_id % 5 = 4),
       ${mhSigCtesFrom("c", "corpus")},
       ${mhSigCtesFrom("b", "batch")},
@@ -1804,11 +1798,52 @@ object ExtQueries {
              ELSE CAST(COALESCE(n.est_sim, 0.0) AS DOUBLE) END AS est_sim
       FROM batch bt LEFT JOIN ex e ON e.doc = bt.doc_id
         LEFT JOIN near n ON n.bdoc = bt.doc_id
-      ORDER BY doc_id"""))
+      ORDER BY doc_id"""
+
+  val e52 = Q(
+    "e52_incremental_dedup",
+    (s, d) => {
+      val docs = T.documents(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("graft_e52_idx").toString
+      Dedup.buildDedupIndex(docs.filter(col("doc_id") % 5 =!= 4), "doc_id", "text",
+        dir, k = mhK, bands = mhBands)
+      val idx = Dedup.loadDedupIndex(s, dir)
+      Dedup.incrementalDedup(docs.filter(col("doc_id") % 5 === 4), "doc_id", "text",
+        idx, minEstSim = 0.4)
+        .orderBy(col("doc_id"))
+    },
+    Some(incrementalDedupOracle))
+
+  // E1 (index maintenance lifecycle): the SAME verdicts as e52, reached
+  // through the full production maintenance loop instead of a one-shot
+  // build — build over 3/5 of the corpus, APPEND the remaining 1/5 as a
+  // ledger-committed generation, COMPACT (fold generations, re-apply
+  // the global bucket prune, no text re-hash), then dedup the ingest
+  // batch against the compacted index. Hash-equality with e52's oracle
+  // IS the lifecycle contract: append+compact must be observationally
+  // identical to having built the index over the full corpus.
+  val e53 = Q(
+    "e53_dedup_index_maintenance",
+    (s, d) => {
+      val docs = T.documents(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("graft_e53_idx").toString
+      Dedup.buildDedupIndex(
+        docs.filter(col("doc_id") % 5 =!= 4 && col("doc_id") % 5 =!= 3),
+        "doc_id", "text", dir, k = mhK, bands = mhBands)
+      Dedup.appendToDedupIndex(docs.filter(col("doc_id") % 5 === 3),
+        "doc_id", "text", dir)
+      val cdir = java.nio.file.Files.createTempDirectory("graft_e53_cmp").toString
+      Dedup.compactDedupIndex(s, dir, cdir)
+      val idx = Dedup.loadDedupIndex(s, cdir)
+      Dedup.incrementalDedup(docs.filter(col("doc_id") % 5 === 4), "doc_id", "text",
+        idx, minEstSim = 0.4)
+        .orderBy(col("doc_id"))
+    },
+    Some(incrementalDedupOracle))
 
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
       e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41, e42, e43, e44,
-      e45, e46, e47, e48, e49, e50, e51, e52)
+      e45, e46, e47, e48, e49, e50, e51, e52, e53)
 }
