@@ -60,7 +60,16 @@ object Tables {
   def normalizeEventTs(df: DataFrame, c: String = "ts"): DataFrame =
     df.schema(c).dataType match {
       case LongType         => df.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
-      case TimestampNTZType => df.withColumn(c, col(c).cast(TimestampType))
+      case TimestampNTZType =>
+        // the NTZ→zoned cast reinterprets the wall-clock in the SESSION
+        // timezone: value-preserving only under UTC. Fail loudly on a
+        // misconfigured session instead of silently shifting every event.
+        val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"normalizeEventTs: casting a TIMESTAMP_NTZ '$c' to zoned requires " +
+            s"spark.sql.session.timeZone=UTC (session has '$tz') — a non-UTC " +
+            "session would shift every event timestamp by the zone offset")
+        df.withColumn(c, col(c).cast(TimestampType))
       case TimestampType    => df
       case other => sys.error(
         s"events.$c has unsupported type $other — expected int64 nanos, " +
@@ -75,16 +84,29 @@ object Tables {
     * out. This loader deliberately does NOT mutate the calling session's
     * conf: a conf flip here would be a surprise side effect for
     * concurrent sessions sharing the conf. */
+  /** True when `e` (or a cause in its chain) is Spark's rejection of a
+    * parquet TIMESTAMP(NANOS) column — the PARQUET_TYPE_ILLEGAL /
+    * "Illegal Parquet type" analysis error. Matched narrowly so an
+    * unrelated failure (missing file, permissions) propagates unmodified
+    * instead of being misattributed to the legacy-conf issue. */
+  private def isNanosTypeError(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8).exists { t =>
+      val m = Option(t.getMessage).getOrElse("")
+      m.contains("PARQUET_TYPE_ILLEGAL") || m.contains("Illegal Parquet type") ||
+        m.contains("NANOS")
+    }
+
   def events(s: SparkSession, d: String): DataFrame = {
     val raw =
       try rd(s, d, "events")
       catch {
         case e: Throwable
-            if s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true" =>
+            if isNanosTypeError(e) &&
+              s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true" =>
           throw new IllegalArgumentException(
-            "events.parquet failed to read; if it stores parquet " +
-              "TIMESTAMP(NANOS) (which Spark 4 rejects) build the session " +
-              "with spark.sql.legacy.parquet.nanosAsLong=true " +
+            "events.parquet stores parquet TIMESTAMP(NANOS), which Spark 4 " +
+              "rejects — build the session with " +
+              "spark.sql.legacy.parquet.nanosAsLong=true " +
               "(Bench/Verify/Main/SparkSpec all do)", e)
       }
     normalizeEventTs(raw)

@@ -101,11 +101,20 @@ private[etl] object ManifestCommit {
 
   /** Current committed version, if a manifest exists. A legacy
     * bare-digits record (written by pre-round-10 code) is accepted as
-    * intact ONLY when it parses fully AND its generation dir exists —
-    * read paths leave it in place (no write on read); the next [[commit]]
-    * rewrites it in `v<N>\n` form as a side effect of committing. Throws
-    * [[TornManifestException]] on an empty/truncated/unparsable
-    * manifest. */
+    * intact ONLY when it parses fully AND its generation dir exists AND
+    * no strictly higher generation dir exists: bare digits carry no
+    * end-of-record marker, so a torn prefix (`1` of `12\n`) whose dir
+    * survives as a lost cleanup is byte-indistinguishable from an
+    * intact record — when a higher generation coexists, this refuses
+    * loudly (suspect-pointer path, no automated deletion; [[repair]]'s
+    * cleanup never runs) instead of letting repair discard the real
+    * newest generation as a dead write. A torn prefix always parses
+    * strictly LOWER than the true version (a proper digit prefix has
+    * fewer digits), so a legacy pointer with only lower generations
+    * beside it is safe to trust. Read paths leave an accepted legacy
+    * record in place (no write on read); the next [[commit]] rewrites
+    * it in `v<N>\n` form. Throws [[TornManifestException]] on an
+    * empty/truncated/unparsable manifest. */
   def currentVersion(fs: FileSystem, base: HPath): Option[Long] = {
     val mp = manifestPath(base)
     if (!fs.exists(mp)) None
@@ -117,6 +126,16 @@ private[etl] object ManifestCommit {
       parseManifest(raw)
         .orElse(parseLegacy(raw).filter(v => fs.exists(versionDir(base, v))))
         match {
+          case some @ Some(v) if parseManifest(raw).isEmpty =>
+            val higher = listVersionDirs(fs, base).map(_._1).filter(_ > v)
+            if (higher.nonEmpty)
+              sys.error(s"manifest $mp holds a legacy bare-digits record '$v' " +
+                s"while strictly higher generation dir(s) ${higher.sorted.mkString(", ")} " +
+                "exist — a torn legacy record whose generation survived a lost cleanup " +
+                "is indistinguishable from an intact one, so neither resolve nor repair " +
+                "will proceed (and nothing is deleted); inspect the generations and " +
+                "rewrite the manifest as 'v<N>\\n' naming the true current version")
+            some
           case some @ Some(_) => some
           case None => throw new TornManifestException(mp, raw.trim)
         }

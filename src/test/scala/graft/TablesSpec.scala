@@ -53,6 +53,36 @@ class TablesSpec extends SparkSpec {
     assert(e.getMessage.contains("layout drift"))
   }
 
+  test("normalizeEventTs refuses the NTZ cast under a non-UTC session timezone") {
+    val dir = writeEvents("micros_ntz")
+    // isolated conf: newSession shares the context but owns its SQLConf,
+    // so the zone flip can't race concurrently-running suites
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.session.timeZone", "America/New_York")
+    val e = intercept[IllegalArgumentException](
+      Tables.normalizeEventTs(Tables.rd(s2, dir, "events")))
+    assert(e.getMessage.contains("America/New_York"), e.getMessage)
+    assert(e.getMessage.contains("UTC"), e.getMessage)
+    // the same frame normalizes fine in the UTC session
+    assert(Tables.normalizeEventTs(Tables.rd(spark, dir, "events"))
+      .schema("ts").dataType == TimestampType)
+  }
+
+  test("events loader propagates unrelated failures unmodified (narrow nanos catch)") {
+    // a MISSING file is not a TIMESTAMP(NANOS) problem: the legacy-conf
+    // advice must not wrap it (pre-fix, any Throwable was rewrapped when
+    // the conf was unset — reproduce that session state in isolation)
+    val empty = java.nio.file.Files.createTempDirectory("graft_ts_none").toString
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    val e = intercept[Throwable](Tables.events(s2, empty))
+    assert(!chain(e).exists(_.contains("nanosAsLong")),
+      s"missing-file error misattributed to the nanos conf: ${chain(e)}")
+  }
+
   // Logical schema pin for the driver-generated tables. Timestamp-ish
   // columns accept any flavor the loaders normalize (the generator has
   // switched flavors once already); everything else is exact.

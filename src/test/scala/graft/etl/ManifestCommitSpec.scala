@@ -72,17 +72,18 @@ class ManifestCommitSpec extends AnyFunSuite {
   test("legacy bare-digits manifest: resolve reads it, repair preserves it, commit upgrades it") {
     val (fs, base) = freshFs()
     val g3 = mkGen(fs, base, 3)
-    val g5 = mkGen(fs, base, 5) // dead write: crash before a flip
-    // pre-round-10 manifest format: bare digits + newline
+    mkGen(fs, base, 2) // stale generation BELOW the pointer: safe to clean
+    // pre-round-10 manifest format: bare digits + newline. Only lower
+    // generations beside it — a torn prefix always parses strictly
+    // lower than the true version, so this pointer is trustworthy.
     writeManifestRaw(fs, base, "3\n")
     // resolve accepts the legacy pointer (its generation dir exists)
     assert(ManifestCommit.currentVersion(fs, base).contains(3L))
     assert(ManifestCommit.resolve(fs, base) == g3)
-    // repair preserves the pointer — it must NOT promote dead write 5
-    // above the intact legacy pointer; 5 is cleaned up as a dead write
     assert(ManifestCommit.repair(fs, base) == g3)
     assert(fs.exists(g3), "legacy-pointed generation must survive repair")
-    assert(!fs.exists(g5), "dead write above the legacy pointer is discarded")
+    assert(!fs.exists(ManifestCommit.versionDir(base, 2)),
+      "stale generation below the legacy pointer is cleaned up")
     assert(ManifestCommit.currentVersion(fs, base).contains(3L))
     // the next commit upgrades the record to the terminated v<N> form
     ManifestCommit.commit(fs, base, 4)
@@ -91,6 +92,27 @@ class ManifestCommitSpec extends AnyFunSuite {
       try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
       finally in.close()
     assert(raw == "v4\n")
+  }
+
+  test("legacy pointer beside a STRICTLY HIGHER generation refuses — no deletion") {
+    val (fs, base) = freshFs()
+    val g1 = mkGen(fs, base, 1)   // could be: intact pointer's dir, or lost cleanup
+    val g12 = mkGen(fs, base, 12) // could be: dead write, or the REAL newest gen
+    // `1` here is ambiguous: an intact legacy record for v1, or the torn
+    // prefix of `12\n` whose old dir survived a lost cleanup. The two
+    // states are byte-identical, so both resolve and repair must refuse
+    // rather than guess — the wrong guess deletes real data irreversibly.
+    writeManifestRaw(fs, base, "1\n")
+    val e1 = intercept[RuntimeException] { ManifestCommit.currentVersion(fs, base) }
+    assert(e1.getMessage.contains("legacy"), e1.getMessage)
+    val e2 = intercept[RuntimeException] { ManifestCommit.repair(fs, base) }
+    assert(e2.getMessage.contains("legacy"), e2.getMessage)
+    assert(fs.exists(g1) && fs.exists(g12),
+      "suspect legacy pointer must not trigger any deletion")
+    // operator resolves the ambiguity by rewriting the terminated form
+    writeManifestRaw(fs, base, "v12\n")
+    assert(ManifestCommit.repair(fs, base) == g12)
+    assert(!fs.exists(g1), "once the pointer is unambiguous, cleanup resumes")
   }
 
   test("legacy bare-digits record whose generation dir is MISSING is torn, not trusted") {
