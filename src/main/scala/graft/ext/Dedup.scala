@@ -269,14 +269,26 @@ object Dedup {
     * dropped here exactly as a fresh build would drop it.
     *
     * Output is equivalent to `buildDedupIndex` over the full corpus
-    * (spec-proven: the portable signature chain is deterministic). The
-    * caller swaps directories when satisfied — compaction deliberately
-    * does NOT write in place: the index dir is a multi-object structure
-    * and only a whole-dir swap (or the caller's own manifest over index
-    * dirs) keeps concurrent readers consistent. */
+    * (spec-proven: the portable signature chain is deterministic).
+    *
+    * This flavor EXPORTS to `outDir` — a standalone fresh index the
+    * caller promotes however it likes (useful for copying an index to a
+    * new location). For in-place maintenance prefer the one-dir
+    * overload, which stages the fold as a generation under the SAME
+    * index dir and promotes it with one atomic ledger PUT — no
+    * caller-owned swap, no crash window between compact and promote. */
   def compactDedupIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, outDir: String): Unit = {
     val idx = loadDedupIndex(spark, dir) // base ∪ committed generations
+    writeCompacted(spark, idx, outDir)
+  }
+
+  /** Write the folded tables of `idx` to `outDir` (shared body of both
+    * compaction flavors; see [[compactDedupIndex]] for the fold's
+    * semantics — signatures are the source of truth, band keys
+    * re-derive under the GLOBAL `maxBucket` prune, no text re-hash). */
+  private def writeCompacted(spark: org.apache.spark.sql.SparkSession,
+      idx: DedupIndex, outDir: String): Unit = {
     import spark.implicits._
     idx.signatures.write.mode("overwrite").parquet(s"$outDir/signatures")
     val sigT = spark.read.parquet(s"$outDir/signatures")
@@ -292,20 +304,90 @@ object Dedup {
       .write.mode("overwrite").parquet(s"$outDir/meta")
   }
 
+  /** IN-PLACE crash-safe compaction: fold the base tables and every
+    * committed append generation into ONE new generation under the same
+    * index dir, marked as a COMPACTION
+    * ([[graft.streaming.ExactlyOnce.markCompaction]]), and promote it
+    * with the same single atomic ledger PUT an append uses. Readers
+    * ([[loadDedupIndex]]) resolve the newest committed compaction as
+    * the new base and ignore everything before it, so:
+    *  - a crash ANYWHERE before the PUT leaves the staged fold
+    *    invisible — the old index keeps serving, byte-for-byte;
+    *  - re-entry simply re-stages (the stage dir is cleared first) and
+    *    commits — no repair step, no half-promoted state;
+    *  - a torn PUT resolves read-side to the intact staged fold and is
+    *    repaired durably by the next writer (the
+    *    [[graft.streaming.ExactlyOnce.nextAppendId]] discipline).
+    * The subsumed base tables and generations stay on disk — readers
+    * holding a pre-compaction snapshot keep serving — until
+    * [[vacuumDedupIndex]] reclaims them. Single-maintainer contract as
+    * the append side: one compactor/appender per index at a time. */
+  def compactDedupIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    import graft.streaming.ExactlyOnce
+    val idx = loadDedupIndex(spark, dir)
+    val anchor = appendsAnchor(dir)
+    val fs = anchor.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val id = ExactlyOnce.nextAppendId(fs, anchor)
+    val gen = ExactlyOnce.clearStage(fs, anchor, id)
+    writeCompacted(spark, idx, gen.toString)
+    ExactlyOnce.markCompaction(fs, gen)
+    ExactlyOnce.commitLedger(fs, anchor, id)
+  }
+
+  /** Reclaim structures subsumed by the newest committed compaction:
+    * the base tables (signatures/bands/fingerprints — `meta` stays, the
+    * index dir remains self-describing and meta is immutable) and every
+    * earlier generation dir. Garbage-only by construction — readers
+    * resolve through the ledger to the compaction generation, so losing
+    * this cleanup to a crash leaves garbage, never wrong results (the
+    * [[graft.etl.ManifestCommit]] retired-generation rule). Do NOT run
+    * while a reader still holds a PRE-compaction snapshot: its lazy
+    * scans pin the old dirs. No-op when no compaction has committed. */
+  def vacuumDedupIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Int = {
+    import graft.streaming.ExactlyOnce
+    val anchor = appendsAnchor(dir)
+    val fs = anchor.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (cbase, _) = ExactlyOnce.resolveGenerations(fs, anchor)
+    cbase match {
+      case None => 0
+      case Some(cgen) =>
+        val dead = ExactlyOnce.committedDirs(fs, anchor).takeWhile(_ != cgen) ++
+          Seq("signatures", "bands", "fingerprints")
+            .map(t => new org.apache.hadoop.fs.Path(s"$dir/$t"))
+            .filter(fs.exists(_))
+        dead.foreach(fs.delete(_, true))
+        dead.size
+    }
+  }
+
   /** Load a [[buildDedupIndex]] directory: one driver row for the meta,
-    * lazy scans for everything else. Each table is the base generation
-    * plus every LEDGER-COMMITTED append generation (uncommitted /
-    * crash-partial generations are invisible); a pre-ledger index (no
-    * appends ever committed) reads the base tables alone. */
+    * lazy scans for everything else. Each table is the base plus every
+    * LEDGER-COMMITTED append generation (uncommitted / crash-partial
+    * generations are invisible); a pre-ledger index (no appends ever
+    * committed) reads the base tables alone. When a committed
+    * COMPACTION generation exists ([[compactDedupIndex]] in-place), it
+    * IS the base — the original base tables and all earlier generations
+    * are ignored (and may already be [[vacuumDedupIndex]]ed away).
+    *
+    * `beforeGen` (exclusive) loads the index state as of a generation
+    * id: only generations with id < `beforeGen` resolve. This is the
+    * replay contract for micro-batch-keyed ingest (e54): a replayed
+    * batch N re-derives its verdicts against exactly the index it saw
+    * the first time — base + generations < N — even though its own
+    * generation N is already committed. */
   def loadDedupIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String): DedupIndex = {
+      dir: String, beforeGen: Option[Long] = None): DedupIndex = {
     import graft.streaming.ExactlyOnce
     val m = spark.read.parquet(s"$dir/meta").head()
     val anchor = appendsAnchor(dir)
     val fs = anchor.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val committed = ExactlyOnce.committedDirs(fs, anchor).map(_.toString)
+    val (cbase, tail) = ExactlyOnce.resolveGenerations(fs, anchor, beforeGen)
+    val baseDir = cbase.map(_.toString).getOrElse(dir)
+    val gens = tail.map(_.toString)
     def table(name: String): DataFrame =
-      spark.read.parquet(s"$dir/$name" +: committed.map(g => s"$g/$name"): _*)
+      spark.read.parquet(s"$baseDir/$name" +: gens.map(g => s"$g/$name"): _*)
     DedupIndex(
       DedupIndexMeta(m.getAs[Int]("k"), m.getAs[Int]("bands"),
         m.getAs[Int]("shingle_width"), m.getAs[Int]("max_bucket")),
@@ -421,18 +503,44 @@ object Dedup {
     * `maxBucket` prune — a bucket can only exceed the bound by
     * accumulation across many appends; [[compactDedupIndex]] re-applies
     * the prune globally (and folds the generation dirs away) without
-    * re-hashing any text. */
+    * re-hashing any text.
+    *
+    * `asGeneration` keys the append to a caller-supplied MONOTONIC id
+    * (a streaming micro-batch id — e54) and makes it IDEMPOTENT: an id
+    * at or below the ledger is a replay and returns without writing; an
+    * admitted-nothing batch still advances the ledger (the stream
+    * sink's empty-batch rule), so the replay check stays meaningful.
+    * With batch-keyed appends in flight, do not run the unkeyed append
+    * or the in-place compactor on the same index (their `nextAppendId`
+    * would collide with future batch ids) — stop the stream first. */
   def appendToDedupIndex(docs: DataFrame, idCol: String, textCol: String,
-      dir: String): Unit = {
+      dir: String, asGeneration: Option[Long] = None): Unit = {
     import graft.streaming.ExactlyOnce
     val spark = docs.sparkSession
-    val m = spark.read.parquet(s"$dir/meta").head()
-    val k = m.getAs[Int]("k")
     val anchor = appendsAnchor(dir)
     val fs = anchor.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val id = ExactlyOnce.nextAppendId(fs, anchor)
-    if (docs.isEmpty) return
-    val gen = ExactlyOnce.batchDir(anchor, id)
+    for (g <- asGeneration) {
+      val last =
+        try ExactlyOnce.lastCommitted(fs, anchor)
+        catch {
+          case torn: ExactlyOnce.TornLedgerException =>
+            // single appender + monotonic keys: everything below the
+            // replayed id was ledger-committed before its checkpoint, so
+            // a torn PUT can only be THIS batch's own earlier attempt —
+            // fall through to restage-and-recommit (durable repair)
+            System.err.println(s"[append-ledger] ${torn.getMessage}")
+            Some(g - 1).filter(_ >= 0)
+        }
+      if (last.exists(_ >= g)) return // replay of a committed append
+    }
+    if (docs.isEmpty) {
+      asGeneration.foreach(ExactlyOnce.commitLedger(fs, anchor, _))
+      return
+    }
+    val id = asGeneration.getOrElse(ExactlyOnce.nextAppendId(fs, anchor))
+    val m = spark.read.parquet(s"$dir/meta").head()
+    val k = m.getAs[Int]("k")
+    val gen = ExactlyOnce.clearStage(fs, anchor, id)
     val sig = portableSignatures(docs, idCol, textCol, k,
         m.getAs[Int]("shingle_width"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

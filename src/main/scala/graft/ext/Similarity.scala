@@ -637,11 +637,17 @@ object Similarity {
       }
     val anchor = codesAnchor(path)
     val fs = anchor.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val gens = graft.streaming.ExactlyOnce.committedDirs(fs, anchor).map(_.toString)
+    // a committed COMPACTION generation (in-place compactIndex) is the
+    // new codes base: the original codes dir and earlier generations are
+    // ignored (and may already be vacuumed away)
+    val (cbase, tail) =
+      graft.streaming.ExactlyOnce.resolveGenerations(fs, anchor)
+    val roots = cbase.map(_.toString).getOrElse(s"$path/codes") +:
+      tail.map(_.toString)
     // each root reads (and partition-prunes) its own cid= layout; the
-    // union stays a streamed scan — compact by rebuilding when the
-    // generation count matters
-    val codes = (s"$path/codes" +: gens).map(spark.read.parquet(_))
+    // union stays a streamed scan — compact when the generation count
+    // matters
+    val codes = roots.map(spark.read.parquet(_))
       .reduce(_.unionByName(_))
       .select(col(idCol), col("cid").cast(IntegerType).as("cid"),
         col("packed"), col("rnorm").as("__rnorm"))
@@ -655,8 +661,10 @@ object Similarity {
     * the per-append generation dirs fold away, restoring the bounded
     * file count and single-scan serve plan of a fresh build. Serving
     * results are unchanged by construction (same model, same codes).
-    * Like [[graft.ext.Dedup.compactDedupIndex]], the caller swaps
-    * directories — no in-place rewrite of a multi-object structure. */
+    *
+    * This flavor EXPORTS a standalone index to `outPath`; for in-place
+    * maintenance prefer the one-dir overload — atomic ledger promote,
+    * no caller-owned directory swap. */
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, outPath: String): Unit = {
     val idx = loadIndex(spark, path)
@@ -666,6 +674,53 @@ object Similarity {
     for (t <- Seq("centroids", "codebooks", "meta"))
       spark.read.parquet(s"$path/$t")
         .coalesce(1).write.mode("overwrite").parquet(s"$outPath/$t")
+  }
+
+  /** IN-PLACE crash-safe compaction: fold the codes base and every
+    * committed generation into one new `cid=`-partitioned COMPACTION
+    * generation under the same index dir, promoted by a single atomic
+    * ledger PUT (the [[graft.ext.Dedup.compactDedupIndex]] one-dir
+    * discipline — see there for the crash windows: pre-PUT crashes are
+    * invisible, re-entry re-stages, torn PUTs repair). The model tables
+    * (centroids/codebooks/meta) are immutable and stay at `path`; only
+    * the codes table folds. Subsumed dirs remain for pre-compaction
+    * readers until [[vacuumIndex]]. Single-maintainer contract. */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    import graft.streaming.ExactlyOnce
+    val idx = loadIndex(spark, path)
+    val anchor = codesAnchor(path)
+    val fs = anchor.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val id = ExactlyOnce.nextAppendId(fs, anchor)
+    val gen = ExactlyOnce.clearStage(fs, anchor, id)
+    idx.codes
+      .select(col(idx.idCol), col("packed"), col("__rnorm").as("rnorm"), col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(gen.toString)
+    ExactlyOnce.markCompaction(fs, gen)
+    ExactlyOnce.commitLedger(fs, anchor, id)
+  }
+
+  /** Reclaim codes structures subsumed by the newest committed
+    * compaction: the original `codes/` dir and every earlier generation.
+    * Garbage-only (readers resolve through the ledger); model tables are
+    * never touched. Do NOT run while a reader holds a pre-compaction
+    * snapshot — its lazy codes scan pins the old dirs. No-op when no
+    * compaction has committed. */
+  def vacuumIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Int = {
+    import graft.streaming.ExactlyOnce
+    val anchor = codesAnchor(path)
+    val fs = anchor.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val (cbase, _) = ExactlyOnce.resolveGenerations(fs, anchor)
+    cbase match {
+      case None => 0
+      case Some(cgen) =>
+        val codesDir = new org.apache.hadoop.fs.Path(s"$path/codes")
+        val dead = ExactlyOnce.committedDirs(fs, anchor).takeWhile(_ != cgen) ++
+          (if (fs.exists(codesDir)) Seq(codesDir) else Seq.empty)
+        dead.foreach(fs.delete(_, true))
+        dead.size
+    }
   }
 
   /** Grow a persisted index with new vectors WITHOUT retraining: encode
@@ -682,15 +737,16 @@ object Similarity {
       vecCol: String = "embedding"): Unit = {
     import graft.streaming.ExactlyOnce
     val spark = vectors.sparkSession
+    if (vectors.isEmpty) return // before the ledger probe: no wasted repair/IO
     val idx = loadIndex(spark, path) // model only; the codes scan stays unused
     val anchor = codesAnchor(path)
     val fs = anchor.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val id = ExactlyOnce.nextAppendId(fs, anchor)
-    if (vectors.isEmpty) return
+    val gen = ExactlyOnce.clearStage(fs, anchor, id)
     encodeWithModel(vectors, idx.model, idx.idCol, vecCol)
       .withColumnRenamed("__rnorm", "rnorm")
       .write.mode("overwrite").partitionBy("cid")
-      .parquet(ExactlyOnce.batchDir(anchor, id).toString)
+      .parquet(gen.toString)
     ExactlyOnce.commitLedger(fs, anchor, id)
   }
 

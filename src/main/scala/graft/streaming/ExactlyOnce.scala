@@ -141,7 +141,11 @@ object ExactlyOnce {
     * PUT begins, so a torn ledger implies its generation is intact —
     * without writing (the next append repairs it durably via
     * [[nextAppendId]]). */
-  def committedDirs(fs: FileSystem, anchor: HPath): Seq[HPath] = {
+  def committedDirs(fs: FileSystem, anchor: HPath): Seq[HPath] =
+    committedBatches(fs, anchor).map(_._2)
+
+  /** [[committedDirs]] with the batch ids attached. */
+  def committedBatches(fs: FileSystem, anchor: HPath): Seq[(Long, HPath)] = {
     val lastOpt =
       try lastCommitted(fs, anchor)
       catch {
@@ -151,9 +155,62 @@ object ExactlyOnce {
       }
     lastOpt match {
       case Some(last) => listBatchDirs(fs, anchor)
-        .filter(_._1 <= last).sortBy(_._1).map(_._2)
+        .filter(_._1 <= last).sortBy(_._1)
       case None => Seq.empty
     }
+  }
+
+  /** Marker object inside a generation dir flagging it as a COMPACTION
+    * generation: one that FOLDS the base tables and every earlier
+    * generation into itself, so readers resolve it as the new base and
+    * ignore everything before it ([[resolveGenerations]]). The `_`
+    * prefix keeps it invisible to parquet file listings, so a marker
+    * can live inside a generation dir that is itself a parquet root.
+    * Committed via the same single ledger PUT as a plain append — the
+    * atomic promote the caller-owned directory swap never had. */
+  val CompactionMarkerName = "_COMPACTION"
+
+  def compactionMarker(gen: HPath): HPath = new HPath(gen, CompactionMarkerName)
+
+  def markCompaction(fs: FileSystem, gen: HPath): Unit = {
+    val out = fs.create(compactionMarker(gen), true)
+    try out.write("compaction\n".getBytes("UTF-8")) finally out.close()
+  }
+
+  def isCompaction(fs: FileSystem, gen: HPath): Boolean =
+    fs.exists(compactionMarker(gen))
+
+  /** The stage target for generation `id`, CLEARED of any crash-partial
+    * leftover first. Clearing matters beyond tidiness: an abandoned
+    * compaction stage (crash before its ledger PUT) leaves a
+    * [[CompactionMarkerName]] marker in the dir, and a plain append
+    * re-staging the same id with per-table overwrites would leave that
+    * stray marker in place — publishing an ordinary append as a
+    * base-subsuming compaction, which silently drops the real base. */
+  def clearStage(fs: FileSystem, anchor: HPath, id: Long): HPath = {
+    val gen = batchDir(anchor, id)
+    fs.delete(gen, true)
+    gen
+  }
+
+  /** [[committedDirs]] split at the newest committed COMPACTION
+    * generation: (that generation if any, the generations after it).
+    * A compaction generation folds the base and everything before it
+    * (single-appender contract: nothing commits between the fold's
+    * snapshot and its PUT), so readers take it as the base and append
+    * only the tail. `beforeGen` (exclusive) restricts to generations
+    * below an id — the index state a given ingest batch must see when a
+    * replayed batch re-derives its own verdicts ([[commitBatch]]-style
+    * idempotence for index appends keyed by micro-batch id). */
+  def resolveGenerations(fs: FileSystem, anchor: HPath,
+      beforeGen: Option[Long] = None): (Option[HPath], Seq[HPath]) = {
+    val batches = committedBatches(fs, anchor)
+    val dirs = beforeGen match {
+      case Some(b) => batches.filter(_._1 < b).map(_._2)
+      case None => batches.map(_._2)
+    }
+    val iC = dirs.lastIndexWhere(isCompaction(fs, _))
+    if (iC < 0) (None, dirs) else (Some(dirs(iC)), dirs.drop(iC + 1))
   }
 
   /** The id the next append generation should stage under `anchor`,

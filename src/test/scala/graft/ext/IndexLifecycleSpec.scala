@@ -1,0 +1,249 @@
+package graft.ext
+
+import graft.SparkSpec
+import graft.streaming.ExactlyOnce
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Crash windows of the IN-PLACE index compaction (ledger-promoted
+  * compaction generations) for both persisted indexes, plus the
+  * batch-keyed idempotent append that streaming ingest (e54) rides on.
+  * The contract under test: promotion is ONE atomic ledger PUT — a
+  * crash anywhere between compact-finish and promote leaves the old
+  * index serving byte-for-byte, re-entry completes the fold, and no
+  * crash-partial state can ever be mistaken for a committed one. */
+class IndexLifecycleSpec extends SparkSpec {
+
+  private def fsOf(p: HPath) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def rows(df: DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  // small corpus with enough words to shingle at width 3
+  private def doc(i: Long, salt: String = ""): (Long, String) =
+    (i, s"distinct corpus prose number $i about topic ${i * 7} $salt with " +
+      "enough words to shingle meaningfully at width three")
+
+  private def mkDedup(tag: String): (String, HPath) = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory(s"graft_ilc_$tag").toString
+    val corpus = (0L until 4L).map(doc(_)).toDF("doc_id", "text")
+    Dedup.buildDedupIndex(corpus, "doc_id", "text", dir, maxBucket = 7)
+    Dedup.appendToDedupIndex(
+      (10L until 12L).map(doc(_, "appended-one")).toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    Dedup.appendToDedupIndex(
+      (12L until 14L).map(doc(_, "appended-two")).toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    (dir, new HPath(s"$dir/appends"))
+  }
+
+  test("in-place dedup compaction: crash before the PUT is invisible, re-entry completes") {
+    val (dir, anchor) = mkDedup("crash")
+    val fs = fsOf(anchor)
+    val pre = Dedup.loadDedupIndex(spark, dir)
+    val preFp = rows(pre.fingerprints)
+    val preBands = rows(pre.bandKeys)
+    assert(preFp.size == 8)
+
+    // full compaction, then REWIND the ledger to the pre-compact value:
+    // byte-identical to a crash after the stage completed (tables +
+    // marker written) but before the promote PUT
+    Dedup.compactDedupIndex(spark, dir)
+    assert(ExactlyOnce.lastCommitted(fs, anchor).contains(2L))
+    ExactlyOnce.commitLedger(fs, anchor, 1L)
+
+    val during = Dedup.loadDedupIndex(spark, dir)
+    assert(rows(during.fingerprints) == preFp,
+      "staged-but-unpromoted compaction must be invisible")
+    assert(rows(during.bandKeys) == preBands)
+
+    // re-entry: clears the stage, re-folds, promotes atomically
+    Dedup.compactDedupIndex(spark, dir)
+    assert(ExactlyOnce.lastCommitted(fs, anchor).contains(2L))
+    val post = Dedup.loadDedupIndex(spark, dir)
+    assert(rows(post.fingerprints) == preFp, "the fold changes no data")
+    assert(rows(post.signatures) == rows(pre.signatures))
+    // and the resolved base IS the compaction generation — the original
+    // base tables no longer participate in the scan
+    val (cbase, tail) = ExactlyOnce.resolveGenerations(fs, anchor)
+    assert(cbase.map(_.getName).contains(ExactlyOnce.batchDir(anchor, 2L).getName))
+    assert(tail.isEmpty)
+  }
+
+  test("in-place dedup compaction equals a fresh build over the full corpus") {
+    import spark.implicits._
+    val (dir, _) = mkDedup("eq")
+    Dedup.compactDedupIndex(spark, dir)
+    val fresh = java.nio.file.Files.createTempDirectory("graft_ilc_fresh").toString
+    val full = ((0L until 4L).map(doc(_)) ++
+      (10L until 12L).map(doc(_, "appended-one")) ++
+      (12L until 14L).map(doc(_, "appended-two"))).toDF("doc_id", "text")
+    Dedup.buildDedupIndex(full, "doc_id", "text", fresh, maxBucket = 7)
+    val a = Dedup.loadDedupIndex(spark, dir)
+    val b = Dedup.loadDedupIndex(spark, fresh)
+    assert(a.meta == b.meta)
+    assert(rows(a.signatures) == rows(b.signatures))
+    assert(rows(a.fingerprints) == rows(b.fingerprints))
+    assert(rows(a.bandKeys) == rows(b.bandKeys),
+      "in-place fold must re-apply the global maxBucket prune like a fresh build")
+  }
+
+  test("a stray compaction marker from an abandoned stage cannot poison a plain append") {
+    import spark.implicits._
+    val (dir, anchor) = mkDedup("stray")
+    val fs = fsOf(anchor)
+    // abandoned compaction stage at the next id: partial tables + the
+    // marker, no PUT (crash mid-compaction)
+    val staged = ExactlyOnce.batchDir(anchor, 2L)
+    Seq((99L, "fp")).toDF("doc", "fp")
+      .write.mode("overwrite").parquet(s"$staged/fingerprints")
+    ExactlyOnce.markCompaction(fs, staged)
+    // the next PLAIN append reuses id 2 — the stage must be cleared, or
+    // the append would publish as a base-subsuming compaction
+    Dedup.appendToDedupIndex(
+      Seq(doc(20L, "after-crash")).toDF("doc_id", "text"), "doc_id", "text", dir)
+    assert(!ExactlyOnce.isCompaction(fs, staged),
+      "clearStage must remove the abandoned marker")
+    val idx = Dedup.loadDedupIndex(spark, dir)
+    assert(idx.fingerprints.count() == 9,
+      "base + both appends + the new doc — nothing subsumed, nothing leaked")
+  }
+
+  test("torn promote PUT: readers resolve to the intact fold; the next writer repairs") {
+    import spark.implicits._
+    val (dir, anchor) = mkDedup("torn")
+    val fs = fsOf(anchor)
+    Dedup.compactDedupIndex(spark, dir)
+    val folded = rows(Dedup.loadDedupIndex(spark, dir).fingerprints)
+    // tear the promote PUT: prefix of the record, no terminator
+    val out = fs.create(ExactlyOnce.ledgerPath(anchor), true)
+    try out.write("b2".getBytes("UTF-8")) finally out.close()
+    // read-side: single-appender contract means the stage completed
+    // before any PUT began, so the torn ledger resolves to the fold
+    assert(rows(Dedup.loadDedupIndex(spark, dir).fingerprints) == folded)
+    // write-side: the next append repairs the ledger durably, then lands
+    Dedup.appendToDedupIndex(
+      Seq(doc(30L, "post-torn")).toDF("doc_id", "text"), "doc_id", "text", dir)
+    assert(ExactlyOnce.lastCommitted(fs, anchor).contains(3L))
+    assert(Dedup.loadDedupIndex(spark, dir).fingerprints.count() == 9)
+  }
+
+  test("dedup vacuum reclaims subsumed dirs; serving unchanged; appends continue") {
+    import spark.implicits._
+    val (dir, anchor) = mkDedup("vac")
+    val fs = fsOf(anchor)
+    // a reader holding a PRE-compaction snapshot (lazy scans pin old dirs)
+    val preSnapshot = Dedup.loadDedupIndex(spark, dir)
+    Dedup.compactDedupIndex(spark, dir)
+    val served = rows(Dedup.loadDedupIndex(spark, dir).fingerprints)
+    // pre-compaction snapshot keeps serving AFTER the promote (old dirs
+    // still on disk until vacuum) — the multi-reader half of the contract
+    assert(rows(preSnapshot.fingerprints) == served)
+    val reclaimed = Dedup.vacuumDedupIndex(spark, dir)
+    assert(reclaimed == 5, s"2 generations + 3 base tables, got $reclaimed")
+    assert(!fs.exists(new HPath(s"$dir/signatures")), "base tables reclaimed")
+    assert(fs.exists(new HPath(s"$dir/meta")), "meta stays — dir self-describing")
+    assert(!fs.exists(ExactlyOnce.batchDir(anchor, 0L)))
+    assert(rows(Dedup.loadDedupIndex(spark, dir).fingerprints) == served,
+      "vacuum must not change what readers resolve")
+    // vacuum again: nothing left to reclaim
+    assert(Dedup.vacuumDedupIndex(spark, dir) == 0)
+    // the lifecycle continues: append after vacuum, then serve
+    val d40 = doc(40L, "post-vacuum")
+    Dedup.appendToDedupIndex(
+      Seq(d40).toDF("doc_id", "text"), "doc_id", "text", dir)
+    val after = Dedup.loadDedupIndex(spark, dir)
+    assert(after.fingerprints.count() == 9)
+    val verdict = Dedup.incrementalDedup(
+      Seq((50L, d40._2)).toDF("doc_id", "text"),
+      "doc_id", "text", after).head()
+    assert(verdict.getString(1) == "exact" && verdict.getLong(2) == 40L,
+      s"post-vacuum append must serve: $verdict")
+  }
+
+  test("batch-keyed append: replays skip, empty batches advance, beforeGen time-travels") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ilc_keyed").toString
+    val corpus = (0L until 3L).map(doc(_)).toDF("doc_id", "text")
+    Dedup.buildDedupIndex(corpus, "doc_id", "text", dir)
+    val anchor = new HPath(s"$dir/appends")
+    val fs = fsOf(anchor)
+    val b0 = Seq(doc(100L, "batch-zero")).toDF("doc_id", "text")
+    Dedup.appendToDedupIndex(b0, "doc_id", "text", dir, asGeneration = Some(0L))
+    assert(Dedup.loadDedupIndex(spark, dir).fingerprints.count() == 4)
+    // replay of batch 0 (crash after ledger PUT, before the stream's own
+    // checkpoint): must be a no-op, not a duplicate generation
+    Dedup.appendToDedupIndex(b0, "doc_id", "text", dir, asGeneration = Some(0L))
+    assert(Dedup.loadDedupIndex(spark, dir).fingerprints.count() == 4)
+    assert(ExactlyOnce.lastCommitted(fs, anchor).contains(0L))
+    // an admitted-nothing batch advances the ledger without a dir
+    Dedup.appendToDedupIndex(b0.filter(lit(false)), "doc_id", "text", dir,
+      asGeneration = Some(1L))
+    assert(ExactlyOnce.lastCommitted(fs, anchor).contains(1L))
+    assert(ExactlyOnce.committedDirs(fs, anchor).size == 1)
+    Dedup.appendToDedupIndex(
+      Seq(doc(200L, "batch-two")).toDF("doc_id", "text"), "doc_id", "text", dir,
+      asGeneration = Some(2L))
+    // time-travel: the index state batch N saw is base + generations < N
+    assert(Dedup.loadDedupIndex(spark, dir, beforeGen = Some(0L))
+      .fingerprints.count() == 3, "batch 0 saw the bare base")
+    assert(Dedup.loadDedupIndex(spark, dir, beforeGen = Some(2L))
+      .fingerprints.count() == 4, "batch 2 saw base + batch 0's admission")
+    assert(Dedup.loadDedupIndex(spark, dir).fingerprints.count() == 5)
+    // torn PUT on a keyed append repairs on the replay (restage + recommit)
+    val out = fs.create(ExactlyOnce.ledgerPath(anchor), true)
+    try out.write("b3".getBytes("UTF-8")) finally out.close()
+    Dedup.appendToDedupIndex(
+      Seq(doc(300L, "batch-three")).toDF("doc_id", "text"), "doc_id", "text", dir,
+      asGeneration = Some(3L))
+    assert(ExactlyOnce.lastCommitted(fs, anchor).contains(3L))
+    assert(Dedup.loadDedupIndex(spark, dir).fingerprints.count() == 6)
+  }
+
+  test("in-place ANN compaction: atomic promote, old snapshot serves, vacuum reclaims") {
+    import spark.implicits._
+    val embs = graft.Tables.embeddings(spark, sf001)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ilc_ann").toString
+    Similarity.buildIndex(embs.filter(col("vec_id") < 400), dir,
+      nlist = 64, m = 16, ksub = 64, pqIters = 2)
+    Similarity.appendToIndex(
+      embs.filter(col("vec_id") >= 400 && col("vec_id") < 450), dir)
+    Similarity.appendToIndex(embs.filter(col("vec_id") >= 450), dir)
+    val anchor = new HPath(s"$dir/codes_appends")
+    val fs = fsOf(anchor)
+    val probeVec = embs.filter(col("vec_id") === 420L).collect().head.getSeq[Float](1)
+    val probe = Seq((999999L, probeVec)).toDF("vec_id", "embedding")
+    def serve(idx: Similarity.IvfPqIndex): Seq[String] =
+      Similarity.queryIndex(idx, probe, k = 5, nprobe = 8)
+        .collect().map(_.toString).toSeq
+    val preSnapshot = Similarity.loadIndex(spark, dir)
+    val before = serve(preSnapshot)
+
+    // crash window: full fold staged, promote rewound — old index serves
+    Similarity.compactIndex(spark, dir)
+    assert(ExactlyOnce.lastCommitted(fs, anchor).contains(2L))
+    ExactlyOnce.commitLedger(fs, anchor, 1L)
+    val during = Similarity.loadIndex(spark, dir)
+    assert(during.codes.count() == 500)
+    assert(serve(during) == before, "unpromoted fold must be invisible")
+    // re-entry promotes
+    Similarity.compactIndex(spark, dir)
+    val post = Similarity.loadIndex(spark, dir)
+    assert(post.codes.count() == 500)
+    assert(serve(post) == before, "compaction must not change serving results")
+    // pre-compaction snapshot keeps serving after the promote
+    assert(serve(preSnapshot) == before)
+    // vacuum: base codes + 2 append generations reclaimed, model stays
+    val reclaimed = Similarity.vacuumIndex(spark, dir)
+    assert(reclaimed == 3, s"2 generations + base codes, got $reclaimed")
+    assert(!fs.exists(new HPath(s"$dir/codes")))
+    assert(fs.exists(new HPath(s"$dir/centroids")), "model tables never touched")
+    val vacuumed = Similarity.loadIndex(spark, dir)
+    assert(vacuumed.codes.count() == 500)
+    assert(serve(vacuumed) == before, "vacuum must not change serving results")
+    assert(Similarity.vacuumIndex(spark, dir) == 0)
+  }
+}
