@@ -189,6 +189,79 @@ object CorpusPipeline {
     } finally p.unpersistAll() // after the action — or on its failure
   }
 
+  /** One micro-batch of the streaming dedup-ingest loop (e54): dedup
+    * `batch` against the persisted index AS OF this batch, admit the
+    * `new` verdicts into the index, commit the verdicts — all
+    * idempotent under replay, keyed by `batchId`.
+    *
+    * The per-batch protocol, in order:
+    *  1. load the index at `beforeGen = batchId` — generations < batchId
+    *    only. On first processing that IS the current state (this
+    *    batch's own generation doesn't exist yet); on REPLAY it
+    *    excludes this batch's possibly-already-committed generation, so
+    *    the verdicts re-derive byte-identically;
+    *  2. [[Dedup.incrementalDedup]] → (id, verdict, match_doc, est_sim);
+    *  3. admit verdict='new' docs via the batch-keyed
+    *    [[Dedup.appendToDedupIndex]] (a replay of a committed id is a
+    *    no-op; an admitted-nothing batch advances the ledger);
+    *  4. commit the verdicts to the exactly-once sink
+    *    ([[graft.streaming.ExactlyOnce.commitBatch]]).
+    *
+    * Crash windows (spec-proven in StreamingIngestSpec):
+    *  - before 3's ledger PUT: nothing durable — replay recomputes;
+    *  - between 3 and 4 (the double-admission window a naive compose
+    *    has): replay re-derives the same verdicts against the
+    *    pre-append state (step 1's `beforeGen`), skips the append, and
+    *    commits the verdicts — admitted exactly once;
+    *  - between 4 and the stream's own checkpoint commit: replay skips
+    *    both (3 by the index ledger, 4 by the sink ledger).
+    *
+    * Contract: the index is this stream's to write — no unkeyed appends
+    * or in-place compaction while the stream lives (their ledger ids
+    * would collide with future batch ids); compact between streams. */
+  def ingestBatch(batch: DataFrame, batchId: Long, idCol: String,
+      textCol: String, indexDir: String, verdictsDir: String,
+      minEstSim: Double = 0.4): Unit = {
+    val s = batch.sparkSession
+    val idx = Dedup.loadDedupIndex(s, indexDir, beforeGen = Some(batchId))
+    val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val verdicts = Dedup.incrementalDedup(b, idCol, textCol, idx, minEstSim)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val admitted = b.join(
+          verdicts.filter(col("verdict") === "new").select(idCol), Seq(idCol))
+        Dedup.appendToDedupIndex(admitted, idCol, textCol, indexDir,
+          asGeneration = Some(batchId))
+        graft.streaming.ExactlyOnce.commitBatch(verdicts, verdictsDir, batchId)
+        ()
+      } finally { verdicts.unpersist(blocking = false); () }
+    } finally { b.unpersist(blocking = false); () }
+  }
+
+  /** Continuous corpus ingestion against a persisted dedup index: a
+    * readStream drained through [[ingestBatch]] — e43's delivery
+    * semantics meeting e52's index lifecycle, the daily-ingest shape of
+    * a 100 TB corpus (the reference's cron re-sync contract,
+    * reference entrypoint.sh:7-9 + src/main.py:37-43, applied to the
+    * dedup surface). The stream is the SMALL side by construction
+    * (a day's ingest vs the corpus); every index join broadcasts the
+    * batch and streams the index — nothing here collects or shuffles
+    * the corpus. Exactly-once end to end: verdicts land in an
+    * [[graft.streaming.ExactlyOnce]] sink, admissions land as
+    * batch-keyed index generations, and every crash window replays
+    * without double-admitting (see [[ingestBatch]]). */
+  def streamingDedupIngest(stream: DataFrame, idCol: String, textCol: String,
+      indexDir: String, verdictsDir: String, checkpointDir: String,
+      minEstSim: Double = 0.4): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        ingestBatch(b, id, idCol, textCol, indexDir, verdictsDir, minEstSim)
+      }
+      .start()
+
   /** Terminal shard placement as a WRITER: the e42 contract
     * (deterministic pseudorandom order, hash-dense shards) applied to
     * the written corpus — `repartition(nShards, shard)` +

@@ -1817,11 +1817,14 @@ object ExtQueries {
   // E1 (index maintenance lifecycle): the SAME verdicts as e52, reached
   // through the full production maintenance loop instead of a one-shot
   // build — build over 3/5 of the corpus, APPEND the remaining 1/5 as a
-  // ledger-committed generation, COMPACT (fold generations, re-apply
-  // the global bucket prune, no text re-hash), then dedup the ingest
-  // batch against the compacted index. Hash-equality with e52's oracle
-  // IS the lifecycle contract: append+compact must be observationally
-  // identical to having built the index over the full corpus.
+  // ledger-committed generation, COMPACT IN PLACE (fold staged as a
+  // marked generation, promoted by one atomic ledger PUT — no
+  // caller-owned directory swap; crash windows spec-proven in
+  // IndexLifecycleSpec), VACUUM the subsumed base + generations, then
+  // dedup the ingest batch against what remains: the compaction
+  // generation alone. Hash-equality with e52's oracle IS the lifecycle
+  // contract: append+compact+vacuum must be observationally identical
+  // to having built the index over the full corpus.
   val e53 = Q(
     "e53_dedup_index_maintenance",
     (s, d) => {
@@ -1832,18 +1835,139 @@ object ExtQueries {
         "doc_id", "text", dir, k = mhK, bands = mhBands)
       Dedup.appendToDedupIndex(docs.filter(col("doc_id") % 5 === 3),
         "doc_id", "text", dir)
-      val cdir = java.nio.file.Files.createTempDirectory("graft_e53_cmp").toString
-      Dedup.compactDedupIndex(s, dir, cdir)
-      val idx = Dedup.loadDedupIndex(s, cdir)
+      Dedup.compactDedupIndex(s, dir)
+      Dedup.vacuumDedupIndex(s, dir)
+      val idx = Dedup.loadDedupIndex(s, dir)
       Dedup.incrementalDedup(docs.filter(col("doc_id") % 5 === 4), "doc_id", "text",
         idx, minEstSim = 0.4)
         .orderBy(col("doc_id"))
     },
     Some(incrementalDedupOracle))
 
+  // E4+E1 composition (streaming ingest × persisted index): the real
+  // daily-ingest shape — a readStream whose micro-batches dedup against
+  // the PERSISTED index and admit their `new` verdicts back into it as
+  // batch-keyed generations, verdicts landing in an exactly-once sink.
+  // The ingest side (doc_id%5=4) arrives as THREE deterministic
+  // micro-batches (doc_id%3 slices, one file each, mtimes pinned
+  // ascending, maxFilesPerTrigger=1), so a doc admitted in batch g IS
+  // corpus for batches > g — the property the oracle restates stage by
+  // stage: three chained verdict derivations, each stage's index =
+  // pruned corpus bands + ALL bands of earlier stages' admissions
+  // (append-time prune bypass mirrored), exact fingerprints likewise.
+  // One doubled admission, one leaked duplicate, or one batch seeing
+  // its own generation on replay breaks the hash.
+  /** Per-stage verdict restatement: stage `g`'s batch is
+    * `doc_id%5=4 AND doc_id%3=g`; its visible index is the corpus
+    * (bucket-pruned, build-time) plus admissions of stages < g
+    * (unpruned — the append path bypasses the bucket bound). The
+    * signature/fingerprint chains are computed ONCE over all documents
+    * (`a`-prefixed) and filtered per stage — per-doc independent, so
+    * identical to per-side chains. */
+  private lazy val streamingDedupOracle: String = {
+    def stage(g: Int): String = {
+      val admBands =
+        if (g == 0) ""
+        else (0 until g).map(h =>
+          s"""
+      UNION ALL SELECT doc, sig, band, key FROM abanded
+        WHERE doc IN (SELECT doc FROM adm$h)""").mkString
+      val admFps =
+        if (g == 0) ""
+        else (0 until g).map(h =>
+          s"""
+      UNION ALL SELECT doc, fp FROM afp
+        WHERE doc IN (SELECT doc FROM adm$h)""").mkString
+      s"""b$g AS (SELECT doc, sig, band, key FROM abanded
+        WHERE doc % 5 = 4 AND doc % 3 = $g),
+      idxb$g AS (SELECT doc, sig, band, key FROM cpruned$admBands),
+      idxfp$g AS (SELECT doc, fp FROM cfp$admFps),
+      cand$g AS (SELECT DISTINCT x.doc AS bdoc, x.sig AS s1, y.doc AS cdoc, y.sig AS s2
+          FROM b$g x JOIN idxb$g y ON x.band = y.band AND x.key = y.key
+        UNION
+        SELECT DISTINCT x.doc AS bdoc, x.sig AS s1, y.doc AS cdoc, y.sig AS s2
+          FROM b$g x JOIN b$g y ON x.band = y.band AND x.key = y.key AND y.doc < x.doc),
+      est$g AS (SELECT bdoc, cdoc,
+          CAST(list_sum(list_transform(range(1,$mhK+1),
+            i -> CASE WHEN s1[i] = s2[i] THEN 1 ELSE 0 END)) AS DOUBLE)/$mhK AS est_sim
+        FROM cand$g),
+      near$g AS (SELECT * FROM
+          (SELECT bdoc, cdoc, est_sim,
+             ROW_NUMBER() OVER (PARTITION BY bdoc ORDER BY est_sim DESC, cdoc) AS rn
+           FROM est$g WHERE est_sim >= 0.4)
+        WHERE rn = 1),
+      bfp$g AS (SELECT doc, fp FROM afp WHERE doc % 5 = 4 AND doc % 3 = $g),
+      ex$g AS (SELECT doc, MIN(exact_doc) AS exact_doc FROM (
+          SELECT b.doc, c.doc AS exact_doc FROM bfp$g b JOIN idxfp$g c USING (fp)
+          UNION ALL
+          SELECT b.doc, b2.doc AS exact_doc FROM bfp$g b JOIN bfp$g b2 USING (fp)
+          WHERE b2.doc < b.doc) GROUP BY doc),
+      v$g AS (SELECT bt.doc_id,
+          CASE WHEN e.exact_doc IS NOT NULL THEN 'exact'
+               WHEN n.cdoc IS NOT NULL THEN 'near' ELSE 'new' END AS verdict,
+          CAST(COALESCE(e.exact_doc, n.cdoc, -1) AS BIGINT) AS match_doc,
+          CASE WHEN e.exact_doc IS NOT NULL THEN CAST(1.0 AS DOUBLE)
+               ELSE CAST(COALESCE(n.est_sim, 0.0) AS DOUBLE) END AS est_sim
+        FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 4 AND doc_id % 3 = $g) bt
+          LEFT JOIN ex$g e ON e.doc = bt.doc_id
+          LEFT JOIN near$g n ON n.bdoc = bt.doc_id),
+      adm$g AS (SELECT doc_id AS doc FROM v$g WHERE verdict = 'new')"""
+    }
+    s"""WITH ${mhSigCtesFrom("a", "documents")},
+      afp AS (SELECT doc_id AS doc, md5(lower(text)) AS fp FROM documents),
+      cb AS (SELECT doc, sig, band, key FROM abanded WHERE doc % 5 <> 4),
+      cpruned AS (SELECT doc, sig, band, key FROM
+          (SELECT *, COUNT(*) OVER (PARTITION BY band, key) AS bucket_n FROM cb)
+        WHERE bucket_n <= 1000),
+      cfp AS (SELECT doc, fp FROM afp WHERE doc % 5 <> 4),
+      ${stage(0)},
+      ${stage(1)},
+      ${stage(2)}
+      SELECT doc_id, verdict, match_doc, est_sim
+      FROM (SELECT * FROM v0 UNION ALL SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+      ORDER BY doc_id"""
+  }
+
+  val e54 = Q(
+    "e54_streaming_dedup_ingest",
+    (outer, d) => {
+      val s = graft.streaming.StateBackend.isolatedStreamSession(outer)
+      val docs = T.documents(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("graft_e54_idx").toString
+      Dedup.buildDedupIndex(docs.filter(col("doc_id") % 5 =!= 4), "doc_id", "text",
+        dir, k = mhK, bands = mhBands)
+      // stage the ingest as three deterministic micro-batches: one FILE
+      // per doc_id%3 slice, mtimes pinned ascending so the file source
+      // (oldest-first) admits them in slice order, one file per trigger
+      val staging = java.nio.file.Files.createTempDirectory("graft_e54_in").toString
+      val fs = new org.apache.hadoop.fs.Path(staging)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      for (g <- 0 to 2) {
+        val p = s"$staging/slice$g"
+        docs.filter(col("doc_id") % 5 === 4 && col("doc_id") % 3 === g)
+          .coalesce(1).write.mode("overwrite").parquet(p)
+        fs.listStatus(new org.apache.hadoop.fs.Path(p))
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+          .foreach(st => fs.setTimes(st.getPath, 1700000000000L + g * 60000L, -1))
+      }
+      val sch = s.read.parquet(s"$staging/slice0").schema
+      val src = s.readStream.schema(sch).option("maxFilesPerTrigger", 1)
+        .parquet(s"$staging/slice*")
+      val sink = java.nio.file.Files.createTempDirectory("graft_e54_out")
+        .toString + "/verdicts"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_e54_ck").toString
+      val q = CorpusPipeline.streamingDedupIngest(src, "doc_id", "text",
+        dir, sink, ckpt, minEstSim = 0.4)
+      q.awaitTermination()
+      graft.streaming.ExactlyOnce.readCommitted(s, sink)
+        .select(col("doc_id"), col("verdict"), col("match_doc"), col("est_sim"))
+        .orderBy(col("doc_id"))
+    },
+    Some(streamingDedupOracle))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
       e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41, e42, e43, e44,
-      e45, e46, e47, e48, e49, e50, e51, e52, e53)
+      e45, e46, e47, e48, e49, e50, e51, e52, e53, e54)
 }
