@@ -157,6 +157,19 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] BENCH_LAST.json write failed: ${e.getMessage}")
     }
+    // durable history (VERDICT r12 #2/#4): BENCH_LAST.json is overwritten
+    // by EVERY run (sf0.001 smokes included), which has cost three rounds
+    // of driver records. Appending each record here means any run —
+    // driver, judge, or builder — self-preserves without anyone having to
+    // copy a file at exactly the right moment.
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_HISTORY.jsonl"),
+        (record + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_HISTORY.jsonl append failed: ${e.getMessage}")
+    }
     spark.stop()
   }
 

@@ -734,14 +734,32 @@ object Similarity {
     * a crash mid-stage is invisible, a torn ledger PUT re-commits.
     * Single-appender contract. */
   def appendToIndex(vectors: DataFrame, path: String,
-      vecCol: String = "embedding"): Unit = {
+      vecCol: String = "embedding", asGeneration: Option[Long] = None): Unit = {
     import graft.streaming.ExactlyOnce
     val spark = vectors.sparkSession
-    if (vectors.isEmpty) return // before the ledger probe: no wasted repair/IO
-    val idx = loadIndex(spark, path) // model only; the codes scan stays unused
     val anchor = codesAnchor(path)
     val fs = anchor.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val id = ExactlyOnce.nextAppendId(fs, anchor)
+    // `asGeneration`: the batch-keyed idempotent flavor (streaming vector
+    // ingest) — same contract as Dedup.appendToDedupIndex's: replays of a
+    // committed id are no-ops, empty keyed batches advance the ledger,
+    // torn PUTs restage; no unkeyed appends/compaction while keyed
+    // batches are in flight
+    for (g <- asGeneration) {
+      val last =
+        try ExactlyOnce.lastCommitted(fs, anchor)
+        catch {
+          case torn: ExactlyOnce.TornLedgerException =>
+            System.err.println(s"[append-ledger] ${torn.getMessage}")
+            Some(g - 1).filter(_ >= 0)
+        }
+      if (last.exists(_ >= g)) return // replay of a committed append
+    }
+    if (vectors.isEmpty) { // before the ledger probe: no wasted repair/IO
+      asGeneration.foreach(ExactlyOnce.commitLedger(fs, anchor, _))
+      return
+    }
+    val idx = loadIndex(spark, path) // model only; the codes scan stays unused
+    val id = asGeneration.getOrElse(ExactlyOnce.nextAppendId(fs, anchor))
     val gen = ExactlyOnce.clearStage(fs, anchor, id)
     encodeWithModel(vectors, idx.model, idx.idCol, vecCol)
       .withColumnRenamed("__rnorm", "rnorm")

@@ -203,6 +203,29 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(Dedup.loadDedupIndex(spark, dir).fingerprints.count() == 6)
   }
 
+  test("batch-keyed ANN append: replays skip, empty batches advance the ledger") {
+    import spark.implicits._
+    val embs = graft.Tables.embeddings(spark, sf001)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ilc_annk").toString
+    Similarity.buildIndex(embs.filter(col("vec_id") < 400), dir,
+      nlist = 64, m = 16, ksub = 64, pqIters = 2)
+    val anchor = new HPath(s"$dir/codes_appends")
+    val fs = fsOf(anchor)
+    val g0 = embs.filter(col("vec_id") >= 400 && col("vec_id") < 450)
+    Similarity.appendToIndex(g0, dir, asGeneration = Some(0L))
+    assert(Similarity.loadIndex(spark, dir).codes.count() == 450)
+    Similarity.appendToIndex(g0, dir, asGeneration = Some(0L)) // replay
+    assert(Similarity.loadIndex(spark, dir).codes.count() == 450,
+      "replayed keyed append must not double-encode")
+    assert(ExactlyOnce.lastCommitted(fs, anchor).contains(0L))
+    Similarity.appendToIndex(g0.filter(lit(false)), dir, asGeneration = Some(1L))
+    assert(ExactlyOnce.lastCommitted(fs, anchor).contains(1L))
+    assert(ExactlyOnce.committedDirs(fs, anchor).size == 1)
+    Similarity.appendToIndex(embs.filter(col("vec_id") >= 450), dir,
+      asGeneration = Some(2L))
+    assert(Similarity.loadIndex(spark, dir).codes.count() == 500)
+  }
+
   test("in-place ANN compaction: atomic promote, old snapshot serves, vacuum reclaims") {
     import spark.implicits._
     val embs = graft.Tables.embeddings(spark, sf001)
