@@ -771,8 +771,26 @@ object Similarity {
   /** Serve a query batch against a persisted index: probe → LUT → ADC
     * → rank, reading ONLY the index tables — zero scans of the training
     * corpus (spec-asserted), no retraining. Same output contract as
-    * [[ivfPqTopK]]. */
+    * [[ivfPqTopK]].
+    *
+    * CELL PRUNING: the codes table is `cid=`-partitioned precisely so a
+    * serve can skip cold cells — this collects the batch's probed cell
+    * set (BOUNDED: ≤ nlist distinct ints regardless of batch size; one
+    * pass over the small query batch) and pushes it into the scan as a
+    * STATIC partition filter, so the plan reads only the probed
+    * partitions (`PartitionFilters: cid IN (...)`, plan-asserted) —
+    * nprobe/nlist of the index for a single query instead of all of it.
+    * The probe assignment is the same deterministic [[modelCells]]
+    * expression the join side uses, so pruning removes only partitions
+    * the join could never match — results are identical by
+    * construction (spec-asserted against the unpruned plan). */
   def queryIndex(index: IvfPqIndex, queries: DataFrame, k: Int,
-      nprobe: Int = 8, vecCol: String = "embedding"): DataFrame =
-    scoreWithModel(index.codes, queries, index.model, k, nprobe, index.idCol, vecCol)
+      nprobe: Int = 8, vecCol: String = "embedding"): DataFrame = {
+    val probedCells = queries // bounded collect: ≤ nlist ints
+      .select(explode(modelCells(index.model)(
+        col(vecCol), l2norm(col(vecCol)), nprobe)).as("cid"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+    scoreWithModel(index.codes.filter(col("cid").isin(probedCells: _*)),
+      queries, index.model, k, nprobe, index.idCol, vecCol)
+  }
 }

@@ -203,6 +203,29 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(Dedup.loadDedupIndex(spark, dir).fingerprints.count() == 6)
   }
 
+  test("ANN serve prunes to the probed cid partitions; results identical to unpruned") {
+    import spark.implicits._
+    val embs = graft.Tables.embeddings(spark, sf001)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ilc_prune").toString
+    Similarity.buildIndex(embs, dir, nlist = 64, m = 16, ksub = 64, pqIters = 2)
+    val idx = Similarity.loadIndex(spark, dir)
+    val probeVec = embs.filter(col("vec_id") === 7L).collect().head.getSeq[Float](1)
+    val probe = Seq((999999L, probeVec)).toDF("vec_id", "embedding")
+    val served = Similarity.queryIndex(idx, probe, k = 5, nprobe = 4)
+    // the codes scan must carry a STATIC cid partition filter — one
+    // query at nprobe=4 reads 4 of the 64 cell partitions, not all
+    val plan = served.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(pf.exists(f => f.contains("cid") && (f.contains(" IN ") || f.contains("INSET"))),
+      s"expected a cid IN partition filter in:\n${pf.mkString("\n")}")
+    // pruning removes only partitions the probe join could never match
+    val unpruned = Similarity.scoreWithModel(idx.codes, probe, idx.model,
+      5, 4, idx.idCol, "embedding")
+    assert(served.collect().toSeq == unpruned.collect().toSeq,
+      "cell pruning must not change serving results")
+  }
+
   test("batch-keyed ANN append: replays skip, empty batches advance the ledger") {
     import spark.implicits._
     val embs = graft.Tables.embeddings(spark, sf001)
