@@ -1082,18 +1082,19 @@ object ExtQueries {
     * vector against `in`'s codewords (min squared-L2, ties → smaller
     * codeword id), per-(subspace, codeword, component) DECIMAL(38,6)
     * means rounded to f32, empty codewords keep their previous value. */
-  private def pqRoundSql(n: Int, in: String, out: String): String =
+  private def pqRoundSql(n: Int, in: String, out: String,
+      src: String = "corp"): String =
     s"""penc0_$n AS (SELECT v.vec_id, cw.j, cw.c,
           LIST_SUM(LIST_TRANSFORM(range(1, 5),
             i -> (CAST(v.embedding[cw.j*4+i] AS DOUBLE) - CAST(cw.w[i] AS DOUBLE))
                * (CAST(v.embedding[cw.j*4+i] AS DOUBLE) - CAST(cw.w[i] AS DOUBLE)))) AS dd
-        FROM corp v, $in cw),
+        FROM $src v, $in cw),
       penc_$n AS (SELECT vec_id, j, c FROM
           (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY dd, c) AS ern
            FROM penc0_$n)
         WHERE ern = 1),
       pcomp_$n AS (SELECT e.j, e.c, t.i, v.embedding[e.j*4 + t.i] AS x
-        FROM penc_$n e JOIN corp v USING (vec_id), UNNEST(range(1, 5)) AS t(i)),
+        FROM penc_$n e JOIN $src v USING (vec_id), UNNEST(range(1, 5)) AS t(i)),
       pmeans_$n AS (SELECT j, c, i,
           CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS mn
         FROM pcomp_$n GROUP BY j, c, i),
@@ -1115,15 +1116,23 @@ object ExtQueries {
   // the oracle restates the whole tier (draw → codebooks → 2 training
   // rounds → encode → assign → probe → LUT score → rank) and e37 is
   // hash-checked like e14/e28/e34.
-  val e37 = Q(
-    "e37_ann_ivf_pq",
-    (s, d) => Similarity.ivfPqTopK(
-      T.embeddings(s, d), T.embeddings(s, d).filter(col("vec_id") < 10),
-      k = 5, nlist = 64, nprobe = 8, m = 16, ksub = 64, pqIters = 2),
-    Some(s"""WITH corp AS (SELECT vec_id, embedding,
+  /** The IVF-PQ serve restatement, parameterized by the TRAINING
+    * source: the seed draw (`picked`) and the PQ Lloyd rounds run over
+    * `trainSrc`, while encoding, cell assignment, and serving always
+    * run over the full `embeddings` — exactly the engine's
+    * train-vs-encode split ([[Similarity.trainIvfPq]] over the build
+    * corpus, [[Similarity.encodeWithModel]] over everything stored).
+    * e37/e47 train over everything (`trainSrc = "embeddings"`); e55
+    * trains over the pre-stream base and relies on the frozen-model
+    * append contract — the final index is INDEPENDENT of how the
+    * remaining vectors were batched in, which is why one static
+    * restatement can pin a streaming ingest. */
+  private def ivfPqServeOracle(trainSrc: String): String =
+    s"""WITH corp AS (SELECT vec_id, embedding,
         SQRT(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS vn
         FROM embeddings),
-      picked AS (SELECT vec_id, embedding FROM embeddings
+      tcorp AS (SELECT vec_id, embedding FROM $trainSrc),
+      picked AS (SELECT vec_id, embedding FROM tcorp
         ORDER BY CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT), vec_id
         LIMIT 64),
       cents AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS ce,
@@ -1133,8 +1142,8 @@ object ExtQueries {
         FROM picked),
       js AS (SELECT CAST(j AS INT) AS j FROM UNNEST(range(0, 16)) AS t(j)),
       cw_0 AS (SELECT js.j, b.c, be[js.j*4+1 : js.j*4+4] AS w FROM bseeds b, js),
-      ${pqRoundSql(1, "cw_0", "cw_1")},
-      ${pqRoundSql(2, "cw_1", "cw")},
+      ${pqRoundSql(1, "cw_0", "cw_1", src = "tcorp")},
+      ${pqRoundSql(2, "cw_1", "cw", src = "tcorp")},
       cwn AS (SELECT j, c,
           LIST_SUM(LIST_TRANSFORM(w, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS n2
         FROM cw),
@@ -1175,7 +1184,14 @@ object ExtQueries {
         GROUP BY d.qid, d.vec_id, q.vn, r.rn_),
       rk AS (SELECT qid, vec_id, adc,
           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) AS rn FROM sc)
-      SELECT qid, vec_id, adc, rn FROM rk WHERE rn <= 5 ORDER BY qid, rn"""))
+      SELECT qid, vec_id, adc, rn FROM rk WHERE rn <= 5 ORDER BY qid, rn"""
+
+  val e37 = Q(
+    "e37_ann_ivf_pq",
+    (s, d) => Similarity.ivfPqTopK(
+      T.embeddings(s, d), T.embeddings(s, d).filter(col("vec_id") < 10),
+      k = 5, nlist = 64, nprobe = 8, m = 16, ksub = 64, pqIters = 2),
+    Some(ivfPqServeOracle("embeddings")))
 
   // THE capstone, v2: e35's flow with PARAGRAPH-level boilerplate
   // removal (e36) composed between the quality gates and the document
@@ -1965,9 +1981,57 @@ object ExtQueries {
     },
     Some(streamingDedupOracle))
 
+  // E3+E4 composition (streaming vector ingest × persisted ANN index):
+  // e54's shape for the OTHER index — build the IVF-PQ index over the
+  // pre-stream base (vec_id%4≠3), stream the remaining vectors in as
+  // TWO deterministic micro-batches of batch-keyed frozen-model appends
+  // (replays skip, crash-partial invisible — the e54 admission
+  // discipline without a verdict side, since vector ingest has no
+  // dedup gate), then serve probes against the final index. The oracle
+  // is the parameterized IVF-PQ restatement with training pinned to
+  // the base: the frozen-model contract makes the final index
+  // INDEPENDENT of the batching, so one static restatement pins the
+  // whole stream. Serving goes through the cell-pruned queryIndex path.
+  val e55 = Q(
+    "e55_streaming_ann_ingest",
+    (outer, d) => {
+      val s = graft.streaming.StateBackend.isolatedStreamSession(outer)
+      val embs = T.embeddings(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("graft_e55_idx").toString
+      Similarity.buildIndex(embs.filter(col("vec_id") % 4 =!= 3), dir,
+        nlist = 64, m = 16, ksub = 64, pqIters = 2)
+      val staging = java.nio.file.Files.createTempDirectory("graft_e55_in").toString
+      val fs = new org.apache.hadoop.fs.Path(staging)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      for ((m8, g) <- Seq((3L, 0), (7L, 1))) {
+        val p = s"$staging/slice$g"
+        embs.filter(col("vec_id") % 8 === m8)
+          .coalesce(1).write.mode("overwrite").parquet(p)
+        fs.listStatus(new org.apache.hadoop.fs.Path(p))
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+          .foreach(st => fs.setTimes(st.getPath, 1700000000000L + g * 60000L, -1))
+      }
+      val sch = s.read.parquet(s"$staging/slice0").schema
+      val src = s.readStream.schema(sch).option("maxFilesPerTrigger", 1)
+        .parquet(s"$staging/slice*")
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_e55_ck").toString
+      val q = src.writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          Similarity.appendToIndex(b, dir, asGeneration = Some(id))
+        }
+        .start()
+      q.awaitTermination()
+      val idx = Similarity.loadIndex(s, dir)
+      Similarity.queryIndex(idx, embs.filter(col("vec_id") < 10), k = 5, nprobe = 8)
+    },
+    Some(ivfPqServeOracle(
+      "(SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 <> 3)")))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
       e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41, e42, e43, e44,
-      e45, e46, e47, e48, e49, e50, e51, e52, e53, e54)
+      e45, e46, e47, e48, e49, e50, e51, e52, e53, e54, e55)
 }
