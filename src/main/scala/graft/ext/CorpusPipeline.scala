@@ -195,11 +195,13 @@ object CorpusPipeline {
     * idempotent under replay, keyed by `batchId`.
     *
     * The per-batch protocol, in order:
-    *  1. load the index at `beforeGen = batchId` — generations < batchId
-    *    only. On first processing that IS the current state (this
-    *    batch's own generation doesn't exist yet); on REPLAY it
-    *    excludes this batch's possibly-already-committed generation, so
-    *    the verdicts re-derive byte-identically;
+    *  1. load the index at `beforeBatch = batchId` (lineage = the
+    *    verdict sink) — stream admissions of this lineage with batch id
+    *    >= batchId are excluded; manual appends and the base always
+    *    resolve. On first processing that IS the current state (this
+    *    batch's own admission doesn't exist yet); on REPLAY it excludes
+    *    this batch's possibly-already-committed admission, so the
+    *    verdicts re-derive byte-identically;
     *  2. [[Dedup.incrementalDedup]] → (id, verdict, match_doc, est_sim);
     *  3. admit verdict='new' docs via the batch-keyed
     *    [[Dedup.appendToDedupIndex]] (a replay of a committed id is a
@@ -211,7 +213,7 @@ object CorpusPipeline {
     *  - before 3's ledger PUT: nothing durable — replay recomputes;
     *  - between 3 and 4 (the double-admission window a naive compose
     *    has): replay re-derives the same verdicts against the
-    *    pre-append state (step 1's `beforeGen`), skips the append, and
+    *    pre-append state (step 1's `beforeBatch`), skips the append, and
     *    commits the verdicts — admitted exactly once;
     *  - between 4 and the stream's own checkpoint commit: replay skips
     *    both (3 by the index ledger, 4 by the sink ledger).
@@ -223,7 +225,12 @@ object CorpusPipeline {
       textCol: String, indexDir: String, verdictsDir: String,
       minEstSim: Double = 0.4): Unit = {
     val s = batch.sparkSession
-    val idx = Dedup.loadDedupIndex(s, indexDir, beforeGen = Some(batchId))
+    // lineage = the verdict sink: one checkpoint lineage per sink dir is
+    // already the sink's contract, so the sink path IS the stream
+    // identity — index admissions tagged with it can't be shadowed by
+    // other streams, manual appends, or compactions
+    val idx = Dedup.loadDedupIndex(s, indexDir, beforeBatch = Some(batchId),
+      lineage = verdictsDir)
     val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val verdicts = Dedup.incrementalDedup(b, idCol, textCol, idx, minEstSim)
@@ -232,7 +239,7 @@ object CorpusPipeline {
         val admitted = b.join(
           verdicts.filter(col("verdict") === "new").select(idCol), Seq(idCol))
         Dedup.appendToDedupIndex(admitted, idCol, textCol, indexDir,
-          asGeneration = Some(batchId))
+          asStreamBatch = Some(batchId), lineage = verdictsDir)
         graft.streaming.ExactlyOnce.commitBatch(verdicts, verdictsDir, batchId)
         ()
       } finally { verdicts.unpersist(blocking = false); () }

@@ -328,9 +328,18 @@ object Dedup {
     val idx = loadDedupIndex(spark, dir)
     val anchor = appendsAnchor(dir)
     val fs = anchor.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // carry the folded stream watermarks forward (max per lineage), so
+    // replay detection survives the fold — a compaction between stream
+    // runs must not let the next run's replay check forget what the
+    // folded generations had already admitted
+    val (cbase0, tail0) = ExactlyOnce.resolveGenerations(fs, anchor)
+    val watermarks = (cbase0.toSeq ++ tail0)
+      .flatMap(d => ExactlyOnce.readStreamTags(fs, d).toSeq)
+      .groupMapReduce(_._1)(_._2)(_ max _)
     val id = ExactlyOnce.nextAppendId(fs, anchor)
     val gen = ExactlyOnce.clearStage(fs, anchor, id)
     writeCompacted(spark, idx, gen.toString)
+    if (watermarks.nonEmpty) ExactlyOnce.writeStreamTags(fs, gen, watermarks)
     ExactlyOnce.markCompaction(fs, gen)
     ExactlyOnce.commitLedger(fs, anchor, id)
   }
@@ -371,19 +380,41 @@ object Dedup {
     * IS the base — the original base tables and all earlier generations
     * are ignored (and may already be [[vacuumDedupIndex]]ed away).
     *
-    * `beforeGen` (exclusive) loads the index state as of a generation
-    * id: only generations with id < `beforeGen` resolve. This is the
+    * `beforeBatch` (exclusive, scoped by `lineage`) loads the index
+    * state as of a STREAM micro-batch: generations whose stream tag in
+    * this lineage is ≥ `beforeBatch` are excluded; untagged generations
+    * (manual appends, the build base) always resolve. This is the
     * replay contract for micro-batch-keyed ingest (e54): a replayed
     * batch N re-derives its verdicts against exactly the index it saw
-    * the first time — base + generations < N — even though its own
-    * generation N is already committed. */
+    * the first time — everything EXCEPT stream admissions ≥ N — even
+    * though its own admission is already committed. Stream batch ids
+    * are carried as per-generation tags, NOT as generation ids, so the
+    * time travel composes with manual appends and compaction (a
+    * compaction carries forward the folded watermarks; asking for a
+    * state older than the newest fold fails loudly — it cannot be
+    * reconstructed). */
   def loadDedupIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String, beforeGen: Option[Long] = None): DedupIndex = {
+      dir: String, beforeBatch: Option[Long] = None,
+      lineage: String = "default"): DedupIndex = {
     import graft.streaming.ExactlyOnce
     val m = spark.read.parquet(s"$dir/meta").head()
     val anchor = appendsAnchor(dir)
     val fs = anchor.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (cbase, tail) = ExactlyOnce.resolveGenerations(fs, anchor, beforeGen)
+    val (cbase, tail0) = ExactlyOnce.resolveGenerations(fs, anchor)
+    val tail = beforeBatch match {
+      case Some(b) =>
+        for (c <- cbase; w <- ExactlyOnce.readStreamTags(fs, c).get(lineage))
+          if (w >= b) sys.error(
+            s"dedup index at $dir was compacted past stream batch $b of " +
+              s"lineage '$lineage' (folded watermark $w) — the stream's " +
+              "checkpoint predates the fold, so the pre-batch index state " +
+              "cannot be reconstructed; restart the stream on a fresh " +
+              "checkpoint + sink, or compact only after the stream's last " +
+              "batch is checkpoint-committed")
+        tail0.filter(d =>
+          ExactlyOnce.readStreamTags(fs, d).get(lineage).forall(_ < b))
+      case None => tail0
+    }
     val baseDir = cbase.map(_.toString).getOrElse(dir)
     val gens = tail.map(_.toString)
     def table(name: String): DataFrame =
@@ -505,39 +536,34 @@ object Dedup {
     * the prune globally (and folds the generation dirs away) without
     * re-hashing any text.
     *
-    * `asGeneration` keys the append to a caller-supplied MONOTONIC id
-    * (a streaming micro-batch id — e54) and makes it IDEMPOTENT: an id
-    * at or below the ledger is a replay and returns without writing; an
-    * admitted-nothing batch still advances the ledger (the stream
-    * sink's empty-batch rule), so the replay check stays meaningful.
-    * With batch-keyed appends in flight, do not run the unkeyed append
-    * or the in-place compactor on the same index (their `nextAppendId`
-    * would collide with future batch ids) — stop the stream first. */
+    * `asStreamBatch` marks the append as stream micro-batch `g` of
+    * `lineage` (the caller's sink path, typically) and makes it
+    * IDEMPOTENT: the batch id is written as a per-generation TAG
+    * ([[graft.streaming.ExactlyOnce.readStreamTags]]) during the stage,
+    * and an append whose lineage already carries a watermark ≥ g is a
+    * replay and returns without writing. Generation ids stay internal
+    * ([[graft.streaming.ExactlyOnce.nextAppendId]]), so stream batches
+    * COMPOSE with manual appends and in-place compaction — no id
+    * collisions, and a compaction carries the folded watermarks
+    * forward. An admitted-nothing batch writes nothing (its replay
+    * re-derives the same nothing). One lineage per sink-dir contract
+    * as [[graft.streaming.ExactlyOnce]]: a fresh checkpoint means a
+    * fresh sink means a fresh lineage key. */
   def appendToDedupIndex(docs: DataFrame, idCol: String, textCol: String,
-      dir: String, asGeneration: Option[Long] = None): Unit = {
+      dir: String, asStreamBatch: Option[Long] = None,
+      lineage: String = "default"): Unit = {
     import graft.streaming.ExactlyOnce
     val spark = docs.sparkSession
     val anchor = appendsAnchor(dir)
     val fs = anchor.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    for (g <- asGeneration) {
-      val last =
-        try ExactlyOnce.lastCommitted(fs, anchor)
-        catch {
-          case torn: ExactlyOnce.TornLedgerException =>
-            // single appender + monotonic keys: everything below the
-            // replayed id was ledger-committed before its checkpoint, so
-            // a torn PUT can only be THIS batch's own earlier attempt —
-            // fall through to restage-and-recommit (durable repair)
-            System.err.println(s"[append-ledger] ${torn.getMessage}")
-            Some(g - 1).filter(_ >= 0)
-        }
-      if (last.exists(_ >= g)) return // replay of a committed append
+    for (g <- asStreamBatch) {
+      val (cbase, tail) = ExactlyOnce.resolveGenerations(fs, anchor)
+      val seen = (cbase.toSeq ++ tail)
+        .flatMap(d => ExactlyOnce.readStreamTags(fs, d).get(lineage))
+      if (seen.exists(_ >= g)) return // replay of an admitted batch
     }
-    if (docs.isEmpty) {
-      asGeneration.foreach(ExactlyOnce.commitLedger(fs, anchor, _))
-      return
-    }
-    val id = asGeneration.getOrElse(ExactlyOnce.nextAppendId(fs, anchor))
+    if (docs.isEmpty) return
+    val id = ExactlyOnce.nextAppendId(fs, anchor)
     val m = spark.read.parquet(s"$dir/meta").head()
     val k = m.getAs[Int]("k")
     val gen = ExactlyOnce.clearStage(fs, anchor, id)
@@ -551,6 +577,9 @@ object Dedup {
         .write.mode("overwrite").parquet(s"$gen/bands")
       docs.select(col(idCol).as("doc"), md5(lower(col(textCol))).as("fp"))
         .write.mode("overwrite").parquet(s"$gen/fingerprints")
+      // the stream tag is part of the stage: complete before the PUT
+      asStreamBatch.foreach(g =>
+        ExactlyOnce.writeStreamTags(fs, gen, Map(lineage -> g)))
       ExactlyOnce.commitLedger(fs, anchor, id)
     } finally { sig.unpersist(blocking = false); () }
   }

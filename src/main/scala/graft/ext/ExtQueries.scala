@@ -2019,7 +2019,7 @@ object ExtQueries {
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
-          Similarity.appendToIndex(b, dir, asGeneration = Some(id))
+          Similarity.appendToIndex(b, dir, asStreamBatch = Some(id))
         }
         .start()
       q.awaitTermination()

@@ -691,11 +691,18 @@ object Similarity {
     val idx = loadIndex(spark, path)
     val anchor = codesAnchor(path)
     val fs = anchor.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // carry folded stream watermarks forward (max per lineage) — see
+    // Dedup.compactDedupIndex
+    val (cbase0, tail0) = ExactlyOnce.resolveGenerations(fs, anchor)
+    val watermarks = (cbase0.toSeq ++ tail0)
+      .flatMap(d => ExactlyOnce.readStreamTags(fs, d).toSeq)
+      .groupMapReduce(_._1)(_._2)(_ max _)
     val id = ExactlyOnce.nextAppendId(fs, anchor)
     val gen = ExactlyOnce.clearStage(fs, anchor, id)
     idx.codes
       .select(col(idx.idCol), col("packed"), col("__rnorm").as("rnorm"), col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(gen.toString)
+    if (watermarks.nonEmpty) ExactlyOnce.writeStreamTags(fs, gen, watermarks)
     ExactlyOnce.markCompaction(fs, gen)
     ExactlyOnce.commitLedger(fs, anchor, id)
   }
@@ -734,37 +741,35 @@ object Similarity {
     * a crash mid-stage is invisible, a torn ledger PUT re-commits.
     * Single-appender contract. */
   def appendToIndex(vectors: DataFrame, path: String,
-      vecCol: String = "embedding", asGeneration: Option[Long] = None): Unit = {
+      vecCol: String = "embedding", asStreamBatch: Option[Long] = None,
+      lineage: String = "default"): Unit = {
     import graft.streaming.ExactlyOnce
     val spark = vectors.sparkSession
     val anchor = codesAnchor(path)
     val fs = anchor.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // `asGeneration`: the batch-keyed idempotent flavor (streaming vector
-    // ingest) — same contract as Dedup.appendToDedupIndex's: replays of a
-    // committed id are no-ops, empty keyed batches advance the ledger,
-    // torn PUTs restage; no unkeyed appends/compaction while keyed
-    // batches are in flight
-    for (g <- asGeneration) {
-      val last =
-        try ExactlyOnce.lastCommitted(fs, anchor)
-        catch {
-          case torn: ExactlyOnce.TornLedgerException =>
-            System.err.println(s"[append-ledger] ${torn.getMessage}")
-            Some(g - 1).filter(_ >= 0)
-        }
-      if (last.exists(_ >= g)) return // replay of a committed append
+    // `asStreamBatch`: the batch-keyed idempotent flavor (streaming
+    // vector ingest, e55) — the batch id lands as a per-generation TAG
+    // scoped by `lineage`, same contract as Dedup.appendToDedupIndex's:
+    // replays of an admitted batch are no-ops, generation ids stay
+    // internal (manual appends and compactions compose), compaction
+    // carries the watermarks forward
+    for (g <- asStreamBatch) {
+      val (cbase, tail) = ExactlyOnce.resolveGenerations(fs, anchor)
+      val seen = (cbase.toSeq ++ tail)
+        .flatMap(d => ExactlyOnce.readStreamTags(fs, d).get(lineage))
+      if (seen.exists(_ >= g)) return // replay of an admitted batch
     }
-    if (vectors.isEmpty) { // before the ledger probe: no wasted repair/IO
-      asGeneration.foreach(ExactlyOnce.commitLedger(fs, anchor, _))
-      return
-    }
+    if (vectors.isEmpty) return // before the ledger probe: no wasted repair/IO
     val idx = loadIndex(spark, path) // model only; the codes scan stays unused
-    val id = asGeneration.getOrElse(ExactlyOnce.nextAppendId(fs, anchor))
+    val id = ExactlyOnce.nextAppendId(fs, anchor)
     val gen = ExactlyOnce.clearStage(fs, anchor, id)
     encodeWithModel(vectors, idx.model, idx.idCol, vecCol)
       .withColumnRenamed("__rnorm", "rnorm")
       .write.mode("overwrite").partitionBy("cid")
       .parquet(gen.toString)
+    // the stream tag is part of the stage: complete before the PUT
+    asStreamBatch.foreach(g =>
+      ExactlyOnce.writeStreamTags(fs, gen, Map(lineage -> g)))
     ExactlyOnce.commitLedger(fs, anchor, id)
   }
 

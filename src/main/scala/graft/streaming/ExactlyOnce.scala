@@ -198,19 +198,69 @@ object ExactlyOnce {
     * A compaction generation folds the base and everything before it
     * (single-appender contract: nothing commits between the fold's
     * snapshot and its PUT), so readers take it as the base and append
-    * only the tail. `beforeGen` (exclusive) restricts to generations
-    * below an id — the index state a given ingest batch must see when a
-    * replayed batch re-derives its own verdicts ([[commitBatch]]-style
-    * idempotence for index appends keyed by micro-batch id). */
-  def resolveGenerations(fs: FileSystem, anchor: HPath,
-      beforeGen: Option[Long] = None): (Option[HPath], Seq[HPath]) = {
-    val batches = committedBatches(fs, anchor)
-    val dirs = beforeGen match {
-      case Some(b) => batches.filter(_._1 < b).map(_._2)
-      case None => batches.map(_._2)
-    }
+    * only the tail. Stream-batch time travel (the replay contract) is
+    * layered on top by the index loaders via [[readStreamTags]], not
+    * here — generation ids are internal and carry no stream meaning. */
+  def resolveGenerations(fs: FileSystem,
+      anchor: HPath): (Option[HPath], Seq[HPath]) = {
+    val dirs = committedDirs(fs, anchor)
     val iC = dirs.lastIndexWhere(isCompaction(fs, _))
     if (iC < 0) (None, dirs) else (Some(dirs(iC)), dirs.drop(iC + 1))
+  }
+
+  /** Marker object inside a generation dir carrying STREAM-BATCH
+    * watermarks: which micro-batch of which stream lineage this
+    * generation (or, for a compaction, the generations it folded)
+    * admitted. This decouples stream batch ids from the generation-id
+    * sequence — generation ids are internal ([[nextAppendId]]), so
+    * manual appends, compactions, and stream batches share one index
+    * without id collisions; replay detection reads the watermarks
+    * instead. A lineage key (the caller's sink path, typically) scopes
+    * the watermark: distinct streams don't shadow each other. Format:
+    * one line per lineage, `b<id> <lineage>\n` — same begin/end marker
+    * discipline as the ledger. The `_` prefix keeps the file invisible
+    * to parquet readers, so it can live inside a generation dir that is
+    * itself a parquet root. Written during the stage (before the
+    * ledger PUT), so a committed generation's tag file is always
+    * complete — a torn tag implies an uncommitted generation, which is
+    * invisible anyway. */
+  val StreamTagName = "_STREAM_BATCH"
+
+  def streamTagPath(gen: HPath): HPath = new HPath(gen, StreamTagName)
+
+  def writeStreamTags(fs: FileSystem, gen: HPath,
+      tags: Map[String, Long]): Unit = {
+    require(tags.keys.forall(l => l.nonEmpty && !l.contains('\n')),
+      "stream lineage keys must be non-empty and newline-free")
+    val body = tags.toSeq.sortBy(_._1)
+      .map { case (lineage, id) => s"b$id $lineage\n" }.mkString
+    val out = fs.create(streamTagPath(gen), true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Watermarks of a committed generation (empty map when untagged —
+    * a manual append or a pre-watermark compaction). Committed tags are
+    * complete by construction (see [[StreamTagName]]); a malformed line
+    * here means out-of-band interference and fails loudly rather than
+    * silently re-admitting a replayed batch. */
+  def readStreamTags(fs: FileSystem, gen: HPath): Map[String, Long] = {
+    val p = streamTagPath(gen)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val raw =
+        try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
+        finally in.close()
+      raw.split("\n", -1).filter(_.nonEmpty).map { line =>
+        val sp = line.indexOf(' ')
+        val ok = line.startsWith("b") && sp > 1 &&
+          line.substring(1, sp).forall(_.isDigit) && sp + 1 < line.length
+        if (!ok || !raw.endsWith("\n"))
+          sys.error(s"stream tag $p is malformed ('${line.take(40)}') — " +
+            "out-of-band interference; restore or remove the tag file")
+        (line.substring(sp + 1), line.substring(1, sp).toLong)
+      }.toMap
+    }
   }
 
   /** The id the next append generation should stage under `anchor`,

@@ -164,7 +164,7 @@ class IndexLifecycleSpec extends SparkSpec {
       s"post-vacuum append must serve: $verdict")
   }
 
-  test("batch-keyed append: replays skip, empty batches advance, beforeGen time-travels") {
+  test("batch-keyed append: replays skip via tags, beforeBatch time-travels") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_ilc_keyed").toString
     val corpus = (0L until 3L).map(doc(_)).toDF("doc_id", "text")
@@ -172,35 +172,88 @@ class IndexLifecycleSpec extends SparkSpec {
     val anchor = new HPath(s"$dir/appends")
     val fs = fsOf(anchor)
     val b0 = Seq(doc(100L, "batch-zero")).toDF("doc_id", "text")
-    Dedup.appendToDedupIndex(b0, "doc_id", "text", dir, asGeneration = Some(0L))
+    Dedup.appendToDedupIndex(b0, "doc_id", "text", dir, asStreamBatch = Some(0L))
     assert(Dedup.loadDedupIndex(spark, dir).fingerprints.count() == 4)
-    // replay of batch 0 (crash after ledger PUT, before the stream's own
-    // checkpoint): must be a no-op, not a duplicate generation
-    Dedup.appendToDedupIndex(b0, "doc_id", "text", dir, asGeneration = Some(0L))
+    // replay of batch 0 (crash after the admission, before the stream's
+    // own checkpoint): must be a no-op, not a duplicate generation
+    Dedup.appendToDedupIndex(b0, "doc_id", "text", dir, asStreamBatch = Some(0L))
     assert(Dedup.loadDedupIndex(spark, dir).fingerprints.count() == 4)
     assert(ExactlyOnce.lastCommitted(fs, anchor).contains(0L))
-    // an admitted-nothing batch advances the ledger without a dir
+    // an admitted-nothing batch writes nothing — its replay re-derives
+    // the same nothing, so no ledger state is needed to detect it
     Dedup.appendToDedupIndex(b0.filter(lit(false)), "doc_id", "text", dir,
-      asGeneration = Some(1L))
-    assert(ExactlyOnce.lastCommitted(fs, anchor).contains(1L))
+      asStreamBatch = Some(1L))
+    assert(ExactlyOnce.lastCommitted(fs, anchor).contains(0L))
     assert(ExactlyOnce.committedDirs(fs, anchor).size == 1)
     Dedup.appendToDedupIndex(
       Seq(doc(200L, "batch-two")).toDF("doc_id", "text"), "doc_id", "text", dir,
-      asGeneration = Some(2L))
-    // time-travel: the index state batch N saw is base + generations < N
-    assert(Dedup.loadDedupIndex(spark, dir, beforeGen = Some(0L))
+      asStreamBatch = Some(2L))
+    // generation ids are internal: batch 2 landed as generation 1
+    assert(ExactlyOnce.lastCommitted(fs, anchor).contains(1L))
+    // time-travel: the state batch N saw excludes stream admissions >= N
+    assert(Dedup.loadDedupIndex(spark, dir, beforeBatch = Some(0L))
       .fingerprints.count() == 3, "batch 0 saw the bare base")
-    assert(Dedup.loadDedupIndex(spark, dir, beforeGen = Some(2L))
+    assert(Dedup.loadDedupIndex(spark, dir, beforeBatch = Some(2L))
       .fingerprints.count() == 4, "batch 2 saw base + batch 0's admission")
     assert(Dedup.loadDedupIndex(spark, dir).fingerprints.count() == 5)
-    // torn PUT on a keyed append repairs on the replay (restage + recommit)
+    // torn PUT on a keyed append: the next append repairs the ledger
+    // durably (nextAppendId) and the batch lands once
     val out = fs.create(ExactlyOnce.ledgerPath(anchor), true)
-    try out.write("b3".getBytes("UTF-8")) finally out.close()
+    try out.write("b1".getBytes("UTF-8")) finally out.close()
     Dedup.appendToDedupIndex(
       Seq(doc(300L, "batch-three")).toDF("doc_id", "text"), "doc_id", "text", dir,
-      asGeneration = Some(3L))
-    assert(ExactlyOnce.lastCommitted(fs, anchor).contains(3L))
+      asStreamBatch = Some(3L))
+    assert(ExactlyOnce.lastCommitted(fs, anchor).contains(2L))
     assert(Dedup.loadDedupIndex(spark, dir).fingerprints.count() == 6)
+  }
+
+  test("stream batches compose with manual appends and compaction (tag decoupling)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ilc_comp").toString
+    Dedup.buildDedupIndex((0L until 3L).map(doc(_)).toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    // a MANUAL (untagged) append BEFORE any stream: under the old
+    // id-keyed design this consumed generation 0 and made stream batch 0
+    // read as a replay — every admission silently dropped
+    Dedup.appendToDedupIndex(
+      Seq(doc(50L, "manual-pre-stream")).toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    Dedup.appendToDedupIndex(
+      Seq(doc(100L, "stream-batch-zero")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, asStreamBatch = Some(0L), lineage = "sinkA")
+    assert(Dedup.loadDedupIndex(spark, dir).fingerprints.count() == 5,
+      "stream batch 0 must land beside a pre-existing manual generation")
+    // batch 0's view includes the manual append (untagged => always in)
+    assert(Dedup.loadDedupIndex(spark, dir, beforeBatch = Some(0L),
+      lineage = "sinkA").fingerprints.count() == 4)
+    // compaction between stream runs: folds everything, carries the
+    // lineage watermark forward
+    Dedup.compactDedupIndex(spark, dir)
+    Dedup.vacuumDedupIndex(spark, dir)
+    assert(Dedup.loadDedupIndex(spark, dir).fingerprints.count() == 5)
+    // a replay of already-admitted batch 0 after the fold: still skipped
+    Dedup.appendToDedupIndex(
+      Seq(doc(100L, "stream-batch-zero")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, asStreamBatch = Some(0L), lineage = "sinkA")
+    assert(Dedup.loadDedupIndex(spark, dir).fingerprints.count() == 5,
+      "fold must not forget admitted watermarks")
+    // the next day's batch (same lineage, next id) lands normally
+    Dedup.appendToDedupIndex(
+      Seq(doc(101L, "stream-batch-one")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, asStreamBatch = Some(1L), lineage = "sinkA")
+    assert(Dedup.loadDedupIndex(spark, dir).fingerprints.count() == 6)
+    assert(Dedup.loadDedupIndex(spark, dir, beforeBatch = Some(1L),
+      lineage = "sinkA").fingerprints.count() == 5)
+    // a DIFFERENT lineage is not shadowed by sinkA's watermarks
+    Dedup.appendToDedupIndex(
+      Seq(doc(200L, "other-stream")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, asStreamBatch = Some(0L), lineage = "sinkB")
+    assert(Dedup.loadDedupIndex(spark, dir).fingerprints.count() == 7,
+      "lineage scoping: sinkB batch 0 is not a replay of sinkA batch 0")
+    // asking for a state older than the fold fails loudly, not wrongly
+    val e = intercept[RuntimeException](
+      Dedup.loadDedupIndex(spark, dir, beforeBatch = Some(0L), lineage = "sinkA"))
+    assert(e.getMessage.contains("compacted past"), e.getMessage)
   }
 
   test("ANN serve prunes to the probed cid partitions; results identical to unpruned") {
@@ -226,7 +279,7 @@ class IndexLifecycleSpec extends SparkSpec {
       "cell pruning must not change serving results")
   }
 
-  test("batch-keyed ANN append: replays skip, empty batches advance the ledger") {
+  test("batch-keyed ANN append: replays skip via tags, fold keeps watermarks") {
     import spark.implicits._
     val embs = graft.Tables.embeddings(spark, sf001)
     val dir = java.nio.file.Files.createTempDirectory("graft_ilc_annk").toString
@@ -235,18 +288,27 @@ class IndexLifecycleSpec extends SparkSpec {
     val anchor = new HPath(s"$dir/codes_appends")
     val fs = fsOf(anchor)
     val g0 = embs.filter(col("vec_id") >= 400 && col("vec_id") < 450)
-    Similarity.appendToIndex(g0, dir, asGeneration = Some(0L))
+    Similarity.appendToIndex(g0, dir, asStreamBatch = Some(0L))
     assert(Similarity.loadIndex(spark, dir).codes.count() == 450)
-    Similarity.appendToIndex(g0, dir, asGeneration = Some(0L)) // replay
+    Similarity.appendToIndex(g0, dir, asStreamBatch = Some(0L)) // replay
     assert(Similarity.loadIndex(spark, dir).codes.count() == 450,
       "replayed keyed append must not double-encode")
     assert(ExactlyOnce.lastCommitted(fs, anchor).contains(0L))
-    Similarity.appendToIndex(g0.filter(lit(false)), dir, asGeneration = Some(1L))
-    assert(ExactlyOnce.lastCommitted(fs, anchor).contains(1L))
+    // empty keyed batch: writes nothing, no ledger state needed
+    Similarity.appendToIndex(g0.filter(lit(false)), dir, asStreamBatch = Some(1L))
+    assert(ExactlyOnce.lastCommitted(fs, anchor).contains(0L))
     assert(ExactlyOnce.committedDirs(fs, anchor).size == 1)
     Similarity.appendToIndex(embs.filter(col("vec_id") >= 450), dir,
-      asGeneration = Some(2L))
+      asStreamBatch = Some(2L))
+    assert(ExactlyOnce.lastCommitted(fs, anchor).contains(1L))
     assert(Similarity.loadIndex(spark, dir).codes.count() == 500)
+    // compaction carries the watermark: batch 2's replay is still caught
+    Similarity.compactIndex(spark, dir)
+    Similarity.vacuumIndex(spark, dir)
+    Similarity.appendToIndex(embs.filter(col("vec_id") >= 450), dir,
+      asStreamBatch = Some(2L))
+    assert(Similarity.loadIndex(spark, dir).codes.count() == 500,
+      "fold must not forget admitted watermarks")
   }
 
   test("in-place ANN compaction: atomic promote, old snapshot serves, vacuum reclaims") {

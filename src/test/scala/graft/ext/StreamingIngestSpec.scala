@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * per-batch protocol idempotence under every crash window, and the
   * end-to-end stream equaling the same batches ingested by hand. The
   * load-bearing property: a replayed batch re-derives its verdicts
-  * against the index AS IT WAS (beforeGen), so an admission committed
+  * against the index AS IT WAS (beforeBatch), so an admission committed
   * by a crashed attempt can neither double-admit nor make the replayed
   * doc match itself. */
 class StreamingIngestSpec extends SparkSpec {
@@ -51,7 +51,8 @@ class StreamingIngestSpec extends SparkSpec {
     val b0 = Seq((10L, novelA), dupOfCorpus).toDF("doc_id", "text")
     // what batch 0 must produce, derived against the pre-batch index
     val expected = Dedup.incrementalDedup(b0, "doc_id", "text",
-        Dedup.loadDedupIndex(spark, dir, beforeGen = Some(0L)), minEstSim = 0.4)
+        Dedup.loadDedupIndex(spark, dir, beforeBatch = Some(0L),
+          lineage = sink), minEstSim = 0.4)
       .select(col("doc_id"), col("verdict"), col("match_doc"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq.sorted
     assert(expected.map(_._2).sorted == Seq("exact", "new"))
@@ -59,7 +60,9 @@ class StreamingIngestSpec extends SparkSpec {
     // CRASH WINDOW: the admission committed, the verdict commit did not —
     // run only the append half of the protocol, exactly as ingestBatch does
     val admitted = b0.filter(col("doc_id") === 10L)
-    Dedup.appendToDedupIndex(admitted, "doc_id", "text", dir, asGeneration = Some(0L))
+    // exactly what ingestBatch's append half does: lineage = the sink
+    Dedup.appendToDedupIndex(admitted, "doc_id", "text", dir,
+      asStreamBatch = Some(0L), lineage = sink)
     val anchor = new HPath(s"$dir/appends")
     val fs = fsOf(anchor)
     assert(ExactlyOnce.lastCommitted(fs, anchor).contains(0L))
