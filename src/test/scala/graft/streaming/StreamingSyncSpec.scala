@@ -222,6 +222,27 @@ class StreamingSyncSpec extends SparkSpec {
     assert(ExactlyOnce.lastCommitted(fs, hp).contains(1L))
   }
 
+  test("stream tags: round-trip, lineage scoping, malformed tag fails loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tag").toString
+    val gen = new org.apache.hadoop.fs.Path(s"$dir/gen")
+    val fs = gen.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(gen)
+    assert(ExactlyOnce.readStreamTags(fs, gen).isEmpty, "untagged reads empty")
+    ExactlyOnce.writeStreamTags(fs, gen, Map("sinkA" -> 7L, "sinkB" -> 0L))
+    assert(ExactlyOnce.readStreamTags(fs, gen) == Map("sinkA" -> 7L, "sinkB" -> 0L))
+    // lineage keys carry paths — spaces fine, newlines refused at write
+    ExactlyOnce.writeStreamTags(fs, gen, Map("/tmp/my sink/v" -> 3L))
+    assert(ExactlyOnce.readStreamTags(fs, gen) == Map("/tmp/my sink/v" -> 3L))
+    intercept[IllegalArgumentException](
+      ExactlyOnce.writeStreamTags(fs, gen, Map("a\nb" -> 1L)))
+    // a malformed tag is out-of-band interference: loud, never a silent
+    // re-admit (an ignored tag would replay a batch as fresh)
+    val out = fs.create(ExactlyOnce.streamTagPath(gen), true)
+    try out.write("b7".getBytes("UTF-8")) finally out.close() // no lineage, no \n
+    val e = intercept[RuntimeException](ExactlyOnce.readStreamTags(fs, gen))
+    assert(e.getMessage.contains("malformed"), e.getMessage)
+  }
+
   test("exactly-once sink: ledger prefix-tear of a multi-digit id is torn, not a smaller id") {
     val hp = new org.apache.hadoop.fs.Path("/x/t")
     assert(ExactlyOnce.parseLedger("b12\n").contains(12L))
