@@ -129,4 +129,46 @@ class StreamingIngestSpec extends SparkSpec {
     assert(Dedup.loadDedupIndex(spark, streamedIdx).fingerprints.count() ==
       Dedup.loadDedupIndex(spark, handIdx).fingerprints.count())
   }
+
+  test("daily re-run: same checkpoint resumes past a compaction, new files only") {
+    import spark.implicits._
+    val s = graft.streaming.StateBackend.isolatedStreamSession(spark)
+    val staging = java.nio.file.Files.createTempDirectory("graft_sing_daily").toString
+    val fs = fsOf(new HPath(staging))
+    def stage(g: Int, rows: Seq[(Long, String)]): Unit = {
+      val p = s"$staging/slice$g"
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(p)
+      fs.listStatus(new HPath(p))
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+        .foreach(st => fs.setTimes(st.getPath, 1700000000000L + g * 60000L, -1))
+    }
+    stage(0, Seq((10L, novelA)))
+    val dir = mkIndex("daily")
+    val sink = java.nio.file.Files.createTempDirectory("graft_sing_ds").toString + "/v"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sing_dc").toString
+    val sch = s.read.parquet(s"$staging/slice0").schema
+    def run(): Unit =
+      CorpusPipeline.streamingDedupIngest(
+        s.readStream.schema(sch).option("maxFilesPerTrigger", 1)
+          .parquet(s"$staging/slice*"),
+        "doc_id", "text", dir, sink, ckpt).awaitTermination()
+    run() // day 1: batch 0 admits doc 10
+    assert(verdictRows(sink) == Seq((10L, "new", -1L)))
+    assert(Dedup.loadDedupIndex(spark, dir).fingerprints.count() == 5)
+    // nightly maintenance between runs: fold + reclaim (watermarks carry)
+    Dedup.compactDedupIndex(spark, dir)
+    Dedup.vacuumDedupIndex(spark, dir)
+    // day 2: one new file arrives; the SAME checkpoint resumes — only
+    // the new file forms a batch, and its id continues the lineage
+    stage(1, Seq((20L, novelA), (21L, novelB)))
+    run()
+    assert(verdictRows(sink) == Seq(
+      (10L, "new", -1L), (20L, "exact", 10L), (21L, "new", -1L)),
+      s"day-2 batch must dedup against day-1's admission: ${verdictRows(sink)}")
+    assert(Dedup.loadDedupIndex(spark, dir).fingerprints.count() == 6)
+    // day 3: nothing new — the drain is a no-op, nothing double-admits
+    run()
+    assert(verdictRows(sink).size == 3)
+    assert(Dedup.loadDedupIndex(spark, dir).fingerprints.count() == 6)
+  }
 }
