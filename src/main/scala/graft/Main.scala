@@ -18,6 +18,9 @@ object Main {
         |commands:
         |  sync [--months N] [--raw-only] [--dry-run] [--all-accounts] [--as-of YYYY-MM-DD] [--no-file-audit] [--incremental]
         |  compact <table> [--target-mb N]     (parquet warehouse only)
+        |  compact-index <dedup|ann> <dir> [--vacuum]
+        |      (fold append generations in place — atomic ledger promote;
+        |       --vacuum reclaims the subsumed dirs afterwards)
         |  query <sql> [--max-rows N]
         |  corpus-prep <docs.parquet> <out-dir> [--shards N] [--pack-budget TOKENS]
         |      (filter -> dedup -> chunk [-> pack into fixed-budget sequences] -> parquet)
@@ -64,6 +67,7 @@ object Main {
   def main(args: Array[String]): Unit = args.toList match {
     case "sync" :: rest        => sync(parseSyncOpts(rest))
     case "compact" :: rest     => compact(rest)
+    case "compact-index" :: rest => compactIndexCmd(rest)
     case "query" :: rest       => query(rest)
     case "corpus-prep" :: rest => corpusPrep(rest)
     case "list-accounts" :: _  => listAccounts()
@@ -119,6 +123,40 @@ object Main {
         System.err.println("compact applies to the parquet warehouse sink only")
         sys.exit(1)
     }
+  }
+
+  /** Index maintenance as a CLI step (the index-lifecycle sibling of
+    * `compact`): fold a persisted dedup or ANN index's append
+    * generations in place — staged as a marked generation, promoted by
+    * one atomic ledger PUT ([[graft.ext.Dedup.compactDedupIndex]] /
+    * [[graft.ext.Similarity.compactIndex]]) — optionally reclaiming the
+    * subsumed dirs. Run it from cron between ingest runs, exactly like
+    * the warehouse `compact`; single-maintainer contract. */
+  private def compactIndexCmd(args: List[String]): Unit = {
+    val (kind, dir, vacuum) = args match {
+      case k :: d :: Nil               => (k, d, false)
+      case k :: d :: "--vacuum" :: Nil => (k, d, true)
+      case _                           => usage()
+    }
+    if (kind != "dedup" && kind != "ann") {
+      System.err.println(s"unknown index kind '$kind' — expected dedup or ann")
+      usage()
+    }
+    val cfg = EngineConfig.fromEnv()
+    val spark = session(cfg)
+    try {
+      if (kind == "dedup") {
+        graft.ext.Dedup.compactDedupIndex(spark, dir)
+        val n = if (vacuum) graft.ext.Dedup.vacuumDedupIndex(spark, dir) else 0
+        println(s"[compact-index] dedup $dir: folded" +
+          (if (vacuum) s", vacuumed $n dirs" else ""))
+      } else {
+        graft.ext.Similarity.compactIndex(spark, dir)
+        val n = if (vacuum) graft.ext.Similarity.vacuumIndex(spark, dir) else 0
+        println(s"[compact-index] ann $dir: folded" +
+          (if (vacuum) s", vacuumed $n dirs" else ""))
+      }
+    } finally spark.stop()
   }
 
   /** The LLM-corpus production flow as a CLI step (the extension-surface
