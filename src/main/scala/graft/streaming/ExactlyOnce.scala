@@ -251,11 +251,17 @@ object ExactlyOnce {
       val raw =
         try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in), "UTF-8")
         finally in.close()
+      // an EXISTING but empty/garbled tag file is interference, and the
+      // failure direction matters: an ignored tag replays an admitted
+      // batch as fresh (silent double-admit), so err loud
+      if (raw.isEmpty || !raw.endsWith("\n"))
+        sys.error(s"stream tag $p is empty or truncated — out-of-band " +
+          "interference; restore or remove the tag file")
       raw.split("\n", -1).filter(_.nonEmpty).map { line =>
         val sp = line.indexOf(' ')
         val ok = line.startsWith("b") && sp > 1 &&
           line.substring(1, sp).forall(_.isDigit) && sp + 1 < line.length
-        if (!ok || !raw.endsWith("\n"))
+        if (!ok)
           sys.error(s"stream tag $p is malformed ('${line.take(40)}') — " +
             "out-of-band interference; restore or remove the tag file")
         (line.substring(sp + 1), line.substring(1, sp).toLong)

@@ -240,7 +240,18 @@ class StreamingSyncSpec extends SparkSpec {
     val out = fs.create(ExactlyOnce.streamTagPath(gen), true)
     try out.write("b7".getBytes("UTF-8")) finally out.close() // no lineage, no \n
     val e = intercept[RuntimeException](ExactlyOnce.readStreamTags(fs, gen))
-    assert(e.getMessage.contains("malformed"), e.getMessage)
+    assert(e.getMessage.contains("truncated"), e.getMessage)
+    // an existing-but-EMPTY tag file is equally suspect — silent empty
+    // would replay an admitted batch as fresh
+    val out2 = fs.create(ExactlyOnce.streamTagPath(gen), true)
+    out2.close()
+    val e2 = intercept[RuntimeException](ExactlyOnce.readStreamTags(fs, gen))
+    assert(e2.getMessage.contains("empty"), e2.getMessage)
+    // garbled line with terminator: still loud
+    val out3 = fs.create(ExactlyOnce.streamTagPath(gen), true)
+    try out3.write("x7 sinkA\n".getBytes("UTF-8")) finally out3.close()
+    val e3 = intercept[RuntimeException](ExactlyOnce.readStreamTags(fs, gen))
+    assert(e3.getMessage.contains("malformed"), e3.getMessage)
   }
 
   test("exactly-once sink: ledger prefix-tear of a multi-digit id is torn, not a smaller id") {
