@@ -1048,4 +1048,58 @@ object Dedup {
         count(when(col("__hot").isNotNull, 1)).as("n_dropped"))
   }
 
+  /** Cross-document duplicate-span coverage — the token-window
+    * approximation of exact-substring dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499: spans repeated verbatim across documents are the
+    * highest-value dedup target after whole-doc dups). Every k-token
+    * window of every document is fingerprinted; a window is DUPLICATED
+    * when its fingerprint occurs in at least `minDf` distinct documents.
+    * Per document: total windows, duplicated windows, their ratio, and a
+    * `trim`/`keep` verdict at `trimAt` coverage.
+    *
+    * Granularity ladder this completes: whole-doc ([[exactGroups]]) →
+    * paragraph ([[paragraphDedup]]) → k-token window (here) →
+    * set-similarity ([[minhashCandidates]]).
+    *
+    * Differs from [[contaminationOverlap]] (membership against a FIXED
+    * benchmark set) and from TextOps.repetitionScore (WITHIN-doc
+    * repetition): this measures verbatim overlap across the corpus
+    * itself. Documents shorter than k tokens contribute their whole
+    * text as one window ([[shingles]]' convention), so exact short dups
+    * still reach coverage 1.0.
+    *
+    * Scale shape: three hash exchanges, all on compact keys — the
+    * positional fingerprint rows (16-byte md5, text never shuffled) to
+    * count per-window document frequency, the same rows again to join
+    * the frequency back (equi-join on the agg's own key — colocated,
+    * and AQE splits the boilerplate-fingerprint skew), then one doc-key
+    * agg. No driver materialization at any corpus size; the window
+    * count per doc is len-k+1, so the exploded set is ~tokens×1 rows. */
+  def duplicateSpanCoverage(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5, minDf: Int = 2, trimAt: Double = 0.5): DataFrame = {
+    require(k > 0 && minDf >= 2 && trimAt >= 0.0,
+      s"span geometry out of range: k=$k minDf=$minDf trimAt=$trimAt")
+    val words = split(col(textCol), " ")
+    // one fingerprint per window POSITION (multiset, unlike [[shingles]]'
+    // distinct set): coverage counts positions, so a doc that repeats a
+    // shared span twice is twice as covered
+    val grams = transform(
+      sequence(lit(1), greatest(size(words) - (k - 1), lit(1))),
+      i => md5(concat_ws(" ",
+        (0 until k).map(j => try_element_at(words, i + j)): _*).cast("binary")))
+    val pos = docs.select(col(idCol).as("doc"), explode(grams).as("fp"))
+    val dfreq = pos.groupBy(col("fp"))
+      .agg(countDistinct(col("doc")).as("__df"))
+    pos.join(dfreq, Seq("fp"))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__df") >= minDf, 1L).otherwise(0L)).as("dup_grams"))
+      .withColumn("dup_coverage", col("dup_grams").cast(DoubleType) / col("n_grams"))
+      .select(col("doc").as(idCol), col("n_grams"), col("dup_grams"),
+        col("dup_coverage"),
+        when(col("dup_coverage") >= trimAt, lit("trim"))
+          .otherwise(lit("keep")).as("verdict"))
+  }
+
 }

@@ -2029,9 +2029,82 @@ object ExtQueries {
     Some(ivfPqServeOracle(
       "(SELECT vec_id, embedding FROM embeddings WHERE vec_id % 4 <> 3)")))
 
+  // E3 (semantic dedup, SemDeDup-shaped): Lloyd cells (e14's exact
+  // training restatement) then within-cell pruning — a member drops when
+  // a more-central member (higher cosine to the centroid, ties → smaller
+  // id) sits within cosine 0.45 of it. The oracle replays the identical
+  // draw, refinement, assignment, centrality ranking, maxCell guard and
+  // pair ranking. Pairwise work is confined to cells — the scale answer
+  // to e04's declared all-pairs slice.
+  val e56 = Q(
+    "e56_semantic_dedup",
+    (s, d) => Similarity.semanticDedup(T.embeddings(s, d), tau = 0.45,
+      nlist = 16, lloydIters = 2).orderBy(col("vec_id")),
+    Some(s"""WITH corp AS (SELECT vec_id, embedding,
+        SQRT(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS vn
+        FROM embeddings),
+      picked AS (SELECT vec_id, embedding FROM embeddings
+        ORDER BY CAST(('0x'||substr(md5(CAST(vec_id AS VARCHAR)),1,15)) AS BIGINT), vec_id
+        LIMIT 16),
+      seeds AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, embedding AS ce,
+          SQRT(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS cn
+        FROM picked),
+      ${lloydRoundSql(1, "seeds", "cents_1")},
+      ${lloydRoundSql(2, "cents_1", "cents")},
+      ac AS (SELECT c.vec_id, c.vn, ct.cid,
+          LIST_SUM(LIST_TRANSFORM(range(1, LEN(c.embedding)+1),
+            i -> CAST(c.embedding[i] AS DOUBLE) * CAST(ct.ce[i] AS DOUBLE)))
+            / (c.vn * ct.cn) AS ccos
+        FROM corp c, cents ct),
+      asg AS (SELECT vec_id, cid, ccos FROM
+          (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cid) AS crn FROM ac)
+        WHERE crn = 1),
+      sized AS (SELECT vec_id, cid, ccos,
+          COUNT(*) OVER (PARTITION BY cid) AS cell_n,
+          ROW_NUMBER() OVER (PARTITION BY cid ORDER BY ccos DESC, vec_id) AS crank
+        FROM asg),
+      el AS (SELECT s.vec_id, s.cid, s.crank, c.embedding, c.vn
+        FROM sized s JOIN corp c USING (vec_id) WHERE s.cell_n <= 10000),
+      pr AS (SELECT a.vec_id AS id, b.vec_id AS oid,
+          LIST_SUM(LIST_TRANSFORM(range(1, LEN(a.embedding)+1),
+            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+            / (a.vn * b.vn) AS cos
+        FROM el a JOIN el b ON a.cid = b.cid AND b.crank < a.crank),
+      best AS (SELECT id, oid, cos FROM
+          (SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY cos DESC, oid) AS rn
+           FROM pr WHERE cos >= 0.45)
+        WHERE rn = 1)
+      SELECT s.vec_id, CAST(s.cid AS BIGINT) AS cid,
+        CASE WHEN b.oid IS NULL THEN 'keep' ELSE 'drop' END AS verdict,
+        CAST(COALESCE(b.oid, -1) AS BIGINT) AS dup_of,
+        CAST(COALESCE(b.cos, 0.0) AS DOUBLE) AS dup_cos
+      FROM sized s LEFT JOIN best b ON b.id = s.vec_id ORDER BY s.vec_id"""))
+
+  // E1 (cross-doc repeated spans): k-token-window duplicate coverage —
+  // the exact-substring-dedup approximation (Lee et al. 2022). The
+  // oracle restates the same window fingerprints (concat_ws skips the
+  // out-of-range NULLs on both engines, so short docs yield their whole
+  // text as one window), document frequency, and coverage verdicts.
+  val e57 = Q(
+    "e57_span_coverage",
+    (s, d) => Dedup.duplicateSpanCoverage(T.documents(s, d), "doc_id", "text",
+      k = 5, minDf = 2, trimAt = 0.5).orderBy(col("doc_id")),
+    Some("""WITH w AS (SELECT doc_id AS doc, string_split(text, ' ') AS ws FROM documents),
+      g AS (SELECT doc, md5(concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4])) AS fp
+        FROM w, UNNEST(range(1, greatest(len(ws)-4,1)+1)) AS t(i)),
+      dfr AS (SELECT fp, COUNT(DISTINCT doc) AS ndocs FROM g GROUP BY fp),
+      cov AS (SELECT g.doc, COUNT(*) AS n_grams,
+          SUM(CASE WHEN dfr.ndocs >= 2 THEN 1 ELSE 0 END) AS dup_grams
+        FROM g JOIN dfr USING (fp) GROUP BY g.doc)
+      SELECT doc AS doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+        CAST(dup_grams AS BIGINT) AS dup_grams,
+        CAST(dup_grams AS DOUBLE)/n_grams AS dup_coverage,
+        CASE WHEN CAST(dup_grams AS DOUBLE)/n_grams >= 0.5 THEN 'trim' ELSE 'keep' END AS verdict
+      FROM cov ORDER BY doc_id"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
       e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41, e42, e43, e44,
-      e45, e46, e47, e48, e49, e50, e51, e52, e53, e54, e55)
+      e45, e46, e47, e48, e49, e50, e51, e52, e53, e54, e55, e56, e57)
 }

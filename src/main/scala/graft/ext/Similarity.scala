@@ -182,16 +182,49 @@ object Similarity {
     *    join on `cid`. A corpus vector lives in exactly one cell, so
     *    (qid, id) pairs are unique by construction — no dedup shuffle.
     * Candidate fraction ≈ nprobe / nlist of the corpus. */
-  def ivfTopK(
-      corpus: DataFrame, queries: DataFrame, k: Int,
-      nlist: Int = 16, nprobe: Int = 4, lloydIters: Int = 2,
-      idCol: String = "vec_id", vecCol: String = "embedding",
-      literalNlistMax: Int = 256): DataFrame = {
+  /** Per-row scores against every centroid: array of (cos, -cid) structs
+    * (array_max / array_sort order by cos first, then prefer small cid). */
+  private[ext] def cellScoresCol(cents: Array[(Int, Seq[Float], Double)])(
+      vec: Column, vecNorm: Column): Column = array(cents.map {
+    case (i, v, nm) => struct(
+      (fastDot(vec, typedLit(v)) / (vecNorm * lit(nm))).as("c"),
+      lit(-i).as("nc"))
+  }: _*)
+
+  /** Native-expression variant of [[cellScoresCol]]'s ranking: top-`n`
+    * cell ids via [[graft.functions.IvfCells]] — the centroid matrix
+    * rides as ONE reference object, so generated code stays O(1) at any
+    * nlist. Same arithmetic (left-to-right f64 fold, NaN-greatest
+    * compare, ties→smaller cid), so both paths rank identically. */
+  private[ext] def nativeCellsCol(cents: Array[(Int, Seq[Float], Double)],
+      n: Int)(vec: Column, vecNorm: Column): Column = {
+    val vdim = cents.headOption.map(_._2.size).getOrElse(0)
+    call_function("graft_ivf_cells", vec, vecNorm,
+      typedLit(cents.sortBy(_._1).flatMap(_._2).toSeq),
+      typedLit(cents.sortBy(_._1).map(_._3).toSeq), lit(n), lit(vdim))
+  }
+
+  /** Deterministic Lloyd k-means + top-1 cell assignment — the training
+    * front shared by [[ivfTopK]] and [[semanticDedup]].
+    *
+    * Seeds are the smallest `nlist` ids by the engine-neutral md5 hash
+    * order (so an external oracle can replay the same draw); refinement
+    * means go through DECIMAL(38,6) so both engines round identically.
+    * Returns the final centroids (cid, vector, norm), whether the
+    * native cell expression was used (nlist > literalNlistMax), and the
+    * corpus with `cid` assigned (columns idCol, vecCol, __vn, cid).
+    *
+    * The (id, vec, norm) projection is cached across the iteration
+    * actions (the MLlib-KMeans discipline: MEMORY_AND_DISK so a corpus
+    * larger than executor memory spills instead of thrashing) and
+    * released before returning — the returned plan re-reads the source,
+    * so callers hold no cache they didn't ask for. */
+  private[ext] def lloydAssign(corpus: DataFrame, nlist: Int,
+      lloydIters: Int, idCol: String, vecCol: String,
+      literalNlistMax: Int): (Array[(Int, Seq[Float], Double)], Boolean, DataFrame) = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    // Deterministic pseudo-random draw: smallest nlist ids by hash order
-    // (the engine-neutral md5 hash, so the external oracle can replay the
-    // same draw). TakeOrderedAndProject keeps this a narrow top-k at any
-    // corpus size.
+    // Deterministic pseudo-random draw: smallest nlist ids by hash order.
+    // TakeOrderedAndProject keeps this a narrow top-k at any corpus size.
     val picked = corpus
       .select(col(idCol).cast(LongType).as("__id"), col(vecCol).as("__ce"))
       .orderBy(Dedup.portableHash64(col("__id").cast(StringType)), col("__id"))
@@ -203,48 +236,24 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
       .sortBy(_._1).zipWithIndex
       .map { case ((_, v), i) => (i, v, foldNorm(v)) }
-    // Per-row scores against every centroid: array of (cos, -cid) structs
-    // (array_max / array_sort order by cos first, then prefer small cid).
-    def cellScores(cents: Array[(Int, Seq[Float], Double)])(
-        vec: Column, vecNorm: Column): Column = array(cents.map {
-      case (i, v, nm) => struct(
-        (fastDot(vec, typedLit(v)) / (vecNorm * lit(nm))).as("c"),
-        lit(-i).as("nc"))
-    }: _*)
     // Above `literalNlistMax` cells the literal projection is swapped for
-    // the native [[graft.functions.IvfCells]] expression: the centroid
-    // matrix rides as ONE reference object, so generated code stays O(1)
-    // at any nlist (the literal plan grows linearly and falls out of
-    // codegen past a few hundred cells). Same arithmetic (left-to-right
-    // f64 fold, NaN-greatest compare, ties→smaller cid), so both paths
-    // rank identically; the conformance nlist=16 flavor keeps the
-    // oracle-restatable literal plan.
+    // the native expression (the literal plan grows linearly and falls
+    // out of codegen past a few hundred cells); the conformance nlist=16
+    // flavor keeps the oracle-restatable literal plan.
     val useNative = nlist > literalNlistMax
-    val vdim = picked.headOption.map(_.getSeq[Float](1).size).getOrElse(0)
-    def nativeCells(cents: Array[(Int, Seq[Float], Double)], n: Int)(
-        vec: Column, vecNorm: Column): Column =
-      call_function("graft_ivf_cells", vec, vecNorm,
-        typedLit(cents.sortBy(_._1).flatMap(_._2).toSeq),
-        typedLit(cents.sortBy(_._1).map(_._3).toSeq), lit(n), lit(vdim))
     val base = corpus.select(col(idCol), col(vecCol), l2norm(col(vecCol)).as("__vn"))
     def assign(src: DataFrame, cents: Array[(Int, Seq[Float], Double)]): DataFrame =
       if (useNative)
         src.withColumn("cid",
-          element_at(nativeCells(cents, 1)(col(vecCol), col("__vn")), 1))
+          element_at(nativeCellsCol(cents, 1)(col(vecCol), col("__vn")), 1))
       else src.withColumn("cid",
-        -array_max(cellScores(cents)(col(vecCol), col("__vn"))).getField("nc"))
+        -array_max(cellScoresCol(cents)(col(vecCol), col("__vn"))).getField("nc"))
     // Lloyd passes: decimal per-component means of each cell, f32-rounded.
     // The f32→DECIMAL path goes through DOUBLE first: a float cast
     // straight to decimal uses the float's shortest-string value, which
     // can round differently at scale 6 than the exact binary expansion
     // the oracle engine rounds — double's shortest string is 1e-17 from
     // exact, far inside any 1e-6 rounding boundary.
-    //
-    // The (id, vec, norm) projection is cached across the iteration
-    // actions (the MLlib-KMeans discipline: MEMORY_AND_DISK so a corpus
-    // larger than executor memory spills instead of thrashing) and
-    // released before returning — the final plan re-reads the source, so
-    // callers hold no cache they didn't ask for.
     val iters = lloydIters.max(0)
     val cached = if (iters > 0)
       base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -268,17 +277,26 @@ object Similarity {
       }
     }
     if (iters > 0) cached.unpersist(blocking = false)
-    val assigned = assign(base, cents)
+    (cents, useNative, assign(base, cents))
+  }
+
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, lloydIters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      literalNlistMax: Int = 256): DataFrame = {
+    val (cents, useNative, assigned) =
+      lloydAssign(corpus, nlist, lloydIters, idCol, vecCol, literalNlistMax)
     val probedBase = queries
       .select(col(idCol).as("qid"), col(vecCol).as("qe"), l2norm(col(vecCol)).as("__qn"))
     val probed =
       if (useNative)
         probedBase
-          .withColumn("cid", explode(nativeCells(cents, nprobe)(col("qe"), col("__qn"))))
+          .withColumn("cid", explode(nativeCellsCol(cents, nprobe)(col("qe"), col("__qn"))))
           .select(col("qid"), col("qe"), col("__qn"), col("cid"))
       else probedBase
         .withColumn("__cell",
-          explode(slice(reverse(array_sort(cellScores(cents)(col("qe"), col("__qn")))), 1, nprobe)))
+          explode(slice(reverse(array_sort(cellScoresCol(cents)(col("qe"), col("__qn")))), 1, nprobe)))
         .select(col("qid"), col("qe"), col("__qn"), (-col("__cell.nc")).as("cid"))
     val scored = assigned.join(broadcast(probed), Seq("cid"))
       .filter(col("qid") =!= col(idCol))
@@ -289,6 +307,73 @@ object Similarity {
       .filter(col("rn") <= k)
       .select(col("qid"), col(idCol), col("cos"), col("rn"))
       .orderBy(col("qid"), col("rn"))
+  }
+
+  /** Semantic deduplication — SemDeDup-shaped (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with the same
+    * deterministic Lloyd k-means as [[ivfTopK]], then prune WITHIN each
+    * cluster — a member is dropped when a more-central member (higher
+    * cosine to the cluster centroid; ties → smaller id) sits within
+    * cosine `tau` of it. One representative per ε-ball survives, and the
+    * survivor is the most central one, the paper's "keep the example
+    * closest to the centroid" policy made deterministic.
+    *
+    * Verdict per input row: `keep`, or `drop` with the retained
+    * near-duplicate (`dup_of`, highest-cosine qualifying keeper, ties →
+    * smaller id) and its cosine.
+    *
+    * Scale shape (the point vs [[cosineDupPairs]]' all-pairs O(N²)):
+    * pair comparisons run only INSIDE a cell, so cost is
+    * Σ|cell|² — with nlist sized ~√N this is ~N·√N of cheap codegen'd
+    * dot products, each cell colocated by one hash exchange on `cid`.
+    * Cells larger than `maxCell` (embedding-space boilerplate: the
+    * degenerate near-identical mass SemDeDup targets first) are exempted
+    * from the pair pass and kept whole, bounding worst-case work; the
+    * drop is surfaced via [[ObservedDrops]], and at 100 TB the answer is
+    * a larger nlist (the native cell path keeps the assignment plan O(1)
+    * in nlist past `literalNlistMax`). The centroid table (nlist rows)
+    * is the only broadcast; the corpus is never collected. */
+  def semanticDedup(corpus: DataFrame, tau: Double,
+      nlist: Int = 16, lloydIters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxCell: Int = 10000, literalNlistMax: Int = 256): DataFrame = {
+    val spark = corpus.sparkSession
+    val (cents, _, assigned) =
+      lloydAssign(corpus, nlist, lloydIters, idCol, vecCol, literalNlistMax)
+    // ccos (cosine to the OWN cell's centroid) via a broadcast join
+    // against the nlist-row centroid table — path-independent (works
+    // identically for the literal and native assignment flavors).
+    import spark.implicits._
+    val centDf = cents.toSeq.toDF("cid", "__ce", "__cn")
+    val wCell = Window.partitionBy(col("cid"))
+    val ranked = assigned.join(broadcast(centDf), Seq("cid"))
+      .withColumn("__ccos",
+        fastDot(col(vecCol), col("__ce")) / (col("__vn") * col("__cn")))
+      .withColumn("cell_n", count(lit(1)).over(wCell))
+      .withColumn("crank",
+        row_number().over(wCell.orderBy(col("__ccos").desc, col(idCol))))
+    val eligible = ObservedDrops.observe(ranked, "semantic_maxcell",
+        sum(when(col("cell_n") > maxCell, 1L).otherwise(0L)),
+        max(when(col("cell_n") > maxCell, col("cell_n"))))
+      .filter(col("cell_n") <= maxCell)
+    def side(p: String): DataFrame = eligible.select(
+      col("cid").as(s"${p}cid"), col(idCol).as(s"${p}id"),
+      col(vecCol).as(s"${p}v"), col("__vn").as(s"${p}n"),
+      col("crank").as(s"${p}r"))
+    // within-cell pairs, candidate vs strictly-more-central member only
+    val best = side("a").join(side("b"),
+        col("acid") === col("bcid") && col("br") < col("ar"))
+      .withColumn("__cos", fastDot(col("av"), col("bv")) / (col("an") * col("bn")))
+      .filter(col("__cos") >= tau)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("aid")).orderBy(col("__cos").desc, col("bid"))))
+      .filter(col("rn") === 1)
+      .select(col("aid"), col("bid"), col("__cos"))
+    ranked.join(best, ranked(idCol) === best("aid"), "left")
+      .select(col(idCol), col("cid").cast(LongType).as("cid"),
+        when(col("bid").isNotNull, lit("drop")).otherwise(lit("keep")).as("verdict"),
+        coalesce(col("bid"), lit(-1L)).cast(LongType).as("dup_of"),
+        coalesce(col("__cos"), lit(0.0)).as("dup_cos"))
   }
 
   /** Int8 symmetric quantization of an embedding column — the standard

@@ -809,4 +809,90 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(exchanges <= 6,
       s"index-side shuffle leaked into the serve plan ($exchanges exchanges):\n${plan.take(2000)}")
   }
+
+  test("E3: semantic dedup — one survivor per ball, drops justified, deterministic") {
+    val res = Similarity.semanticDedup(embs, tau = 0.45, nlist = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(res.length == embs.count(), "one verdict per input vector")
+    val (keeps, drops) = res.partition(_._3 == "keep")
+    assert(keeps.nonEmpty && drops.nonEmpty,
+      s"expected a mix on the planted near-dup corpus (keep=${keeps.length} drop=${drops.length})")
+    keeps.foreach { case (_, _, _, dupOf, dupCos) =>
+      assert(dupOf == -1L && dupCos == 0.0)
+    }
+    drops.foreach { case (id, _, _, dupOf, dupCos) =>
+      assert(dupOf != id && dupOf >= 0L && dupCos >= 0.45)
+    }
+    // every reported (dropped, dup_of) pair really is within tau, and
+    // dup_of really is assigned to the same cell
+    val cellOf = res.map(r => r._1 -> r._2).toMap
+    drops.foreach { case (id, cid, _, dupOf, _) =>
+      assert(cellOf(dupOf) == cid, s"dup_of $dupOf of $id crossed cells")
+    }
+    import spark.implicits._
+    val pairs = drops.toSeq.map(d => (d._1, d._4, d._5)).toDF("id", "oid", "claimed")
+    val e1 = embs.select(col("vec_id").as("id"), col("embedding").as("v1"))
+    val e2 = embs.select(col("vec_id").as("oid"), col("embedding").as("v2"))
+    val bad = pairs.join(e1, "id").join(e2, "oid")
+      .withColumn("cos", Similarity.cosine(col("v1"), col("v2")))
+      .filter(col("cos") =!= col("claimed") || col("cos") < 0.45)
+    assert(bad.count() == 0, "reported dup cosine must be the true pair cosine >= tau")
+    // deterministic end to end (fixed seed draw + decimal Lloyd means)
+    val again = Similarity.semanticDedup(embs, tau = 0.45, nlist = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(res.toSeq == again.toSeq)
+  }
+
+  test("E3: semantic dedup — maxCell exempts oversized cells; centroids broadcast") {
+    // maxCell=0 makes every cell oversized: the pair pass is skipped and
+    // everything is kept whole (bounded-work posture, drop surfaced via
+    // the observe metric)
+    val allKept = Similarity.semanticDedup(embs, tau = 0.45, nlist = 16, maxCell = 0)
+    assert(allKept.filter(col("verdict") =!= "keep").count() == 0)
+    val plan = Similarity.semanticDedup(embs, tau = 0.45, nlist = 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "within-cell pairing must join on cid, never cross-join")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      "the nlist-row centroid table must broadcast")
+  }
+
+  test("E1: duplicate span coverage — cross-doc windows flagged, within-doc repeats not") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f"),          // 4 windows (k=3), 3 shared with doc 2
+      (2L, "x y a b c d e z"),      // 6 windows, 3 shared -> exactly 0.5
+      (3L, "p q r s t"),            // 3 windows, none shared
+      (4L, "u v"),                  // short doc: whole text is one window
+      (5L, "u v"),                  //   exact short dup -> coverage 1.0
+      (6L, "m n o m n o")           // within-doc repeat only: df stays 1
+    ).toDF("doc_id", "text")
+    val res = Dedup.duplicateSpanCoverage(docs, "doc_id", "text",
+        k = 3, minDf = 2, trimAt = 0.5)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getString(4)))
+    assert(res.toSeq == Seq(
+      (1L, 4L, 3L, 0.75, "trim"),
+      (2L, 6L, 3L, 0.5, "trim"),
+      (3L, 3L, 0L, 0.0, "keep"),
+      (4L, 1L, 1L, 1.0, "trim"),
+      (5L, 1L, 1L, 1.0, "trim"),
+      (6L, 4L, 0L, 0.0, "keep")))
+  }
+
+  test("E1: duplicate span coverage plan — no cartesian, fingerprints not text on the wire") {
+    val plan = Dedup.duplicateSpanCoverage(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+    // the exchanges carry (doc, fp) projections; the raw text column is
+    // consumed map-side by the window fingerprint projection
+    val exchangeCols = "Exchange hashpartitioning\\(([a-z_#0-9]+)".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(exchangeCols.nonEmpty && exchangeCols.forall(c =>
+      c.startsWith("fp") || c.startsWith("doc")),
+      s"unexpected shuffle keys: $exchangeCols")
+  }
 }
