@@ -21,6 +21,9 @@ object Main {
         |  compact-index <dedup|ann> <dir> [--vacuum]
         |      (fold append generations in place — atomic ledger promote;
         |       --vacuum reclaims the subsumed dirs afterwards)
+        |  index-history <dedup|ann> <dir>
+        |      (committed generations: id, compaction?, stream watermarks
+        |       — the snapshot catalog for asOfGen time travel)
         |  query <sql> [--max-rows N]
         |  corpus-prep <docs.parquet> <out-dir> [--shards N] [--pack-budget TOKENS]
         |      (filter -> dedup -> chunk [-> pack into fixed-budget sequences] -> parquet)
@@ -68,6 +71,7 @@ object Main {
     case "sync" :: rest        => sync(parseSyncOpts(rest))
     case "compact" :: rest     => compact(rest)
     case "compact-index" :: rest => compactIndexCmd(rest)
+    case "index-history" :: rest => indexHistoryCmd(rest)
     case "query" :: rest       => query(rest)
     case "corpus-prep" :: rest => corpusPrep(rest)
     case "list-accounts" :: _  => listAccounts()
@@ -155,6 +159,37 @@ object Main {
         val n = if (vacuum) graft.ext.Similarity.vacuumIndex(spark, dir) else 0
         println(s"[compact-index] ann $dir: folded" +
           (if (vacuum) s", vacuumed $n dirs" else ""))
+      }
+    } finally spark.stop()
+  }
+
+  /** Print the committed append history of a persisted index: one line
+    * per generation — id, APPEND/COMPACTION, and any stream-batch
+    * watermarks — so an operator can see which snapshots `asOfGen` time
+    * travel can reach and which micro-batches each generation admitted,
+    * without loading index data. */
+  private def indexHistoryCmd(args: List[String]): Unit = {
+    val (kind, dir) = args match {
+      case k :: d :: Nil => (k, d)
+      case _             => usage()
+    }
+    if (kind != "dedup" && kind != "ann") {
+      System.err.println(s"unknown index kind '$kind' — expected dedup or ann")
+      usage()
+    }
+    val cfg = EngineConfig.fromEnv()
+    val spark = session(cfg)
+    try {
+      val hist =
+        if (kind == "dedup") graft.ext.Dedup.indexHistory(spark, dir)
+        else graft.ext.Similarity.indexHistory(spark, dir)
+      if (hist.isEmpty) println(s"[index-history] $kind $dir: no committed generations (as-built state only)")
+      else hist.foreach { case (id, isCompaction, tags) =>
+        val kindTxt = if (isCompaction) "COMPACTION" else "APPEND"
+        val tagTxt = if (tags.isEmpty) ""
+          else tags.toSeq.sortBy(_._1)
+            .map { case (l, b) => s"$l<=b$b" }.mkString(" stream[", ", ", "]")
+        println(s"[index-history] gen $id $kindTxt$tagTxt")
       }
     } finally spark.stop()
   }

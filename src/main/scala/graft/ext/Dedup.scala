@@ -256,6 +256,16 @@ object Dedup {
   private def appendsAnchor(dir: String) =
     new org.apache.hadoop.fs.Path(s"$dir/appends")
 
+  /** Committed append history of a persisted dedup index — (generation
+    * id, is-compaction, stream watermarks) in id order; the snapshot
+    * catalog for [[loadDedupIndex]]'s `asOfGen` time travel. */
+  def indexHistory(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[(Long, Boolean, Map[String, Long])] = {
+    val anchor = appendsAnchor(dir)
+    val fs = anchor.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.streaming.ExactlyOnce.generationHistory(fs, anchor)
+  }
+
   /** Compact an appended index into a fresh one at `outDir` WITHOUT
     * re-hashing any text: the persisted signatures are the source of
     * truth (band keys re-derive from them, fingerprints and meta copy),
@@ -392,15 +402,30 @@ object Dedup {
     * time travel composes with manual appends and compaction (a
     * compaction carries forward the folded watermarks; asking for a
     * state older than the newest fold fails loudly — it cannot be
-    * reconstructed). */
+    * reconstructed).
+    *
+    * `asOfGen` (inclusive) is GENERATION time travel: load the snapshot
+    * as of append generation `g` — the base plus committed generations
+    * with id ≤ g, compactions within the horizon resolving exactly as
+    * they did when they committed. `Some(-1)` is the as-built state.
+    * Readable history is bounded by vacuum: a horizon that falls behind
+    * a vacuumed fold (its pre-compaction base reclaimed) fails loudly
+    * with the earliest readable snapshot, never partially resolves. */
   def loadDedupIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, beforeBatch: Option[Long] = None,
-      lineage: String = "default"): DedupIndex = {
+      lineage: String = "default",
+      asOfGen: Option[Long] = None): DedupIndex = {
     import graft.streaming.ExactlyOnce
     val m = spark.read.parquet(s"$dir/meta").head()
     val anchor = appendsAnchor(dir)
     val fs = anchor.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val (cbase, tail0) = ExactlyOnce.resolveGenerations(fs, anchor)
+    val (cbase, tail0) = ExactlyOnce.resolveGenerations(fs, anchor, asOfGen)
+    if (cbase.isEmpty && asOfGen.isDefined &&
+        !fs.exists(new org.apache.hadoop.fs.Path(s"$dir/signatures")))
+      sys.error(s"dedup index at $dir has no readable snapshot at " +
+        s"generation ${asOfGen.get}: the pre-compaction base was vacuumed " +
+        "— the earliest readable snapshot is the oldest retained " +
+        "compaction generation")
     val tail = beforeBatch match {
       case Some(b) =>
         for (c <- cbase; w <- ExactlyOnce.readStreamTags(fs, c).get(lineage))

@@ -700,12 +700,31 @@ object Similarity {
   private def codesAnchor(path: String) =
     new org.apache.hadoop.fs.Path(s"$path/codes_appends")
 
+  /** Committed append history of a persisted ANN index — (generation
+    * id, is-compaction, stream watermarks) in id order; the snapshot
+    * catalog for [[loadIndex]]'s `asOfGen` time travel. */
+  def indexHistory(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[(Long, Boolean, Map[String, Long])] = {
+    val anchor = codesAnchor(path)
+    val fs = anchor.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.streaming.ExactlyOnce.generationHistory(fs, anchor)
+  }
+
   /** Load a persisted index for serving. Driver state is the SMALL side
     * only (nlist centroids + m·ksub codebook rows); the codes table
     * stays a lazy parquet scan — the base build plus every
     * LEDGER-COMMITTED append generation (crash-partial appends are
-    * invisible). */
-  def loadIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfPqIndex = {
+    * invisible).
+    *
+    * `asOfGen` (inclusive) is generation time travel, the
+    * [[graft.ext.Dedup.loadDedupIndex]] contract: codes as of append
+    * generation g (`Some(-1)` = the as-built codes), compactions within
+    * the horizon resolving as they did when they committed; a horizon
+    * behind a vacuumed fold fails loudly. The model side (centroids,
+    * codebooks) is frozen at build time, so it is identical at every
+    * generation by construction. */
+  def loadIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      asOfGen: Option[Long] = None): IvfPqIndex = {
     graft.functions.GraftFunctions.register(spark)
     val meta = spark.read.parquet(s"$path/meta").head()
     val (nlist, m, ksub, dsub, dim) = (meta.getInt(0), meta.getInt(1),
@@ -726,7 +745,13 @@ object Similarity {
     // new codes base: the original codes dir and earlier generations are
     // ignored (and may already be vacuumed away)
     val (cbase, tail) =
-      graft.streaming.ExactlyOnce.resolveGenerations(fs, anchor)
+      graft.streaming.ExactlyOnce.resolveGenerations(fs, anchor, asOfGen)
+    if (cbase.isEmpty && asOfGen.isDefined &&
+        !fs.exists(new org.apache.hadoop.fs.Path(s"$path/codes")))
+      sys.error(s"ANN index at $path has no readable snapshot at " +
+        s"generation ${asOfGen.get}: the pre-compaction codes base was " +
+        "vacuumed — the earliest readable snapshot is the oldest " +
+        "retained compaction generation")
     val roots = cbase.map(_.toString).getOrElse(s"$path/codes") +:
       tail.map(_.toString)
     // each root reads (and partition-prunes) its own cid= layout; the

@@ -202,11 +202,36 @@ object ExactlyOnce {
     * layered on top by the index loaders via [[readStreamTags]], not
     * here — generation ids are internal and carry no stream meaning. */
   def resolveGenerations(fs: FileSystem,
-      anchor: HPath): (Option[HPath], Seq[HPath]) = {
-    val dirs = committedDirs(fs, anchor)
+      anchor: HPath): (Option[HPath], Seq[HPath]) =
+    resolveGenerations(fs, anchor, None)
+
+  /** [[resolveGenerations]] restricted to generations with id ≤ `asOf`
+    * — the snapshot a reader saw at that point of the append history
+    * (time travel). `asOf = Some(-1)` is the pre-append state (base
+    * tables only). A compaction generation within the horizon still
+    * folds everything before it, exactly as it did when it committed;
+    * whether the ORIGINAL base behind an out-of-horizon compaction is
+    * still readable is the caller's check (vacuum may have reclaimed
+    * it — see the index loaders' retained-history errors). */
+  def resolveGenerations(fs: FileSystem, anchor: HPath,
+      asOf: Option[Long]): (Option[HPath], Seq[HPath]) = {
+    val dirs = committedBatches(fs, anchor)
+      .filter { case (id, _) => asOf.forall(id <= _) }.map(_._2)
     val iC = dirs.lastIndexWhere(isCompaction(fs, _))
     if (iC < 0) (None, dirs) else (Some(dirs(iC)), dirs.drop(iC + 1))
   }
+
+  /** Committed append history under `anchor`, in id order: per
+    * generation its id, whether it is a compaction fold, and its
+    * stream-batch watermarks (empty for manual appends). The
+    * introspection surface behind the CLI's `index-history` — answers
+    * "which snapshots can I time-travel to, and which stream batches
+    * does each carry" without loading any data. */
+  def generationHistory(fs: FileSystem,
+      anchor: HPath): Seq[(Long, Boolean, Map[String, Long])] =
+    committedBatches(fs, anchor).map { case (id, p) =>
+      (id, isCompaction(fs, p), readStreamTags(fs, p))
+    }
 
   /** Marker object inside a generation dir carrying STREAM-BATCH
     * watermarks: which micro-batch of which stream lineage this

@@ -354,4 +354,57 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(serve(vacuumed) == before, "vacuum must not change serving results")
     assert(Similarity.vacuumIndex(spark, dir) == 0)
   }
+
+  test("asOfGen time travel: every retained snapshot reads exactly its history") {
+    val (dir, anchor) = mkDedup("asof")
+    val fs = fsOf(anchor)
+    def docsAt(asOf: Option[Long]): Set[Long] =
+      Dedup.loadDedupIndex(spark, dir, asOfGen = asOf)
+        .fingerprints.select("doc").collect().map(_.getLong(0)).toSet
+    val base = (0L until 4L).toSet
+    assert(docsAt(Some(-1L)) == base, "asOf -1 is the as-built state")
+    assert(docsAt(Some(0L)) == base ++ Set(10L, 11L))
+    assert(docsAt(Some(1L)) == base ++ Set(10L, 11L, 12L, 13L))
+    // a horizon past the newest committed generation is just the present
+    assert(docsAt(Some(99L)) == docsAt(None))
+    // history introspection matches: two plain appends, no stream tags
+    assert(Dedup.indexHistory(spark, dir) ==
+      Seq((0L, false, Map.empty), (1L, false, Map.empty)))
+    // compaction (gen 2) folds — snapshots BEFORE it still resolve from
+    // the retained base, the at-fold snapshot from the fold alone
+    Dedup.compactDedupIndex(spark, dir)
+    assert(docsAt(Some(0L)) == base ++ Set(10L, 11L),
+      "pre-fold snapshot must keep reading the retained base")
+    assert(docsAt(Some(2L)) == docsAt(None))
+    assert(Dedup.indexHistory(spark, dir).map(h => (h._1, h._2)) ==
+      Seq((0L, false), (1L, false), (2L, true)))
+    // vacuum bounds readable history: pre-fold horizons now fail LOUDLY
+    Dedup.vacuumDedupIndex(spark, dir)
+    val e = intercept[RuntimeException](docsAt(Some(1L)))
+    assert(e.getMessage.contains("vacuumed"), e.getMessage)
+    assert(docsAt(Some(2L)) == docsAt(None), "post-fold snapshots survive vacuum")
+  }
+
+  test("ANN asOfGen time travel mirrors the dedup contract") {
+    import spark.implicits._
+    val embs = graft.Tables.embeddings(spark, sf001)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ilc_annasof").toString
+    Similarity.buildIndex(embs.filter(col("vec_id") < 400), dir,
+      nlist = 16, m = 8, ksub = 16, pqIters = 1)
+    Similarity.appendToIndex(
+      embs.filter(col("vec_id") >= 400 && col("vec_id") < 450), dir)
+    Similarity.appendToIndex(embs.filter(col("vec_id") >= 450), dir)
+    def countAt(asOf: Option[Long]): Long =
+      Similarity.loadIndex(spark, dir, asOfGen = asOf).codes.count()
+    assert(countAt(Some(-1L)) == 400)
+    assert(countAt(Some(0L)) == 450)
+    assert(countAt(None) == 500)
+    assert(Similarity.indexHistory(spark, dir) ==
+      Seq((0L, false, Map.empty), (1L, false, Map.empty)))
+    Similarity.compactIndex(spark, dir)
+    Similarity.vacuumIndex(spark, dir)
+    val e = intercept[RuntimeException](countAt(Some(0L)))
+    assert(e.getMessage.contains("vacuumed"), e.getMessage)
+    assert(countAt(Some(2L)) == 500)
+  }
 }
