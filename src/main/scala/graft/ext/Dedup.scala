@@ -1095,25 +1095,25 @@ object Dedup {
     * still reach coverage 1.0.
     *
     * Scale shape: three hash exchanges, all on compact keys — the
-    * positional fingerprint rows (16-byte md5, text never shuffled) to
-    * count per-window document frequency, the same rows again to join
-    * the frequency back (equi-join on the agg's own key — colocated,
-    * and AQE splits the boilerplate-fingerprint skew), then one doc-key
+    * positional fingerprint rows (8-byte 60-bit md5 prefixes via the
+    * fused codegen'd [[graft.functions.PortableShingleHashes64]]: no
+    * per-window string allocation, text never shuffled) to count
+    * per-window document frequency, the same rows again to join the
+    * frequency back (equi-join on the agg's own key — colocated, and
+    * AQE splits the boilerplate-fingerprint skew), then one doc-key
     * agg. No driver materialization at any corpus size; the window
     * count per doc is len-k+1, so the exploded set is ~tokens×1 rows. */
   def duplicateSpanCoverage(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 5, minDf: Int = 2, trimAt: Double = 0.5): DataFrame = {
     require(k > 0 && minDf >= 2 && trimAt >= 0.0,
       s"span geometry out of range: k=$k minDf=$minDf trimAt=$trimAt")
-    val words = split(col(textCol), " ")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     // one fingerprint per window POSITION (multiset, unlike [[shingles]]'
     // distinct set): coverage counts positions, so a doc that repeats a
     // shared span twice is twice as covered
-    val grams = transform(
-      sequence(lit(1), greatest(size(words) - (k - 1), lit(1))),
-      i => md5(concat_ws(" ",
-        (0 until k).map(j => try_element_at(words, i + j)): _*).cast("binary")))
-    val pos = docs.select(col(idCol).as("doc"), explode(grams).as("fp"))
+    val pos = docs.select(col(idCol).as("doc"),
+      explode(call_function("graft_portable_shingles64",
+        col(textCol), lit(k))).as("fp"))
     val dfreq = pos.groupBy(col("fp"))
       .agg(countDistinct(col("doc")).as("__df"))
     pos.join(dfreq, Seq("fp"))

@@ -2090,7 +2090,8 @@ object ExtQueries {
     (s, d) => Dedup.duplicateSpanCoverage(T.documents(s, d), "doc_id", "text",
       k = 5, minDf = 2, trimAt = 0.5).orderBy(col("doc_id")),
     Some("""WITH w AS (SELECT doc_id AS doc, string_split(text, ' ') AS ws FROM documents),
-      g AS (SELECT doc, md5(concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4])) AS fp
+      g AS (SELECT doc, CAST(('0x'||substr(md5(
+            concat_ws(' ', ws[i], ws[i+1], ws[i+2], ws[i+3], ws[i+4])),1,15)) AS BIGINT) AS fp
         FROM w, UNNEST(range(1, greatest(len(ws)-4,1)+1)) AS t(i)),
       dfr AS (SELECT fp, COUNT(DISTINCT doc) AS ndocs FROM g GROUP BY fp),
       cov AS (SELECT g.doc, COUNT(*) AS n_grams,

@@ -75,6 +75,17 @@ object GraftFunctions {
         }
         PortableShingleHashes(children.head, n)
       }),
+    (new FunctionIdentifier("graft_portable_shingles64"),
+      new ExpressionInfo(classOf[PortableShingleHashes64].getName, "graft_portable_shingles64"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_portable_shingles64 takes (string, n)")
+        val n = children(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_portable_shingles64 n must be an integer literal, got $other")
+        }
+        PortableShingleHashes64(children.head, n)
+      }),
     (new FunctionIdentifier("graft_quantize_i8"),
       new ExpressionInfo(classOf[QuantizeI8].getName, "graft_quantize_i8"),
       (children: Seq[Expression]) => {

@@ -182,6 +182,78 @@ object PortableWordHashes {
   }
 }
 
+/** [[PortableShingleHashes]] at full oracle strength: the top 60 md5
+  * bits per n-word window (= `CAST(('0x'||substr(md5(s),1,15)) AS
+  * BIGINT)` over the space-joined window, the
+  * [[graft.ext.Dedup.portableHash64]] family). 24 bits is right for
+  * sketch minima (e05's family mixes further); a raw window IDENTITY
+  * (duplicate-span coverage, where a collision is a false dup flag)
+  * needs the full width. Same single-space contract as the 24-bit
+  * flavor: the byte range IS the joined string when tokens are
+  * single-space separated. */
+object PortableShingleHashes64 {
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private def top60(d: Array[Byte]): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) >> 4) & 0xfL)
+  }
+
+  def compute(t: UTF8String, n: Int): GenericArrayData = {
+    val bytes = t.getBytes
+    val digest = md.get()
+    def h(start: Int, end: Int): Long = {
+      digest.reset()
+      digest.update(bytes, start, end - start)
+      top60(digest.digest())
+    }
+    val (starts, ends) = TokenHashes.wordBounds(bytes)
+    val words = starts.length
+    if (words < n) {
+      return new GenericArrayData(Array(h(0, bytes.length)))
+    }
+    val m = words - n + 1
+    val out = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      out(i) = h(starts(i), ends(i + n - 1))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `graft_portable_shingles64(text, n)` → array<long>: 60-bit md5
+  * prefix per n-word window (whole text when shorter than n words),
+  * one hash per window POSITION (multiset). */
+case class PortableShingleHashes64(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n > 0 && n <= 64, s"shingle width out of range: $n")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName requires string, got $t")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_portable_shingles64"
+
+  override def nullSafeEval(input: Any): Any =
+    PortableShingleHashes64.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PortableShingleHashes64.compute($c, $n); // graft_portable_shingles64")
+
+  override protected def withNewChildInternal(newChild: Expression): PortableShingleHashes64 =
+    copy(child = newChild)
+}
+
 /** `graft_portable_words(text)` → array<long>: 60-bit md5 prefix per
   * whitespace token, in token order. */
 case class PortableWordHashes(child: Expression) extends UnaryExpression {

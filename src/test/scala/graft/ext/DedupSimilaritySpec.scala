@@ -129,6 +129,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("native 60-bit window hashes equal the HOF md5 formulation element-for-element") {
+    graft.functions.GraftFunctions.register(spark)
+    val k = 5
+    // the oracle-side formulation: space-joined k-token windows (short
+    // docs collapse to one whole-text window via the concat_ws NULL
+    // skip), portableHash64 of each
+    def hof(text: org.apache.spark.sql.Column) = {
+      val words = split(text, " ")
+      transform(
+        sequence(lit(1), greatest(size(words) - (k - 1), lit(1))),
+        i => Dedup.portableHash64(concat_ws(" ",
+          (0 until k).map(j => try_element_at(words, i + j)): _*)))
+    }
+    val mismatch = docs.select(
+      call_function("graft_portable_shingles64", col("text"), lit(k)).as("nat"),
+      hof(col("text")).as("hof"))
+      .filter(col("nat") =!= col("hof")).count()
+    assert(mismatch == 0)
+  }
+
   test("E2: MinHash-LSH recall vs exact Jaccard pairs (threshold 0.5)") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
       .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
