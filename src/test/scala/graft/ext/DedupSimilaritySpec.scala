@@ -865,6 +865,18 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(res.toSeq == again.toSeq)
   }
 
+  test("E3: semantic dedup — tau extremes bracket the verdict space") {
+    // tau above any cosine: nothing is within the ball — everything kept
+    val none = Similarity.semanticDedup(embs, tau = 1.1, nlist = 16)
+    assert(none.filter(col("verdict") =!= "keep").count() == 0)
+    // tau below any cosine: every ball spans its whole cell — exactly
+    // the most-central member (crank 1) of each cell survives
+    val all = Similarity.semanticDedup(embs, tau = -1.1, nlist = 16)
+    val kept = all.filter(col("verdict") === "keep").count()
+    val cells = all.select("cid").distinct().count()
+    assert(kept == cells, s"expected one survivor per cell, got $kept/$cells")
+  }
+
   test("E3: semantic dedup — maxCell exempts oversized cells; centroids broadcast") {
     // maxCell=0 makes every cell oversized: the pair pass is skipped and
     // everything is kept whole (bounded-work posture, drop surfaced via
