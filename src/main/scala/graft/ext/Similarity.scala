@@ -356,14 +356,16 @@ object Similarity {
         sum(when(col("cell_n") > maxCell, 1L).otherwise(0L)),
         max(when(col("cell_n") > maxCell, col("cell_n"))))
       .filter(col("cell_n") <= maxCell)
-    def side(p: String): DataFrame = eligible.select(
-      col("cid").as(s"${p}cid"), col(idCol).as(s"${p}id"),
-      col(vecCol).as(s"${p}v"), col("__vn").as(s"${p}n"),
-      col("crank").as(s"${p}r"))
-    // within-cell pairs, candidate vs strictly-more-central member only
-    val best = side("a").join(side("b"),
-        col("acid") === col("bcid") && col("br") < col("ar"))
-      .withColumn("__cos", fastDot(col("av"), col("bv")) / (col("an") * col("bn")))
+      .select(col("cid"), col(idCol), col(vecCol), col("__vn"), col("crank"))
+    // within-cell pairs, candidate vs strictly-more-central member only —
+    // the lshDupPairs self-join idiom: both sides are the SAME subtree,
+    // so the cid exchange under the centrality windows plans once and
+    // the second side reads it as a ReusedExchange (spec-asserted)
+    val best = eligible.as("a").join(eligible.as("b"),
+        col("a.cid") === col("b.cid") && col("b.crank") < col("a.crank"))
+      .select(col(s"a.$idCol").as("aid"), col(s"b.$idCol").as("bid"),
+        (fastDot(col(s"a.$vecCol"), col(s"b.$vecCol")) /
+          (col("a.__vn") * col("b.__vn"))).as("__cos"))
       .filter(col("__cos") >= tau)
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("aid")).orderBy(col("__cos").desc, col("bid"))))

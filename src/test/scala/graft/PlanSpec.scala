@@ -173,6 +173,20 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("E56: semantic-dedup pair join shares the centrality-front exchange at scale") {
+    // same discipline as E5/E6/E23: under the sort-merge shape both pair
+    // sides must reuse ONE cid exchange (centroid join + cell windows
+    // run once, not per side)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = Queries.byName("e56_semantic_dedup").fn(spark, sf001)
+      df.collect()
+      assert(df.queryExecution.executedPlan.toString.contains("ReusedExchange"),
+        "e56 centrality front must be computed once under sort-merge self-join")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("E30: tfidf consumers share the posting-list exchange; weights broadcast") {
     // the (doc, term) tf aggregate feeds the scoring join AND the
     // one-row corpus-cardinality aggregate — the second consumer must
