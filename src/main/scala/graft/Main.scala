@@ -25,8 +25,9 @@ object Main {
         |      (committed generations: id, compaction?, stream watermarks
         |       — the snapshot catalog for asOfGen time travel)
         |  query <sql> [--max-rows N]
-        |  corpus-prep <docs.parquet> <out-dir> [--shards N] [--pack-budget TOKENS]
-        |      (filter -> dedup -> chunk [-> pack into fixed-budget sequences] -> parquet)
+        |  corpus-prep <docs.parquet> <out-dir> [--shards N] [--pack-budget TOKENS] [--span-trim COV]
+        |      (filter [-> drop docs with >= COV duplicate-span coverage]
+        |       -> dedup -> chunk [-> pack into fixed-budget sequences] -> parquet)
         |  list-accounts
         |  test-connection
         |  test-s3
@@ -203,24 +204,31 @@ object Main {
     * fixed-token-budget sequences instead of raw chunks. */
   private def corpusPrep(args: List[String]): Unit = {
     @annotation.tailrec
-    def opts(rest: List[String], shards: Option[Int],
-        budget: Option[Int]): (Option[Int], Option[Int]) = rest match {
-      case Nil                         => (shards, budget)
-      case "--shards" :: n :: t        => opts(t, Some(num(n).toInt), budget)
-      case "--pack-budget" :: n :: t   => opts(t, shards, Some(num(n).toInt))
-      case _                           => usage()
-    }
-    val (in, out, shards, budget) = args match {
+    def opts(rest: List[String], shards: Option[Int], budget: Option[Int],
+        spanTrim: Option[Double]): (Option[Int], Option[Int], Option[Double]) =
+      rest match {
+        case Nil                         => (shards, budget, spanTrim)
+        case "--shards" :: n :: t        => opts(t, Some(num(n).toInt), budget, spanTrim)
+        case "--pack-budget" :: n :: t   => opts(t, shards, Some(num(n).toInt), spanTrim)
+        case "--span-trim" :: v :: t =>
+          val d = v.toDoubleOption.getOrElse {
+            System.err.println(s"not a number: $v"); usage()
+          }
+          opts(t, shards, budget, Some(d))
+        case _                           => usage()
+      }
+    val (in, out, shards, budget, spanTrim) = args match {
       case i :: o :: rest =>
-        val (s, b) = opts(rest, None, None)
-        (i, o, s, b)
+        val (s, b, st) = opts(rest, None, None, None)
+        (i, o, s, b, st)
       case _ => usage()
     }
     val cfg = EngineConfig.fromEnv()
     val spark = session(cfg)
     try {
       val res = graft.ext.CorpusPipeline.prepareAndWrite(
-        spark.read.parquet(in), out, shards = shards, packBudget = budget)
+        spark.read.parquet(in), out, shards = shards, packBudget = budget,
+        spanTrimAt = spanTrim)
       val what = budget.map(b => s"sequences (budget $b)").getOrElse("chunks")
       val how = shards.map(n => s" in $n shards").getOrElse("")
       println(s"[corpus-prep] ${res.chunksWritten} $what$how -> ${res.path}")

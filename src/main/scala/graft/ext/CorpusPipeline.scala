@@ -50,11 +50,25 @@ object CorpusPipeline {
       lang: String = "en", minTokens: Int = 20, maxPunctRatio: Double = 0.15,
       minStopwordRatio: Double = 0.01, paraTokens: Int = 20, paraMaxDocs: Int = 1,
       k: Int = 32, bands: Int = 8, minEstSim: Double = 0.4, maxEdit: Int = 5,
-      chunkTokens: Int = 64, overlapTokens: Int = 16): Prepared = {
+      chunkTokens: Int = 64, overlapTokens: Int = 16,
+      spanTrimAt: Option[Double] = None, spanK: Int = 5): Prepared = {
     val filtered = TextOps.qualityFilter(docs, idCol, textCol,
       lang = lang, minTokens = minTokens, maxPunctRatio = maxPunctRatio,
       minStopwordRatio = minStopwordRatio)
-    val fdocs = docs.join(filtered.select(idCol), idCol)
+    val fdocs0 = docs.join(filtered.select(idCol), idCol)
+    // optional cross-doc duplicate-SPAN gate (e57's coverage verdicts,
+    // Lee et al. 2022): docs whose k-token windows are mostly verbatim
+    // repeats of other documents are dropped BEFORE the paragraph pass —
+    // they are the wholesale near-copies whose paragraphs would
+    // otherwise flood the boilerplate counters. Off by default (the
+    // declared e35/e38 capstones pin the historical stage list).
+    val fdocs = spanTrimAt match {
+      case Some(t) => fdocs0.join(
+        Dedup.duplicateSpanCoverage(fdocs0, idCol, textCol, k = spanK,
+            trimAt = t)
+          .filter(col("verdict") === "keep").select(idCol), idCol)
+      case None => fdocs0
+    }
     // paragraph-level boilerplate removal BEFORE document dedup: shared
     // headers/footers otherwise make distinct documents look like
     // near-dups (their shingles are dominated by the boilerplate), and
@@ -165,8 +179,9 @@ object CorpusPipeline {
       mode: String = "overwrite",
       idCol: String = "doc_id", textCol: String = "text",
       shards: Option[Int] = None,
-      packBudget: Option[Int] = None, packBuckets: Int = 64): WriteResult = {
-    val p = prepare(docs, idCol, textCol)
+      packBudget: Option[Int] = None, packBuckets: Int = 64,
+      spanTrimAt: Option[Double] = None): WriteResult = {
+    val p = prepare(docs, idCol, textCol, spanTrimAt = spanTrimAt)
     try {
       val (rows, keyCol, tieCols) = packBudget match {
         case Some(budget) =>

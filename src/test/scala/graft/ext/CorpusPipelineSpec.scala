@@ -46,6 +46,36 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(diff == 0, s"$diff (doc_id, chunk_id) rows differ between sink and declared flow")
   }
 
+  test("prepare spanTrimAt: wholesale near-copies drop before the paragraph pass; default unchanged") {
+    import spark.implicits._
+    // doc 1 and 2 share almost all their 5-token windows (one is a
+    // near-verbatim copy); doc 3 is distinct. Texts are long/clean
+    // enough to clear the quality gate.
+    val base = (0 until 12).map(i => s"alpha$i beta$i gamma$i the a of").mkString(" ")
+    val docs = Seq(
+      (1L, base + " original tail words the of"),
+      (2L, base + " copied tail words the of"),
+      (3L, (0 until 12).map(i => s"unique$i fresh$i token$i the a of").mkString(" "))
+    ).toDF("doc_id", "text")
+    val trimmed = CorpusPipeline.prepare(docs, spanTrimAt = Some(0.8))
+    val keptIds = trimmed.chunks.select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    trimmed.unpersistAll()
+    // both near-copies exceed 80% shared-window coverage -> both drop
+    // (the gate is coverage-based, not survivor-picking: the fuzzy dedup
+    // downstream owns keep-one semantics for milder overlap)
+    assert(keptIds == Set(3L), s"expected only the distinct doc, got $keptIds")
+    // default (None) leaves the historical stage list: the paragraph
+    // pass strips the SHARED windows as boilerplate (after which the
+    // remainders are distinct docs) — no doc is span-dropped
+    val dflt = CorpusPipeline.prepare(docs)
+    val dfltIds = dflt.chunks.select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    dflt.unpersistAll()
+    assert(dfltIds.contains(3L) && (dfltIds & Set(1L, 2L)).nonEmpty,
+      s"default path must not span-drop: $dfltIds")
+  }
+
   test("prepareAndWrite --shards: sharded sink holds the same chunks, doc-cohesive") {
     val docs = T.documents(spark, "/root/testdata/sf0.01")
     val flat = Files.createTempDirectory("graft_corpus_flat").toString + "/chunks"
