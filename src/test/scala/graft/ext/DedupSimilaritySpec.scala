@@ -877,6 +877,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(kept == cells, s"expected one survivor per cell, got $kept/$cells")
   }
 
+  test("E3: semantic dedup over int8-quantized vectors tracks full precision") {
+    // cosine is scale-free, so the 4×-smaller quantized corpus is a
+    // drop-in input (the e22/e34 composition applied to dedup): verdicts
+    // agree with full precision except where quantization error crosses
+    // the tau boundary — near-dup planted pairs sit far above it
+    val full = Similarity.semanticDedup(embs, tau = 0.45, nlist = 16)
+      .select("vec_id", "verdict").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val qz = Similarity.quantizeInt8(embs)
+      .select(col("vec_id"), col("q").as("embedding"))
+    val quant = Similarity.semanticDedup(qz, tau = 0.45, nlist = 16)
+      .select("vec_id", "verdict").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(quant.keySet == full.keySet)
+    val agree = full.count { case (id, v) => quant(id) == v }
+    assert(agree.toDouble / full.size >= 0.9,
+      s"quantized dedup diverged: $agree/${full.size} verdicts agree")
+  }
+
   test("E3: semantic dedup — maxCell exempts oversized cells; centroids broadcast") {
     // maxCell=0 makes every cell oversized: the pair pass is skipped and
     // everything is kept whole (bounded-work posture, drop surfaced via
