@@ -934,6 +934,44 @@ class DedupSimilaritySpec extends SparkSpec {
       (6L, 4L, 0L, 0.0, "keep")))
   }
 
+  test("E1: duplicate span coverage property — a scala restatement at random corpora") {
+    import org.scalacheck.Gen
+    import spark.implicits._
+    // small vocab + short docs force cross-doc window collisions and the
+    // short-doc whole-text-window path
+    val word = Gen.oneOf("a", "b", "c", "d", "e")
+    val docGen = Gen.choose(1, 20).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val corpus = Gen.choose(2, 10).flatMap(k => Gen.listOfN(k, docGen))
+    val k = 3
+    val seed0 = org.scalacheck.rng.Seed(23L)
+    Iterator.iterate(seed0)(_.next).take(15).foreach { seed =>
+      corpus.apply(Gen.Parameters.default, seed).foreach { texts =>
+        val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        val out = Dedup.duplicateSpanCoverage(df, "doc_id", "text", k = k)
+          .orderBy("doc_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3), r.getString(4))).toList
+        // reference restatement: positional k-token windows (whole text
+        // when shorter), duplicated when the window string occurs in >= 2
+        // distinct docs
+        val wins: Map[Long, Seq[String]] = texts.zipWithIndex.map { case (t, i) =>
+          val ws = t.split(' ').toSeq
+          i.toLong -> (if (ws.size < k) Seq(t) else ws.sliding(k).map(_.mkString(" ")).toSeq)
+        }.toMap
+        val multi = wins.toSeq.flatMap { case (id, w) => w.distinct.map(_ -> id) }
+          .groupBy(_._1).filter(_._2.size >= 2).keySet
+        assert(out.map(_._1) == texts.indices.map(_.toLong).toList, "one row per doc")
+        out.foreach { case (id, nGrams, dupGrams, cov, verdict) =>
+          val w = wins(id)
+          assert(nGrams == w.size, s"doc $id window count")
+          assert(dupGrams == w.count(multi.contains), s"doc $id dup count")
+          assert(cov == dupGrams.toDouble / nGrams)
+          assert(verdict == (if (cov >= 0.5) "trim" else "keep"))
+        }
+      }
+    }
+  }
+
   test("E1: duplicate span coverage plan — no cartesian, fingerprints not text on the wire") {
     val plan = Dedup.duplicateSpanCoverage(docs, "doc_id", "text")
       .queryExecution.executedPlan.toString

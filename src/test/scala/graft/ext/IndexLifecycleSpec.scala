@@ -385,6 +385,37 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(docsAt(Some(2L)) == docsAt(None), "post-fold snapshots survive vacuum")
   }
 
+  test("asOfGen composes with beforeBatch: generation horizon first, stream filter within it") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_ilc_compose").toString
+    val corpus = (0L until 3L).map(doc(_)).toDF("doc_id", "text")
+    Dedup.buildDedupIndex(corpus, "doc_id", "text", dir)
+    // interleave: stream batch 0 (gen 0), manual append (gen 1),
+    // stream batch 1 (gen 2)
+    Dedup.appendToDedupIndex(Seq(doc(100L, "s0")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, asStreamBatch = Some(0L))
+    Dedup.appendToDedupIndex(Seq(doc(150L, "manual")).toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    Dedup.appendToDedupIndex(Seq(doc(200L, "s1")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, asStreamBatch = Some(1L))
+    def ids(beforeBatch: Option[Long], asOfGen: Option[Long]): Set[Long] =
+      Dedup.loadDedupIndex(spark, dir, beforeBatch = beforeBatch,
+          asOfGen = asOfGen)
+        .fingerprints.select("doc").collect().map(_.getLong(0)).toSet
+    val base = (0L until 3L).toSet
+    // generation horizon alone: everything committed up to the gen
+    assert(ids(None, Some(1L)) == base ++ Set(100L, 150L))
+    // stream filter alone: manual appends always resolve
+    assert(ids(Some(1L), None) == base ++ Set(100L, 150L))
+    // composed: horizon at gen 2, stream state before batch 1 — the
+    // manual append stays, batch 1's admission is excluded
+    assert(ids(Some(1L), Some(2L)) == base ++ Set(100L, 150L))
+    // composed: horizon below the manual append, before batch 1
+    assert(ids(Some(1L), Some(0L)) == base ++ Set(100L))
+    // horizon below everything + before batch 0: the bare base
+    assert(ids(Some(0L), Some(-1L)) == base)
+  }
+
   test("ANN asOfGen time travel mirrors the dedup contract") {
     import spark.implicits._
     val embs = graft.Tables.embeddings(spark, sf001)
