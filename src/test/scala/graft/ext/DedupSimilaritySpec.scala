@@ -877,6 +877,17 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(kept == cells, s"expected one survivor per cell, got $kept/$cells")
   }
 
+  test("E3: semantic dedup native-cell path matches the literal path bit-for-bit") {
+    // the scale deployment sizes nlist past literalNlistMax and takes
+    // the graft_ivf_cells assignment; verdicts must be identical to the
+    // oracle-restatable literal projection (same arithmetic contract
+    // ivfTopK pins for its two paths)
+    def rows(nlm: Int) = Similarity.semanticDedup(embs, tau = 0.45,
+        nlist = 16, literalNlistMax = nlm)
+      .orderBy("vec_id").collect().map(_.toString).toSeq
+    assert(rows(256) == rows(0))
+  }
+
   test("E3: semantic dedup over int8-quantized vectors tracks full precision") {
     // cosine is scale-free, so the 4×-smaller quantized corpus is a
     // drop-in input (the e22/e34 composition applied to dedup): verdicts
