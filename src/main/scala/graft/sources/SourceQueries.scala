@@ -111,5 +111,51 @@ object SourceQueries {
          FROM read_json_auto('${fixtureRoot}_c39_json/*.json'))""",
       "json_src")))
 
-  val all: Seq[Q] = Seq(c38, c39)
+  // C53: ORC source → normalize. DuckDB has no ORC reader, so the
+  // oracle cannot re-read the files — instead it restates the TYPED
+  // fixture straight from `nation` and the hash compare proves the
+  // Spark-side write→read round-trip preserved every value (timestamp
+  // micros, doubles, strings) before the same normalize transform.
+  // Unlike the stringly CSV/JSON fixtures this one is typed end-to-end:
+  // ORC is self-describing, so the read side takes no schema and any
+  // codec-level type drift (timestamp zone shear, double widening)
+  // breaks the hash.
+  private def typedFixture(s: SparkSession, d: String): DataFrame =
+    T.nation(s, d).select(
+      to_timestamp(concat(lit("2024-01-"),
+        lpad(((col("n_nationkey") % 28) + 1).cast(StringType), 2, "0"),
+        lit(" 10:30:00"))).as("line_item_usage_start_date"),
+      lpad(col("n_nationkey").cast(StringType), 12, "0")
+        .as("line_item_usage_account_id"),
+      concat(col("n_name"), lit(" orc "), col("n_regionkey").cast(StringType))
+        .as("product_servicename"),
+      lit("us-east-1").as("product_region"),
+      (col("n_nationkey").cast(DoubleType) * 1.5 + 0.25)
+        .as("line_item_unblended_cost"),
+      lit("USD").as("line_item_currency_code"))
+
+  val c53 = Q(
+    "c53_orc_roundtrip",
+    (s, d) => {
+      val dir = s"${fixtureRoot}_c53_orc"
+      typedFixture(s, d).coalesce(1).write.mode("overwrite").orc(dir)
+      val back = s.read.orc(dir)
+      graft.etl.Normalize.normalize(back, graft.etl.Normalize.awsCur, "orc_src", syncTs)
+        .orderBy(col("account_id"))
+    },
+    Some("""WITH src AS (SELECT
+        CAST('2024-01-' || lpad(CAST(n_nationkey % 28 + 1 AS VARCHAR), 2, '0')
+          || ' 10:30:00' AS TIMESTAMP) AS ts,
+        lpad(CAST(n_nationkey AS VARCHAR), 12, '0') AS account_id,
+        n_name || ' orc ' || CAST(n_regionkey AS VARCHAR) AS service,
+        'us-east-1' AS region,
+        CAST(n_nationkey AS DOUBLE) * 1.5 + 0.25 AS cost,
+        'USD' AS currency
+      FROM nation)
+      SELECT CAST(ts AS DATE) AS date, account_id, service, region, cost,
+        currency, 'aws' AS cloud_provider, 'orc_src' AS source_table,
+        TIMESTAMP '2024-06-01 00:00:00' AS sync_timestamp
+      FROM src ORDER BY account_id"""))
+
+  val all: Seq[Q] = Seq(c38, c39, c53)
 }
