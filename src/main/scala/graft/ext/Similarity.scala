@@ -242,6 +242,11 @@ object Similarity {
     // flavor keeps the oracle-restatable literal plan.
     val useNative = nlist > literalNlistMax
     val base = corpus.select(col(idCol), col(vecCol), l2norm(col(vecCol)).as("__vn"))
+    // O15 empty-input short-circuit: zero seeds would make the cell
+    // expressions zero-width arrays (an ANALYSIS error, not an empty
+    // result) — hand callers an empty assignment instead
+    if (seeds.isEmpty)
+      return (seeds, useNative, base.withColumn("cid", lit(0)).limit(0))
     def assign(src: DataFrame, cents: Array[(Int, Seq[Float], Double)]): DataFrame =
       if (useNative)
         src.withColumn("cid",
@@ -287,6 +292,14 @@ object Similarity {
       literalNlistMax: Int = 256): DataFrame = {
     val (cents, useNative, assigned) =
       lloydAssign(corpus, nlist, lloydIters, idCol, vecCol, literalNlistMax)
+    // O15 empty-input short-circuit: no corpus → no seeds → the cell
+    // expressions would be zero-width arrays (an analysis error, not an
+    // empty result) — answer the honest "no neighbors" frame instead
+    if (cents.isEmpty)
+      return queries.select(col(idCol).as("qid"))
+        .withColumn(idCol, lit(null).cast(corpus.schema(idCol).dataType))
+        .withColumn("cos", lit(0.0)).withColumn("rn", lit(0L))
+        .limit(0)
     val probedBase = queries
       .select(col(idCol).as("qid"), col(vecCol).as("qe"), l2norm(col(vecCol)).as("__qn"))
     val probed =
@@ -340,6 +353,11 @@ object Similarity {
     val spark = corpus.sparkSession
     val (cents, _, assigned) =
       lloydAssign(corpus, nlist, lloydIters, idCol, vecCol, literalNlistMax)
+    // O15 empty-input short-circuit (same contract as [[ivfTopK]])
+    if (cents.isEmpty)
+      return corpus.select(col(idCol), lit(0L).as("cid"),
+        lit("keep").as("verdict"), lit(-1L).as("dup_of"),
+        lit(0.0).as("dup_cos")).limit(0)
     // ccos (cosine to the OWN cell's centroid) via a broadcast join
     // against the nlist-row centroid table — path-independent (works
     // identically for the literal and native assignment flavors).

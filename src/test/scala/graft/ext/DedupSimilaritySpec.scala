@@ -865,6 +865,18 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(res.toSeq == again.toSeq)
   }
 
+  test("E3: empty corpus short-circuits ivfTopK and semanticDedup (no analysis error)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    val q = embs.filter(col("vec_id") < 3)
+    val ivf = Similarity.ivfTopK(empty, q, 5, nlist = 4)
+    assert(ivf.count() == 0)
+    assert(ivf.columns.toSeq == Seq("qid", "vec_id", "cos", "rn"))
+    val sem = Similarity.semanticDedup(empty, tau = 0.45, nlist = 4)
+    assert(sem.count() == 0)
+    assert(sem.columns.toSeq == Seq("vec_id", "cid", "verdict", "dup_of", "dup_cos"))
+  }
+
   test("E3: semantic dedup — tau extremes bracket the verdict space") {
     // tau above any cosine: nothing is within the ball — everything kept
     val none = Similarity.semanticDedup(embs, tau = 1.1, nlist = 16)
