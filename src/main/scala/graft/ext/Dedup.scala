@@ -946,6 +946,66 @@ object Dedup {
       .select(col("doc").as("doc_id"), col("n_shingles"), col("n_hit"), col("overlap"))
   }
 
+  /** Bloom-pruned decontamination — the broadcast-prune SCALE path for
+    * [[contaminationOverlap]], same report, different cost shape. Three
+    * structural changes move every full-corpus exchange off the plan:
+    *
+    *  - the train side is folded into ONE serialized bloom filter by a
+    *    single partial-merging aggregate (`graft_bloom_agg` — Spark's
+    *    own `BloomFilterAggregate`, the runtime-filter primitive):
+    *    no distinct pass, no exchange, one `numBits/8`-byte row to the
+    *    driver (BOUNDED — the only collect here);
+    *  - the eval side probes that filter MAP-SIDE (`graft_bloom_contains`
+    *    riding the scan, whole-stage codegen) so only probable members
+    *    — contamination rate + false positives — reach the exchange,
+    *    and the exact semi-join against the raw train shingles then
+    *    removes the false positives: the REPORT is exact, the bloom
+    *    only prunes;
+    *  - the denominator comes from the row's own text
+    *    (`size(array_distinct(...))`, map-only) instead of a corpus-wide
+    *    distinct — this operator contracts unique ids per eval doc
+    *    (true of any real corpus surface; [[contaminationOverlap]]
+    *    remains the flavor with multi-row-union semantics).
+    *
+    * At 100 TB: the train corpus is read once and never shuffled; the
+    * eval corpus is read once and only its contaminated sliver is
+    * shuffled. fpp tunes via `numBits`/`estItems` (1 MiB of filter
+    * handles ~1M distinct shingles at ~1% FP; FPs cost only wasted
+    * probe-side rows, never correctness). */
+  def bloomDecontaminate(
+      df: DataFrame, idCol: String, textCol: String, sourceCol: String,
+      evalSource: String, trainSource: String,
+      shingleWidth: Int = 3, threshold: Double = 0.0,
+      estItems: Long = 1L << 20, numBits: Long = 1L << 23): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val hashes = array_distinct(shingleHashes(col(textCol), shingleWidth))
+    val trainSh = df.filter(col(sourceCol) === trainSource)
+      .select(explode(hashes).as("sh"))
+    // one row, <= numBits/8 bytes: the serialized filter (bounded collect)
+    val bf = trainSh
+      .agg(call_function("graft_bloom_agg",
+        xxhash64(col("sh")), lit(estItems), lit(numBits)).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val sizes = df.filter(col(sourceCol) === evalSource)
+      .select(col(idCol).as("doc"), size(hashes).cast(IntegerType).as("n_shingles"))
+    val probe: Column =
+      if (bf == null) lit(false) // empty train corpus: nothing can hit
+      else call_function("graft_bloom_contains", lit(bf), xxhash64(col("sh")))
+    val survivors = df.filter(col(sourceCol) === evalSource)
+      .select(col(idCol).as("doc"), explode(hashes).as("sh"))
+      .filter(probe)
+    // left_semi dedups train occurrences inside the join — no distinct
+    // exchange over the train side, and only bloom survivors shuffle
+    val hits = survivors
+      .join(trainSh, Seq("sh"), "left_semi")
+      .groupBy(col("doc")).agg(count(lit(1)).as("n_hit"))
+    sizes.join(hits, Seq("doc"), "left")
+      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
+      .withColumn("overlap", col("n_hit").cast(DoubleType) / col("n_shingles"))
+      .filter(col("overlap") >= threshold)
+      .select(col("doc").as("doc_id"), col("n_shingles"), col("n_hit"), col("overlap"))
+  }
+
   /** E2 (exact flavor, the conformance oracle): n-gram Jaccard similarity
     * via an inverted index on shingle hashes. At scale the shingle
     * join would ride behind the MinHash candidate filter; declared here

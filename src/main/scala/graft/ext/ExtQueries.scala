@@ -2103,9 +2103,119 @@ object ExtQueries {
         CASE WHEN CAST(dup_grams AS DOUBLE)/n_grams >= 0.5 THEN 'trim' ELSE 'keep' END AS verdict
       FROM cov ORDER BY doc_id"""))
 
+  // E2 capstone, scale flavor: bloom-pruned decontamination — the
+  // broadcast-prune path for e21's report. The train side folds into one
+  // serialized bloom (Spark's own runtime-filter aggregate, no exchange),
+  // the eval side probes it map-side, the exact semi-join removes false
+  // positives — so the report is EXACT and the oracle is plain SQL over
+  // the shingle strings (bloom membership never reaches the output).
+  // Different source pair than e21 (src1 vs src0) and per-row denominator
+  // semantics (unique eval ids contracted).
+  val e58 = Q(
+    "e58_bloom_decontaminate",
+    (s, d) => Dedup.bloomDecontaminate(T.documents(s, d), "doc_id", "text",
+      "source", evalSource = "src1", trainSource = "src0",
+      shingleWidth = 3, threshold = 0.0)
+      .orderBy(col("doc_id")),
+    Some("""WITH w AS (SELECT doc_id, source, string_split(text,' ') ws FROM documents),
+      shl AS (SELECT doc_id, source,
+          LIST_DISTINCT(LIST_TRANSFORM(range(1, greatest(len(ws)-2,1)+1),
+            i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))) AS shs
+        FROM w),
+      train AS (SELECT DISTINCT s FROM (SELECT UNNEST(shs) AS s FROM shl WHERE source='src0')),
+      ev AS (SELECT doc_id, UNNEST(shs) AS s FROM shl WHERE source='src1'),
+      sizes AS (SELECT doc_id, len(shs) AS n FROM shl WHERE source='src1'),
+      hits AS (SELECT e.doc_id, COUNT(*) AS h FROM ev e JOIN train t ON e.s = t.s
+               GROUP BY e.doc_id)
+      SELECT s.doc_id, CAST(s.n AS INT) AS n_shingles, COALESCE(h.h, 0) AS n_hit,
+        CAST(COALESCE(h.h, 0) AS DOUBLE)/s.n AS overlap
+      FROM sizes s LEFT JOIN hits h USING (doc_id)
+      ORDER BY doc_id"""))
+
+  // E4 (data mixing, derived rates): temperature mixture over languages —
+  // e18's stratified sampler takes FIXED rates; this derives them from
+  // the corpus's own counts (p_l ∝ n_l^0.5, the multilingual smoothing),
+  // so low-resource langs are up-weighted relative to share. Output is
+  // float-free (membership + integer counts); the oracle restates the
+  // sqrt-weight/rate arithmetic in the same pinned op order.
+  val e59 = Q(
+    "e59_mixture_sample",
+    (s, d) => Sampling.temperatureMixtureSample(T.documents(s, d), "doc_id",
+      "lang", alpha = 0.5, budget = 250)
+      .withColumn("n_stratum", col("n_stratum").cast("long"))
+      .orderBy(col("doc_id")),
+    Some("""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+      w AS (SELECT lang, n, SQRT(CAST(n AS DOUBLE)) AS w FROM c),
+      t AS (SELECT SUM(w) AS tw FROM w),
+      r AS (SELECT lang, n, LEAST(1.0, 250.0 * w / tw / n) AS rate FROM w, t)
+      SELECT d.doc_id, d.lang, CAST(r.n AS BIGINT) AS n_stratum
+      FROM documents d JOIN r USING (lang)
+      WHERE CAST(CAST(('0x'||substr(md5(CAST(d.doc_id AS VARCHAR)),1,6)) AS BIGINT) AS DOUBLE)
+         < r.rate * 16777216.0
+      ORDER BY d.doc_id"""))
+
+  // E4 (LM quality gate): unigram surprisal filter — the corpus as its
+  // own language model, docs scored by mean token surprisal in integer
+  // micro-nats (every cross-row aggregate exact and order-free; the
+  // CCNet perplexity-filter shape reduced to the oracle-restatable
+  // unigram case). Flags the high-surprisal tail (~10% at this gate).
+  val e60 = Q(
+    "e60_unigram_surprisal",
+    (s, d) => TextOps.unigramSurprisal(T.documents(s, d), "doc_id", "text",
+      flagAboveMicro = 3420000L)
+      .orderBy(col("doc_id")),
+    Some("""WITH tok AS (SELECT doc_id, t.term FROM documents,
+          UNNEST(string_split(text, ' ')) AS t(term) WHERE length(t.term) > 0),
+      c AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term),
+      tt AS (SELECT SUM(c) AS T FROM c),
+      w AS (SELECT term,
+          CAST(FLOOR(-LN(CAST(c AS DOUBLE) / T) * 1000000) AS BIGINT) AS s_micro
+        FROM c, tt),
+      sc AS (SELECT tok.doc_id, COUNT(*) AS n_tokens, SUM(w.s_micro) AS surprisal_micro
+        FROM tok JOIN w USING (term) GROUP BY 1)
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        CAST(surprisal_micro AS BIGINT) AS surprisal_micro,
+        CAST(surprisal_micro // n_tokens AS BIGINT) AS avg_surprisal_micro,
+        CASE WHEN surprisal_micro // n_tokens > 3420000 THEN 'flag' ELSE 'keep' END AS verdict
+      FROM sc ORDER BY doc_id"""))
+
+  // E4 (retrieval, BM25): the canonical lexical ranker over the corpus —
+  // e30's integer-idf discipline extended to BM25's tf saturation and
+  // length normalization, which at k1=1.2, b=0.75 reduce to a ratio of
+  // integers (see TextOps.bm25TopK); per-(doc,term) contributions floor
+  // to micro units, per-doc scores sum exactly.
+  val e61 = Q(
+    "e61_bm25_topk",
+    (s, d) => TextOps.bm25TopK(T.documents(s, d), "doc_id", "text",
+      terms = Seq("hash", "join", "customer"), k = 10)
+      .orderBy(col("rn")),
+    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      dl AS (SELECT doc_id, len(list_filter(ws, w -> length(w) > 0)) AS dl FROM d),
+      tok AS (SELECT doc_id, t.term FROM d, UNNEST(ws) AS t(term)
+        WHERE t.term IN ('hash', 'join', 'customer')),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      tot AS (SELECT (SELECT COUNT(*) FROM documents) AS N,
+          (SELECT SUM(len(list_filter(string_split(text, ' '), w -> length(w) > 0)))
+           FROM documents) AS T),
+      w AS (SELECT term, CAST(FLOOR(LN(1.0 +
+            (CAST(N AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5)) * 1000000) AS BIGINT)
+            AS idf_micro
+        FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), tot),
+      sc AS (SELECT tf.doc_id,
+          SUM(CAST(FLOOR(CAST(w.idf_micro * 22 * tot.T * tf.tf AS DOUBLE) /
+            CAST(10 * tot.T * tf.tf + 3 * tot.T + 9 * dl.dl * tot.N AS DOUBLE)) AS BIGINT))
+            AS score_micro
+        FROM tf JOIN w USING (term) JOIN dl USING (doc_id), tot
+        GROUP BY 1),
+      r AS (SELECT doc_id, score_micro,
+          ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS rn FROM sc)
+      SELECT doc_id, CAST(score_micro AS BIGINT) AS score_micro, rn
+      FROM r WHERE rn <= 10 ORDER BY rn"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
       e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41, e42, e43, e44,
-      e45, e46, e47, e48, e49, e50, e51, e52, e53, e54, e55, e56, e57)
+      e45, e46, e47, e48, e49, e50, e51, e52, e53, e54, e55, e56, e57, e58, e59,
+      e60, e61)
 }

@@ -86,6 +86,52 @@ object Sampling {
           .cast(LongType))
   }
 
+  /** Temperature-weighted mixture sampling — the multilingual-blend
+    * step of an LLM data pipeline (the `p_l ∝ n_l^alpha` smoothing of
+    * Lample & Conneau 2019 §3.1 / mBERT's exponential smoothing):
+    * per-stratum sampling RATES are DERIVED from the corpus's own
+    * counts, up-weighting low-resource strata relative to their share,
+    * then membership is the same engine-neutral hash threshold the rest
+    * of the sampling suite uses (reproducible, partition-independent,
+    * incrementally stable).
+    *
+    * rate_s = min(1, budget · n_s^alpha / Σ_t n_t^alpha / n_s), keep iff
+    * hash24(id) < rate_s · 2^24. Expected take ≈ budget, capped per
+    * stratum at its population.
+    *
+    * Float discipline: alpha = 0.5 routes through `sqrt` (correctly
+    * rounded IEEE op on BOTH engines, unlike libm `pow`), every other
+    * step is a single correctly-rounded op in pinned order, and the only
+    * cross-row float SUM is over the handful of stratum weights — a
+    * membership flip would need a 24-bit hash value within ~1e-16 of a
+    * rate boundary. The OUTPUT carries no floats at all (ids, strata,
+    * counts), so the report hashes exactly.
+    *
+    * Shape: one partial-agg exchange over stratum counts (tiny), a
+    * 1-row total broadcast back over the counts frame, and a broadcast
+    * join of the per-stratum rate onto the corpus — the corpus itself
+    * is filtered MAP-SIDE, never shuffled. */
+  def temperatureMixtureSample(df: DataFrame, idCol: String,
+      strataCol: String, alpha: Double, budget: Long): DataFrame = {
+    val counts = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_stratum"))
+    val w =
+      if (alpha == 0.5) sqrt(col("n_stratum").cast(DoubleType))
+      else pow(col("n_stratum").cast(DoubleType), lit(alpha))
+    val weighted = counts.withColumn("w", w)
+    val total = weighted.agg(sum(col("w")).as("tw"))
+    // 1-row broadcast total (the e30 corpus-count pattern), then the
+    // pinned-order rate expression: budget · w / tw / n, capped at 1
+    val rates = weighted.crossJoin(broadcast(total))
+      .withColumn("rate",
+        least(lit(1.0), lit(budget.toDouble) * col("w") / col("tw") / col("n_stratum")))
+      .select(col(strataCol), col("n_stratum"), col("rate"))
+    df.join(broadcast(rates), strataCol)
+      .filter(Dedup.portableHash24(col(idCol).cast(StringType)).cast(DoubleType)
+        < col("rate") * lit(16777216.0))
+      .select(col(idCol), col(strataCol), col("n_stratum"))
+  }
+
   /** Per-stratum length statistics: count, mean (decimal-exact then
     * divided, order-independent — the suite's float rule), and exact
     * interpolated percentiles. Exact `percentile` sorts per group —

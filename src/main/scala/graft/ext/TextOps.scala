@@ -279,6 +279,114 @@ object TextOps {
         .over(Window.orderBy(col("score").desc, col(idCol))).cast(LongType))
   }
 
+  /** Unigram LM surprisal filter — the language-model quality gate of a
+    * training pipeline (the CCNet-shaped perplexity filter, Wenzek et
+    * al. 2019, reduced to the unigram model the corpus itself trains):
+    * the corpus is its own LM (token → corpus count), every doc is
+    * scored by total and mean token surprisal `-ln(c_t / T)`, and docs
+    * whose mean surprisal exceeds the gate are flagged (gibberish and
+    * boilerplate-free noise sit in the high-surprisal tail).
+    *
+    * Float discipline (the suite's rule): each token's surprisal is
+    * floored to integer micro-nats — `floor(-ln(c/T)·1e6)` is three
+    * correctly-rounded-or-1ulp ops on values fixed by the data, so both
+    * engines land the same integer barring a ~1e-10 floor-boundary
+    * coincidence — and every cross-row aggregate (`sum`, the integer
+    * `div`) is exact and order-free. Surprisal is kept POSITIVE so the
+    * integral division is floor==truncate on both engines.
+    *
+    * Shape: ONE exploded token scan feeds the vocab aggregate
+    * (map-side-partial on the term); the count table joins back with an
+    * adaptive strategy (AQE broadcasts real-corpus vocabularies after
+    * the frequency floor; co-partitioned shuffle join when huge), and
+    * the per-doc rollup shuffles compact (id, long) pairs. The 1-row
+    * corpus total is the e30 broadcast-crossJoin pattern. */
+  def unigramSurprisal(docs: DataFrame, idCol: String, textCol: String,
+      flagAboveMicro: Long, scale: Long = 1000000L): DataFrame = {
+    require(scale > 0, s"surprisal scale must be positive, got $scale")
+    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .where(length(col("term")) > 0)
+    val counts = tok.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).as("__t"))
+    val weights = counts.crossJoin(broadcast(total))
+      .withColumn("s_micro",
+        floor(-log(col("c").cast(DoubleType) / col("__t")) * scale))
+      .select(col("term"), col("s_micro"))
+    tok.join(weights, "term")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("s_micro")).as("surprisal_micro"))
+      .withColumn("avg_surprisal_micro",
+        expr("surprisal_micro div n_tokens"))
+      .withColumn("verdict",
+        when(col("avg_surprisal_micro") > flagAboveMicro, lit("flag"))
+          .otherwise(lit("keep")))
+  }
+
+  /** BM25 top-k retrieval — the standard lexical ranking function
+    * (Robertson & Zaragoza 2009) the suite's e30 TF-IDF is the integer
+    * precursor of; BM25 adds tf saturation (k1) and doc-length
+    * normalization (b). Fixed at the canonical k1 = 1.2, b = 0.75,
+    * which makes the whole score a ratio of INTEGERS: with
+    * T = total corpus tokens, N = docs, dl = doc tokens,
+    *
+    *   tfNorm = tf·(k1+1) / (tf + k1·(1 − b + b·dl·N/T))
+    *          = 22·T·tf / (10·T·tf + 3·T + 9·dl·N)
+    *
+    * (both sides scaled by 10·T), so each (doc, term) contribution is
+    * `floor(idf_micro · num / den)` — one correctly-rounded double
+    * division of two exactly-known integers, floored to micro units —
+    * and the per-doc score is an exact BIGINT sum. idf_micro =
+    * `floor(ln(1 + (N − df + ½)/(df + ½))·1e6)` (the Lucene-shaped
+    * non-negative BM25 idf). No order-dependent float summation
+    * anywhere, so the oracle restates it bit-for-bit.
+    *
+    * Shape mirrors [[tfidfTopK]]: the token stream filters to the query
+    * terms BEFORE the (doc, term) aggregate; df and the scoring join
+    * share that subplan; weights and the 1-row corpus totals broadcast;
+    * per-doc lengths are a second narrow aggregate over the SAME
+    * pre-filter token scan only when needed — here dl must count ALL
+    * tokens, so lengths come from a map-side `size(split)` projection,
+    * no extra exchange. Top-k is TakeOrderedAndProject. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int, idfScale: Long = 1000000L): DataFrame = {
+    require(terms.nonEmpty && k > 0 && idfScale > 0,
+      s"bm25 geometry out of range: terms=${terms.size} k=$k scale=$idfScale")
+    val toks = tokens(col(textCol))
+    val withDl = docs.select(col(idCol),
+      size(filter(toks, t => length(t) > 0)).cast(LongType).as("dl"),
+      col(textCol))
+    val tfQ = withDl.select(col(idCol), col("dl"),
+        explode(toks).as("term"))
+      .where(col("term").isin(terms: _*))
+      .groupBy(col(idCol), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
+    // corpus totals: N docs and T tokens — one zero-width scan for N,
+    // one map-side length sum for T, broadcast as a single row
+    val totals = docs
+      .select(size(filter(toks, t => length(t) > 0)).cast(LongType).as("__dl"))
+      .agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__t"))
+    val weights = tfQ
+      .groupBy(col("term")).agg(count(when(col("tf") >= 1, 1)).as("df"))
+      .crossJoin(broadcast(totals))
+      .withColumn("idf_micro",
+        floor(log(lit(1.0) +
+          (col("__n").cast(DoubleType) - col("df") + lit(0.5)) /
+            (col("df").cast(DoubleType) + lit(0.5))) * idfScale))
+      .select(col("term"), col("idf_micro"), col("__t"), col("__n"))
+    val scored = tfQ.join(broadcast(weights), "term")
+      .withColumn("contrib",
+        floor(
+          (col("idf_micro") * lit(22L) * col("__t") * col("tf")).cast(DoubleType) /
+          (lit(10L) * col("__t") * col("tf") + lit(3L) * col("__t") +
+            lit(9L) * col("dl") * col("__n")).cast(DoubleType)))
+      .groupBy(col(idCol))
+      .agg(sum(col("contrib")).as("score_micro"))
+    import org.apache.spark.sql.expressions.Window
+    scored.orderBy(col("score_micro").desc, col(idCol)).limit(k)
+      .withColumn("rn", row_number()
+        .over(Window.orderBy(col("score_micro").desc, col(idCol))).cast(LongType))
+  }
+
   /** Corpus-frequency novelty score — the counts-based rarity signal
     * (inverse bigram frequency) quality pipelines use next to
     * [[repetitionStats]]: boilerplate scores near 0 (its bigrams occur

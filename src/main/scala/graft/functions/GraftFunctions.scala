@@ -163,6 +163,33 @@ object GraftFunctions {
             s"graft_lsh_buckets geometry must be integer literals, got $other")
         }
         LshBuckets(children.head, planes, ints(0), ints(1), ints(2))
+      }),
+    // Spark's own runtime-filter primitives (the machinery behind
+    // InjectRuntimeFilter's bloom pruning), surfaced by name so library
+    // code can build an EXPLICIT bloom-prune stage: aggregate a filter
+    // over xxhash64(key) on the build side, embed the serialized bytes
+    // as a binary literal, probe map-side on the other side. The
+    // analyzer wraps the bare AggregateFunction in an AggregateExpression
+    // (same path every built-in aggregate takes through the registry).
+    (new FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "graft_bloom_agg takes (long_value, estimatedItems, numBits)")
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children.head, children(1), children(2))
+      }),
+    (new FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_bloom_contains"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          "graft_bloom_contains takes (bloom_bytes, long_value)")
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children.head, children(1))
       }))
 
   private def pqArgs(name: String, children: Seq[Expression]): (Array[Float], Seq[Int]) = {
