@@ -355,6 +355,58 @@ class DedupSimilaritySpec extends SparkSpec {
       s"${dup.mkString(",")}")
   }
 
+  test("bloom decontamination equals the exact report; tiny filter still exact") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e", "train"),   // shingles: abc bcd cde
+      (10L, "a b c x y", "eval"),   // abc bcx cxy -> 1/3 contaminated
+      (11L, "p q r s t", "eval"))   // no overlap -> overlap 0 at thr 0.0
+      .toDF("doc_id", "text", "source")
+    def exact(thr: Double) = Dedup.contaminationOverlap(
+      df, "doc_id", "text", "source", "eval", "train", 3, thr)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    def bloom(thr: Double, bits: Long) = Dedup.bloomDecontaminate(
+      df, "doc_id", "text", "source", "eval", "train", 3, thr,
+      estItems = 16, numBits = bits)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    assert(bloom(0.0, 1L << 16) == exact(0.0))
+    assert(bloom(0.3, 1L << 16) == exact(0.3))
+    // a DELIBERATELY saturated filter (64 bits for 3 shingles at k
+    // hashes) false-positives aggressively — the exact confirm join must
+    // still produce the identical report
+    assert(bloom(0.0, 64L) == exact(0.0),
+      "false positives must never reach the report")
+    // empty train source: every eval doc reports overlap 0 at thr 0.0
+    val noTrain = Dedup.bloomDecontaminate(
+      df.filter(col("source") =!= "train"), "doc_id", "text", "source",
+      "eval", "train", 3, 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).sortBy(_._1)
+    assert(noTrain.toSeq == Seq((10L, 0L, 0.0), (11L, 0L, 0.0)),
+      s"empty train must zero every overlap: ${noTrain.mkString(",")}")
+  }
+
+  test("bloom decontamination on the corpus matches the exact path; probe rides the scan") {
+    // real-corpus equality: same sources, same width — the bloom prune +
+    // semi-join must reproduce contaminationOverlap row-for-row (doc ids
+    // unique in testdata, so both denominator semantics coincide)
+    val exact = Dedup.contaminationOverlap(
+      docs, "doc_id", "text", "source", "src1", "src0", 3, 0.0)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1).toSeq
+    val viaBloom = Dedup.bloomDecontaminate(
+      docs, "doc_id", "text", "source", "src1", "src0", 3, 0.0)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(viaBloom == exact)
+    // the probe is a map-side predicate (might_contain in the plan), and
+    // the train side is aggregated, never distinct-exchanged
+    val plan = Dedup.bloomDecontaminate(
+      docs, "doc_id", "text", "source", "src1", "src0", 3, 0.0)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"),
+      s"bloom probe missing from the physical plan:\n$plan")
+  }
+
   test("jaccard pairs stay strictly ordered even with duplicate doc ids in the input") {
     import spark.implicits._
     val df = Seq((7L, "a b c d e"), (7L, "a b c d e"), (8L, "x y z w v"))

@@ -71,6 +71,47 @@ class SamplingSpec extends SparkSpec {
       "placement must be identical across runs")
   }
 
+  test("temperature mixture: rates derive from counts, caps bind, deterministic") {
+    val out = Sampling.temperatureMixtureSample(docs, "doc_id", "lang",
+      alpha = 0.5, budget = 250).cache()
+    val taken = out.collect()
+    assert(taken.nonEmpty && taken.map(_.getLong(0)).distinct.length == taken.length)
+    // expected take ~ budget (hash uniformity; generous band)
+    assert(taken.length > 150 && taken.length < 350,
+      s"budget 250 selected ${taken.length}")
+    // temperature smoothing: a low-resource stratum keeps a HIGHER
+    // fraction of itself than the dominant one (the whole point)
+    val byLang = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val big = sizes.maxBy(_._2)._1
+    val small = sizes.minBy(_._2)._1
+    val fracBig = byLang.getOrElse(big, 0L).toDouble / sizes(big)
+    val fracSmall = byLang.getOrElse(small, 0L).toDouble / sizes(small)
+    assert(fracSmall > fracBig,
+      s"low-resource $small ($fracSmall) must be up-weighted vs $big ($fracBig)")
+    // budget >= corpus: every rate caps at 1, everything kept
+    val all = Sampling.temperatureMixtureSample(docs, "doc_id", "lang",
+      alpha = 0.5, budget = 100000)
+    assert(all.count() == docs.count(), "rate cap at 1 must keep every row")
+    // deterministic across runs
+    val again = Sampling.temperatureMixtureSample(docs, "doc_id", "lang",
+      alpha = 0.5, budget = 250).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == taken.map(_.getLong(0)).toSet)
+    out.unpersist()
+  }
+
+  test("temperature mixture plan: corpus filtered map-side, no corpus exchange") {
+    val out = Sampling.temperatureMixtureSample(docs, "doc_id", "lang",
+      alpha = 0.5, budget = 250)
+    val plan = out.queryExecution.executedPlan.toString
+    // the big side joins the 5-row rate table broadcast; the only
+    // exchanges sit under the tiny counts aggregate
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"rates must broadcast onto the corpus:\n$plan")
+  }
+
   test("length stats: counts and percentile ordering per stratum") {
     val rows = Sampling.lengthStats(docs, "lang", "text").collect()
     assert(rows.nonEmpty)

@@ -567,4 +567,54 @@ class TextMultimodalSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(appliedPlan).size == 1,
       s"merge application must be map-only:\n${appliedPlan.take(1200)}")
   }
+
+  test("unigram surprisal: hand-computed micro-nats, verdict gate") {
+    import spark.implicits._
+    val df = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    // corpus LM: c(a)=2 c(b)=2 c(c)=1, T=5
+    def sMicro(c: Long) = math.floor(-math.log(c.toDouble / 5) * 1e6).toLong
+    val out = TextOps.unigramSurprisal(df, "doc_id", "text",
+      flagAboveMicro = 1000000L)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("surprisal_micro"), r.getAs[Long]("avg_surprisal_micro"),
+        r.getAs[String]("verdict"))).sortBy(_._1).toSeq
+    val d1Sum = 2 * sMicro(2) + sMicro(2)
+    val d2Sum = sMicro(2) + sMicro(1)
+    assert(out == Seq(
+      (1L, 3L, d1Sum, d1Sum / 3, "keep"),
+      (2L, 2L, d2Sum, d2Sum / 2, "flag")), out.mkString(","))
+  }
+
+  test("bm25: saturation, length normalization, exact integer scores, top-k") {
+    import spark.implicits._
+    val df = Seq((1L, "q w w w"), (2L, "q q w w"), (3L, "q"), (4L, "z z z z"))
+      .toDF("doc_id", "text")
+    // N=4 docs, T=13 tokens, df(q)=3
+    val idfMicro = math.floor(math.log(1.0 + (4.0 - 3 + 0.5) / (3 + 0.5)) * 1e6).toLong
+    def contrib(tf: Long, dl: Long) = math.floor(
+      (idfMicro * 22L * 13L * tf).toDouble / (10L * 13L * tf + 3L * 13L + 9L * dl * 4L)).toLong
+    val out = TextOps.bm25TopK(df, "doc_id", "text", Seq("q"), k = 3)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_micro"),
+        r.getAs[Long]("rn"))).sortBy(_._3).toSeq
+    // ordering: short doc with the term beats saturated tf beats long
+    // single-tf; the no-hit doc never appears
+    assert(out == Seq(
+      (3L, contrib(1, 1), 1L),
+      (2L, contrib(2, 4), 2L),
+      (1L, contrib(1, 4), 3L)), out.mkString(","))
+    assert(contrib(2, 4) > contrib(1, 4), "tf saturation must still rank tf=2 above tf=1")
+    assert(contrib(1, 1) > contrib(1, 4), "shorter doc with same tf must score higher")
+    // k bounds the result
+    assert(TextOps.bm25TopK(df, "doc_id", "text", Seq("q"), k = 2).count() == 2)
+  }
+
+  test("bm25 plan: top-k is TakeOrderedAndProject, weights broadcast") {
+    val out = TextOps.bm25TopK(graft.Tables.documents(spark, sf001),
+      "doc_id", "text", Seq("hash", "join"), k = 10)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must not global-sort:\n${plan.take(1200)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"weights must broadcast onto the tf side:\n${plan.take(1200)}")
+  }
 }
