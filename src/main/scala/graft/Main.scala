@@ -25,6 +25,10 @@ object Main {
         |      (committed generations: id, compaction?, stream watermarks
         |       — the snapshot catalog for asOfGen time travel)
         |  query <sql> [--max-rows N]
+        |  explain <declared-query> [--sf-dir DIR]
+        |      (formatted physical plan of a declared query without
+        |       executing it — the dry-run planner for the Verify/Bench
+        |       surface; DIR defaults to $SPARK_GRAFT_SF_DIR)
         |  corpus-prep <docs.parquet> <out-dir> [--shards N] [--pack-budget TOKENS] [--span-trim COV]
         |      (filter [-> drop docs with >= COV duplicate-span coverage]
         |       -> dedup -> chunk [-> pack into fixed-budget sequences] -> parquet)
@@ -74,6 +78,7 @@ object Main {
     case "compact-index" :: rest => compactIndexCmd(rest)
     case "index-history" :: rest => indexHistoryCmd(rest)
     case "query" :: rest       => query(rest)
+    case "explain" :: rest     => explainQuery(rest)
     case "corpus-prep" :: rest => corpusPrep(rest)
     case "list-accounts" :: _  => listAccounts()
     case "test-connection" :: _ => testConnection()
@@ -104,6 +109,36 @@ object Main {
     val spark = session(cfg)
     try spark.sql(sql).show(maxRows, truncate = false)
     finally spark.stop()
+  }
+
+  /** Formatted physical plan of a DECLARED query (the Verify/Bench
+    * surface) without executing it — the same audit loop the specs
+    * plan-assert, exposed for operators: check PushedFilters /
+    * PartitionFilters / broadcast choices / WholeStageCodegen spans on
+    * the real testdata before paying for a run. Streaming-flavored
+    * declared queries execute micro-batches during ANALYSIS of their
+    * final batch frame; they are still explained (plan of the returned
+    * frame), with a note. */
+  private def explainQuery(args: List[String]): Unit = {
+    val (name, dir) = args match {
+      case n :: "--sf-dir" :: d :: Nil => (n, d)
+      case n :: Nil =>
+        (n, sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
+      case _ => usage()
+    }
+    Queries.byName.get(name) match {
+      case None =>
+        System.err.println(s"unknown declared query: $name")
+        System.err.println(
+          s"declared: ${Queries.all.map(_.name).sorted.mkString(", ")}")
+        sys.exit(2)
+      case Some(q) =>
+        val cfg = EngineConfig.fromEnv()
+        val spark = session(cfg)
+        try println(q.fn(spark, dir).queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+        finally spark.stop()
+    }
   }
 
   /** Small-files maintenance for the parquet warehouse (see
