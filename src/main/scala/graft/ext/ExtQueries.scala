@@ -2212,10 +2212,86 @@ object ExtQueries {
       SELECT doc_id, CAST(score_micro AS BIGINT) AS score_micro, rn
       FROM r WHERE rn <= 10 ORDER BY rn"""))
 
+  // E2/E4 composition (split-contamination guard): train/val/test split
+  // assigned by NEAR-DUP CLUSTER, not by document — e15's connected
+  // components decide the split key, so every near-dup family lands on
+  // one side of the boundary and test material can't leak into train
+  // through near-copies. Same MinHash/CC front as e15 (the oracle
+  // reuses its recursive CTEs verbatim); singletons split on their own
+  // id; membership is the engine-neutral 24-bit hash in permille bands
+  // (100 test / 100 val).
+  val e62 = Q(
+    "e62_leakage_safe_split",
+    (s, d) => Sampling.leakageSafeSplit(T.documents(s, d), "doc_id",
+      Dedup.minhashCandidatesPortable(T.documents(s, d), "doc_id", "text",
+        k = mhK, bands = mhBands, minEstSim = 0.4),
+      valPermille = 100, testPermille = 100)
+      .orderBy(col("doc_id")),
+    Some(s"""WITH RECURSIVE $mhCtes,
+      $ccCtes
+      SELECT d.doc_id,
+        COALESCE(c.cluster_rep, d.doc_id) AS split_key,
+        CASE WHEN CAST(('0x'||substr(md5(CAST(COALESCE(c.cluster_rep, d.doc_id) AS VARCHAR)),1,6)) AS BIGINT) % 1000 < 100 THEN 'test'
+             WHEN CAST(('0x'||substr(md5(CAST(COALESCE(c.cluster_rep, d.doc_id) AS VARCHAR)),1,6)) AS BIGINT) % 1000 < 200 THEN 'val'
+             ELSE 'train' END AS split
+      FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+      ORDER BY d.doc_id"""))
+
+  // E3/E4 composition (serving): hybrid retrieval — BM25 lexical ranks
+  // fused with embedding-cosine ranks by Reciprocal Rank Fusion, the
+  // float-free integer combiner (1e6 div (60 + rank) per leg, absent leg
+  // contributes 0 / reports −1). Legs are the already-audited e61 and
+  // e03 shapes at poolK 50; the fusion runs on ≤ 2·poolK rows.
+  val e63 = Q(
+    "e63_hybrid_rrf",
+    (s, d) => Similarity.hybridRrfTopK(T.documents(s, d), T.embeddings(s, d),
+      "doc_id", "text", terms = Seq("vector", "scan"), queryVecId = 0L,
+      k = 10, poolK = 50)
+      .orderBy(col("rn")),
+    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      dl AS (SELECT doc_id, len(list_filter(ws, w -> length(w) > 0)) AS dl FROM d),
+      tok AS (SELECT doc_id, t.term FROM d, UNNEST(ws) AS t(term)
+        WHERE t.term IN ('vector', 'scan')),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      tot AS (SELECT (SELECT COUNT(*) FROM documents) AS N,
+          (SELECT SUM(len(list_filter(string_split(text, ' '), w -> length(w) > 0)))
+           FROM documents) AS T),
+      w AS (SELECT term, CAST(FLOOR(LN(1.0 +
+            (CAST(N AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5)) * 1000000) AS BIGINT)
+            AS idf_micro
+        FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), tot),
+      sc AS (SELECT tf.doc_id,
+          SUM(CAST(FLOOR(CAST(w.idf_micro * 22 * tot.T * tf.tf AS DOUBLE) /
+            CAST(10 * tot.T * tf.tf + 3 * tot.T + 9 * dl.dl * tot.N AS DOUBLE)) AS BIGINT))
+            AS score_micro
+        FROM tf JOIN w USING (term) JOIN dl USING (doc_id), tot
+        GROUP BY 1),
+      lexr AS (SELECT doc_id,
+          ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS lex_rn FROM sc),
+      lr AS (SELECT doc_id, lex_rn FROM lexr WHERE lex_rn <= 50),
+      q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+      vsc AS (SELECT e.vec_id AS doc_id,
+          LIST_SUM(LIST_TRANSFORM(range(1, LEN(e.embedding)+1),
+            i -> CAST(q.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+          / (SQRT(LIST_SUM(LIST_TRANSFORM(q.qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+           * SQRT(LIST_SUM(LIST_TRANSFORM(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos
+        FROM embeddings e, q WHERE e.vec_id <> 0),
+      vr0 AS (SELECT doc_id,
+          ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS vec_rn FROM vsc),
+      vr AS (SELECT doc_id, vec_rn FROM vr0 WHERE vec_rn <= 50),
+      f AS (SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.lex_rn, v.vec_rn,
+          COALESCE(1000000 // (60 + l.lex_rn), 0) + COALESCE(1000000 // (60 + v.vec_rn), 0)
+            AS rrf_micro
+        FROM lr l FULL OUTER JOIN vr v ON l.doc_id = v.doc_id),
+      r AS (SELECT doc_id, COALESCE(lex_rn, -1) AS lex_rn,
+          COALESCE(vec_rn, -1) AS vec_rn, rrf_micro,
+          ROW_NUMBER() OVER (ORDER BY rrf_micro DESC, doc_id) AS rn FROM f)
+      SELECT doc_id, lex_rn, vec_rn, rrf_micro, rn FROM r WHERE rn <= 10 ORDER BY rn"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
       e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41, e42, e43, e44,
       e45, e46, e47, e48, e49, e50, e51, e52, e53, e54, e55, e56, e57, e58, e59,
-      e60, e61)
+      e60, e61, e62, e63)
 }

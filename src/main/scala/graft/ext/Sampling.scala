@@ -132,6 +132,45 @@ object Sampling {
       .select(col(idCol), col(strataCol), col("n_stratum"))
   }
 
+  /** Leakage-safe train/val/test split: assignment is by NEAR-DUP
+    * CLUSTER, not by document — the split-contamination guard of an LLM
+    * data pipeline. A plain per-doc hash split leaks test material into
+    * train through near-duplicates (the dedup pipeline's own candidate
+    * pairs prove they exist); splitting on the cluster representative
+    * puts every member of a near-dup family on the SAME side of the
+    * boundary, so nothing adjacent to a test doc can train.
+    *
+    * `candidatePairs` is any (doc1, doc2) near-dup pair frame (MinHash
+    * bands, SimHash, embedding-LSH — the caller picks the notion of
+    * "near"); clusters come from the O(log diameter) connected-
+    * components pass, singletons stay their own key. Membership is the
+    * engine-neutral hash of the CLUSTER key against permille bands, so
+    * the split is reproducible, partition-independent, and stable under
+    * re-runs; growing the corpus only moves docs whose cluster
+    * membership itself changed.
+    *
+    * Shape: CC over the pairs (compact keys, log rounds), one join of
+    * the cluster map onto the corpus (clusters frame ≈ only docs with a
+    * near-dup, typically a small fraction — AQE broadcasts it when it
+    * fits), then a map-side hash verdict. The corpus never shuffles. */
+  def leakageSafeSplit(docs: DataFrame, idCol: String,
+      candidatePairs: DataFrame, valPermille: Int, testPermille: Int): DataFrame = {
+    require(valPermille >= 0 && testPermille >= 0 &&
+      valPermille + testPermille <= 1000,
+      s"split bands out of range: val=$valPermille test=$testPermille")
+    val reps = Dedup.connectedComponents(candidatePairs)
+      .select(col("doc_id").as(idCol), col("cluster_rep"))
+    val keyed = docs.join(reps, Seq(idCol), "left")
+      .withColumn("split_key", coalesce(col("cluster_rep"), col(idCol)))
+    val h = Dedup.portableHash24(col("split_key").cast(StringType)) % 1000
+    keyed
+      .withColumn("split",
+        when(h < testPermille, lit("test"))
+          .when(h < testPermille + valPermille, lit("val"))
+          .otherwise(lit("train")))
+      .select(col(idCol), col("split_key"), col("split"))
+  }
+
   /** Per-stratum length statistics: count, mean (decimal-exact then
     * divided, order-independent — the suite's float rule), and exact
     * interpolated percentiles. Exact `percentile` sorts per group —

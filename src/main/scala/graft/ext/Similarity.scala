@@ -928,4 +928,43 @@ object Similarity {
     scoreWithModel(index.codes.filter(col("cid").isin(probedCells: _*)),
       queries, index.model, k, nprobe, index.idCol, vecCol)
   }
+
+  /** Hybrid retrieval: BM25 lexical ranks fused with embedding-cosine
+    * ranks by Reciprocal Rank Fusion (Cormack, Clarke & Büttcher 2009)
+    * — the standard serving-layer combiner when lexical and vector
+    * retrieval disagree. Each leg contributes
+    * `1e6 div (rrfK + rank)` micro-points (INTEGER floor division: the
+    * whole fusion is float-free, so ties, ordering, and the oracle
+    * restatement are exact); a doc absent from a leg contributes 0 and
+    * reports rank −1.
+    *
+    * Shape: the legs are the existing audited operators — BM25's
+    * shared-subplan token pipeline and the cosine ranker (swap in
+    * [[queryIndex]] against a persisted IVF-PQ index for the 100 TB
+    * serve path; the fusion is rank-only and does not care which leg
+    * produced the pool). Each leg returns at most `poolK` rows, so the
+    * fusion join and final top-k run on 2·poolK rows regardless of
+    * corpus size. */
+  def hybridRrfTopK(docs: DataFrame, embs: DataFrame, idCol: String,
+      textCol: String, terms: Seq[String], queryVecId: Long, k: Int,
+      poolK: Int = 50, rrfK: Int = 60): DataFrame = {
+    require(k > 0 && poolK >= k && rrfK > 0,
+      s"rrf geometry out of range: k=$k poolK=$poolK rrfK=$rrfK")
+    val lex = TextOps.bm25TopK(docs, idCol, textCol, terms, poolK)
+      .select(col(idCol), col("rn").as("lex_rn"))
+    val vec = bruteForceTopK(embs,
+        embs.filter(col("vec_id") === queryVecId), poolK)
+      .select(col("vec_id").as(idCol), col("rn").as("vec_rn"))
+    val fused = lex.join(vec, Seq(idCol), "full_outer")
+      .withColumn("rrf_micro",
+        coalesce(expr(s"1000000 div ($rrfK + lex_rn)"), lit(0L)) +
+          coalesce(expr(s"1000000 div ($rrfK + vec_rn)"), lit(0L)))
+    val w = Window.orderBy(col("rrf_micro").desc, col(idCol))
+    fused.orderBy(col("rrf_micro").desc, col(idCol)).limit(k)
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .select(col(idCol),
+        coalesce(col("lex_rn"), lit(-1L)).as("lex_rn"),
+        coalesce(col("vec_rn"), lit(-1L)).as("vec_rn"),
+        col("rrf_micro"), col("rn"))
+  }
 }

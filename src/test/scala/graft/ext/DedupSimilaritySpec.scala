@@ -407,6 +407,32 @@ class DedupSimilaritySpec extends SparkSpec {
       s"bloom probe missing from the physical plan:\n$plan")
   }
 
+  test("hybrid rrf: fusion equals a scala restatement of the two legs") {
+    val k = 10
+    val poolK = 50
+    val terms = Seq("vector", "scan")
+    val lex = TextOps.bm25TopK(docs, "doc_id", "text", terms, poolK)
+      .select("doc_id", "rn").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val vec = Similarity.bruteForceTopK(embs, embs.filter(col("vec_id") === 0), poolK)
+      .select("vec_id", "rn").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (lex.keySet ++ vec.keySet).toSeq
+      .map { id =>
+        val rrf = lex.get(id).map(r => 1000000L / (60 + r)).getOrElse(0L) +
+          vec.get(id).map(r => 1000000L / (60 + r)).getOrElse(0L)
+        (id, lex.getOrElse(id, -1L), vec.getOrElse(id, -1L), rrf)
+      }
+      .sortBy(t => (-t._4, t._1)).take(k)
+      .zipWithIndex.map { case ((id, l, v, r), i) => (id, l, v, r, i + 1L) }
+    val out = Similarity.hybridRrfTopK(docs, embs, "doc_id", "text",
+      terms, queryVecId = 0L, k = k, poolK = poolK)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._5).toSeq
+    assert(out == expected, s"\ngot:      $out\nexpected: $expected")
+    // both legs actually contribute to the fused pool (not one leg
+    // trivially dominating an empty other)
+    assert(out.exists(_._2 > 0) && out.exists(_._3 > 0))
+  }
+
   test("jaccard pairs stay strictly ordered even with duplicate doc ids in the input") {
     import spark.implicits._
     val df = Seq((7L, "a b c d e"), (7L, "a b c d e"), (8L, "x y z w v"))

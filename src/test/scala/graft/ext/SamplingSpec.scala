@@ -112,6 +112,50 @@ class SamplingSpec extends SparkSpec {
       s"rates must broadcast onto the corpus:\n$plan")
   }
 
+  test("leakage-safe split: clusters stay together, singletons split on their own id") {
+    import spark.implicits._
+    val corpus = Seq(1L, 2L, 3L, 4L, 5L, 6L).map(i => (i, s"doc $i"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc1", "doc2")
+    val out = Sampling.leakageSafeSplit(corpus, "doc_id", pairs,
+      valPermille = 300, testPermille = 300)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+    assert(out.map(_._1) == Seq(1L, 2L, 3L, 4L, 5L, 6L), "every doc is assigned")
+    // the chained pairs form ONE cluster keyed by its min id; all three
+    // docs carry the same key and therefore the same split
+    val clustered = out.filter(t => Seq(1L, 2L, 3L).contains(t._1))
+    assert(clustered.map(_._2).distinct == Seq(1L), s"cluster key: $clustered")
+    assert(clustered.map(_._3).distinct.size == 1,
+      s"near-dup family split apart: $clustered")
+    // singletons key on themselves
+    assert(out.filter(t => t._1 >= 4L).forall(t => t._2 == t._1))
+    // degenerate bands: 0/0 puts everything in train
+    val allTrain = Sampling.leakageSafeSplit(corpus, "doc_id", pairs, 0, 0)
+      .select("split").distinct().collect().map(_.getString(0)).toSeq
+    assert(allTrain == Seq("train"))
+    // deterministic across runs
+    val again = Sampling.leakageSafeSplit(corpus, "doc_id", pairs, 300, 300)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1).toSeq
+    assert(again == out)
+  }
+
+  test("leakage-safe split on the corpus: no near-dup pair crosses the test boundary") {
+    val pairs = Dedup.minhashCandidatesPortable(docs, "doc_id", "text",
+      k = 32, bands = 8, minEstSim = 0.4)
+    val split = Sampling.leakageSafeSplit(docs, "doc_id", pairs, 100, 100)
+    val byDoc = split.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val crossing = pairs.select("doc1", "doc2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => byDoc(a) != byDoc(b) }
+    assert(crossing.isEmpty,
+      s"near-dup pairs crossing the split boundary: ${crossing.take(5).mkString(",")}")
+    // sanity: at 10/10/80 permille over 500 docs all three splits exist
+    val labels = byDoc.values.toSet
+    assert(labels == Set("train", "val", "test"), s"labels seen: $labels")
+  }
+
   test("length stats: counts and percentile ordering per stratum") {
     val rows = Sampling.lengthStats(docs, "lang", "text").collect()
     assert(rows.nonEmpty)
