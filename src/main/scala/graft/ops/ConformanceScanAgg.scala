@@ -188,5 +188,43 @@ object ConformanceScanAgg {
       GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderpriority), ())
       ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""))
 
-  val all: Seq[Q] = Seq(c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c42, c44)
+  // C-layout: the z-order clustering key — equal-width buckets of
+  // (l_extendedprice, l_quantity) bit-interleaved into one Morton value
+  // (graft.etl.Bucketing.zValue; 8 bits × 2 cols). Every step is either
+  // integer bit algebra or a single correctly-rounded IEEE op in pinned
+  // order, so the oracle restates it exactly; the LAYOUT effect (files
+  // span narrow ranges of both columns after repartitionByRange(zv)) is
+  // BucketingSpec's span assertion — here the VALUE is what's declared.
+  val c54 = Q(
+    "c54_zorder_value",
+    (s, d) => {
+      val li = T.lineitem(s, d)
+      val row = li.agg(
+        min(col("l_extendedprice")), max(col("l_extendedprice")),
+        min(col("l_quantity")), max(col("l_quantity"))).head()
+      val zv = graft.etl.Bucketing.zValue(Seq(
+        (col("l_extendedprice"), lit(row.getDouble(0)), lit(row.getDouble(1))),
+        (col("l_quantity"), lit(row.getDouble(2)), lit(row.getDouble(3)))))
+      // zv joins the sort key: replicated testdata (the sf1 generator)
+      // makes (orderkey, linenumber) non-unique, and rows tied on ALL
+      // output columns are interchangeable — the order is then total
+      li.select(col("l_orderkey"), col("l_linenumber"), zv)
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("zv"))
+    },
+    Some(s"""WITH b AS (SELECT MIN(l_extendedprice) AS mn_p, MAX(l_extendedprice) AS mx_p,
+          MIN(l_quantity) AS mn_q, MAX(l_quantity) AS mx_q FROM lineitem),
+      bk AS (SELECT l_orderkey, l_linenumber,
+          CASE WHEN mx_p = mn_p THEN 0 ELSE CAST(LEAST(GREATEST(
+            FLOOR((l_extendedprice - mn_p) * 256.0 / (mx_p - mn_p)), 0), 255) AS BIGINT) END AS bp,
+          CASE WHEN mx_q = mn_q THEN 0 ELSE CAST(LEAST(GREATEST(
+            FLOOR((l_quantity - mn_q) * 256.0 / (mx_q - mn_q)), 0), 255) AS BIGINT) END AS bq
+        FROM lineitem, b)
+      SELECT l_orderkey, l_linenumber,
+        CAST(${(0 until 8).flatMap(j => Seq(
+          s"(((bp >> $j) & 1) << ${j * 2})",
+          s"(((bq >> $j) & 1) << ${j * 2 + 1})")).mkString(" | ")} AS BIGINT) AS zv
+      FROM bk ORDER BY l_orderkey, l_linenumber, zv"""))
+
+  val all: Seq[Q] = Seq(c01, c02, c03, c04, c05, c06, c07, c08, c09, c10, c42,
+    c44, c54)
 }

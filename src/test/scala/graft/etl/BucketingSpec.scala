@@ -25,4 +25,63 @@ class BucketingSpec extends SparkSpec {
       assert(j.count() == plain.count())
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("z-value interleaves bucket bits: hand-computed Morton codes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // domain [0, 4): 2-bit buckets 0..3 at width 1
+    val df = Seq((0.0, 0.0), (3.0, 0.0), (0.0, 3.0), (3.0, 3.0), (2.0, 1.0))
+      .toDF("x", "y")
+    val zv = Bucketing.zValue(Seq(
+      (col("x"), lit(0.0), lit(4.0)), (col("y"), lit(0.0), lit(4.0))), bits = 2)
+    val got = df.select(col("x"), col("y"), zv).collect()
+      .map(r => ((r.getDouble(0), r.getDouble(1)), r.getLong(2))).toMap
+    // interleave(bx, by): bit j of x at 2j, of y at 2j+1
+    def morton(bx: Long, by: Long) =
+      (0 until 2).map(j => (((bx >> j) & 1) << (2 * j)) | (((by >> j) & 1) << (2 * j + 1))).sum
+    assert(got((0.0, 0.0)) == morton(0, 0))
+    assert(got((3.0, 0.0)) == morton(3, 0))
+    assert(got((0.0, 3.0)) == morton(0, 3))
+    assert(got((3.0, 3.0)) == morton(3, 3))
+    assert(got((2.0, 1.0)) == morton(2, 1))
+    // degenerate domain collapses to bucket 0, values at max clamp to n-1
+    val edge = Seq((5.0, 4.0)).toDF("x", "y")
+      .select(Bucketing.zValue(Seq(
+        (col("x"), lit(5.0), lit(5.0)), (col("y"), lit(0.0), lit(4.0))), bits = 2))
+      .collect().head.getLong(0)
+    assert(edge == morton(0, 3), s"edge z-value: $edge")
+  }
+
+  test("z-clustering bounds every file's span on BOTH range dimensions") {
+    import org.apache.spark.sql.functions._
+    val li = T.lineitem(spark, sf001)
+    val out = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    Bucketing.zCluster(li, Seq("l_extendedprice", "l_quantity"), nPartitions = 16)
+      .write.mode("overwrite").parquet(out)
+    val dom = li.agg(
+      max(col("l_extendedprice")) - min(col("l_extendedprice")),
+      max(col("l_quantity")) - min(col("l_quantity"))).head()
+    val (domP, domQ) = (dom.getDouble(0), dom.getDouble(1))
+    // per-FILE spans: after z-clustering each parquet file must cover a
+    // narrow slice of BOTH columns — that is precisely what makes
+    // min/max stats prune files and row groups for a predicate on
+    // EITHER column. A single-column sort would give ~full-domain
+    // spans on the other column; unclustered input gives ~full spans on
+    // both. Averages, not maxima: the z-curve necessarily has a few
+    // boundary-crossing files.
+    val spans = spark.read.parquet(out)
+      .withColumn("f", input_file_name())
+      .groupBy(col("f")).agg(
+        (max(col("l_extendedprice")) - min(col("l_extendedprice"))).as("sp"),
+        (max(col("l_quantity")) - min(col("l_quantity"))).as("sq"))
+      .agg(avg(col("sp")), avg(col("sq")), count(lit(1))).head()
+    val (avgP, avgQ, nFiles) = (spans.getDouble(0), spans.getDouble(1), spans.getLong(2))
+    assert(nFiles >= 8, s"expected >=8 files, got $nFiles")
+    assert(avgP < 0.5 * domP,
+      s"price span $avgP not bounded vs domain $domP")
+    assert(avgQ < 0.5 * domQ,
+      s"quantity span $avgQ not bounded vs domain $domQ")
+    // and the clustered result is the same multiset of rows
+    assert(spark.read.parquet(out).count() == li.count())
+  }
 }
