@@ -27,8 +27,10 @@ object Main {
         |  query <sql> [--max-rows N]
         |  explain <declared-query> [--sf-dir DIR]
         |      (formatted physical plan of a declared query without
-        |       executing it — the dry-run planner for the Verify/Bench
-        |       surface; DIR defaults to $SPARK_GRAFT_SF_DIR)
+        |       running its final job — operators with driver-side
+        |       fronts (index builds, CC rounds, min/max scans) still
+        |       execute those while the frame is constructed;
+        |       DIR defaults to $SPARK_GRAFT_SF_DIR)
         |  corpus-prep <docs.parquet> <out-dir> [--shards N] [--pack-budget TOKENS] [--span-trim COV]
         |      (filter [-> drop docs with >= COV duplicate-span coverage]
         |       -> dedup -> chunk [-> pack into fixed-budget sequences] -> parquet)
@@ -112,13 +114,15 @@ object Main {
   }
 
   /** Formatted physical plan of a DECLARED query (the Verify/Bench
-    * surface) without executing it — the same audit loop the specs
-    * plan-assert, exposed for operators: check PushedFilters /
+    * surface) without running its FINAL job — the same audit loop the
+    * specs plan-assert, exposed for operators: check PushedFilters /
     * PartitionFilters / broadcast choices / WholeStageCodegen spans on
-    * the real testdata before paying for a run. Streaming-flavored
-    * declared queries execute micro-batches during ANALYSIS of their
-    * final batch frame; they are still explained (plan of the returned
-    * frame), with a note. */
+    * the real testdata before paying for the full run. Not free for
+    * every query: operators whose construction includes driver-side
+    * fronts (Lloyd/IVF training, CC label rounds, bloom/min-max
+    * aggregates, streaming micro-batch drains) execute those fronts
+    * while the frame is built — what's skipped is the final (usually
+    * dominant) job the printed plan describes. */
   private def explainQuery(args: List[String]): Unit = {
     val (name, dir) = args match {
       case n :: "--sf-dir" :: d :: Nil => (n, d)

@@ -93,7 +93,11 @@ object Bucketing {
     * with any sink; each output file then spans a narrow range of every
     * clustered column, so min/max stats prune files AND row groups for
     * predicates on any of them. One range exchange — the same cost the
-    * writer's repartition already pays, redirected to a useful order. */
+    * writer's repartition already pays, redirected to a useful order.
+    * The z-value is an internal ordering device and is dropped after
+    * the sort (a projection — partitioning and intra-partition order
+    * survive), so the result has the INPUT's schema and writes with any
+    * sink. */
   def zCluster(df: DataFrame, colNames: Seq[String], nPartitions: Int,
       bits: Int = 8): DataFrame = {
     val aggs = colNames.flatMap(c =>
@@ -102,8 +106,9 @@ object Bucketing {
     val triples = colNames.zipWithIndex.map { case (c, i) =>
       (col(c), lit(row.get(2 * i)), lit(row.get(2 * i + 1)))
     }
-    df.withColumn("zv", zValue(triples, bits))
-      .repartitionByRange(nPartitions, col("zv"))
-      .sortWithinPartitions(col("zv"))
+    df.withColumn("__zv", zValue(triples, bits))
+      .repartitionByRange(nPartitions, col("__zv"))
+      .sortWithinPartitions(col("__zv"))
+      .drop("__zv")
   }
 }

@@ -936,42 +936,57 @@ object Dedup {
       .agg(count(lit(1)).cast(IntegerType).as("n_shingles"))
     val hits = ev.join(train, "sh").groupBy(col("doc"))
       .agg(count(lit(1)).as("n_hit"))
-    // LEFT join: eval docs with zero hits have overlap 0, which satisfies
-    // the at/above-threshold contract when threshold = 0.0 — an inner
-    // join would silently drop them from the report
+    overlapReport(sizes, hits, threshold)
+  }
+
+  /** Shared contamination-report tail ([[contaminationOverlap]] /
+    * [[bloomDecontaminate]] — the "same report" contract lives here
+    * once): LEFT join so eval docs with zero hits have overlap 0, which
+    * satisfies the at/above-threshold contract when threshold = 0.0 —
+    * an inner join would silently drop them from the report. */
+  private def overlapReport(sizes: DataFrame, hits: DataFrame,
+      threshold: Double): DataFrame =
     sizes.join(hits, Seq("doc"), "left")
       .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
       .withColumn("overlap", col("n_hit").cast(DoubleType) / col("n_shingles"))
       .filter(col("overlap") >= threshold)
       .select(col("doc").as("doc_id"), col("n_shingles"), col("n_hit"), col("overlap"))
-  }
 
   /** Bloom-pruned decontamination — the broadcast-prune SCALE path for
-    * [[contaminationOverlap]], same report, different cost shape. Three
-    * structural changes move every full-corpus exchange off the plan:
+    * [[contaminationOverlap]], same report (the shared
+    * [[overlapReport]] tail), different cost shape. Three structural
+    * changes take every full-corpus EXCHANGE off the plan:
     *
     *  - the train side is folded into ONE serialized bloom filter by a
     *    single partial-merging aggregate (`graft_bloom_agg` — Spark's
     *    own `BloomFilterAggregate`, the runtime-filter primitive):
     *    no distinct pass, no exchange, one `numBits/8`-byte row to the
-    *    driver (BOUNDED — the only collect here);
+    *    driver;
     *  - the eval side probes that filter MAP-SIDE (`graft_bloom_contains`
     *    riding the scan, whole-stage codegen) so only probable members
-    *    — contamination rate + false positives — reach the exchange,
-    *    and the exact semi-join against the raw train shingles then
-    *    removes the false positives: the REPORT is exact, the bloom
-    *    only prunes;
+    *    — contamination rate + false positives — survive; the small
+    *    survivor set is cached and folded into a SECOND bloom, and the
+    *    train side probes THAT map-side before the exact semi-join —
+    *    the symmetric bloom join: neither corpus is ever exchanged in
+    *    full, only the two contaminated slivers meet in the join, and
+    *    the exact semi-join removes all false positives (filtering the
+    *    build side of a semi-join can only drop rows that match
+    *    nothing, so the REPORT is exact — the blooms only prune);
     *  - the denominator comes from the row's own text
     *    (`size(array_distinct(...))`, map-only) instead of a corpus-wide
     *    distinct — this operator contracts unique ids per eval doc
     *    (true of any real corpus surface; [[contaminationOverlap]]
     *    remains the flavor with multi-row-union semantics).
     *
-    * At 100 TB: the train corpus is read once and never shuffled; the
-    * eval corpus is read once and only its contaminated sliver is
-    * shuffled. fpp tunes via `numBits`/`estItems` (1 MiB of filter
-    * handles ~1M distinct shingles at ~1% FP; FPs cost only wasted
-    * probe-side rows, never correctness). */
+    * At 100 TB: the train corpus is scanned twice (bloom build + probe)
+    * and the eval corpus twice (sizes + probe) but NEITHER is shuffled
+    * — scans are the cheap currency at scale, exchanges the expensive
+    * one. The two driver collects are one serialized filter each
+    * (≤ numBits/8 bytes, BOUNDED). fpp tunes via `numBits`/`estItems`
+    * (1 MiB of filter handles ~1M distinct shingles at ~1% FP; FPs cost
+    * only wasted probe-side rows, never correctness). The survivor
+    * cache is the contamination sliver — small by the problem's nature;
+    * the ContextCleaner reclaims it (the declared-query pattern). */
   def bloomDecontaminate(
       df: DataFrame, idCol: String, textCol: String, sourceCol: String,
       evalSource: String, trainSource: String,
@@ -979,31 +994,29 @@ object Dedup {
       estItems: Long = 1L << 20, numBits: Long = 1L << 23): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val hashes = array_distinct(shingleHashes(col(textCol), shingleWidth))
-    val trainSh = df.filter(col(sourceCol) === trainSource)
-      .select(explode(hashes).as("sh"))
-    // one row, <= numBits/8 bytes: the serialized filter (bounded collect)
-    val bf = trainSh
+    def bloomOf(sh: DataFrame): Array[Byte] = sh
       .agg(call_function("graft_bloom_agg",
         xxhash64(col("sh")), lit(estItems), lit(numBits)).as("bf"))
-      .head().getAs[Array[Byte]]("bf")
+      .head().getAs[Array[Byte]]("bf") // null on empty input
+    def probeWith(bf: Array[Byte]): Column =
+      if (bf == null) lit(false) // empty side: nothing can match
+      else call_function("graft_bloom_contains", lit(bf), xxhash64(col("sh")))
+    val trainSh = df.filter(col(sourceCol) === trainSource)
+      .select(explode(hashes).as("sh"))
+    val trainBf = bloomOf(trainSh)
     val sizes = df.filter(col(sourceCol) === evalSource)
       .select(col(idCol).as("doc"), size(hashes).cast(IntegerType).as("n_shingles"))
-    val probe: Column =
-      if (bf == null) lit(false) // empty train corpus: nothing can hit
-      else call_function("graft_bloom_contains", lit(bf), xxhash64(col("sh")))
     val survivors = df.filter(col(sourceCol) === evalSource)
       .select(col(idCol).as("doc"), explode(hashes).as("sh"))
-      .filter(probe)
+      .filter(probeWith(trainBf))
+      .cache() // evaluated for its bloom AND the join; sliver-sized
+    val prunedTrain = trainSh.filter(probeWith(bloomOf(survivors)))
     // left_semi dedups train occurrences inside the join — no distinct
-    // exchange over the train side, and only bloom survivors shuffle
+    // exchange anywhere; both join inputs are bloom slivers
     val hits = survivors
-      .join(trainSh, Seq("sh"), "left_semi")
+      .join(prunedTrain, Seq("sh"), "left_semi")
       .groupBy(col("doc")).agg(count(lit(1)).as("n_hit"))
-    sizes.join(hits, Seq("doc"), "left")
-      .withColumn("n_hit", coalesce(col("n_hit"), lit(0L)))
-      .withColumn("overlap", col("n_hit").cast(DoubleType) / col("n_shingles"))
-      .filter(col("overlap") >= threshold)
-      .select(col("doc").as("doc_id"), col("n_shingles"), col("n_hit"), col("overlap"))
+    overlapReport(sizes, hits, threshold)
   }
 
   /** E2 (exact flavor, the conformance oracle): n-gram Jaccard similarity

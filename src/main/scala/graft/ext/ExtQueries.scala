@@ -2179,6 +2179,34 @@ object ExtQueries {
         CASE WHEN surprisal_micro // n_tokens > 3420000 THEN 'flag' ELSE 'keep' END AS verdict
       FROM sc ORDER BY doc_id"""))
 
+  // Shared BM25 restatement (e61 ranking / e63 lexical leg): the whole
+  // idf + tf-norm arithmetic lives ONCE, parameterized by the query
+  // terms — the mhCtesFrom factoring precedent applied to retrieval.
+  // Numerator order mirrors TextOps.bm25TopK exactly: the int64 factor
+  // idf·22·tf stays small, then ONE widening multiply by T in DOUBLE
+  // (the fused int64 product would overflow past T ≈ 3e10 tokens).
+  private def bm25Ctes(terms: Seq[String]): String = {
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    s"""d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      dl AS (SELECT doc_id, len(list_filter(ws, w -> length(w) > 0)) AS dl FROM d),
+      tok AS (SELECT doc_id, t.term FROM d, UNNEST(ws) AS t(term)
+        WHERE t.term IN ($inList)),
+      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+      tot AS (SELECT (SELECT COUNT(*) FROM documents) AS N,
+          (SELECT SUM(len(list_filter(string_split(text, ' '), w -> length(w) > 0)))
+           FROM documents) AS T),
+      w AS (SELECT term, CAST(FLOOR(LN(1.0 +
+            (CAST(N AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5)) * 1000000) AS BIGINT)
+            AS idf_micro
+        FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), tot),
+      sc AS (SELECT tf.doc_id,
+          SUM(CAST(FLOOR(CAST(w.idf_micro * 22 * tf.tf AS DOUBLE) * CAST(tot.T AS DOUBLE) /
+            CAST(10 * tot.T * tf.tf + 3 * tot.T + 9 * dl.dl * tot.N AS DOUBLE)) AS BIGINT))
+            AS score_micro
+        FROM tf JOIN w USING (term) JOIN dl USING (doc_id), tot
+        GROUP BY 1)"""
+  }
+
   // E4 (retrieval, BM25): the canonical lexical ranker over the corpus —
   // e30's integer-idf discipline extended to BM25's tf saturation and
   // length normalization, which at k1=1.2, b=0.75 reduce to a ratio of
@@ -2189,24 +2217,7 @@ object ExtQueries {
     (s, d) => TextOps.bm25TopK(T.documents(s, d), "doc_id", "text",
       terms = Seq("hash", "join", "customer"), k = 10)
       .orderBy(col("rn")),
-    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-      dl AS (SELECT doc_id, len(list_filter(ws, w -> length(w) > 0)) AS dl FROM d),
-      tok AS (SELECT doc_id, t.term FROM d, UNNEST(ws) AS t(term)
-        WHERE t.term IN ('hash', 'join', 'customer')),
-      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
-      tot AS (SELECT (SELECT COUNT(*) FROM documents) AS N,
-          (SELECT SUM(len(list_filter(string_split(text, ' '), w -> length(w) > 0)))
-           FROM documents) AS T),
-      w AS (SELECT term, CAST(FLOOR(LN(1.0 +
-            (CAST(N AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5)) * 1000000) AS BIGINT)
-            AS idf_micro
-        FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), tot),
-      sc AS (SELECT tf.doc_id,
-          SUM(CAST(FLOOR(CAST(w.idf_micro * 22 * tot.T * tf.tf AS DOUBLE) /
-            CAST(10 * tot.T * tf.tf + 3 * tot.T + 9 * dl.dl * tot.N AS DOUBLE)) AS BIGINT))
-            AS score_micro
-        FROM tf JOIN w USING (term) JOIN dl USING (doc_id), tot
-        GROUP BY 1),
+    Some(s"""WITH ${bm25Ctes(Seq("hash", "join", "customer"))},
       r AS (SELECT doc_id, score_micro,
           ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS rn FROM sc)
       SELECT doc_id, CAST(score_micro AS BIGINT) AS score_micro, rn
@@ -2248,24 +2259,7 @@ object ExtQueries {
       "doc_id", "text", terms = Seq("vector", "scan"), queryVecId = 0L,
       k = 10, poolK = 50)
       .orderBy(col("rn")),
-    Some("""WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-      dl AS (SELECT doc_id, len(list_filter(ws, w -> length(w) > 0)) AS dl FROM d),
-      tok AS (SELECT doc_id, t.term FROM d, UNNEST(ws) AS t(term)
-        WHERE t.term IN ('vector', 'scan')),
-      tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
-      tot AS (SELECT (SELECT COUNT(*) FROM documents) AS N,
-          (SELECT SUM(len(list_filter(string_split(text, ' '), w -> length(w) > 0)))
-           FROM documents) AS T),
-      w AS (SELECT term, CAST(FLOOR(LN(1.0 +
-            (CAST(N AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5)) * 1000000) AS BIGINT)
-            AS idf_micro
-        FROM (SELECT term, COUNT(*) AS df FROM tf GROUP BY term), tot),
-      sc AS (SELECT tf.doc_id,
-          SUM(CAST(FLOOR(CAST(w.idf_micro * 22 * tot.T * tf.tf AS DOUBLE) /
-            CAST(10 * tot.T * tf.tf + 3 * tot.T + 9 * dl.dl * tot.N AS DOUBLE)) AS BIGINT))
-            AS score_micro
-        FROM tf JOIN w USING (term) JOIN dl USING (doc_id), tot
-        GROUP BY 1),
+    Some(s"""WITH ${bm25Ctes(Seq("vector", "scan"))},
       lexr AS (SELECT doc_id,
           ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS lex_rn FROM sc),
       lr AS (SELECT doc_id, lex_rn FROM lexr WHERE lex_rn <= 50),

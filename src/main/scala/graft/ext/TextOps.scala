@@ -366,7 +366,15 @@ object TextOps {
       .select(size(filter(toks, t => length(t) > 0)).cast(LongType).as("__dl"))
       .agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__t"))
     val weights = tfQ
-      .groupBy(col("term")).agg(count(when(col("tf") >= 1, 1)).as("df"))
+      // df phrased over BOTH tf and dl (each ≥ its bound by
+      // construction, so the value is count(*)): referencing dl keeps
+      // this branch's subplan bit-equal to the scoring side — column
+      // pruning would otherwise drop dl here, the two tfQ subtrees
+      // would differ, and the token scan + its exchange would run twice
+      // instead of reusing (the tfidfTopK device, extended to the
+      // extra grouping column; ReusedExchange plan-asserted)
+      .groupBy(col("term"))
+      .agg(count(when(col("tf") >= 1 && col("dl") >= 0, 1)).as("df"))
       .crossJoin(broadcast(totals))
       .withColumn("idf_micro",
         floor(log(lit(1.0) +
@@ -374,9 +382,18 @@ object TextOps {
             (col("df").cast(DoubleType) + lit(0.5))) * idfScale))
       .select(col("term"), col("idf_micro"), col("__t"), col("__n"))
     val scored = tfQ.join(broadcast(weights), "term")
+      // numerator split so the int64 factor stays small: idf·22·tf is
+      // ≤ ~3e12 at any realistic idf/tf, then ONE widening multiply by
+      // T in Double (both factors exact, product correctly rounded —
+      // engine-identical). The fused int64 product idf·22·T·tf would
+      // overflow past T ≈ 3e10 tokens — a few-TB corpus — and ANSI mode
+      // turns that into a runtime error. The denominator stays int64
+      // (exact to T·tf ≈ 9e17; document-bounded dl keeps 9·dl·N far
+      // below) and widens once at the division.
       .withColumn("contrib",
         floor(
-          (col("idf_micro") * lit(22L) * col("__t") * col("tf")).cast(DoubleType) /
+          (col("idf_micro") * lit(22L) * col("tf")).cast(DoubleType) *
+            col("__t").cast(DoubleType) /
           (lit(10L) * col("__t") * col("tf") + lit(3L) * col("__t") +
             lit(9L) * col("dl") * col("__n")).cast(DoubleType)))
       .groupBy(col(idCol))

@@ -81,7 +81,10 @@ class BucketingSpec extends SparkSpec {
       s"price span $avgP not bounded vs domain $domP")
     assert(avgQ < 0.5 * domQ,
       s"quantity span $avgQ not bounded vs domain $domQ")
-    // and the clustered result is the same multiset of rows
+    // and the clustered result is the same multiset of rows with the
+    // INPUT's schema — the internal z-value never leaks to the sink
     assert(spark.read.parquet(out).count() == li.count())
+    assert(spark.read.parquet(out).columns.sorted.toSeq == li.columns.sorted.toSeq,
+      "z-clustering must not change the schema")
   }
 }

@@ -608,13 +608,21 @@ class TextMultimodalSpec extends SparkSpec {
     assert(TextOps.bm25TopK(df, "doc_id", "text", Seq("q"), k = 2).count() == 2)
   }
 
-  test("bm25 plan: top-k is TakeOrderedAndProject, weights broadcast") {
+  test("bm25 plan: top-k is TakeOrderedAndProject, weights broadcast, tf exchange reused") {
     val out = TextOps.bm25TopK(graft.Tables.documents(spark, sf001),
       "doc_id", "text", Seq("hash", "join"), k = 10)
+    // AQE materializes exchange reuse only in the EXECUTED plan (the
+    // PlanSpec E5/E6 discipline) — run before asserting
+    out.collect()
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-k must not global-sort:\n${plan.take(1200)}")
     assert(plan.contains("BroadcastHashJoin"),
       s"weights must broadcast onto the tf side:\n${plan.take(1200)}")
+    // the df branch and the scoring side sit on the SAME (doc, dl, term)
+    // aggregate subplan — one token scan + one exchange, reused (the
+    // dl-referencing df count exists exactly for this)
+    assert(plan.contains("ReusedExchange"),
+      s"tf exchange must be computed once:\n${plan.take(2000)}")
   }
 }
