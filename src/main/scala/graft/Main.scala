@@ -31,8 +31,9 @@ object Main {
         |       fronts (index builds, CC rounds, min/max scans) still
         |       execute those while the frame is constructed;
         |       DIR defaults to $SPARK_GRAFT_SF_DIR)
-        |  corpus-prep <docs.parquet> <out-dir> [--shards N] [--pack-budget TOKENS] [--span-trim COV]
-        |      (filter [-> drop docs with >= COV duplicate-span coverage]
+        |  corpus-prep <docs.parquet> <out-dir> [--shards N] [--pack-budget TOKENS] [--span-trim COV] [--surprisal-gate MICRO]
+        |      (filter [-> drop docs above MICRO mean unigram surprisal]
+        |       [-> drop docs with >= COV duplicate-span coverage]
         |       -> dedup -> chunk [-> pack into fixed-budget sequences] -> parquet)
         |  list-accounts
         |  test-connection
@@ -244,22 +245,25 @@ object Main {
   private def corpusPrep(args: List[String]): Unit = {
     @annotation.tailrec
     def opts(rest: List[String], shards: Option[Int], budget: Option[Int],
-        spanTrim: Option[Double]): (Option[Int], Option[Int], Option[Double]) =
+        spanTrim: Option[Double], surprisal: Option[Long])
+        : (Option[Int], Option[Int], Option[Double], Option[Long]) =
       rest match {
-        case Nil                         => (shards, budget, spanTrim)
-        case "--shards" :: n :: t        => opts(t, Some(num(n).toInt), budget, spanTrim)
-        case "--pack-budget" :: n :: t   => opts(t, shards, Some(num(n).toInt), spanTrim)
+        case Nil                         => (shards, budget, spanTrim, surprisal)
+        case "--shards" :: n :: t        => opts(t, Some(num(n).toInt), budget, spanTrim, surprisal)
+        case "--pack-budget" :: n :: t   => opts(t, shards, Some(num(n).toInt), spanTrim, surprisal)
         case "--span-trim" :: v :: t =>
           val d = v.toDoubleOption.getOrElse {
             System.err.println(s"not a number: $v"); usage()
           }
-          opts(t, shards, budget, Some(d))
+          opts(t, shards, budget, Some(d), surprisal)
+        case "--surprisal-gate" :: v :: t =>
+          opts(t, shards, budget, spanTrim, Some(num(v)))
         case _                           => usage()
       }
-    val (in, out, shards, budget, spanTrim) = args match {
+    val (in, out, shards, budget, spanTrim, surprisal) = args match {
       case i :: o :: rest =>
-        val (s, b, st) = opts(rest, None, None, None)
-        (i, o, s, b, st)
+        val (s, b, st, sg) = opts(rest, None, None, None, None)
+        (i, o, s, b, st, sg)
       case _ => usage()
     }
     val cfg = EngineConfig.fromEnv()
@@ -267,7 +271,7 @@ object Main {
     try {
       val res = graft.ext.CorpusPipeline.prepareAndWrite(
         spark.read.parquet(in), out, shards = shards, packBudget = budget,
-        spanTrimAt = spanTrim)
+        spanTrimAt = spanTrim, surprisalFlagAt = surprisal)
       val what = budget.map(b => s"sequences (budget $b)").getOrElse("chunks")
       val how = shards.map(n => s" in $n shards").getOrElse("")
       println(s"[corpus-prep] ${res.chunksWritten} $what$how -> ${res.path}")

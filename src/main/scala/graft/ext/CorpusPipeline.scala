@@ -51,11 +51,26 @@ object CorpusPipeline {
       minStopwordRatio: Double = 0.01, paraTokens: Int = 20, paraMaxDocs: Int = 1,
       k: Int = 32, bands: Int = 8, minEstSim: Double = 0.4, maxEdit: Int = 5,
       chunkTokens: Int = 64, overlapTokens: Int = 16,
-      spanTrimAt: Option[Double] = None, spanK: Int = 5): Prepared = {
+      spanTrimAt: Option[Double] = None, spanK: Int = 5,
+      surprisalFlagAt: Option[Long] = None): Prepared = {
     val filtered = TextOps.qualityFilter(docs, idCol, textCol,
       lang = lang, minTokens = minTokens, maxPunctRatio = maxPunctRatio,
       minStopwordRatio = minStopwordRatio)
-    val fdocs0 = docs.join(filtered.select(idCol), idCol)
+    val fdocs1 = docs.join(filtered.select(idCol), idCol)
+    // optional LM-quality gate (e60's unigram surprisal, the CCNet
+    // shape): docs whose MEAN token surprisal vs the corpus's own
+    // unigram model exceeds the gate (micro-nats) are the
+    // gibberish/noise tail — dropped before any pairwise work. The
+    // model is trained on the post-heuristic corpus (the same frame it
+    // filters), not the raw input, so heuristically-rejected docs don't
+    // skew the vocabulary. Off by default (e35/e38 pin the historical
+    // stage list).
+    val fdocs0 = surprisalFlagAt match {
+      case Some(gate) => fdocs1.join(
+        TextOps.unigramSurprisal(fdocs1, idCol, textCol, flagAboveMicro = gate)
+          .filter(col("verdict") === "keep").select(idCol), idCol)
+      case None => fdocs1
+    }
     // optional cross-doc duplicate-SPAN gate (e57's coverage verdicts,
     // Lee et al. 2022): docs whose k-token windows are mostly verbatim
     // repeats of other documents are dropped BEFORE the paragraph pass —
@@ -180,8 +195,10 @@ object CorpusPipeline {
       idCol: String = "doc_id", textCol: String = "text",
       shards: Option[Int] = None,
       packBudget: Option[Int] = None, packBuckets: Int = 64,
-      spanTrimAt: Option[Double] = None): WriteResult = {
-    val p = prepare(docs, idCol, textCol, spanTrimAt = spanTrimAt)
+      spanTrimAt: Option[Double] = None,
+      surprisalFlagAt: Option[Long] = None): WriteResult = {
+    val p = prepare(docs, idCol, textCol, spanTrimAt = spanTrimAt,
+      surprisalFlagAt = surprisalFlagAt)
     try {
       val (rows, keyCol, tieCols) = packBudget match {
         case Some(budget) =>

@@ -76,6 +76,39 @@ class CorpusPipelineSpec extends SparkSpec {
       s"default path must not span-drop: $dfltIds")
   }
 
+  test("prepare surprisalFlagAt: high-surprisal docs drop before pairwise work; default unchanged") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // three docs clear the heuristic quality gate; doc 3's vocabulary is
+    // all corpus-unique tokens, so its mean unigram surprisal is far
+    // above the two docs built from each other's (shared) vocabulary
+    val shared = (0 until 12).map(i => s"alpha$i beta$i gamma$i the a of").mkString(" ")
+    val docs = Seq(
+      (1L, shared + " original tail words the of"),
+      (2L, shared + " copied tail words the of"),
+      (3L, (0 until 12).map(i => s"unique$i fresh$i token$i the a of").mkString(" "))
+    ).toDF("doc_id", "text")
+    // locate a gate between the two surprisal regimes from the operator
+    // itself (the spec stays true under corpus edits)
+    val s = TextOps.unigramSurprisal(docs, "doc_id", "text", flagAboveMicro = 0L)
+      .select("doc_id", "avg_surprisal_micro").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s(3L) > s(1L).max(s(2L)), s"fixture regression: $s")
+    val gate = (s(3L) + s(1L).max(s(2L))) / 2
+    val gated = CorpusPipeline.prepare(docs, surprisalFlagAt = Some(gate))
+    val keptIds = gated.chunks.select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    gated.unpersistAll()
+    assert(!keptIds.contains(3L) && keptIds.nonEmpty,
+      s"gate $gate must drop the high-surprisal doc: kept $keptIds")
+    // default (None) keeps the historical stage list — doc 3 survives
+    val dflt = CorpusPipeline.prepare(docs)
+    val dfltIds = dflt.chunks.select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    dflt.unpersistAll()
+    assert(dfltIds.contains(3L), s"default path must not surprisal-drop: $dfltIds")
+  }
+
   test("prepareAndWrite --shards: sharded sink holds the same chunks, doc-cohesive") {
     val docs = T.documents(spark, "/root/testdata/sf0.01")
     val flat = Files.createTempDirectory("graft_corpus_flat").toString + "/chunks"
