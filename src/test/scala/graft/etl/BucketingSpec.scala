@@ -52,6 +52,43 @@ class BucketingSpec extends SparkSpec {
     assert(edge == morton(0, 3), s"edge z-value: $edge")
   }
 
+  test("z-value property — de-interleaving recovers every per-column bucket") {
+    import org.scalacheck.Gen
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val seed0 = org.scalacheck.rng.Seed(31L)
+    val geom = for {
+      k <- Gen.choose(2, 3)
+      bits <- Gen.choose(2, 6)
+      lo <- Gen.choose(-100.0, 100.0)
+      w <- Gen.choose(1.0, 500.0)
+      n <- Gen.choose(5, 40)
+      rows <- Gen.listOfN(n, Gen.listOfN(k, Gen.choose(lo - 10, lo + w + 10)))
+    } yield (k, bits, lo, w, rows)
+    Iterator.iterate(seed0)(_.next).take(12).foreach { seed =>
+      geom.apply(Gen.Parameters.default, seed).foreach { case (k, bits, lo, w, rows) =>
+        val df = rows.zipWithIndex.map { case (vs, i) => (i.toLong, vs) }
+          .toDF("id", "vs")
+        val cols = (0 until k).map(i =>
+          (element_at(col("vs"), i + 1), lit(lo), lit(lo + w)))
+        val out = df.select(col("vs"), Bucketing.zValue(cols, bits)).collect()
+        val n = 1L << bits
+        out.foreach { r =>
+          val vs = r.getSeq[Double](0)
+          val zv = r.getLong(1)
+          vs.zipWithIndex.foreach { case (v, i) =>
+            // reference bucket, same pinned arithmetic
+            val b = math.min(math.max(
+              math.floor((v - lo) * n.toDouble / w).toLong, 0L), n - 1)
+            // de-interleave column i's bits back out of the z-value
+            val back = (0 until bits).map(j => ((zv >> (j * k + i)) & 1L) << j).sum
+            assert(back == b, s"col $i of $vs (bits=$bits): z=$zv got $back want $b")
+          }
+        }
+      }
+    }
+  }
+
   test("z-clustering bounds every file's span on BOTH range dimensions") {
     import org.apache.spark.sql.functions._
     val li = T.lineitem(spark, sf001)

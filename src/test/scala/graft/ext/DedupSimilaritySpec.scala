@@ -76,6 +76,34 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("bloom decontamination property — equals the exact report at random corpora") {
+    import org.scalacheck.Gen
+    import spark.implicits._
+    // small vocab forces real shingle overlap between the two sources;
+    // tiny filters (64–4096 bits) force false positives through the
+    // bloom so the exact confirm join is actually exercised
+    val word = Gen.oneOf("a", "b", "c", "d", "e")
+    val docGen = Gen.choose(3, 20).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val corpus = Gen.choose(3, 10).flatMap(k => Gen.listOfN(k, docGen))
+    val seed0 = org.scalacheck.rng.Seed(29L)
+    Iterator.iterate(seed0)(_.next).take(10).zipWithIndex.foreach { case (seed, it) =>
+      corpus.apply(Gen.Parameters.default, seed).foreach { texts =>
+        val df = texts.zipWithIndex.map { case (t, i) =>
+          (i.toLong, t, if (i % 2 == 0) "train" else "eval")
+        }.toDF("doc_id", "text", "source")
+        val bits = Seq(64L, 512L, 4096L)(it % 3)
+        def report(d: org.apache.spark.sql.DataFrame) = d
+          .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1).toSeq
+        val exact = report(Dedup.contaminationOverlap(
+          df, "doc_id", "text", "source", "eval", "train", 3, 0.0))
+        val bloom = report(Dedup.bloomDecontaminate(
+          df, "doc_id", "text", "source", "eval", "train", 3, 0.0,
+          estItems = 8, numBits = bits))
+        assert(bloom == exact, s"bits=$bits corpus=${texts.take(3)}…")
+      }
+    }
+  }
+
   test("E2: identical documents get identical MinHash signatures and SimHash 0 distance") {
     import spark.implicits._
     val df = Seq((1L, "the quick brown fox jumps over the lazy dog"),
