@@ -2282,10 +2282,50 @@ object ExtQueries {
           ROW_NUMBER() OVER (ORDER BY rrf_micro DESC, doc_id) AS rn FROM f)
       SELECT doc_id, lex_rn, vec_rn, rrf_micro, rn FROM r WHERE rn <= 10 ORDER BY rn"""))
 
+  // E3/E4 capstone (serving at scale): e63's fusion with the vector leg
+  // swapped for the PERSISTED IVF-PQ index serve — the 100 TB shape the
+  // e63 scaladoc promises, actually wired and hash-checked: build the
+  // index once (e47's geometry), serve the query batch through the
+  // cell-pruned path, fuse those ranks with BM25 by the same integer
+  // RRF. The oracle composes the two existing restatements — bm25Ctes
+  // for the lexical leg and ivfPqServeOracle as a derived table for the
+  // index leg (CTE names scope to the subquery) — so every arithmetic
+  // detail is pinned by components that already hash-pass standalone.
+  val e64 = Q(
+    "e64_hybrid_index_rrf",
+    (s, d) => {
+      val dir = java.nio.file.Files.createTempDirectory("graft_e64_idx").toString
+      Similarity.buildIndex(T.embeddings(s, d), dir,
+        nlist = 64, m = 16, ksub = 64, pqIters = 2)
+      val idx = Similarity.loadIndex(s, dir)
+      val vec = Similarity.queryIndex(idx,
+          T.embeddings(s, d).filter(col("vec_id") < 10), k = 5, nprobe = 8)
+        .filter(col("qid") === 0)
+        .select(col("vec_id").as("doc_id"), col("rn").as("vec_rn"))
+      val lex = TextOps.bm25TopK(T.documents(s, d), "doc_id", "text",
+          Seq("vector", "scan"), k = 50)
+        .select(col("doc_id"), col("rn").as("lex_rn"))
+      Similarity.rrfFuse(lex, vec, "doc_id", k = 10).orderBy(col("rn"))
+    },
+    Some(s"""WITH ${bm25Ctes(Seq("vector", "scan"))},
+      lexr AS (SELECT doc_id,
+          ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS lex_rn FROM sc),
+      lr AS (SELECT doc_id, lex_rn FROM lexr WHERE lex_rn <= 50),
+      vr AS (SELECT vec_id AS doc_id, rn AS vec_rn
+        FROM (${ivfPqServeOracle("embeddings")}) WHERE qid = 0),
+      f AS (SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.lex_rn, v.vec_rn,
+          COALESCE(1000000 // (60 + l.lex_rn), 0) + COALESCE(1000000 // (60 + v.vec_rn), 0)
+            AS rrf_micro
+        FROM lr l FULL OUTER JOIN vr v ON l.doc_id = v.doc_id),
+      r AS (SELECT doc_id, COALESCE(lex_rn, -1) AS lex_rn,
+          COALESCE(vec_rn, -1) AS vec_rn, rrf_micro,
+          ROW_NUMBER() OVER (ORDER BY rrf_micro DESC, doc_id) AS rn FROM f)
+      SELECT doc_id, lex_rn, vec_rn, rrf_micro, rn FROM r WHERE rn <= 10 ORDER BY rn"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
       e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41, e42, e43, e44,
       e45, e46, e47, e48, e49, e50, e51, e52, e53, e54, e55, e56, e57, e58, e59,
-      e60, e61, e62, e63)
+      e60, e61, e62, e63, e64)
 }

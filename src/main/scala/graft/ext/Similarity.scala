@@ -948,13 +948,24 @@ object Similarity {
   def hybridRrfTopK(docs: DataFrame, embs: DataFrame, idCol: String,
       textCol: String, terms: Seq[String], queryVecId: Long, k: Int,
       poolK: Int = 50, rrfK: Int = 60): DataFrame = {
-    require(k > 0 && poolK >= k && rrfK > 0,
+    require(poolK >= k,
       s"rrf geometry out of range: k=$k poolK=$poolK rrfK=$rrfK")
     val lex = TextOps.bm25TopK(docs, idCol, textCol, terms, poolK)
       .select(col(idCol), col("rn").as("lex_rn"))
     val vec = bruteForceTopK(embs,
         embs.filter(col("vec_id") === queryVecId), poolK)
       .select(col("vec_id").as(idCol), col("rn").as("vec_rn"))
+    rrfFuse(lex, vec, idCol, k, rrfK)
+  }
+
+  /** The RRF combiner itself, leg-agnostic: fuse a `(id, lex_rn)` and a
+    * `(id, vec_rn)` rank frame (each already capped at its pool depth —
+    * the legs may be ANY ranker: BM25, brute cosine, the persisted
+    * IVF-PQ serve). Integer micro-points, full-outer so a doc ranked by
+    * one leg only still competes; sentinel −1 for the absent rank. */
+  def rrfFuse(lex: DataFrame, vec: DataFrame, idCol: String, k: Int,
+      rrfK: Int = 60): DataFrame = {
+    require(k > 0 && rrfK > 0, s"rrf geometry out of range: k=$k rrfK=$rrfK")
     val fused = lex.join(vec, Seq(idCol), "full_outer")
       .withColumn("rrf_micro",
         coalesce(expr(s"1000000 div ($rrfK + lex_rn)"), lit(0L)) +

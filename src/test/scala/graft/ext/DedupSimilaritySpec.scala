@@ -461,6 +461,31 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.exists(_._2 > 0) && out.exists(_._3 > 0))
   }
 
+  test("hybrid rrf with the persisted index leg: fusion equals a scala restatement") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rrf_idx").toString
+    Similarity.buildIndex(embs, dir, nlist = 16, m = 16, ksub = 16, pqIters = 1)
+    val idx = Similarity.loadIndex(spark, dir)
+    val vecLeg = Similarity.queryIndex(idx, embs.filter(col("vec_id") === 3), k = 7)
+      .select("vec_id", "rn").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lexLeg = TextOps.bm25TopK(docs, "doc_id", "text", Seq("hash"), 20)
+      .select("doc_id", "rn").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (lexLeg.keySet ++ vecLeg.keySet).toSeq
+      .map { id =>
+        val rrf = lexLeg.get(id).map(r => 1000000L / (60 + r)).getOrElse(0L) +
+          vecLeg.get(id).map(r => 1000000L / (60 + r)).getOrElse(0L)
+        (id, lexLeg.getOrElse(id, -1L), vecLeg.getOrElse(id, -1L), rrf)
+      }
+      .sortBy(t => (-t._4, t._1)).take(5)
+      .zipWithIndex.map { case ((id, l, v, r), i) => (id, l, v, r, i + 1L) }
+    import spark.implicits._
+    val lex = lexLeg.toSeq.toDF("doc_id", "lex_rn")
+    val vec = vecLeg.toSeq.toDF("doc_id", "vec_rn")
+    val out = Similarity.rrfFuse(lex, vec, "doc_id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._5).toSeq
+    assert(out == expected, s"\ngot:      $out\nexpected: $expected")
+  }
+
   test("jaccard pairs stay strictly ordered even with duplicate doc ids in the input") {
     import spark.implicits._
     val df = Seq((7L, "a b c d e"), (7L, "a b c d e"), (8L, "x y z w v"))
