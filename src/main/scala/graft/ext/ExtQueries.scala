@@ -108,6 +108,35 @@ object ExtQueries {
   // band slice → bucket join → est_sim filter) is hash-checked by DuckDB,
   // not declared rows-only. The xxhash64+splitmix throughput flavor
   // (Dedup.minhashCandidates) is recall-tested in the suite.
+  /** Temp dirs for declared queries' persisted artifacts (indexes,
+    * staging, stream sinks/checkpoints): same per-invocation semantics
+    * as `createTempDirectory`, plus ONE JVM shutdown hook that
+    * best-effort recursively deletes every dir handed out — bench
+    * min-of-N reps accumulate only within a run, never across sessions
+    * (each rep builds fresh dirs; a long-lived bench host otherwise
+    * grows /tmp without bound). Deletion is last-resort cleanup, so
+    * failures (files still pinned by Spark's own shutdown) are
+    * swallowed. */
+  private val tempDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+  private lazy val tempDirHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      tempDirs.forEach { p =>
+        try {
+          import java.nio.file.Files
+          Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+            .forEach { f => try { Files.deleteIfExists(f); () } catch { case _: Throwable => () } }
+        } catch { case _: Throwable => () }
+      }
+    }))
+  }
+  private[ext] def tempQueryDir(prefix: String): String = {
+    tempDirHook
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    tempDirs.add(p)
+    p.toString
+  }
+
   private val mhK = 32
   private val mhBands = 8
   private val mhR = mhK / mhBands
@@ -1530,7 +1559,7 @@ object ExtQueries {
   val e47 = Q(
     "e47_ann_index_serve",
     (s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_e47_idx").toString
+      val dir = tempQueryDir("graft_e47_idx")
       Similarity.buildIndex(T.embeddings(s, d), dir,
         nlist = 64, m = 16, ksub = 64, pqIters = 2)
       val idx = Similarity.loadIndex(s, dir)
@@ -1614,7 +1643,7 @@ object ExtQueries {
     "e49_stream_exactly_once",
     (outer, d) => {
       val s = graft.streaming.StateBackend.isolatedStreamSession(outer)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_e49").toString
+      val tmp = tempQueryDir("graft_e49")
       val sink = s"$tmp/docs"
       val schema = s.read.parquet(s"$d/documents.parquet").schema
       val src = s.readStream.schema(schema).parquet(s"$d/documents.parque[t]")
@@ -1820,7 +1849,7 @@ object ExtQueries {
     "e52_incremental_dedup",
     (s, d) => {
       val docs = T.documents(s, d)
-      val dir = java.nio.file.Files.createTempDirectory("graft_e52_idx").toString
+      val dir = tempQueryDir("graft_e52_idx")
       Dedup.buildDedupIndex(docs.filter(col("doc_id") % 5 =!= 4), "doc_id", "text",
         dir, k = mhK, bands = mhBands)
       val idx = Dedup.loadDedupIndex(s, dir)
@@ -1845,7 +1874,7 @@ object ExtQueries {
     "e53_dedup_index_maintenance",
     (s, d) => {
       val docs = T.documents(s, d)
-      val dir = java.nio.file.Files.createTempDirectory("graft_e53_idx").toString
+      val dir = tempQueryDir("graft_e53_idx")
       Dedup.buildDedupIndex(
         docs.filter(col("doc_id") % 5 =!= 4 && col("doc_id") % 5 =!= 3),
         "doc_id", "text", dir, k = mhK, bands = mhBands)
@@ -1949,13 +1978,13 @@ object ExtQueries {
     (outer, d) => {
       val s = graft.streaming.StateBackend.isolatedStreamSession(outer)
       val docs = T.documents(s, d)
-      val dir = java.nio.file.Files.createTempDirectory("graft_e54_idx").toString
+      val dir = tempQueryDir("graft_e54_idx")
       Dedup.buildDedupIndex(docs.filter(col("doc_id") % 5 =!= 4), "doc_id", "text",
         dir, k = mhK, bands = mhBands)
       // stage the ingest as three deterministic micro-batches: one FILE
       // per doc_id%3 slice, mtimes pinned ascending so the file source
       // (oldest-first) admits them in slice order, one file per trigger
-      val staging = java.nio.file.Files.createTempDirectory("graft_e54_in").toString
+      val staging = tempQueryDir("graft_e54_in")
       val fs = new org.apache.hadoop.fs.Path(staging)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       for (g <- 0 to 2) {
@@ -1969,9 +1998,8 @@ object ExtQueries {
       val sch = s.read.parquet(s"$staging/slice0").schema
       val src = s.readStream.schema(sch).option("maxFilesPerTrigger", 1)
         .parquet(s"$staging/slice*")
-      val sink = java.nio.file.Files.createTempDirectory("graft_e54_out")
-        .toString + "/verdicts"
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_e54_ck").toString
+      val sink = tempQueryDir("graft_e54_out") + "/verdicts"
+      val ckpt = tempQueryDir("graft_e54_ck")
       val q = CorpusPipeline.streamingDedupIngest(src, "doc_id", "text",
         dir, sink, ckpt, minEstSim = 0.4)
       q.awaitTermination()
@@ -1997,10 +2025,10 @@ object ExtQueries {
     (outer, d) => {
       val s = graft.streaming.StateBackend.isolatedStreamSession(outer)
       val embs = T.embeddings(s, d)
-      val dir = java.nio.file.Files.createTempDirectory("graft_e55_idx").toString
+      val dir = tempQueryDir("graft_e55_idx")
       Similarity.buildIndex(embs.filter(col("vec_id") % 4 =!= 3), dir,
         nlist = 64, m = 16, ksub = 64, pqIters = 2)
-      val staging = java.nio.file.Files.createTempDirectory("graft_e55_in").toString
+      val staging = tempQueryDir("graft_e55_in")
       val fs = new org.apache.hadoop.fs.Path(staging)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
       for ((m8, g) <- Seq((3L, 0), (7L, 1))) {
@@ -2014,7 +2042,7 @@ object ExtQueries {
       val sch = s.read.parquet(s"$staging/slice0").schema
       val src = s.readStream.schema(sch).option("maxFilesPerTrigger", 1)
         .parquet(s"$staging/slice*")
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_e55_ck").toString
+      val ckpt = tempQueryDir("graft_e55_ck")
       val q = src.writeStream
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -2248,6 +2276,24 @@ object ExtQueries {
       FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
       ORDER BY d.doc_id"""))
 
+  // Shared RRF fusion restatement (e63/e64): BM25 lexical ranks off
+  // bm25Ctes' `sc`, fused with a caller-supplied `vr(doc_id, vec_rn)`
+  // CTE that must be defined BEFORE this tail in the WITH list. One
+  // copy of the 1e6 // (60 + rank) arithmetic — the bm25Ctes factoring
+  // discipline applied to the combiner.
+  private val rrfTailSql: String =
+    """lexr AS (SELECT doc_id,
+          ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS lex_rn FROM sc),
+      lr AS (SELECT doc_id, lex_rn FROM lexr WHERE lex_rn <= 50),
+      f AS (SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.lex_rn, v.vec_rn,
+          COALESCE(1000000 // (60 + l.lex_rn), 0) + COALESCE(1000000 // (60 + v.vec_rn), 0)
+            AS rrf_micro
+        FROM lr l FULL OUTER JOIN vr v ON l.doc_id = v.doc_id),
+      r AS (SELECT doc_id, COALESCE(lex_rn, -1) AS lex_rn,
+          COALESCE(vec_rn, -1) AS vec_rn, rrf_micro,
+          ROW_NUMBER() OVER (ORDER BY rrf_micro DESC, doc_id) AS rn FROM f)
+      SELECT doc_id, lex_rn, vec_rn, rrf_micro, rn FROM r WHERE rn <= 10 ORDER BY rn"""
+
   // E3/E4 composition (serving): hybrid retrieval — BM25 lexical ranks
   // fused with embedding-cosine ranks by Reciprocal Rank Fusion, the
   // float-free integer combiner (1e6 div (60 + rank) per leg, absent leg
@@ -2260,9 +2306,6 @@ object ExtQueries {
       k = 10, poolK = 50)
       .orderBy(col("rn")),
     Some(s"""WITH ${bm25Ctes(Seq("vector", "scan"))},
-      lexr AS (SELECT doc_id,
-          ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS lex_rn FROM sc),
-      lr AS (SELECT doc_id, lex_rn FROM lexr WHERE lex_rn <= 50),
       q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
       vsc AS (SELECT e.vec_id AS doc_id,
           LIST_SUM(LIST_TRANSFORM(range(1, LEN(e.embedding)+1),
@@ -2273,14 +2316,7 @@ object ExtQueries {
       vr0 AS (SELECT doc_id,
           ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS vec_rn FROM vsc),
       vr AS (SELECT doc_id, vec_rn FROM vr0 WHERE vec_rn <= 50),
-      f AS (SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.lex_rn, v.vec_rn,
-          COALESCE(1000000 // (60 + l.lex_rn), 0) + COALESCE(1000000 // (60 + v.vec_rn), 0)
-            AS rrf_micro
-        FROM lr l FULL OUTER JOIN vr v ON l.doc_id = v.doc_id),
-      r AS (SELECT doc_id, COALESCE(lex_rn, -1) AS lex_rn,
-          COALESCE(vec_rn, -1) AS vec_rn, rrf_micro,
-          ROW_NUMBER() OVER (ORDER BY rrf_micro DESC, doc_id) AS rn FROM f)
-      SELECT doc_id, lex_rn, vec_rn, rrf_micro, rn FROM r WHERE rn <= 10 ORDER BY rn"""))
+      $rrfTailSql"""))
 
   // E3/E4 capstone (serving at scale): e63's fusion with the vector leg
   // swapped for the PERSISTED IVF-PQ index serve — the 100 TB shape the
@@ -2294,13 +2330,17 @@ object ExtQueries {
   val e64 = Q(
     "e64_hybrid_index_rrf",
     (s, d) => {
-      val dir = java.nio.file.Files.createTempDirectory("graft_e64_idx").toString
+      val dir = tempQueryDir("graft_e64_idx")
       Similarity.buildIndex(T.embeddings(s, d), dir,
         nlist = 64, m = 16, ksub = 64, pqIters = 2)
       val idx = Similarity.loadIndex(s, dir)
+      // serve ONLY the fused query: per-qid results are independent
+      // (scoreWithModel joins codes to the probe set ON cid, so each
+      // qid scores exactly its own probed cells regardless of batch
+      // mates) — the oracle restates the 10-query serve and filters to
+      // qid 0, pinning that independence in the hash
       val vec = Similarity.queryIndex(idx,
-          T.embeddings(s, d).filter(col("vec_id") < 10), k = 5, nprobe = 8)
-        .filter(col("qid") === 0)
+          T.embeddings(s, d).filter(col("vec_id") === 0), k = 5, nprobe = 8)
         .select(col("vec_id").as("doc_id"), col("rn").as("vec_rn"))
       val lex = TextOps.bm25TopK(T.documents(s, d), "doc_id", "text",
           Seq("vector", "scan"), k = 50)
@@ -2308,19 +2348,9 @@ object ExtQueries {
       Similarity.rrfFuse(lex, vec, "doc_id", k = 10).orderBy(col("rn"))
     },
     Some(s"""WITH ${bm25Ctes(Seq("vector", "scan"))},
-      lexr AS (SELECT doc_id,
-          ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS lex_rn FROM sc),
-      lr AS (SELECT doc_id, lex_rn FROM lexr WHERE lex_rn <= 50),
       vr AS (SELECT vec_id AS doc_id, rn AS vec_rn
         FROM (${ivfPqServeOracle("embeddings")}) WHERE qid = 0),
-      f AS (SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.lex_rn, v.vec_rn,
-          COALESCE(1000000 // (60 + l.lex_rn), 0) + COALESCE(1000000 // (60 + v.vec_rn), 0)
-            AS rrf_micro
-        FROM lr l FULL OUTER JOIN vr v ON l.doc_id = v.doc_id),
-      r AS (SELECT doc_id, COALESCE(lex_rn, -1) AS lex_rn,
-          COALESCE(vec_rn, -1) AS vec_rn, rrf_micro,
-          ROW_NUMBER() OVER (ORDER BY rrf_micro DESC, doc_id) AS rn FROM f)
-      SELECT doc_id, lex_rn, vec_rn, rrf_micro, rn FROM r WHERE rn <= 10 ORDER BY rn"""))
+      $rrfTailSql"""))
 
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,

@@ -948,8 +948,7 @@ object Similarity {
   def hybridRrfTopK(docs: DataFrame, embs: DataFrame, idCol: String,
       textCol: String, terms: Seq[String], queryVecId: Long, k: Int,
       poolK: Int = 50, rrfK: Int = 60): DataFrame = {
-    require(poolK >= k,
-      s"rrf geometry out of range: k=$k poolK=$poolK rrfK=$rrfK")
+    require(poolK >= k, s"rrf pool shallower than k: k=$k poolK=$poolK")
     val lex = TextOps.bm25TopK(docs, idCol, textCol, terms, poolK)
       .select(col(idCol), col("rn").as("lex_rn"))
     val vec = bruteForceTopK(embs,

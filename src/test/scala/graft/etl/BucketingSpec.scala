@@ -77,9 +77,13 @@ class BucketingSpec extends SparkSpec {
           val vs = r.getSeq[Double](0)
           val zv = r.getLong(1)
           vs.zipWithIndex.foreach { case (v, i) =>
-            // reference bucket, same pinned arithmetic
+            // reference bucket, same pinned arithmetic — the width is
+            // (hi − lo) with hi = lo + w exactly as the operator
+            // receives it, NOT w: ((lo + w) − lo) can differ from w in
+            // the last ulp and flip floor() at a bucket boundary
+            val width = (lo + w) - lo
             val b = math.min(math.max(
-              math.floor((v - lo) * n.toDouble / w).toLong, 0L), n - 1)
+              math.floor((v - lo) * n.toDouble / width).toLong, 0L), n - 1)
             // de-interleave column i's bits back out of the z-value
             val back = (0 until bits).map(j => ((zv >> (j * k + i)) & 1L) << j).sum
             assert(back == b, s"col $i of $vs (bits=$bits): z=$zv got $back want $b")
