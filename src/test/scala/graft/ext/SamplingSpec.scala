@@ -156,6 +156,44 @@ class SamplingSpec extends SparkSpec {
     assert(labels == Set("train", "val", "test"), s"labels seen: $labels")
   }
 
+  test("leakage-safe split property — random pair sets never cross the boundary") {
+    import org.scalacheck.Gen
+    import spark.implicits._
+    val seed0 = org.scalacheck.rng.Seed(37L)
+    val gen = for {
+      n <- Gen.choose(4, 30)
+      nPairs <- Gen.choose(0, 25)
+      pairs <- Gen.listOfN(nPairs,
+        Gen.zip(Gen.choose(0L, n - 1L), Gen.choose(0L, n - 1L)))
+    } yield (n, pairs.filter(p => p._1 != p._2))
+    Iterator.iterate(seed0)(_.next).take(12).foreach { seed =>
+      gen.apply(Gen.Parameters.default, seed).foreach { case (n, pairs) =>
+        val corpus = (0L until n).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+        val pairDf = pairs.toDF("doc1", "doc2")
+        val split = Sampling.leakageSafeSplit(corpus, "doc_id", pairDf, 250, 250)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        assert(split.map(_._1).sorted.toSeq == (0L until n),
+          "every doc assigned exactly once")
+        val byDoc = split.map(t => t._1 -> t._3).toMap
+        // no pair — and transitively no chain — crosses the boundary:
+        // walk the union-find closure in scala and compare components
+        val parent = scala.collection.mutable.Map((0L until n).map(i => i -> i): _*)
+        def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+        pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+        (0L until n).groupBy(find).values.foreach { comp =>
+          assert(comp.map(byDoc).toSet.size == 1,
+            s"component $comp split across ${comp.map(byDoc).toSet}")
+        }
+        // and the split key is the component minimum (CC's rep contract)
+        val keys = split.map(t => t._1 -> t._2).toMap
+        (0L until n).groupBy(find).values.foreach { comp =>
+          assert(comp.map(keys).toSet == Set(comp.min),
+            s"component $comp keyed ${comp.map(keys).toSet}, want ${comp.min}")
+        }
+      }
+    }
+  }
+
   test("length stats: counts and percentile ordering per stratum") {
     val rows = Sampling.lengthStats(docs, "lang", "text").collect()
     assert(rows.nonEmpty)
