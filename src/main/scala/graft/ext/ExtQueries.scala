@@ -2352,10 +2352,38 @@ object ExtQueries {
         FROM (${ivfPqServeOracle("embeddings")}) WHERE qid = 0),
       $rrfTailSql"""))
 
+  // E: distinct-token cardinality per source via the deterministic KMV
+  // sketch (functions/KmvSketch.scala) — the bounded-state replacement
+  // for exact COUNT(DISTINCT) at 100 TB (SURVEY §2 "Approx distinct",
+  // previously capability-only because HLL++ isn't restatable across
+  // engines). KMV IS: the sketch is a pure function of the 60-bit
+  // md5-prefix hash family, so the oracle replays it exactly — the k
+  // smallest distinct hashes per group via row_number() <= k, then the
+  // same (k-1)·2^60/h_k estimator arithmetic, float-bit-identical.
+  val e65 = Q(
+    "e65_kmv_distinct",
+    (s, d) => Cardinality.kmvDistinctTokens(T.documents(s, d), "source", "text", k = 256)
+      .orderBy(col("source")),
+    Some("""WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+      ), h AS (
+        SELECT DISTINCT source, ('0x' || substr(md5(w), 1, 15))::BIGINT + 1 AS h FROM tok
+      ), r AS (
+        SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM h
+      )
+      SELECT source,
+        CAST(count(*) AS BIGINT) AS n_kmv,
+        max(h) AS kth_min,
+        CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+          ELSE 255 * CAST(1152921504606846976 AS DOUBLE) / CAST(max(h) AS DOUBLE) END
+          AS est_distinct
+      FROM r WHERE rn <= 256
+      GROUP BY source ORDER BY source"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
       e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41, e42, e43, e44,
       e45, e46, e47, e48, e49, e50, e51, e52, e53, e54, e55, e56, e57, e58, e59,
-      e60, e61, e62, e63, e64)
+      e60, e61, e62, e63, e64, e65)
 }

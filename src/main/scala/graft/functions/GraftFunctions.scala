@@ -181,6 +181,17 @@ object GraftFunctions {
         new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
           children.head, children(1), children(2))
       }),
+    (new FunctionIdentifier("graft_kmv"),
+      new ExpressionInfo(classOf[KmvDistinct].getName, "graft_kmv"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_kmv takes (hash_long, k)")
+        val k = children(1) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_kmv k must be an integer literal, got $other")
+        }
+        KmvDistinct(children.head, k)
+      }),
     (new FunctionIdentifier("graft_bloom_contains"),
       new ExpressionInfo(
         classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,

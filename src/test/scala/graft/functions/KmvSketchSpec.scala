@@ -1,0 +1,103 @@
+package graft.functions
+
+import graft.{SparkSpec, Tables => T}
+import graft.ext.Cardinality
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+/** The KMV distinct-count sketch aggregate: reference-equality against
+  * a literal Scala restatement at random multisets and partitionings,
+  * buffer mechanics (dedup, eviction, merge truncation), map-side
+  * partial aggregation in the plan, and estimator accuracy.
+  */
+class KmvSketchSpec extends SparkSpec {
+
+  private def referenceKmv(values: Seq[Long], k: Int): Seq[Long] =
+    values.distinct.sorted.take(k)
+
+  test("buffer: dedup, ascending order, eviction of the max at capacity") {
+    val b = new KmvBuffer(4)
+    Seq(50L, 10L, 50L, 30L, 20L).foreach(b.insert) // dup 50 ignored
+    assert(b.toArray.toSeq == Seq(10L, 20L, 30L, 50L))
+    b.insert(5L) // evicts 50
+    assert(b.toArray.toSeq == Seq(5L, 10L, 20L, 30L))
+    b.insert(40L) // >= max, rejected
+    assert(b.toArray.toSeq == Seq(5L, 10L, 20L, 30L))
+  }
+
+  test("buffer merge == insert-all, truncated to k smallest distinct") {
+    val a = new KmvBuffer(3)
+    val b = new KmvBuffer(3)
+    Seq(9L, 2L, 7L).foreach(a.insert)
+    Seq(2L, 1L, 8L).foreach(b.insert)
+    a.mergeFrom(b)
+    assert(a.toArray.toSeq == Seq(1L, 2L, 7L))
+  }
+
+  test("serialize round-trips the exact buffer state") {
+    val b = new KmvBuffer(8)
+    Seq(3L, 1L, 4L, 1L, 5L, 9L, 2L, 6L).foreach(b.insert)
+    val back = KmvBuffer.deserialize(8, b.serialize())
+    assert(back.toArray.toSeq == b.toArray.toSeq)
+  }
+
+  test("property: aggregate over arbitrary multisets/partitionings equals the literal k-smallest-distinct") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(1, 300)
+      vs <- Gen.listOfN(n, Gen.choose(1L, 50L)) // heavy duplication on purpose
+      k <- Gen.oneOf(2, 3, 8, 64)
+      parts <- Gen.choose(1, 7)
+    } yield (vs, k, parts)
+    val seed0 = org.scalacheck.rng.Seed(13L)
+    Iterator.iterate(seed0)(_.next).take(10).foreach { seed =>
+      gen.apply(Gen.Parameters.default, seed).foreach { case (vs, k, parts) =>
+        val df = vs.toDF("h").repartition(parts)
+        val got = df.agg(call_function("graft_kmv", col("h"), lit(k)).as("s"))
+          .collect().head.getSeq[Long](0)
+        assert(got == referenceKmv(vs, k),
+          s"k=$k parts=$parts vs=${vs.take(20)}...")
+      }
+    }
+  }
+
+  test("plan: KMV groupBy runs as ObjectHashAggregate with a map-side partial phase") {
+    GraftFunctions.register(spark)
+    val plan = Cardinality.kmvDistinctTokens(T.documents(spark, sf001), "source", "text", 64)
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("ObjectHashAggregate"), s"expected object hash agg:\n$plan")
+    // two aggregate phases around one exchange: partial sketches combine
+    // map-side, so the shuffle carries <= k longs per (partition, group)
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert(plan.contains("partial_graft_kmv") || plan.contains("partial graft_kmv") ||
+      plan.toLowerCase.contains("partial"), s"no partial agg phase:\n$plan")
+  }
+
+  test("estimator: within 15% of truth on 20k uniform distinct values at k=256") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // deterministic pseudo-uniform 60-bit hashes via splitmix-style mix
+    val vals = (1 to 20000).map { i =>
+      var z = i.toLong * 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      ((z ^ (z >>> 31)) & ((1L << 60) - 1)) + 1
+    }
+    val s = vals.toDF("h")
+      .agg(call_function("graft_kmv", col("h"), lit(256)).as("s"))
+      .collect().head.getSeq[Long](0)
+    assert(s.length == 256)
+    val est = 255.0 * Cardinality.HashSpace / s.last.toDouble
+    assert(math.abs(est - 20000.0) / 20000.0 < 0.15, s"est=$est")
+  }
+
+  test("exact below k: a group with fewer distinct tokens than k reports the exact count") {
+    import spark.implicits._
+    val docs = Seq(("g1", "a b a b c"), ("g1", "c a"), ("g2", "x")).toDF("src", "text")
+    val out = Cardinality.kmvDistinctTokens(docs, "src", "text", 256)
+      .orderBy("src").collect()
+    assert(out(0).getLong(1) == 3 && out(0).getDouble(3) == 3.0) // a b c
+    assert(out(1).getLong(1) == 1 && out(1).getDouble(3) == 1.0) // x
+  }
+}
