@@ -2380,10 +2380,40 @@ object ExtQueries {
       FROM r WHERE rn <= 256
       GROUP BY source ORDER BY source"""))
 
+  // E: Unicode normalization (functions/UnicodeNorm.scala) — the
+  // canonical first pass before fingerprints/tokenizers. The testdata
+  // corpus is already NFC, so the query APPENDS a decomposed suffix
+  // (combining acute/diaeresis after base letters, built per-doc from
+  // a text prefix) and normalizes: raw_cp > norm_cp proves composition
+  // actually ran, and md5 over the composed bytes pins byte-exact
+  // UAX #15 agreement between the JDK Normalizer and DuckDB's utf8proc.
+  val e66 = Q(
+    "e66_unicode_nfc",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      val decomposed = concat(substring(col("text"), 1, 24), lit(" cafe\u0301 nai\u0308ve"))
+      val norm = TextOps.normalizeUnicode(decomposed)
+      T.documents(s, d).select(
+        col("doc_id"),
+        length(decomposed).cast("long").as("raw_cp"),
+        length(norm).cast("long").as("norm_cp"),
+        md5(norm).as("norm_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+        CAST(length(substr(text, 1, 24) || ' cafe' || chr(769) || ' nai' || chr(776) || 've')
+          AS BIGINT) AS raw_cp,
+        CAST(length(nfc_normalize(
+          substr(text, 1, 24) || ' cafe' || chr(769) || ' nai' || chr(776) || 've'))
+          AS BIGINT) AS norm_cp,
+        md5(nfc_normalize(
+          substr(text, 1, 24) || ' cafe' || chr(769) || ' nai' || chr(776) || 've')) AS norm_md5
+      FROM documents ORDER BY doc_id"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
       e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41, e42, e43, e44,
       e45, e46, e47, e48, e49, e50, e51, e52, e53, e54, e55, e56, e57, e58, e59,
-      e60, e61, e62, e63, e64, e65)
+      e60, e61, e62, e63, e64, e65, e66)
 }

@@ -17,6 +17,15 @@ object TextOps {
 
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Unicode normalization (UAX #15) via the codegen'd
+    * [[graft.functions.UnicodeNormalize]] expression — the canonical
+    * first pass before any fingerprint/tokenize stage, so visually
+    * identical strings ("é" composed vs "e"+U+0301) hash identically.
+    * Caller must have registered graft functions on the session (every
+    * declared-query entry point does). */
+  def normalizeUnicode(text: Column, form: String = "NFC"): Column =
+    call_function("graft_unicode_norm", text, lit(form))
+
   /** BPE-ish subword count: word-piece tokens ≈ runs of letters, digits,
     * or single punctuation (the usual pre-tokenizer regex shape). */
   def subwordCount(text: Column): Column =

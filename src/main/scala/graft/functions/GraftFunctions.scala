@@ -181,6 +181,17 @@ object GraftFunctions {
         new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
           children.head, children(1), children(2))
       }),
+    (new FunctionIdentifier("graft_unicode_norm"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "graft_unicode_norm"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_unicode_norm takes (string, form)")
+        val form = children(1) match {
+          case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+          case other => throw new IllegalArgumentException(
+            s"graft_unicode_norm form must be a string literal, got $other")
+        }
+        UnicodeNormalize(children.head, UnicodeNorm.ordinalOf(form))
+      }),
     (new FunctionIdentifier("graft_kmv"),
       new ExpressionInfo(classOf[KmvDistinct].getName, "graft_kmv"),
       (children: Seq[Expression]) => {
