@@ -32,9 +32,49 @@ object Cardinality {
   private def estimate(s: Column, k: Int): Seq[Column] = Seq(
     size(s).cast("long").as("n_kmv"),
     element_at(s, -1).as("kth_min"),
+    estExpr(s, k).as("est_distinct"))
+
+  /** The bare estimate expression for a sketch column built with
+    * parameter `k` — exact when the sketch is unsaturated (it then IS
+    * the full distinct set), else `(k-1)·|H|/h_k`. */
+  private def estExpr(s: Column, k: Int): Column =
     when(size(s) < k, size(s).cast("double"))
       .otherwise(lit((k - 1).toDouble) * lit(HashSpace) / element_at(s, -1).cast("double"))
-      .as("est_distinct"))
+
+  /** Cross-corpus overlap estimation via KMV sketch ALGEBRA: the union
+    * of two groups' k-minimum sketches, re-truncated to the k smallest
+    * (`slice(array_sort(array_union(a, b)), 1, k)` — pure built-in
+    * array ops), is itself a valid KMV sketch of the set union, so
+    * `|A∩B|` follows by inclusion–exclusion and Jaccard by division.
+    *
+    * At 100 TB this is the point of carrying sketches at all: the
+    * pairwise stage runs on `groups` rows (one sketch each, broadcast
+    * to a nested-loop pair join — groups are dimension-scale, e.g.
+    * sources/shards/snapshots), never re-reading or joining the
+    * corpora. Estimating source-pair token overlap exactly would be a
+    * distinct-shuffle of every token occurrence per pair.
+    */
+  def kmvOverlap(docs: DataFrame, groupCol: String, textCol: String, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val sk = docs
+      .select(col(groupCol),
+        explode(call_function("graft_portable_words", col(textCol))).as("h0"))
+      .select(col(groupCol), (col("h0") + lit(1L)).as("h"))
+      .groupBy(col(groupCol))
+      .agg(call_function("graft_kmv", col("h"), lit(k)).as("kmv"))
+      .select(col(groupCol), col("kmv"), estExpr(col("kmv"), k).as("est"))
+    // the lshDupPairs/e56 self-join idiom: both pair sides are the SAME
+    // subtree, so the sketch front (scan → tokenize → aggregate) plans
+    // once and the second side reads a ReusedExchange (spec-asserted)
+    val unionSk = slice(array_sort(array_union(col("a.kmv"), col("b.kmv"))), 1, k)
+    val estI = greatest(lit(0.0), col("est_a") + col("est_b") - col("est_union"))
+    sk.as("a").join(broadcast(sk.as("b")), col(s"a.$groupCol") < col(s"b.$groupCol"))
+      .select(col(s"a.$groupCol").as("source_a"), col(s"b.$groupCol").as("source_b"),
+        col("a.est").as("est_a"), col("b.est").as("est_b"),
+        estExpr(unionSk, k).as("est_union"))
+      .select(col("*"), estI.as("est_intersect"))
+      .select(col("*"), (col("est_intersect") / col("est_union")).as("jaccard_est"))
+  }
 
   /** Distinct-token cardinality per group: single-space tokenize,
     * 60-bit md5-prefix hash per token (codegen'd, zero-allocation),

@@ -2410,10 +2410,55 @@ object ExtQueries {
           substr(text, 1, 24) || ' cafe' || chr(769) || ' nai' || chr(776) || 've')) AS norm_md5
       FROM documents ORDER BY doc_id"""))
 
+  // E: KMV sketch ALGEBRA — pairwise distinct-token overlap between
+  // sources, computed entirely on the 20 per-source sketches (union =
+  // slice(sort(array_union)), intersection by inclusion–exclusion),
+  // never joining raw corpora. The oracle replays the identical
+  // algebra: per-source k-smallest CTE, pair union re-truncated via a
+  // second row_number, the same estimator and clamp arithmetic.
+  val e67 = Q(
+    "e67_kmv_overlap",
+    (s, d) => Cardinality.kmvOverlap(T.documents(s, d), "source", "text", k = 256)
+      .orderBy(col("source_a"), col("source_b")),
+    Some("""WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+      ), hh AS (
+        SELECT DISTINCT source, ('0x' || substr(md5(w), 1, 15))::BIGINT + 1 AS h FROM tok
+      ), sk AS (
+        SELECT source, h FROM (
+          SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM hh
+        ) t WHERE rn <= 256
+      ), est AS (
+        SELECT source,
+          CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+            ELSE 255 * CAST(1152921504606846976 AS DOUBLE) / CAST(max(h) AS DOUBLE) END AS est
+        FROM sk GROUP BY source
+      ), pairs AS (
+        SELECT a.source AS sa, b.source AS sb FROM est a JOIN est b ON a.source < b.source
+      ), uh AS (
+        SELECT p.sa, p.sb, s.h FROM pairs p JOIN sk s ON s.source IN (p.sa, p.sb)
+        GROUP BY p.sa, p.sb, s.h
+      ), ur AS (
+        SELECT sa, sb, h, row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn FROM uh
+      ), uest AS (
+        SELECT sa, sb,
+          CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+            ELSE 255 * CAST(1152921504606846976 AS DOUBLE) / CAST(max(h) AS DOUBLE) END AS est_union
+        FROM ur WHERE rn <= 256 GROUP BY sa, sb
+      )
+      SELECT u.sa AS source_a, u.sb AS source_b, ea.est AS est_a, eb.est AS est_b,
+        u.est_union,
+        GREATEST(CAST(0 AS DOUBLE), ea.est + eb.est - u.est_union) AS est_intersect,
+        GREATEST(CAST(0 AS DOUBLE), ea.est + eb.est - u.est_union) / u.est_union AS jaccard_est
+      FROM uest u
+      JOIN est ea ON ea.source = u.sa
+      JOIN est eb ON eb.source = u.sb
+      ORDER BY source_a, source_b"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
       e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41, e42, e43, e44,
       e45, e46, e47, e48, e49, e50, e51, e52, e53, e54, e55, e56, e57, e58, e59,
-      e60, e61, e62, e63, e64, e65, e66)
+      e60, e61, e62, e63, e64, e65, e66, e67)
 }

@@ -92,6 +92,33 @@ class KmvSketchSpec extends SparkSpec {
     assert(math.abs(est - 20000.0) / 20000.0 < 0.15, s"est=$est")
   }
 
+  test("overlap algebra: unsaturated sketches give EXACT union/intersection/jaccard") {
+    import spark.implicits._
+    // A = {a,b,c,d}, B = {c,d,e}, C = {z} — all well under k
+    val docs = Seq(
+      ("A", "a b c d"), ("B", "c d e"), ("C", "z")).toDF("src", "text")
+    val out = Cardinality.kmvOverlap(docs, "src", "text", 64)
+      .orderBy("source_a", "source_b").collect()
+    assert(out.length == 3) // AB, AC, BC
+    val ab = out(0)
+    assert(ab.getDouble(2) == 4.0 && ab.getDouble(3) == 3.0) // est_a, est_b
+    assert(ab.getDouble(4) == 5.0) // |A ∪ B|
+    assert(ab.getDouble(5) == 2.0) // |A ∩ B| = {c, d}
+    assert(ab.getDouble(6) == 2.0 / 5.0)
+    val ac = out(1)
+    assert(ac.getDouble(4) == 5.0 && ac.getDouble(5) == 0.0 && ac.getDouble(6) == 0.0)
+  }
+
+  test("overlap plan: pairwise stage is a broadcast join over sketches, corpora never re-read") {
+    val df = Cardinality.kmvOverlap(T.documents(spark, sf001), "source", "text", 64)
+    df.collect() // AQE finalizes reuse at runtime
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"pair stage not broadcast:\n$plan")
+    // one scan feeds both join sides through a reused exchange — the
+    // corpus is tokenized and sketched ONCE
+    assert(plan.contains("ReusedExchange"), s"sketch front not shared:\n$plan")
+  }
+
   test("exact below k: a group with fewer distinct tokens than k reports the exact count") {
     import spark.implicits._
     val docs = Seq(("g1", "a b a b c"), ("g1", "c a"), ("g2", "x")).toDF("src", "text")
