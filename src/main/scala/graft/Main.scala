@@ -31,7 +31,7 @@ object Main {
         |       fronts (index builds, CC rounds, min/max scans) still
         |       execute those while the frame is constructed;
         |       DIR defaults to $SPARK_GRAFT_SF_DIR)
-        |  corpus-prep <docs.parquet> <out-dir> [--shards N] [--pack-budget TOKENS] [--span-trim COV] [--surprisal-gate MICRO]
+        |  corpus-prep <docs.parquet> <out-dir> [--shards N] [--pack-budget TOKENS] [--span-trim COV] [--surprisal-gate MICRO] [--unicode FORM]
         |      (filter [-> drop docs above MICRO mean unigram surprisal]
         |       [-> drop docs with >= COV duplicate-span coverage]
         |       -> dedup -> chunk [-> pack into fixed-budget sequences] -> parquet)
@@ -245,25 +245,29 @@ object Main {
   private def corpusPrep(args: List[String]): Unit = {
     @annotation.tailrec
     def opts(rest: List[String], shards: Option[Int], budget: Option[Int],
-        spanTrim: Option[Double], surprisal: Option[Long])
-        : (Option[Int], Option[Int], Option[Double], Option[Long]) =
+        spanTrim: Option[Double], surprisal: Option[Long], unicode: Option[String])
+        : (Option[Int], Option[Int], Option[Double], Option[Long], Option[String]) =
       rest match {
-        case Nil                         => (shards, budget, spanTrim, surprisal)
-        case "--shards" :: n :: t        => opts(t, Some(num(n).toInt), budget, spanTrim, surprisal)
-        case "--pack-budget" :: n :: t   => opts(t, shards, Some(num(n).toInt), spanTrim, surprisal)
+        case Nil                         => (shards, budget, spanTrim, surprisal, unicode)
+        case "--shards" :: n :: t        => opts(t, Some(num(n).toInt), budget, spanTrim, surprisal, unicode)
+        case "--pack-budget" :: n :: t   => opts(t, shards, Some(num(n).toInt), spanTrim, surprisal, unicode)
         case "--span-trim" :: v :: t =>
           val d = v.toDoubleOption.getOrElse {
             System.err.println(s"not a number: $v"); usage()
           }
-          opts(t, shards, budget, Some(d), surprisal)
+          opts(t, shards, budget, Some(d), surprisal, unicode)
         case "--surprisal-gate" :: v :: t =>
-          opts(t, shards, budget, spanTrim, Some(num(v)))
+          opts(t, shards, budget, spanTrim, Some(num(v)), unicode)
+        case "--unicode" :: f :: t =>
+          // validate eagerly so a typo dies at the CLI, not mid-pipeline
+          graft.functions.UnicodeNorm.ordinalOf(f)
+          opts(t, shards, budget, spanTrim, surprisal, Some(f))
         case _                           => usage()
       }
-    val (in, out, shards, budget, spanTrim, surprisal) = args match {
+    val (in, out, shards, budget, spanTrim, surprisal, unicode) = args match {
       case i :: o :: rest =>
-        val (s, b, st, sg) = opts(rest, None, None, None, None)
-        (i, o, s, b, st, sg)
+        val (s, b, st, sg, uf) = opts(rest, None, None, None, None, None)
+        (i, o, s, b, st, sg, uf)
       case _ => usage()
     }
     val cfg = EngineConfig.fromEnv()
@@ -271,7 +275,8 @@ object Main {
     try {
       val res = graft.ext.CorpusPipeline.prepareAndWrite(
         spark.read.parquet(in), out, shards = shards, packBudget = budget,
-        spanTrimAt = spanTrim, surprisalFlagAt = surprisal)
+        spanTrimAt = spanTrim, surprisalFlagAt = surprisal,
+        unicodeForm = unicode)
       val what = budget.map(b => s"sequences (budget $b)").getOrElse("chunks")
       val how = shards.map(n => s" in $n shards").getOrElse("")
       println(s"[corpus-prep] ${res.chunksWritten} $what$how -> ${res.path}")

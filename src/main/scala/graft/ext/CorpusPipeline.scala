@@ -52,11 +52,24 @@ object CorpusPipeline {
       k: Int = 32, bands: Int = 8, minEstSim: Double = 0.4, maxEdit: Int = 5,
       chunkTokens: Int = 64, overlapTokens: Int = 16,
       spanTrimAt: Option[Double] = None, spanK: Int = 5,
-      surprisalFlagAt: Option[Long] = None): Prepared = {
-    val filtered = TextOps.qualityFilter(docs, idCol, textCol,
+      surprisalFlagAt: Option[Long] = None,
+      unicodeForm: Option[String] = None): Prepared = {
+    // optional Unicode-normalization pass (e66's expression), FIRST so
+    // every downstream fingerprint/shingle/token hash sees one
+    // canonical byte form — composed "é" and "e"+U+0301 documents
+    // otherwise sail through exact AND near dedup as distinct. A
+    // map-only codegen'd projection fused into the scan. Off by
+    // default (e35/e38 pin the historical stage list).
+    val docs0 = unicodeForm match {
+      case Some(form) =>
+        graft.functions.GraftFunctions.register(docs.sparkSession)
+        docs.withColumn(textCol, TextOps.normalizeUnicode(col(textCol), form))
+      case None => docs
+    }
+    val filtered = TextOps.qualityFilter(docs0, idCol, textCol,
       lang = lang, minTokens = minTokens, maxPunctRatio = maxPunctRatio,
       minStopwordRatio = minStopwordRatio)
-    val fdocs1 = docs.join(filtered.select(idCol), idCol)
+    val fdocs1 = docs0.join(filtered.select(idCol), idCol)
     // optional LM-quality gate (e60's unigram surprisal, the CCNet
     // shape): docs whose MEAN token surprisal vs the corpus's own
     // unigram model exceeds the gate (micro-nats) are the
@@ -196,9 +209,10 @@ object CorpusPipeline {
       shards: Option[Int] = None,
       packBudget: Option[Int] = None, packBuckets: Int = 64,
       spanTrimAt: Option[Double] = None,
-      surprisalFlagAt: Option[Long] = None): WriteResult = {
+      surprisalFlagAt: Option[Long] = None,
+      unicodeForm: Option[String] = None): WriteResult = {
     val p = prepare(docs, idCol, textCol, spanTrimAt = spanTrimAt,
-      surprisalFlagAt = surprisalFlagAt)
+      surprisalFlagAt = surprisalFlagAt, unicodeForm = unicodeForm)
     try {
       val (rows, keyCol, tieCols) = packBudget match {
         case Some(budget) =>

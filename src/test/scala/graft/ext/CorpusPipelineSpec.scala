@@ -109,6 +109,40 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(dfltIds.contains(3L), s"default path must not surprisal-drop: $dfltIds")
   }
 
+  test("prepare unicodeForm: canonical bytes reach every hash; default leaves bytes alone") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // two docs visually identical, one carrying DECOMPOSED e+U+0301;
+    // filler clears the heuristic quality gate
+    val filler = (0 until 10).map(i => s"w$i the a of and").mkString(" ")
+    val composed = s"café resumé $filler"
+    val decomposed = s"café resumé $filler"
+    assert(composed != decomposed) // distinct bytes, same rendering
+    // the DECOMPOSED doc carries the smaller id, so it is the keep-best
+    // survivor whether the pair collapses exactly (NFC on) or fuzzily
+    // (off — 2 combining marks is within maxEdit); paraMaxDocs=2 keeps
+    // the shared paragraphs out of the boilerplate counter's way
+    val docs = Seq((1L, decomposed), (2L, composed)).toDF("doc_id", "text")
+    // NFC on: the pair becomes byte-identical upstream of every
+    // fingerprint — exact dedup collapses it, chunks are all-NFC
+    val on = CorpusPipeline.prepare(docs, paraMaxDocs = 2, unicodeForm = Some("NFC"))
+    val onIds = on.chunks.select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    val onTexts = on.chunks.select("chunk_text").collect().map(_.getString(0))
+    on.unpersistAll()
+    assert(onIds == Set(1L), s"NFC must collapse the pair to the min id: $onIds")
+    assert(onTexts.nonEmpty && onTexts.forall(t =>
+      java.text.Normalizer.isNormalized(t, java.text.Normalizer.Form.NFC)),
+      "all sink text must be canonical NFC")
+    // default: bytes pass through untouched (the historical stage list) —
+    // the surviving doc's chunks still carry the decomposed sequence
+    val off = CorpusPipeline.prepare(docs, paraMaxDocs = 2)
+    val offTexts = off.chunks.filter(col("doc_id") === 1L)
+      .select("chunk_text").collect().map(_.getString(0))
+    off.unpersistAll()
+    assert(offTexts.exists(_.contains("́")),
+      "default path must not normalize the decomposed doc")
+  }
+
   test("prepareAndWrite --shards: sharded sink holds the same chunks, doc-cohesive") {
     val docs = T.documents(spark, "/root/testdata/sf0.01")
     val flat = Files.createTempDirectory("graft_corpus_flat").toString + "/chunks"
