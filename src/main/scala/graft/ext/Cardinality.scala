@@ -29,7 +29,7 @@ object Cardinality {
     * has at least one token) and `est_distinct` — exact when the
     * group had fewer than k distinct values, else the unbiased
     * `(k-1) * |H| / h_k`. */
-  private def estimate(s: Column, k: Int): Seq[Column] = Seq(
+  def estimateCols(s: Column, k: Int): Seq[Column] = Seq(
     size(s).cast("long").as("n_kmv"),
     element_at(s, -1).as("kth_min"),
     estExpr(s, k).as("est_distinct"))
@@ -89,6 +89,6 @@ object Cardinality {
       .select(col(groupCol), (col("h0") + lit(1L)).as("h"))
       .groupBy(col(groupCol))
       .agg(call_function("graft_kmv", col("h"), lit(k)).as("kmv"))
-      .select(col(groupCol) +: estimate(col("kmv"), k): _*)
+      .select(col(groupCol) +: estimateCols(col("kmv"), k): _*)
   }
 }

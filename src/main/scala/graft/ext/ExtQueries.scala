@@ -2455,10 +2455,59 @@ object ExtQueries {
       JOIN est eb ON eb.source = u.sb
       ORDER BY source_a, source_b"""))
 
+  // E12 × streaming: the KMV sketch as STREAMING aggregation state —
+  // distinct-user cardinality per event type over the events stream,
+  // the live-dashboard shape at 100 TB/day (exact streaming distinct
+  // grows state linearly in users; the sketch holds k longs per group,
+  // merged incrementally by the state store across micro-batches). The
+  // stream is unioned with itself (at-least-once delivery): KMV is a
+  // SET sketch, so redelivery must not move a single hash — the batch
+  // oracle over the UNDUPLICATED events pins exactly that, and pins
+  // that incremental merge across batch boundaries equals one batch
+  // aggregation. Complete-mode AvailableNow drain on RocksDB, the
+  // c40/c47 lifecycle discipline.
+  val e68 = Q(
+    "e68_stream_kmv_distinct",
+    (outer, d) => {
+      val s = graft.streaming.StateBackend.isolatedStreamSession(outer)
+      graft.functions.GraftFunctions.register(s)
+      def src = graft.streaming.StreamQueries.eventStream(s, d)
+      val hashed = src.union(src).select(col("event_type"),
+        (conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
+          .cast("long") + lit(1L)).as("h"))
+      val agg = hashed.groupBy(col("event_type"))
+        .agg(call_function("graft_kmv", col("h"), lit(256)).as("kmv"))
+      val q = agg.writeStream
+        .format("memory").queryName("graft_e68_stream")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_e68_stream")
+        .select(col("event_type") +: Cardinality.estimateCols(col("kmv"), 256): _*)
+        .orderBy(col("event_type"))
+    },
+    Some("""WITH hh AS (
+        SELECT DISTINCT event_type,
+          ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT + 1 AS h
+        FROM events
+      ), r AS (
+        SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        FROM hh
+      )
+      SELECT event_type,
+        CAST(count(*) AS BIGINT) AS n_kmv,
+        max(h) AS kth_min,
+        CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+          ELSE 255 * CAST(1152921504606846976 AS DOUBLE) / CAST(max(h) AS DOUBLE) END
+          AS est_distinct
+      FROM r WHERE rn <= 256
+      GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
       e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41, e42, e43, e44,
       e45, e46, e47, e48, e49, e50, e51, e52, e53, e54, e55, e56, e57, e58, e59,
-      e60, e61, e62, e63, e64, e65, e66, e67)
+      e60, e61, e62, e63, e64, e65, e66, e67, e68)
 }

@@ -37,7 +37,7 @@ object StreamQueries {
     * path is a glob matching exactly the one file, because a file stream
     * rejects a plain FILE path as its basePath — the glob makes it derive
     * basePath from the parent directory instead. */
-  private def eventStream(s: SparkSession, d: String): DataFrame = {
+  private[graft] def eventStream(s: SparkSession, d: String): DataFrame = {
     val batchSchema = s.read.parquet(s"$d/events.parquet").schema
     Tables.normalizeEventTs(
       s.readStream.schema(batchSchema).parquet(s"$d/events.parque[t]"))

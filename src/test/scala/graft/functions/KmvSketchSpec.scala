@@ -119,6 +119,37 @@ class KmvSketchSpec extends SparkSpec {
     assert(plan.contains("ReusedExchange"), s"sketch front not shared:\n$plan")
   }
 
+  test("streaming: sketch state merged across micro-batches == one batch aggregation") {
+    import spark.implicits._
+    val s = graft.streaming.StateBackend.isolatedStreamSession(spark)
+    GraftFunctions.register(s)
+    // 3 slice files, heavy cross-slice value overlap, k saturated (16 of
+    // 90 distinct per group) so eviction/merge runs in EVERY batch
+    val rows = (0 until 600).map(i => (s"g${i % 3}", (i % 90).toLong + 1))
+    val staging = java.nio.file.Files.createTempDirectory("graft_kmv_stream").toString
+    for (g <- 0 until 3)
+      rows.slice(g * 200, g * 200 + 200).toDF("grp", "h")
+        .coalesce(1).write.mode("overwrite").parquet(s"$staging/slice$g")
+    val sch = s.read.parquet(s"$staging/slice0").schema
+    val src = s.readStream.schema(sch).option("maxFilesPerTrigger", 1)
+      .parquet(s"$staging/slice*")
+    val q = src.groupBy(col("grp"))
+      .agg(call_function("graft_kmv", col("h"), lit(16)).as("s"))
+      .writeStream.format("memory").queryName("graft_kmv_stream_spec")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+      s"expected multiple micro-batches: ${q.recentProgress.map(_.numInputRows).toSeq}")
+    val got = s.table("graft_kmv_stream_spec").collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    val want = rows.groupBy(_._1).map { case (g, vs) =>
+      g -> vs.map(_._2).distinct.sorted.take(16)
+    }
+    assert(got == want)
+  }
+
   test("exact below k: a group with fewer distinct tokens than k reports the exact count") {
     import spark.implicits._
     val docs = Seq(("g1", "a b a b c"), ("g1", "c a"), ("g2", "x")).toDF("src", "text")
