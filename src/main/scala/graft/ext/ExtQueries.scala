@@ -2504,10 +2504,58 @@ object ExtQueries {
       FROM r WHERE rn <= 256
       GROUP BY event_type ORDER BY event_type"""))
 
+  // E: integer-exact PageRank over the e02 near-dup graph — importance
+  // propagation picks the most-connected member of each duplicate
+  // family (the keep-best signal CC alone can't provide). Ranks live in
+  // BIGINT micro-units, every step integer div/sum (the e61/e63
+  // integer-scoring discipline), so the oracle replays 3 unrolled
+  // Pregel rounds bit-exactly on top of the e02 pair CTE it already
+  // hash-passes standalone.
+  val e69 = Q(
+    "e69_pagerank_dups",
+    (s, d) => Graph.integerPageRank(
+      Dedup.jaccardPairs(T.documents(s, d).filter(col("doc_id") < 1000),
+        "doc_id", "text", shingleWidth = 3, threshold = 0.5,
+        maxDf = Int.MaxValue),
+      "doc1", "doc2", iters = 3)
+      .orderBy(col("node")),
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        WHERE doc_id < 1000),
+      sh AS (SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id, concat_ws(' ', ws[i], ws[i+1], ws[i+2]) AS s
+        FROM w, UNNEST(range(1, greatest(len(ws)-2, 1)+1)) AS t(i))),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      pairs AS (SELECT doc1, doc2
+                FROM inter JOIN sizes n1 ON n1.doc_id = doc1
+                JOIN sizes n2 ON n2.doc_id = doc2
+                WHERE CAST(inter.i AS DOUBLE)/(n1.n + n2.n - inter.i) >= 0.5),
+      sym AS (SELECT doc1 AS u, doc2 AS v FROM pairs
+              UNION ALL SELECT doc2, doc1 FROM pairs),
+      deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY u),
+      r0 AS (SELECT u AS node, CAST(1000000 AS BIGINT) AS rank FROM deg),
+      r1 AS (SELECT s.v AS node,
+             CAST(150000 + (850000 * SUM(r.rank // d.deg)) // 1000000 AS BIGINT) AS rank
+             FROM sym s JOIN r0 r ON r.node = s.u JOIN deg d ON d.u = s.u
+             GROUP BY s.v),
+      r2 AS (SELECT s.v AS node,
+             CAST(150000 + (850000 * SUM(r.rank // d.deg)) // 1000000 AS BIGINT) AS rank
+             FROM sym s JOIN r1 r ON r.node = s.u JOIN deg d ON d.u = s.u
+             GROUP BY s.v),
+      r3 AS (SELECT s.v AS node,
+             CAST(150000 + (850000 * SUM(r.rank // d.deg)) // 1000000 AS BIGINT) AS rank
+             FROM sym s JOIN r2 r ON r.node = s.u JOIN deg d ON d.u = s.u
+             GROUP BY s.v)
+      SELECT r3.node AS node, r3.rank AS rank_micro, deg.deg AS deg
+      FROM r3 JOIN deg ON deg.u = r3.node
+      ORDER BY node"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
       e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41, e42, e43, e44,
       e45, e46, e47, e48, e49, e50, e51, e52, e53, e54, e55, e56, e57, e58, e59,
-      e60, e61, e62, e63, e64, e65, e66, e67, e68)
+      e60, e61, e62, e63, e64, e65, e66, e67, e68, e69)
 }

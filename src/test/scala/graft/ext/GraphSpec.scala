@@ -1,0 +1,81 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.scalacheck.Gen
+
+/** Integer PageRank: hand-computed fixtures, regular-graph fixpoint,
+  * and reference-equality against a literal Scala loop at random edge
+  * sets. */
+class GraphSpec extends SparkSpec {
+
+  /** Literal restatement of the integer recurrence. */
+  private def referencePr(pairs: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val sym = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+    val deg = sym.groupBy(_._1).map { case (u, es) => u -> es.size.toLong }
+    var rank = deg.keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      val in = sym.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => rank(u) / deg(u) }.sum
+      }
+      rank = rank.keys.map(v => v -> (150000L + 850000L * in(v) / 1000000L)).toMap
+    }
+    rank
+  }
+
+  test("path graph a-b-c: hand-computed micro ranks after one round") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("doc1", "doc2")
+    val r = Graph.integerPageRank(edges, "doc1", "doc2", iters = 1)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    // ends: 150000 + 850000·(10^6 div 2) div 10^6; center: both ends' full rank
+    assert(r(1L) == (575000L, 1L) && r(3L) == (575000L, 1L))
+    assert(r(2L) == (1850000L, 2L))
+    // total micro-mass conserved exactly on this fixture
+    assert(r.values.map(_._1).sum == 3000000L)
+  }
+
+  test("regular graph: K4 reaches its integer fixpoint and stays there") {
+    import spark.implicits._
+    val k4 = (for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b))
+      .toDF("doc1", "doc2")
+    for (iters <- Seq(1, 3)) {
+      val r = Graph.integerPageRank(k4, "doc1", "doc2", iters)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      // 10^6 div 3 truncates: every node lands on 999999 and stays
+      assert(r.values.toSet == Set(999999L), s"iters=$iters: $r")
+    }
+  }
+
+  test("property: equals the literal integer recurrence at random graphs") {
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(2L, 15L)
+      m <- Gen.choose(1, 25)
+      es <- Gen.listOfN(m, Gen.zip(Gen.choose(0L, n), Gen.choose(0L, n)))
+      iters <- Gen.choose(1, 4)
+    } yield (es.filter(p => p._1 != p._2).distinct, iters)
+    val seed0 = org.scalacheck.rng.Seed(29L)
+    Iterator.iterate(seed0)(_.next).take(8).foreach { seed =>
+      gen.apply(Gen.Parameters.default, seed).foreach { case (pairs, iters) =>
+        if (pairs.nonEmpty) {
+          // the operator treats the edge list as undirected and
+          // de-duplicates nothing — mirror that: feed unique pairs only
+          // (both orientations of one pair would double the edge)
+          val canon = pairs.map(p => (p._1 min p._2, p._1 max p._2)).distinct
+          val got = Graph.integerPageRank(canon.toDF("doc1", "doc2"),
+              "doc1", "doc2", iters)
+            .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+          assert(got == referencePr(canon, iters), s"pairs=$canon iters=$iters")
+        }
+      }
+    }
+  }
+
+  test("star graph: the hub outranks every leaf at any iteration depth") {
+    import spark.implicits._
+    val star = (2L to 8L).map(l => (1L, l)).toDF("doc1", "doc2")
+    val r = Graph.integerPageRank(star, "doc1", "doc2", iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert((2L to 8L).forall(l => r(1L) > r(l)), r.toString)
+  }
+}
