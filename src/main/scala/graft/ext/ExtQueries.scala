@@ -2552,10 +2552,34 @@ object ExtQueries {
       FROM r3 JOIN deg ON deg.u = r3.node
       ORDER BY node"""))
 
+  // E: bounded-state top-k per group (functions/TopKAgg.scala) — the
+  // shuffle-light replacement for `row_number() OVER (...) <= k`:
+  // WindowExec shuffles and sorts EVERY row per group; the aggregate
+  // ships at most k (key, id) pairs per (partition, group) and sorts
+  // nothing. The (key DESC, id ASC) total order makes it row-identical
+  // to the window formulation — which is exactly what the oracle runs.
+  val e70 = Q(
+    "e70_topk_per_group",
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      T.documents(s, d)
+        .groupBy(col("source"))
+        .agg(call_function("graft_topk", col("n_chars"), col("doc_id"), lit(3)).as("top"))
+        .select(col("source"), posexplode(col("top")))
+        .select(col("source"), (col("pos") + 1).cast("long").as("rn"),
+          col("col.id").as("doc_id"), col("col.key").as("n_chars"))
+        .orderBy(col("source"), col("rn"))
+    },
+    Some("""SELECT source, CAST(rn AS BIGINT) AS rn, doc_id, n_chars
+      FROM (SELECT source, doc_id, n_chars,
+            row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+            FROM documents) t
+      WHERE rn <= 3 ORDER BY source, rn"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
       e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41, e42, e43, e44,
       e45, e46, e47, e48, e49, e50, e51, e52, e53, e54, e55, e56, e57, e58, e59,
-      e60, e61, e62, e63, e64, e65, e66, e67, e68, e69)
+      e60, e61, e62, e63, e64, e65, e66, e67, e68, e69, e70)
 }

@@ -181,6 +181,17 @@ object GraftFunctions {
         new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
           children.head, children(1), children(2))
       }),
+    (new FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKByKey].getName, "graft_topk"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, "graft_topk takes (key_long, id_long, k)")
+        val k = children(2) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_topk k must be an integer literal, got $other")
+        }
+        TopKByKey(children.head, children(1), k)
+      }),
     (new FunctionIdentifier("graft_unicode_norm"),
       new ExpressionInfo(classOf[UnicodeNormalize].getName, "graft_unicode_norm"),
       (children: Seq[Expression]) => {
