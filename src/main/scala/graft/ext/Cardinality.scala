@@ -76,6 +76,38 @@ object Cardinality {
       .select(col("*"), (col("est_intersect") / col("est_union")).as("jaccard_est"))
   }
 
+  /** ONE-SCAN column profiling — the data-quality sweep a warehouse
+    * runs before trusting a new drop: per column, null count and
+    * KMV-estimated distinct cardinality, every column's counter and
+    * sketch computed in a SINGLE global aggregation over a single scan
+    * (profiling 100 columns of a 100 TB table costs one pass, not 100),
+    * then unpivoted to one row per column with built-in struct/explode.
+    *
+    * Values are hashed through `md5(CAST(col AS STRING))` so any
+    * engine restates the sketch; callers pick columns whose string
+    * form is engine-portable (integers, strings, dates — not floats,
+    * whose formatting is engine-specific). */
+  def profileColumns(df: DataFrame, cols: Seq[String], k: Int): DataFrame = {
+    require(cols.nonEmpty, "profileColumns needs at least one column")
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        call_function("graft_kmv",
+          conv(substring(md5(col(c).cast("string")), 1, 15), 16, 10)
+            .cast("long") + lit(1L),
+          lit(k)).as(s"${c}__kmv"))
+    }
+    val packed = cols.map(c => struct(
+      lit(c).as("column_name"),
+      col(s"${c}__nulls").as("n_nulls"),
+      col(s"${c}__kmv").as("kmv")))
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(packed: _*)).as("p"))
+      .select(col("p.column_name") +: col("p.n_nulls").as("n_nulls") +:
+        estimateCols(col("p.kmv"), k): _*)
+  }
+
   /** Distinct-token cardinality per group: single-space tokenize,
     * 60-bit md5-prefix hash per token (codegen'd, zero-allocation),
     * +1 shift, KMV-aggregate. The whole pre-aggregation front stays in

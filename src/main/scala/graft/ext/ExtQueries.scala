@@ -2576,10 +2576,39 @@ object ExtQueries {
             FROM documents) t
       WHERE rn <= 3 ORDER BY source, rn"""))
 
+  // E12 capstone: one-scan column profiling — null count + KMV distinct
+  // estimate for SIX lineitem columns computed in a SINGLE global
+  // aggregation (one pass however many columns), unpivoted to a row per
+  // column. The oracle unions six per-column KMV restatements — each
+  // the e65 arithmetic over md5(CAST(col AS VARCHAR)).
+  private val profCols =
+    Seq("l_linenumber", "l_linestatus", "l_orderkey", "l_partkey",
+      "l_returnflag", "l_suppkey")
+
+  private def profOracleBlock(c: String): String =
+    s"""SELECT '$c' AS column_name,
+      (SELECT CAST(COUNT(*) - COUNT($c) AS BIGINT) FROM lineitem) AS n_nulls,
+      CAST(count(*) AS BIGINT) AS n_kmv,
+      max(h) AS kth_min,
+      CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+        ELSE 255 * CAST(1152921504606846976 AS DOUBLE) / CAST(max(h) AS DOUBLE) END
+        AS est_distinct
+    FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM (
+      SELECT DISTINCT ('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 15))::BIGINT + 1 AS h
+      FROM lineitem WHERE $c IS NOT NULL) hh) r
+    WHERE rn <= 256"""
+
+  val e71 = Q(
+    "e71_column_profile",
+    (s, d) => Cardinality.profileColumns(T.lineitem(s, d), profCols, k = 256)
+      .orderBy(col("column_name")),
+    Some(profCols.map(profOracleBlock).mkString(
+      "", "\nUNION ALL\n", "\nORDER BY column_name")))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
       e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41, e42, e43, e44,
       e45, e46, e47, e48, e49, e50, e51, e52, e53, e54, e55, e56, e57, e58, e59,
-      e60, e61, e62, e63, e64, e65, e66, e67, e68, e69, e70)
+      e60, e61, e62, e63, e64, e65, e66, e67, e68, e69, e70, e71)
 }

@@ -150,6 +150,27 @@ class KmvSketchSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("column profile: nulls counted, sub-k columns exact, ONE scan for all columns") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(2L), Some("a")), (None, Some("b")),
+      (Some(2L), None), (Some(3L), Some("b"))).toDF("num", "str")
+    val rows = Cardinality.profileColumns(df, Seq("num", "str"), 64)
+      .orderBy("column_name").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("num", "str"))
+    val num = rows(0)
+    assert(num.getLong(1) == 1L && num.getLong(2) == 3L && num.getDouble(4) == 3.0)
+    val str = rows(1)
+    assert(str.getLong(1) == 1L && str.getLong(2) == 2L && str.getDouble(4) == 2.0)
+    // the at-scale contract: however many columns, ONE scan + ONE
+    // global aggregate computes every counter and sketch
+    val plan = Cardinality.profileColumns(
+      T.lineitem(spark, sf001), Seq("l_orderkey", "l_suppkey", "l_returnflag"), 64)
+      .queryExecution.executedPlan.toString()
+    assert("FileScan".r.findAllIn(plan).size == 1, s"must be one scan:\n$plan")
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, s"partial+final:\n$plan")
+  }
+
   test("exact below k: a group with fewer distinct tokens than k reports the exact count") {
     import spark.implicits._
     val docs = Seq(("g1", "a b a b c"), ("g1", "c a"), ("g2", "x")).toDF("src", "text")
