@@ -76,6 +76,46 @@ object Cardinality {
       .select(col("*"), (col("est_intersect") / col("est_union")).as("jaccard_est"))
   }
 
+  /** 60-bit md5-prefix hash of a column's string form, +1 shifted —
+    * the engine-portable value-hash every sketch in this module uses
+    * (`('0x' || substr(md5(CAST(c AS VARCHAR)), 1, 15))::BIGINT + 1`
+    * in any SQL engine). */
+  def portableStringHash(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long") + lit(1L)
+
+  /** Join-cardinality estimation from KMV sketches — planner-grade
+    * statistics WITHOUT running the join: sketch each side's key
+    * column (one scan per table, k longs of state), estimate the
+    * distinct-key overlap by the e67 union algebra, and scale by the
+    * observed mean multiplicity of each side
+    * (`est_overlap · (rows_a/est_a) · (rows_b/est_b)` — exact when
+    * both sketches are unsaturated and multiplicities are uniform).
+    * At 100 TB this is how an engine decides shuffle vs broadcast vs
+    * bloom-prune BEFORE paying for the join; the declared query also
+    * runs the real join so the estimate stands next to its truth.
+    */
+  def kmvJoinSizeEstimate(left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(left.sparkSession)
+    def side(df: DataFrame, key: String, p: String): DataFrame = df.agg(
+      call_function("graft_kmv", portableStringHash(col(key)), lit(k)).as(s"${p}_kmv"),
+      count(col(key)).as(s"${p}_rows"))
+    val unionSk = slice(array_sort(array_union(col("a_kmv"), col("b_kmv"))), 1, k)
+    side(left, leftKey, "a").crossJoin(side(right, rightKey, "b"))
+      .select(
+        col("a_rows"), col("b_rows"),
+        estExpr(col("a_kmv"), k).as("est_a"),
+        estExpr(col("b_kmv"), k).as("est_b"),
+        estExpr(unionSk, k).as("est_union"))
+      .select(col("*"),
+        greatest(lit(0.0), col("est_a") + col("est_b") - col("est_union"))
+          .as("est_overlap"))
+      .select(col("a_rows"), col("b_rows"), col("est_a"), col("est_b"),
+        col("est_overlap"),
+        (col("est_overlap") * (col("a_rows").cast("double") / col("est_a"))
+          * (col("b_rows").cast("double") / col("est_b"))).as("est_join_rows"))
+  }
+
   /** ONE-SCAN column profiling — the data-quality sweep a warehouse
     * runs before trusting a new drop: per column, null count and
     * KMV-estimated distinct cardinality, every column's counter and
@@ -93,10 +133,8 @@ object Cardinality {
     val aggs = cols.flatMap { c =>
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-        call_function("graft_kmv",
-          conv(substring(md5(col(c).cast("string")), 1, 15), 16, 10)
-            .cast("long") + lit(1L),
-          lit(k)).as(s"${c}__kmv"))
+        call_function("graft_kmv", portableStringHash(col(c)), lit(k))
+          .as(s"${c}__kmv"))
     }
     val packed = cols.map(c => struct(
       lit(c).as("column_name"),

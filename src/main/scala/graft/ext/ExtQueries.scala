@@ -2605,10 +2605,61 @@ object ExtQueries {
     Some(profCols.map(profOracleBlock).mkString(
       "", "\nUNION ALL\n", "\nORDER BY column_name")))
 
+  // E12: join-cardinality estimation from KMV sketches — planner-grade
+  // statistics without running the join (one sketch scan per side,
+  // overlap by the e67 union algebra, scaled by observed mean key
+  // multiplicity). The declared query ALSO runs the real join so the
+  // estimate stands next to its truth in the same hashed row; the
+  // oracle replays sketch, estimator and scaling arithmetic exactly.
+  val e72 = Q(
+    "e72_join_size_estimate",
+    (s, d) => {
+      val li = T.lineitem(s, d)
+      val ord = T.orders(s, d)
+      val actual = li.select(col("l_orderkey"))
+        .join(ord.select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("actual_join_rows"))
+      Cardinality.kmvJoinSizeEstimate(li, "l_orderkey", ord, "o_orderkey", k = 256)
+        .crossJoin(actual)
+    },
+    Some("""WITH ha AS (SELECT DISTINCT
+          ('0x'||substr(md5(CAST(l_orderkey AS VARCHAR)),1,15))::BIGINT + 1 AS h
+        FROM lineitem WHERE l_orderkey IS NOT NULL),
+      ra AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM ha),
+      hb AS (SELECT DISTINCT
+          ('0x'||substr(md5(CAST(o_orderkey AS VARCHAR)),1,15))::BIGINT + 1 AS h
+        FROM orders WHERE o_orderkey IS NOT NULL),
+      rb AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hb),
+      ru AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM (
+        SELECT h FROM ra WHERE rn <= 256 UNION SELECT h FROM rb WHERE rn <= 256) u),
+      sa AS (SELECT count(*) AS n, max(h) AS kth FROM ra WHERE rn <= 256),
+      sb AS (SELECT count(*) AS n, max(h) AS kth FROM rb WHERE rn <= 256),
+      su AS (SELECT count(*) AS n, max(h) AS kth FROM ru WHERE rn <= 256),
+      cnts AS (SELECT
+        (SELECT CAST(COUNT(l_orderkey) AS BIGINT) FROM lineitem) AS a_rows,
+        (SELECT CAST(COUNT(o_orderkey) AS BIGINT) FROM orders) AS b_rows),
+      est0 AS (SELECT a_rows, b_rows,
+        CASE WHEN sa.n < 256 THEN CAST(sa.n AS DOUBLE)
+          ELSE 255 * CAST(1152921504606846976 AS DOUBLE) / CAST(sa.kth AS DOUBLE) END AS est_a,
+        CASE WHEN sb.n < 256 THEN CAST(sb.n AS DOUBLE)
+          ELSE 255 * CAST(1152921504606846976 AS DOUBLE) / CAST(sb.kth AS DOUBLE) END AS est_b,
+        CASE WHEN su.n < 256 THEN CAST(su.n AS DOUBLE)
+          ELSE 255 * CAST(1152921504606846976 AS DOUBLE) / CAST(su.kth AS DOUBLE) END AS est_union
+        FROM sa, sb, su, cnts),
+      est1 AS (SELECT *, GREATEST(CAST(0 AS DOUBLE), est_a + est_b - est_union) AS est_overlap
+        FROM est0),
+      actual AS (SELECT CAST(COUNT(*) AS BIGINT) AS actual_join_rows
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+      SELECT a_rows, b_rows, est_a, est_b, est_overlap,
+        est_overlap * (CAST(a_rows AS DOUBLE) / est_a) * (CAST(b_rows AS DOUBLE) / est_b)
+          AS est_join_rows,
+        actual_join_rows
+      FROM est1, actual"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
       e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41, e42, e43, e44,
       e45, e46, e47, e48, e49, e50, e51, e52, e53, e54, e55, e56, e57, e58, e59,
-      e60, e61, e62, e63, e64, e65, e66, e67, e68, e69, e70, e71)
+      e60, e61, e62, e63, e64, e65, e66, e67, e68, e69, e70, e71, e72)
 }

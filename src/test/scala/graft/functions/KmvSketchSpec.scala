@@ -171,6 +171,25 @@ class KmvSketchSpec extends SparkSpec {
     assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, s"partial+final:\n$plan")
   }
 
+  test("join-size estimate: exact below k with uniform multiplicities; key never shuffled") {
+    import spark.implicits._
+    // A: keys 1..10 × 3 rows; B: keys 6..15 × 2 rows → overlap 5,
+    // true join size 5 · 3 · 2 = 30; unsaturated sketches → exact
+    val a = (for (key <- 1L to 10L; _ <- 1 to 3) yield key).toDF("ka")
+    val b = (for (key <- 6L to 15L; _ <- 1 to 2) yield key).toDF("kb")
+    val r = Cardinality.kmvJoinSizeEstimate(a, "ka", b, "kb", 64).collect().head
+    assert(r.getAs[Long]("a_rows") == 30L && r.getAs[Long]("b_rows") == 20L)
+    assert(r.getAs[Double]("est_a") == 10.0 && r.getAs[Double]("est_b") == 10.0)
+    assert(r.getAs[Double]("est_overlap") == 5.0)
+    assert(r.getAs[Double]("est_join_rows") == 30.0)
+    // at-scale contract: the plan aggregates each side to ONE sketch
+    // row and cross-joins 1×1 — no exchange keyed on the join column
+    val plan = Cardinality.kmvJoinSizeEstimate(a, "ka", b, "kb", 64)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("hashpartitioning(ka") && !plan.contains("hashpartitioning(kb"),
+      s"join keys must never shuffle:\n$plan")
+  }
+
   test("exact below k: a group with fewer distinct tokens than k reports the exact count") {
     import spark.implicits._
     val docs = Seq(("g1", "a b a b c"), ("g1", "c a"), ("g2", "x")).toDF("src", "text")
