@@ -35,6 +35,9 @@ object Main {
         |      (filter [-> drop docs above MICRO mean unigram surprisal]
         |       [-> drop docs with >= COV duplicate-span coverage]
         |       -> dedup -> chunk [-> pack into fixed-budget sequences] -> parquet)
+        |  profile <table.parquet> [--cols a,b,c] [--k N]
+        |      (one-scan data-quality profile: per-column null count +
+        |       KMV distinct estimate; default all columns, k=256)
         |  list-accounts
         |  test-connection
         |  test-s3
@@ -83,6 +86,7 @@ object Main {
     case "query" :: rest       => query(rest)
     case "explain" :: rest     => explainQuery(rest)
     case "corpus-prep" :: rest => corpusPrep(rest)
+    case "profile" :: rest => profileCmd(rest)
     case "list-accounts" :: _  => listAccounts()
     case "test-connection" :: _ => testConnection()
     case "test-s3" :: _        => testS3()
@@ -177,6 +181,42 @@ object Main {
     * [[graft.ext.Similarity.compactIndex]]) — optionally reclaiming the
     * subsumed dirs. Run it from cron between ingest runs, exactly like
     * the warehouse `compact`; single-maintainer contract. */
+  /** One-scan column profile of any parquet table
+    * ([[graft.ext.Cardinality.profileColumns]]): per column, null
+    * count and KMV-estimated distinct cardinality — the first look an
+    * operator takes at an unfamiliar drop. */
+  private def profileCmd(args: List[String]): Unit = {
+    @annotation.tailrec
+    def opts(rest: List[String], cols: Option[Seq[String]], k: Int)
+        : (Option[Seq[String]], Int) = rest match {
+      case Nil                  => (cols, k)
+      case "--cols" :: v :: t   => opts(t, Some(v.split(',').toSeq.filter(_.nonEmpty)), k)
+      case "--k" :: v :: t      => opts(t, cols, num(v).toInt)
+      case _                    => usage()
+    }
+    val (in, cols0, k) = args match {
+      case i :: rest => val (c, kk) = opts(rest, None, 256); (i, c, kk)
+      case _         => usage()
+    }
+    val cfg = EngineConfig.fromEnv()
+    val spark = session(cfg)
+    try {
+      val df = spark.read.parquet(in)
+      val cols = cols0.getOrElse(df.schema.fieldNames.toSeq)
+      val unknown = cols.filterNot(df.schema.fieldNames.contains)
+      require(unknown.isEmpty,
+        s"profile: no such column(s): ${unknown.mkString(", ")} " +
+          s"(table has: ${df.schema.fieldNames.mkString(", ")})")
+      graft.ext.Cardinality.profileColumns(df, cols, k)
+        .orderBy("column_name")
+        .collect()
+        .foreach { r =>
+          println(f"[profile] ${r.getString(0)}%-24s nulls=${r.getLong(1)}%-10d " +
+            f"n_kmv=${r.getLong(2)}%-6d est_distinct=${r.getDouble(4)}%.1f")
+        }
+    } finally spark.stop()
+  }
+
   private def compactIndexCmd(args: List[String]): Unit = {
     val (kind, dir, vacuum) = args match {
       case k :: d :: Nil               => (k, d, false)
