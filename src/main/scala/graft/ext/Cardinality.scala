@@ -31,7 +31,9 @@ object Cardinality {
     * `(k-1) * |H| / h_k`. */
   def estimateCols(s: Column, k: Int): Seq[Column] = Seq(
     size(s).cast("long").as("n_kmv"),
-    element_at(s, -1).as("kth_min"),
+    // empty sketch (all-NULL / zero-row input): NULL kth, not an ANSI
+    // element_at error — the `when` evaluates element_at lazily
+    when(size(s) > 0, element_at(s, -1)).as("kth_min"),
     estExpr(s, k).as("est_distinct"))
 
   /** The bare estimate expression for a sketch column built with
@@ -112,8 +114,12 @@ object Cardinality {
           .as("est_overlap"))
       .select(col("a_rows"), col("b_rows"), col("est_a"), col("est_b"),
         col("est_overlap"),
-        (col("est_overlap") * (col("a_rows").cast("double") / col("est_a"))
-          * (col("b_rows").cast("double") / col("est_b"))).as("est_join_rows"))
+        // an empty / all-NULL-key side means zero join rows — guard the
+        // multiplicity divisions so the planner reads 0.0, never NaN
+        when(col("est_a") === 0.0 || col("est_b") === 0.0, lit(0.0))
+          .otherwise(col("est_overlap") * (col("a_rows").cast("double") / col("est_a"))
+            * (col("b_rows").cast("double") / col("est_b")))
+          .as("est_join_rows"))
   }
 
   /** ONE-SCAN column profiling — the data-quality sweep a warehouse
@@ -131,15 +137,20 @@ object Cardinality {
     require(cols.nonEmpty, "profileColumns needs at least one column")
     graft.functions.GraftFunctions.register(df.sparkSession)
     val aggs = cols.flatMap { c =>
+      // backtick-quote so a dotted name stays ONE column, not a struct
+      // path; coalesce keeps an empty table at nulls=0, not a NULL sum
+      require(!c.contains("`"), s"column name with backtick unsupported: $c")
+      val cc = df.col(s"`$c`")
       Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-        call_function("graft_kmv", portableStringHash(col(c)), lit(k))
+        coalesce(sum(when(cc.isNull, 1L).otherwise(0L)), lit(0L))
+          .as(s"${c}__nulls"),
+        call_function("graft_kmv", portableStringHash(cc), lit(k))
           .as(s"${c}__kmv"))
     }
     val packed = cols.map(c => struct(
       lit(c).as("column_name"),
-      col(s"${c}__nulls").as("n_nulls"),
-      col(s"${c}__kmv").as("kmv")))
+      col(s"`${c}__nulls`").as("n_nulls"),
+      col(s"`${c}__kmv`").as("kmv")))
     df.agg(aggs.head, aggs.tail: _*)
       .select(explode(array(packed: _*)).as("p"))
       .select(col("p.column_name") +: col("p.n_nulls").as("n_nulls") +:

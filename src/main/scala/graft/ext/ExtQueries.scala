@@ -2473,8 +2473,7 @@ object ExtQueries {
       graft.functions.GraftFunctions.register(s)
       def src = graft.streaming.StreamQueries.eventStream(s, d)
       val hashed = src.union(src).select(col("event_type"),
-        (conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10)
-          .cast("long") + lit(1L)).as("h"))
+        Cardinality.portableStringHash(col("user_id")).as("h"))
       val agg = hashed.groupBy(col("event_type"))
         .agg(call_function("graft_kmv", col("h"), lit(256)).as("kmv"))
       val q = agg.writeStream
@@ -2651,8 +2650,9 @@ object ExtQueries {
       actual AS (SELECT CAST(COUNT(*) AS BIGINT) AS actual_join_rows
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
       SELECT a_rows, b_rows, est_a, est_b, est_overlap,
-        est_overlap * (CAST(a_rows AS DOUBLE) / est_a) * (CAST(b_rows AS DOUBLE) / est_b)
-          AS est_join_rows,
+        CASE WHEN est_a = 0 OR est_b = 0 THEN CAST(0 AS DOUBLE)
+          ELSE est_overlap * (CAST(a_rows AS DOUBLE) / est_a)
+            * (CAST(b_rows AS DOUBLE) / est_b) END AS est_join_rows,
         actual_join_rows
       FROM est1, actual"""))
 

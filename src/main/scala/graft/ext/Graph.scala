@@ -13,9 +13,18 @@ import org.apache.spark.sql.functions._
   * reorder-sensitive, so a float PageRank is not restatable by an
   * independent engine. Here ranks live in micro-units (1.0 = 1,000,000)
   * and every step is BIGINT arithmetic — `rank div deg` per edge,
-  * `(damp · Σcontrib) div 10^6` per node — associative, overflow-safe
-  * (ranks ≤ 10^6, degrees ≤ n), and bit-identical in any engine. Same
-  * discipline as the integer-exact BM25/RRF scoring (e61/e63).
+  * `(damp · Σcontrib) div 10^6` per node — associative and
+  * bit-identical in any engine. Same discipline as the integer-exact
+  * BM25/RRF scoring (e61/e63).
+  *
+  * Overflow bound: total micro-mass is conserved (≤ n·10^6), so a
+  * node's contribution sum is ≤ n·10^6 and the damp multiply stays in
+  * int64 while `n ≤ Long.Max / (damp · 10^6)` (~10^7 nodes at
+  * damp 0.85). Past that a hub's multiply could wrap SILENTLY under
+  * non-ANSI semantics — so the iteration raises a loud error the
+  * moment any contribution sum crosses the safe line instead of
+  * emitting garbage ranks; rescale the unit (e.g. damp in per-mille)
+  * to go bigger.
   *
   * Scale shape: each iteration is one broadcast-or-shuffle hash join
   * (ranks ⋈ edges on the source node) plus one hash aggregation by the
@@ -50,12 +59,18 @@ object Graph {
     for (_ <- 1 to iters) {
       // the graph is symmetric, so every node has >= 1 in-edge and the
       // inner join/aggregate keeps the node set invariant across rounds
+      val damped =
+        if (dampMicro == 0L) lit(0L)
+        else when(col("s") > lit(Long.MaxValue / dampMicro),
+          raise_error(concat(
+            lit("integerPageRank: damp*contribution overflows int64 at sum="),
+            col("s").cast("string"))).cast("long"))
+          .otherwise(expr(s"($dampMicro * s) div $OneMicro"))
       ranks = adj.join(ranks, adj("u") === ranks("node"))
         .select(col("v"), expr("rank_micro div deg").as("contrib"))
         .groupBy(col("v"))
         .agg(sum(col("contrib")).as("s"))
-        .select(col("v").as("node"),
-          (lit(base) + expr(s"($dampMicro * s) div $OneMicro")).as("rank_micro"))
+        .select(col("v").as("node"), (lit(base) + damped).as("rank_micro"))
     }
     ranks.join(deg, ranks("node") === deg("u"))
       .select(col("node"), col("rank_micro"), col("deg"))

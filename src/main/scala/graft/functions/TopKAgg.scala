@@ -49,7 +49,10 @@ final class TopKBuffer(val k: Int) {
       val mid = (lo + hi) >>> 1
       if (better(key, id, mid)) hi = mid else lo = mid + 1
     }
-    if (lo < n && keys(lo) == key && ids(lo) == id) return // exact dup pair
+    // the lower-bound loop leaves `lo` one PAST an equal pair (an equal
+    // pair is not `better` than itself), so the duplicate to collapse
+    // sits at lo-1, never at lo
+    if (lo > 0 && keys(lo - 1) == key && ids(lo - 1) == id) return // exact dup pair
     if (n == k) {
       System.arraycopy(keys, lo, keys, lo + 1, k - 1 - lo)
       System.arraycopy(ids, lo, ids, lo + 1, k - 1 - lo)

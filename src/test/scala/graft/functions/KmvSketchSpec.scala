@@ -190,6 +190,25 @@ class KmvSketchSpec extends SparkSpec {
       s"join keys must never shuffle:\n$plan")
   }
 
+  test("edge cases: empty-table profile reports zeros; empty join side estimates 0.0, not NaN") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("num", "str")
+    val prof = Cardinality.profileColumns(empty, Seq("num", "str"), 16)
+      .orderBy("column_name").collect()
+    assert(prof.length == 2)
+    prof.foreach { r =>
+      assert(r.getLong(1) == 0L && r.getLong(2) == 0L && r.getDouble(4) == 0.0, r.toString)
+    }
+    // dotted column name resolves as ONE column, not a struct path
+    val dotted = Seq((1L, "x")).toDF("a.b", "s")
+    val dr = Cardinality.profileColumns(dotted, Seq("a.b"), 16).collect().head
+    assert(dr.getString(0) == "a.b" && dr.getLong(2) == 1L)
+    val a = Seq(1L, 2L).toDF("ka")
+    val b = Seq.empty[Long].toDF("kb")
+    val est = Cardinality.kmvJoinSizeEstimate(a, "ka", b, "kb", 16).collect().head
+    assert(est.getAs[Double]("est_join_rows") == 0.0, est.toString)
+  }
+
   test("exact below k: a group with fewer distinct tokens than k reports the exact count") {
     import spark.implicits._
     val docs = Seq(("g1", "a b a b c"), ("g1", "c a"), ("g2", "x")).toDF("src", "text")

@@ -16,6 +16,15 @@ class TopKAggSpec extends SparkSpec {
     val b = new TopKBuffer(3)
     Seq((5L, 9L), (7L, 2L), (5L, 1L), (5L, 9L)).foreach(p => b.insert(p._1, p._2))
     assert((0 until b.n).map(i => (b.keys(i), b.ids(i))) == Seq((7L, 2L), (5L, 1L), (5L, 9L)))
+    // UNSATURATED duplicate (not the equal-to-last fast path): the pair
+    // must collapse instead of occupying a second slot
+    val u = new TopKBuffer(4)
+    Seq((5L, 1L), (5L, 1L), (4L, 0L)).foreach(p => u.insert(p._1, p._2))
+    assert((0 until u.n).map(i => (u.keys(i), u.ids(i))) == Seq((5L, 1L), (4L, 0L)))
+    // duplicate of a NON-last element while other slots exist
+    val m = new TopKBuffer(4)
+    Seq((9L, 1L), (5L, 2L), (9L, 1L)).foreach(p => m.insert(p._1, p._2))
+    assert((0 until m.n).map(i => (m.keys(i), m.ids(i))) == Seq((9L, 1L), (5L, 2L)))
     b.insert(6L, 4L) // evicts (5, 9)
     assert((0 until b.n).map(i => (b.keys(i), b.ids(i))) == Seq((7L, 2L), (6L, 4L), (5L, 1L)))
     b.insert(5L, 3L) // worse than current tail on tiebreak? (5,3) beats nothing <= (5,1)? id 3 > 1 → rejected
@@ -41,7 +50,7 @@ class TopKAggSpec extends SparkSpec {
       rows <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 20L), Gen.choose(0L, 500L)))
       k <- Gen.oneOf(1, 2, 5, 32)
       parts <- Gen.choose(1, 6)
-    } yield (rows.distinct, k, parts)
+    } yield (rows, k, parts) // duplicates KEPT — set-collapse is under test
     val seed0 = org.scalacheck.rng.Seed(41L)
     Iterator.iterate(seed0)(_.next).take(10).foreach { seed =>
       gen.apply(Gen.Parameters.default, seed).foreach { case (rows, k, parts) =>
