@@ -35,6 +35,9 @@ object Main {
         |      (filter [-> drop docs above MICRO mean unigram surprisal]
         |       [-> drop docs with >= COV duplicate-span coverage]
         |       -> dedup -> chunk [-> pack into fixed-budget sequences] -> parquet)
+        |  retention <table> --before YYYY-MM-DD [--dry-run]
+        |      (drop date=/year=month= partitions whose period ends
+        |       before the cutoff; idempotent, unknown layouts skipped)
         |  profile <table.parquet> [--cols a,b,c] [--k N]
         |      (one-scan data-quality profile: per-column null count +
         |       KMV distinct estimate; default all columns, k=256)
@@ -87,6 +90,7 @@ object Main {
     case "explain" :: rest     => explainQuery(rest)
     case "corpus-prep" :: rest => corpusPrep(rest)
     case "profile" :: rest => profileCmd(rest)
+    case "retention" :: rest => retentionCmd(rest)
     case "list-accounts" :: _  => listAccounts()
     case "test-connection" :: _ => testConnection()
     case "test-s3" :: _        => testS3()
@@ -181,6 +185,36 @@ object Main {
     * [[graft.ext.Similarity.compactIndex]]) — optionally reclaiming the
     * subsumed dirs. Run it from cron between ingest runs, exactly like
     * the warehouse `compact`; single-maintainer contract. */
+  /** Partition-retention sweep over a warehouse table
+    * ([[graft.etl.ParquetLoader.retention]]). */
+  private def retentionCmd(args: List[String]): Unit = {
+    val (table, before, dry) = args match {
+      case t :: "--before" :: d :: Nil                 => (t, d, false)
+      case t :: "--before" :: d :: "--dry-run" :: Nil  => (t, d, true)
+      case _                                           => usage()
+    }
+    val cutoff = try java.time.LocalDate.parse(before) catch {
+      case _: java.time.format.DateTimeParseException =>
+        System.err.println(s"not a date (want YYYY-MM-DD): $before"); usage()
+    }
+    val cfg = EngineConfig.fromEnv()
+    loaderFor(cfg) match {
+      case pl: ParquetLoader =>
+        val spark = session(cfg)
+        try {
+          val gone = pl.retention(spark, table, cutoff, dryRun = dry)
+          val verb = if (dry) "would drop" else "dropped"
+          if (gone.isEmpty) println(s"[retention] $table: nothing to drop before $cutoff")
+          else println(s"[retention] $table: $verb ${gone.size} partition(s): " +
+            gone.mkString(", "))
+        } finally spark.stop()
+      case other =>
+        other.close()
+        System.err.println("retention applies to the parquet warehouse sink only")
+        sys.exit(1)
+    }
+  }
+
   /** One-scan column profile of any parquet table
     * ([[graft.ext.Cardinality.profileColumns]]): per column, null
     * count and KMV-estimated distinct cardinality — the first look an

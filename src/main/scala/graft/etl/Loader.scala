@@ -232,6 +232,86 @@ final class ParquetLoader(warehouseDir: String, schema: String) extends Loader {
     // first appears in the newest month
     Some(spark.read.option("mergeSchema", "true").parquet(dataDir(spark, table)))
 
+  /** Partition-retention sweep — the warehouse's data-lifecycle op:
+    * drop partitions whose period ENDS strictly before `before`
+    * (a `date=d` dir when `d < before`; a `month` dir when its last
+    * day is before `before`; a whole `year=` dir when Dec 31 is).
+    * Both layouts this sink writes are handled: the raw tables'
+    * nested `year=/month=` chain and the normalized `date=` layout.
+    *
+    * Safety model: each partition directory is removed with ONE
+    * recursive delete — per-dir atomic on rename filesystems, multi-op
+    * on object stores, and in both cases the sweep is IDEMPOTENT: a
+    * crash mid-sweep (or mid-partition on an object store) leaves a
+    * strict subset deleted and a re-run completes it. Partition names
+    * that don't parse (unknown key, non-numeric value) are SKIPPED
+    * with a warning, never guessed at — an unrecognized layout must
+    * not be silently truncated. Resolves through [[ManifestCommit]]
+    * like every read path, so the sweep hits the generation readers
+    * actually see. Returns the dropped partition labels (what WOULD
+    * drop, under `dryRun`). */
+  def retention(spark: SparkSession, table: String,
+      before: java.time.LocalDate, dryRun: Boolean = false): Seq[String] = {
+    val root = new HPath(dataDir(spark, table))
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return Nil
+    def kids(p: HPath): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).toSeq.filter(_.isDirectory)
+    def kv(name: String): Option[(String, String)] = {
+      val i = name.indexOf('=')
+      if (i <= 0) None else Some((name.substring(0, i), name.substring(i + 1)))
+    }
+    val dropped = scala.collection.mutable.ArrayBuffer.empty[String]
+    def drop(p: HPath, label: String): Unit = {
+      dropped += label
+      if (!dryRun) { fs.delete(p, true); () }
+    }
+    def skip(name: String): Unit =
+      System.err.println(s"[retention] $table: unrecognized partition dir '$name' — " +
+        "skipped (only date= and year=/month= layouts are swept)")
+    def monthEndsBefore(y: Int, m: Int): Boolean =
+      java.time.LocalDate.of(y, m, 1).plusMonths(1).minusDays(1).isBefore(before)
+    kids(root).foreach { st =>
+      val name = st.getPath.getName
+      kv(name) match {
+        case Some(("date", v)) =>
+          scala.util.Try(java.time.LocalDate.parse(v)).toOption match {
+            case Some(d) if d.isBefore(before) => drop(st.getPath, name)
+            case Some(_)                       => ()
+            case None                          => skip(name)
+          }
+        case Some(("year", v)) =>
+          v.toIntOption match {
+            case Some(y) if java.time.LocalDate.of(y, 12, 31).isBefore(before) =>
+              drop(st.getPath, name) // every month of the year is expired
+            case Some(y) =>
+              kids(st.getPath).foreach { ms =>
+                val mName = ms.getPath.getName
+                kv(mName) match {
+                  case Some(("month", mv)) => mv.toIntOption match {
+                    case Some(m) if m >= 1 && m <= 12 && monthEndsBefore(y, m) =>
+                      drop(ms.getPath, s"$name/$mName")
+                    case Some(m) if m >= 1 && m <= 12 => ()
+                    case _                            => skip(s"$name/$mName")
+                  }
+                  case _ => skip(s"$name/$mName")
+                }
+              }
+              // a year dir emptied by the month sweep is itself dead
+              if (!dryRun && kids(st.getPath).isEmpty &&
+                  !fs.listStatus(st.getPath).exists(_.isFile)) {
+                fs.delete(st.getPath, true)
+                ()
+              }
+            case None => skip(name)
+          }
+        case Some(_) => skip(name)
+        case None    => () // data files / _SUCCESS at the root: not partitions
+      }
+    }
+    dropped.toSeq.sorted
+  }
+
   /** Compact a table's file layout to ~`targetBytes` per output file —
     * the operational answer to the small-files problem: streaming
     * appends (foreachBatch writes one file set per micro-batch) and
