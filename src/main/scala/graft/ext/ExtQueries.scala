@@ -2656,10 +2656,58 @@ object ExtQueries {
         actual_join_rows
       FROM est1, actual"""))
 
+  // E12 × streaming × event time: the KMV sketch keyed by a tumbling
+  // 1-day EVENT-TIME window — daily distinct users per event type, the
+  // dashboard query at 100 TB/day. Composes the c40 window machinery
+  // with the custom imperative aggregate: per-(type, day) state is k
+  // longs in the RocksDB store, merged incrementally, and the
+  // self-union redelivery plus the batch oracle pin set semantics
+  // across both micro-batch AND window boundaries.
+  val e73 = Q(
+    "e73_stream_kmv_daily",
+    (outer, d) => {
+      val s = graft.streaming.StateBackend.isolatedStreamSession(outer)
+      graft.functions.GraftFunctions.register(s)
+      def src = graft.streaming.StreamQueries.eventStream(s, d)
+      val hashed = src.union(src).select(col("event_type"), col("ts"),
+        Cardinality.portableStringHash(col("user_id")).as("h"))
+      val agg = hashed
+        .groupBy(col("event_type"), window(col("ts"), "1 day"))
+        .agg(call_function("graft_kmv", col("h"), lit(256)).as("kmv"))
+        .select(col("event_type"), to_date(col("window.start")).as("day"), col("kmv"))
+      val q = agg.writeStream
+        .format("memory").queryName("graft_e73_stream")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_e73_stream")
+        .select(col("event_type") +: col("day") +:
+          Cardinality.estimateCols(col("kmv"), 256): _*)
+        .orderBy(col("event_type"), col("day"))
+    },
+    Some("""WITH hh AS (
+        SELECT DISTINCT event_type, CAST(ts AS DATE) AS day,
+          ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT + 1 AS h
+        FROM events
+      ), r AS (
+        SELECT event_type, day, h,
+          row_number() OVER (PARTITION BY event_type, day ORDER BY h) AS rn
+        FROM hh
+      )
+      SELECT event_type, day,
+        CAST(count(*) AS BIGINT) AS n_kmv,
+        max(h) AS kth_min,
+        CASE WHEN count(*) < 256 THEN CAST(count(*) AS DOUBLE)
+          ELSE 255 * CAST(1152921504606846976 AS DOUBLE) / CAST(max(h) AS DOUBLE) END
+          AS est_distinct
+      FROM r WHERE rn <= 256
+      GROUP BY event_type, day ORDER BY event_type, day"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
       e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41, e42, e43, e44,
       e45, e46, e47, e48, e49, e50, e51, e52, e53, e54, e55, e56, e57, e58, e59,
-      e60, e61, e62, e63, e64, e65, e66, e67, e68, e69, e70, e71, e72)
+      e60, e61, e62, e63, e64, e65, e66, e67, e68, e69, e70, e71, e72, e73)
 }
