@@ -122,6 +122,38 @@ object Cardinality {
           .as("est_join_rows"))
   }
 
+  /** The Count-Min cell index of value column `v` for sketch row `r`
+    * (0-based) at width `w`: the r-th disjoint 8-hex-char slice of
+    * md5, mod w — restatable in any engine as
+    * `('0x' || substr(md5(v), 1+8r, 8))::BIGINT % w`. */
+  private def cmsCell(v: Column, r: Int, w: Int): Column =
+    conv(substring(md5(v.cast("string")), 1 + 8 * r, 8), 16, 10).cast("long") % w
+
+  /** Token-frequency estimation via Count-Min
+    * ([[graft.functions.CmsSketch]]): build one d×w grid over every
+    * token occurrence (bounded state, vector-add merge), then read the
+    * top-k tokens' estimates out of the sketch next to their true
+    * counts. At 100 TB the grid replaces a full per-key count shuffle
+    * with `d·w` longs per partition; the exact top-k here is the
+    * conformance cross-check (at scale the candidates come from a
+    * heavy-hitter pass and only the GRID is consulted). */
+  def cmsTokenFrequencies(docs: DataFrame, textCol: String,
+      w: Int, d: Int, topK: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val toks = docs.select(explode(split(col(textCol), " ")).as("t"))
+    val sketch = toks.agg(
+      call_function("graft_cms", col("t"), lit(w), lit(d)).as("cms"))
+    val top = toks.groupBy(col("t"))
+      .agg(count(lit(1)).as("true_count"))
+      .orderBy(col("true_count").desc, col("t"))
+      .limit(topK)
+    val est = least((0 until d).map(r =>
+      element_at(col("cms"), (cmsCell(col("t"), r, w) + lit(r * w) + lit(1L)).cast("int"))): _*)
+    top.crossJoin(broadcast(sketch))
+      .select(col("t").as("token"), col("true_count"), est.as("cms_est"))
+      .orderBy(col("true_count").desc, col("token"))
+  }
+
   /** ONE-SCAN column profiling — the data-quality sweep a warehouse
     * runs before trusting a new drop: per column, null count and
     * KMV-estimated distinct cardinality, every column's counter and

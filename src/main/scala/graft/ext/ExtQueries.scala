@@ -2704,10 +2704,36 @@ object ExtQueries {
       FROM r WHERE rn <= 256
       GROUP BY event_type, day ORDER BY event_type, day"""))
 
+  // E12: Count-Min frequency estimation — the sketch family's fourth
+  // leg (KMV "how many distinct", bloom "seen?", top-k "which are
+  // biggest", CMS "how often is THIS one"). One 4×1024 grid over every
+  // token occurrence, vector-add merged; the top-10 exact tokens'
+  // estimates are read out of the grid next to their true counts. The
+  // oracle restates every counter cell (md5-slice row hashes, grouped
+  // counts) and takes the same MIN.
+  val e74 = Q(
+    "e74_cms_frequency",
+    (s, d) => Cardinality.cmsTokenFrequencies(T.documents(s, d), "text",
+      w = 1024, d = 4, topK = 10),
+    Some("""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+      cells AS (SELECT u.r, ('0x'||substr(md5(t), 1+8*(u.r-1), 8))::BIGINT % 1024 AS c,
+          COUNT(*) AS n
+        FROM tok, UNNEST([1,2,3,4]) AS u(r) GROUP BY 1, 2),
+      true_counts AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS true_n FROM tok GROUP BY t),
+      top AS (SELECT t, true_n FROM true_counts ORDER BY true_n DESC, t LIMIT 10),
+      qcells AS (SELECT top.t, top.true_n, u.r,
+          ('0x'||substr(md5(top.t), 1+8*(u.r-1), 8))::BIGINT % 1024 AS c
+        FROM top, UNNEST([1,2,3,4]) AS u(r)),
+      est AS (SELECT q.t, q.true_n, CAST(MIN(cells.n) AS BIGINT) AS cms_est
+        FROM qcells q JOIN cells ON cells.r = q.r AND cells.c = q.c
+        GROUP BY 1, 2)
+      SELECT t AS token, true_n AS true_count, cms_est FROM est
+      ORDER BY true_count DESC, token"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
       e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41, e42, e43, e44,
       e45, e46, e47, e48, e49, e50, e51, e52, e53, e54, e55, e56, e57, e58, e59,
-      e60, e61, e62, e63, e64, e65, e66, e67, e68, e69, e70, e71, e72, e73)
+      e60, e61, e62, e63, e64, e65, e66, e67, e68, e69, e70, e71, e72, e73, e74)
 }

@@ -181,6 +181,17 @@ object GraftFunctions {
         new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
           children.head, children(1), children(2))
       }),
+    (new FunctionIdentifier("graft_cms"),
+      new ExpressionInfo(classOf[CmsSketch].getName, "graft_cms"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, "graft_cms takes (value_string, w, d)")
+        val ints = children.drop(1).map {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_cms geometry must be integer literals, got $other")
+        }
+        CmsSketch(children.head, ints(0), ints(1))
+      }),
     (new FunctionIdentifier("graft_topk"),
       new ExpressionInfo(classOf[TopKByKey].getName, "graft_topk"),
       (children: Seq[Expression]) => {
