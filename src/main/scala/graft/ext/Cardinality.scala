@@ -154,6 +154,35 @@ object Cardinality {
       .orderBy(col("true_count").desc, col("token"))
   }
 
+  /** AMS F2 sketch (Alon–Matias–Szegedy 1996) — the self-join-size /
+    * skew statistic: `F2 = Σ_k f_k²` is the row count of the table
+    * joined with itself on `keyCol`, and `F2/n²` far above `1/distinct`
+    * means heavy keys (the decision input for salting, see
+    * [[Skew]]). The exact form needs the full per-key count shuffle;
+    * the sketch is 16 map-side ± sums (sign = one md5 bit per
+    * estimator: 4 disjoint 32-bit slices × 4 bits), `E[S²] = F2`,
+    * averaged — one scan, 16 longs of state, every step restatable
+    * (`1 - 2·((slice >> b) % 2)` in any engine). Returns one row:
+    * (n_rows, f2_exact, f2_est) — the exact value computed alongside
+    * as the conformance cross-check. */
+  def amsSelfJoinSize(df: DataFrame, keyCol: String): DataFrame = {
+    val key = col(keyCol).cast("string")
+    def slice(r: Int): Column =
+      conv(substring(md5(key), 1 + 8 * r, 8), 16, 10).cast("long")
+    val rb = for { r <- 0 until 4; b <- 0 until 4 } yield (r, b)
+    val signSums = rb.map { case (r, b) =>
+      sum(lit(1L) - lit(2L) * (shiftright(slice(r), b) % 2)).as(s"s_${r}_$b")
+    }
+    val sketch = df.agg(count(lit(1)).as("n_rows"), signSums: _*)
+    val exact = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") * col("n")).as("f2_exact"))
+    val sq = rb.map { case (r, b) => col(s"s_${r}_$b") * col(s"s_${r}_$b") }
+      .reduce(_ + _)
+    sketch.crossJoin(exact)
+      .select(col("n_rows"), col("f2_exact"),
+        (sq.cast("double") / lit(16)).as("f2_est"))
+  }
+
   /** ONE-SCAN column profiling — the data-quality sweep a warehouse
     * runs before trusting a new drop: per column, null count and
     * KMV-estimated distinct cardinality, every column's counter and

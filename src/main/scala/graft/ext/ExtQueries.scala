@@ -2730,10 +2730,39 @@ object ExtQueries {
       SELECT t AS token, true_n AS true_count, cms_est FROM est
       ORDER BY true_count DESC, token"""))
 
+  // E12: AMS F2 / self-join-size sketch — skew statistics for the
+  // salting decision (e45/Skew) without the per-key count shuffle the
+  // exact form needs: 16 map-side ± sums, sign bits from md5 slices,
+  // E[S²]=F2. Both arms (exact via groupBy, estimate via the sums)
+  // ride the SAME Scala loop geometry the oracle string is generated
+  // from — one source of truth for the estimator layout.
+  private val amsRb = for { r <- 0 until 4; b <- 0 until 4 } yield (r, b)
+
+  private def amsOracle(table: String, key: String): String = {
+    def slice(r: Int) =
+      s"('0x'||substr(md5(CAST($key AS VARCHAR)), ${1 + 8 * r}, 8))::BIGINT"
+    val sums = amsRb.map { case (r, b) =>
+      s"SUM(1 - 2 * ((${slice(r)} >> $b) % 2)) AS s_${r}_$b"
+    }.mkString(",\n        ")
+    val sq = amsRb.map { case (r, b) => s"s_${r}_$b*s_${r}_$b" }.mkString(" + ")
+    s"""WITH s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        $sums
+      FROM $table),
+      ex AS (SELECT CAST(SUM(n*n) AS BIGINT) AS f2_exact FROM (
+        SELECT COUNT(*) AS n FROM $table GROUP BY $key) g)
+      SELECT n_rows, f2_exact, CAST($sq AS DOUBLE) / 16 AS f2_est FROM s, ex"""
+  }
+
+  val e75 = Q(
+    "e75_ams_skew",
+    (s, d) => Cardinality.amsSelfJoinSize(T.lineitem(s, d), "l_orderkey"),
+    Some(amsOracle("lineitem", "l_orderkey")))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
       e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41, e42, e43, e44,
       e45, e46, e47, e48, e49, e50, e51, e52, e53, e54, e55, e56, e57, e58, e59,
-      e60, e61, e62, e63, e64, e65, e66, e67, e68, e69, e70, e71, e72, e73, e74)
+      e60, e61, e62, e63, e64, e65, e66, e67, e68, e69, e70, e71, e72, e73, e74,
+      e75)
 }

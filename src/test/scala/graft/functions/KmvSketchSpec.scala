@@ -209,6 +209,24 @@ class KmvSketchSpec extends SparkSpec {
     assert(est.getAs[Double]("est_join_rows") == 0.0, est.toString)
   }
 
+  test("AMS F2: single-key table is EXACT (every estimator sees ±n); skew ordering holds") {
+    import spark.implicits._
+    // all rows one key: S_i = ±n for every estimator → est = n² exactly
+    val one = Seq.fill(37)("k").toDF("key")
+    val r1 = Cardinality.amsSelfJoinSize(one, "key").collect().head
+    assert(r1.getAs[Long]("f2_exact") == 37L * 37L)
+    assert(r1.getAs[Double]("f2_est") == 37.0 * 37.0)
+    // a skewed bag must report a (much) larger F2 than a uniform one
+    // of the same size — the statistic the salting decision reads
+    val uniform = (1 to 64).map(_.toString).toDF("key")
+    val skewed = (Seq.fill(32)("hot") ++ (1 to 32).map(_.toString)).toDF("key")
+    val fu = Cardinality.amsSelfJoinSize(uniform, "key").collect().head
+    val fs = Cardinality.amsSelfJoinSize(skewed, "key").collect().head
+    assert(fu.getAs[Long]("f2_exact") == 64L && fs.getAs[Long]("f2_exact") == 32L * 32L + 32L)
+    assert(fs.getAs[Double]("f2_est") > fu.getAs[Double]("f2_est"),
+      s"skewed est ${fs.getAs[Double]("f2_est")} must exceed uniform ${fu.getAs[Double]("f2_est")}")
+  }
+
   test("exact below k: a group with fewer distinct tokens than k reports the exact count") {
     import spark.implicits._
     val docs = Seq(("g1", "a b a b c"), ("g1", "c a"), ("g2", "x")).toDF("src", "text")
