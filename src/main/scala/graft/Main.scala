@@ -178,13 +178,6 @@ object Main {
     }
   }
 
-  /** Index maintenance as a CLI step (the index-lifecycle sibling of
-    * `compact`): fold a persisted dedup or ANN index's append
-    * generations in place — staged as a marked generation, promoted by
-    * one atomic ledger PUT ([[graft.ext.Dedup.compactDedupIndex]] /
-    * [[graft.ext.Similarity.compactIndex]]) — optionally reclaiming the
-    * subsumed dirs. Run it from cron between ingest runs, exactly like
-    * the warehouse `compact`; single-maintainer contract. */
   /** Partition-retention sweep over a warehouse table
     * ([[graft.etl.ParquetLoader.retention]]). */
   private def retentionCmd(args: List[String]): Unit = {
@@ -251,6 +244,13 @@ object Main {
     } finally spark.stop()
   }
 
+  /** Index maintenance as a CLI step (the index-lifecycle sibling of
+    * `compact`): fold a persisted dedup or ANN index's append
+    * generations in place — staged as a marked generation, promoted by
+    * one atomic ledger PUT ([[graft.ext.Dedup.compactDedupIndex]] /
+    * [[graft.ext.Similarity.compactIndex]]) — optionally reclaiming the
+    * subsumed dirs. Run it from cron between ingest runs, exactly like
+    * the warehouse `compact`; single-maintainer contract. */
   private def compactIndexCmd(args: List[String]): Unit = {
     val (kind, dir, vacuum) = args match {
       case k :: d :: Nil               => (k, d, false)

@@ -263,8 +263,13 @@ final class ParquetLoader(warehouseDir: String, schema: String) extends Loader {
     }
     val dropped = scala.collection.mutable.ArrayBuffer.empty[String]
     def drop(p: HPath, label: String): Unit = {
-      dropped += label
-      if (!dryRun) { fs.delete(p, true); () }
+      // record only what is actually gone: a filesystem that reports a
+      // failed delete with `false` (permissions, concurrent writer)
+      // must not let the operator read "dropped" off the CLI while the
+      // data is still on disk — warn and leave it for a re-run
+      if (dryRun || fs.delete(p, true)) dropped += label
+      else System.err.println(s"[retention] $table: delete FAILED for $label — " +
+        "left in place; fix permissions and re-run")
     }
     def skip(name: String): Unit =
       System.err.println(s"[retention] $table: unrecognized partition dir '$name' — " +
@@ -281,7 +286,11 @@ final class ParquetLoader(warehouseDir: String, schema: String) extends Loader {
             case None                          => skip(name)
           }
         case Some(("year", v)) =>
-          v.toIntOption match {
+          // bound the year before LocalDate.of so a garbage value
+          // (year=2000000000 parses as Int but not as a date) is
+          // SKIPPED like every other unrecognized name, instead of
+          // aborting the whole sweep from inside a pattern guard
+          v.toIntOption.filter(y => y >= 0 && y <= 9999) match {
             case Some(y) if java.time.LocalDate.of(y, 12, 31).isBefore(before) =>
               drop(st.getPath, name) // every month of the year is expired
             case Some(y) =>

@@ -147,8 +147,11 @@ object Cardinality {
       .agg(count(lit(1)).as("true_count"))
       .orderBy(col("true_count").desc, col("t"))
       .limit(topK)
-    val est = least((0 until d).map(r =>
-      element_at(col("cms"), (cmsCell(col("t"), r, w) + lit(r * w) + lit(1L)).cast("int"))): _*)
+    val cellReads = (0 until d).map(r =>
+      element_at(col("cms"), (cmsCell(col("t"), r, w) + lit(r * w) + lit(1L)).cast("int")))
+    // Spark's least() rejects a single argument — depth-1 grids read
+    // their one row directly
+    val est = if (d == 1) cellReads.head else least(cellReads: _*)
     top.crossJoin(broadcast(sketch))
       .select(col("t").as("token"), col("true_count"), est.as("cms_est"))
       .orderBy(col("true_count").desc, col("token"))
@@ -165,22 +168,37 @@ object Cardinality {
     * (`1 - 2·((slice >> b) % 2)` in any engine). Returns one row:
     * (n_rows, f2_exact, f2_est) — the exact value computed alongside
     * as the conformance cross-check. */
+  /** The estimator geometry shared by [[amsSelfJoinSize]] and the e75
+    * oracle generator: (md5-slice index, bit index) per ± estimator —
+    * ONE definition so the two arms cannot drift. */
+  val AmsEstimators: Seq[(Int, Int)] =
+    for { r <- 0 until 4; b <- 0 until 4 } yield (r, b)
+
+  /** SQL text of estimator slice `r` over `key` — the same
+    * `('0x'||substr(md5(...), 1+8r, 8))::BIGINT` the Spark side
+    * computes via conv/substring. */
+  def amsSliceSql(key: String, r: Int): String =
+    s"('0x'||substr(md5(CAST($key AS VARCHAR)), ${1 + 8 * r}, 8))::BIGINT"
+
   def amsSelfJoinSize(df: DataFrame, keyCol: String): DataFrame = {
+    // NULL keys would silently vanish from the ± sums (md5(NULL) is
+    // NULL) while still counting in n_rows/f2_exact — scope BOTH arms
+    // to non-null keys so exact and estimate describe the same bag
+    val rows = df.filter(col(keyCol).isNotNull)
     val key = col(keyCol).cast("string")
     def slice(r: Int): Column =
       conv(substring(md5(key), 1 + 8 * r, 8), 16, 10).cast("long")
-    val rb = for { r <- 0 until 4; b <- 0 until 4 } yield (r, b)
-    val signSums = rb.map { case (r, b) =>
+    val signSums = AmsEstimators.map { case (r, b) =>
       sum(lit(1L) - lit(2L) * (shiftright(slice(r), b) % 2)).as(s"s_${r}_$b")
     }
-    val sketch = df.agg(count(lit(1)).as("n_rows"), signSums: _*)
-    val exact = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+    val sketch = rows.agg(count(lit(1)).as("n_rows"), signSums: _*)
+    val exact = rows.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
       .agg(sum(col("n") * col("n")).as("f2_exact"))
-    val sq = rb.map { case (r, b) => col(s"s_${r}_$b") * col(s"s_${r}_$b") }
+    val sq = AmsEstimators.map { case (r, b) => col(s"s_${r}_$b") * col(s"s_${r}_$b") }
       .reduce(_ + _)
     sketch.crossJoin(exact)
       .select(col("n_rows"), col("f2_exact"),
-        (sq.cast("double") / lit(16)).as("f2_est"))
+        (sq.cast("double") / lit(AmsEstimators.size)).as("f2_est"))
   }
 
   /** ONE-SCAN column profiling — the data-quality sweep a warehouse

@@ -2736,21 +2736,21 @@ object ExtQueries {
   // E[S²]=F2. Both arms (exact via groupBy, estimate via the sums)
   // ride the SAME Scala loop geometry the oracle string is generated
   // from — one source of truth for the estimator layout.
-  private val amsRb = for { r <- 0 until 4; b <- 0 until 4 } yield (r, b)
-
   private def amsOracle(table: String, key: String): String = {
-    def slice(r: Int) =
-      s"('0x'||substr(md5(CAST($key AS VARCHAR)), ${1 + 8 * r}, 8))::BIGINT"
-    val sums = amsRb.map { case (r, b) =>
-      s"SUM(1 - 2 * ((${slice(r)} >> $b) % 2)) AS s_${r}_$b"
+    // geometry and slice formula come from Cardinality — ONE source of
+    // truth, so reshaping the estimator layout there re-generates this
+    // oracle rather than desynchronizing it
+    val rb = Cardinality.AmsEstimators
+    val sums = rb.map { case (r, b) =>
+      s"SUM(1 - 2 * ((${Cardinality.amsSliceSql(key, r)} >> $b) % 2)) AS s_${r}_$b"
     }.mkString(",\n        ")
-    val sq = amsRb.map { case (r, b) => s"s_${r}_$b*s_${r}_$b" }.mkString(" + ")
+    val sq = rb.map { case (r, b) => s"s_${r}_$b*s_${r}_$b" }.mkString(" + ")
     s"""WITH s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
         $sums
-      FROM $table),
+      FROM $table WHERE $key IS NOT NULL),
       ex AS (SELECT CAST(SUM(n*n) AS BIGINT) AS f2_exact FROM (
-        SELECT COUNT(*) AS n FROM $table GROUP BY $key) g)
-      SELECT n_rows, f2_exact, CAST($sq AS DOUBLE) / 16 AS f2_est FROM s, ex"""
+        SELECT COUNT(*) AS n FROM $table WHERE $key IS NOT NULL GROUP BY $key) g)
+      SELECT n_rows, f2_exact, CAST($sq AS DOUBLE) / ${rb.size} AS f2_est FROM s, ex"""
   }
 
   val e75 = Q(

@@ -61,6 +61,18 @@ class RetentionSpec extends SparkSpec {
     assert(ld.table(spark, "odd_t").count() == 2)
   }
 
+  test("a garbage year value is skipped, not a sweep-aborting DateTimeException") {
+    val wh = Files.createTempDirectory("graft_ret").toString
+    val ld = new ParquetLoader(wh, "s")
+    ymTable(ld)
+    // an Int-parseable but non-date year dir next to real partitions
+    Files.createDirectories(java.nio.file.Paths.get(wh, "s", "raw_t", "year=2000000000"))
+    val dropped = ld.retention(spark, "raw_t", java.time.LocalDate.parse("2024-01-01"))
+    assert(dropped == Seq("year=2023"), s"real partitions still sweep: $dropped")
+    assert(Files.exists(java.nio.file.Paths.get(wh, "s", "raw_t", "year=2000000000")),
+      "the unrecognized dir is left alone")
+  }
+
   test("crash-partial sweep: a missing partition dir does not stop the re-run") {
     val wh = Files.createTempDirectory("graft_ret").toString
     val ld = new ParquetLoader(wh, "s")

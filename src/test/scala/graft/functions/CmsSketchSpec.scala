@@ -66,5 +66,10 @@ class CmsSketchSpec extends SparkSpec {
     val tiny = graft.ext.Cardinality.cmsTokenFrequencies(docs, "text", w = 2, d = 4, topK = 3)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
     tiny.foreach { case (t, tru, est) => assert(est >= tru, s"$t: est $est < true $tru") }
+    // depth-1 grid: the single row reads directly (least() would
+    // reject one argument)
+    val d1 = graft.ext.Cardinality.cmsTokenFrequencies(docs, "text", w = 1024, d = 1, topK = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(d1 == Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
   }
 }

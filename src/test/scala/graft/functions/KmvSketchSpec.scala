@@ -227,6 +227,15 @@ class KmvSketchSpec extends SparkSpec {
       s"skewed est ${fs.getAs[Double]("f2_est")} must exceed uniform ${fu.getAs[Double]("f2_est")}")
   }
 
+  test("AMS F2: NULL keys scope out of BOTH arms; single-key exactness survives mixed nulls") {
+    import spark.implicits._
+    val mixed = (Seq.fill(5)(Some("k")) ++ Seq.fill(7)(Option.empty[String])).toDF("key")
+    val r = Cardinality.amsSelfJoinSize(mixed, "key").collect().head
+    assert(r.getAs[Long]("n_rows") == 5L, "null keys must not count")
+    assert(r.getAs[Long]("f2_exact") == 25L, "null group must not enter exact F2")
+    assert(r.getAs[Double]("f2_est") == 25.0, "estimate and exact describe the same bag")
+  }
+
   test("exact below k: a group with fewer distinct tokens than k reports the exact count") {
     import spark.implicits._
     val docs = Seq(("g1", "a b a b c"), ("g1", "c a"), ("g2", "x")).toDF("src", "text")
