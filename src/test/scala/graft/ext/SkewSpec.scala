@@ -42,6 +42,36 @@ class SkewSpec extends SparkSpec {
     assert(salts >= 6, s"expected the hot key across most of 8 buckets, got $salts")
   }
 
+  test("measure: sketch stats read ~1.0 on uniform keys and >> 1 on the hot-key bag") {
+    import spark.implicits._
+    val uniform = (1 to 5000).map(i => (s"k$i", i.toLong)).toDF("k", "v")
+    val su = Skew.measure(uniform, "k")
+    // all-distinct keys: F2 == n, D == n → ratio == 1 up to sketch noise
+    assert(su.nRows == 5000L)
+    assert(su.skewRatio > 0.3 && su.skewRatio < 3.0, s"uniform ratio: $su")
+    val ss = Skew.measure(skewed, "k")
+    // one key owns 99% of 10.1k rows: F2 ≈ n², D ≈ 101 → ratio ≈ D
+    assert(ss.skewRatio > 20.0, s"skewed ratio must scream: $ss")
+    // nulls scope out of the measurement entirely
+    val withNulls = skewed.union(Seq((null: String, 0L)).toDF("k", "v"))
+    assert(Skew.measure(withNulls, "k").nRows == ss.nRows)
+  }
+
+  test("autoSaltedJoin: salts the hot bag, joins uniform plain, same rows either way") {
+    import spark.implicits._
+    val (hotJoined, hotStats, hotSalted) = Skew.autoSaltedJoin(skewed, dim, "k")
+    assert(hotSalted, s"hot bag must trigger salting: $hotStats")
+    assert(hotJoined.count() == skewed.join(dim, Seq("k")).count())
+    val uniform = (1 to 100).map(i => (s"k$i", i.toLong)).toDF("k", "v")
+    val (plainJoined, plainStats, plainSalted) = Skew.autoSaltedJoin(uniform, dim, "k")
+    assert(!plainSalted, s"uniform keys must not salt: $plainStats")
+    assert(plainJoined.count() == 100)
+    // the decision is visible in the plan: only the salted path
+    // replicates the dim side through an explode
+    assert(hotJoined.queryExecution.executedPlan.toString.contains("explode"))
+    assert(!plainJoined.queryExecution.executedPlan.toString.contains("explode"))
+  }
+
   test("keyHistogram surfaces the hot key first") {
     val top = Skew.keyHistogram(skewed, Seq("k"), 3).collect()
     assert(top.head.getString(0) == "hot" && top.head.getLong(1) == 10000L)
