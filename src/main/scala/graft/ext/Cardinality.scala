@@ -38,8 +38,10 @@ object Cardinality {
 
   /** The bare estimate expression for a sketch column built with
     * parameter `k` — exact when the sketch is unsaturated (it then IS
-    * the full distinct set), else `(k-1)·|H|/h_k`. */
-  private def estExpr(s: Column, k: Int): Column =
+    * the full distinct set), else `(k-1)·|H|/h_k`. THE estimator
+    * definition every KMV consumer reads (e65/e67/e71/e72 and the skew
+    * decision). */
+  def estExpr(s: Column, k: Int): Column =
     when(size(s) < k, size(s).cast("double"))
       .otherwise(lit((k - 1).toDouble) * lit(HashSpace) / element_at(s, -1).cast("double"))
 
@@ -168,9 +170,10 @@ object Cardinality {
     * (`1 - 2·((slice >> b) % 2)` in any engine). Returns one row:
     * (n_rows, f2_exact, f2_est) — the exact value computed alongside
     * as the conformance cross-check. */
-  /** The estimator geometry shared by [[amsSelfJoinSize]] and the e75
-    * oracle generator: (md5-slice index, bit index) per ± estimator —
-    * ONE definition so the two arms cannot drift. */
+  /** The estimator geometry shared by [[amsSelfJoinSize]], the e75
+    * oracle generator and [[Skew.measure]]: (md5-slice index, bit
+    * index) per ± estimator — ONE definition so the arms cannot
+    * drift. */
   val AmsEstimators: Seq[(Int, Int)] =
     for { r <- 0 until 4; b <- 0 until 4 } yield (r, b)
 
@@ -180,25 +183,44 @@ object Cardinality {
   def amsSliceSql(key: String, r: Int): String =
     s"('0x'||substr(md5(CAST($key AS VARCHAR)), ${1 + 8 * r}, 8))::BIGINT"
 
+  /** md5 hex of a value's string form — project this ONCE below a
+    * multi-estimator aggregate: ObjectHashAggregate evaluates every
+    * aggregate's input expression independently (no common-
+    * subexpression elimination), so computing the digest in a codegen'd
+    * projection and slicing the hex column in the aggregates pays one
+    * md5 per row instead of one per estimator. NULL stays NULL, so
+    * null keys drop out of every downstream sum/sketch naturally. */
+  def md5Hex(key: Column): Column = md5(key.cast("string"))
+
+  /** The 60-bit KMV hash ([[portableStringHash]]) read off a
+    * pre-computed md5-hex column. */
+  def kmvHashFromHex(hex: Column): Column =
+    conv(substring(hex, 1, 15), 16, 10).cast("long") + lit(1L)
+
+  /** The 16 AMS ± sign sums read off a pre-computed md5-hex column —
+    * THE sign-sum definition (shared by e75 and the skew decision). */
+  def amsSignSums(hex: Column): Seq[Column] = AmsEstimators.map { case (r, b) =>
+    sum(lit(1L) - lit(2L) *
+      (shiftright(conv(substring(hex, 1 + 8 * r, 8), 16, 10).cast("long"), b) % 2))
+      .as(s"s_${r}_$b")
+  }
+
+  /** `Σ s² / |estimators|` over the [[amsSignSums]] columns. */
+  def amsF2Est: Column =
+    AmsEstimators.map { case (r, b) => col(s"s_${r}_$b") * col(s"s_${r}_$b") }
+      .reduce(_ + _).cast("double") / lit(AmsEstimators.size)
+
   def amsSelfJoinSize(df: DataFrame, keyCol: String): DataFrame = {
     // NULL keys would silently vanish from the ± sums (md5(NULL) is
     // NULL) while still counting in n_rows/f2_exact — scope BOTH arms
     // to non-null keys so exact and estimate describe the same bag
     val rows = df.filter(col(keyCol).isNotNull)
-    val key = col(keyCol).cast("string")
-    def slice(r: Int): Column =
-      conv(substring(md5(key), 1 + 8 * r, 8), 16, 10).cast("long")
-    val signSums = AmsEstimators.map { case (r, b) =>
-      sum(lit(1L) - lit(2L) * (shiftright(slice(r), b) % 2)).as(s"s_${r}_$b")
-    }
-    val sketch = rows.agg(count(lit(1)).as("n_rows"), signSums: _*)
+    val sketch = rows.select(md5Hex(col(keyCol)).as("__h"))
+      .agg(count(lit(1)).as("n_rows"), amsSignSums(col("__h")): _*)
     val exact = rows.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
       .agg(sum(col("n") * col("n")).as("f2_exact"))
-    val sq = AmsEstimators.map { case (r, b) => col(s"s_${r}_$b") * col(s"s_${r}_$b") }
-      .reduce(_ + _)
     sketch.crossJoin(exact)
-      .select(col("n_rows"), col("f2_exact"),
-        (sq.cast("double") / lit(AmsEstimators.size)).as("f2_est"))
+      .select(col("n_rows"), col("f2_exact"), amsF2Est.as("f2_est"))
   }
 
   /** ONE-SCAN column profiling — the data-quality sweep a warehouse

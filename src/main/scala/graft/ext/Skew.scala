@@ -51,62 +51,93 @@ object Skew {
 
   /** Sketch-measured key-distribution shape.
     *
-    * `skewRatio = F2_est · D_est / n²`: a uniform bag of D keys has
-    * `F2 = n²/D`, so the ratio reads ~1.0 for uniform keys and grows
-    * with mass concentration (a single hot key owning half the rows
-    * pushes it toward D/4). The decision input [[autoSaltedJoin]]
-    * thresholds on. */
-  final case class SkewStats(nRows: Long, distinctEst: Double, f2Est: Double) {
+    *  - `skewRatio = F2_est · D_est / n²`: a uniform bag of D keys has
+    *    `F2 = n²/D`, so ~1.0 reads uniform and growth means mass
+    *    concentration RELATIVE to the key count. It saturates at ~D,
+    *    so it cannot see a pathological LOW-cardinality bag — which is
+    *    what [[hotMassLB]] is for.
+    *  - `hotMassLB = F2_est / n²`: since `Σp² ≤ p_max`, this is a
+    *    LOWER BOUND on the heaviest key's row fraction — the absolute
+    *    per-task-mass signal (reads 1.0 when one key owns everything,
+    *    1/D uniform — and a uniform D=3 bag genuinely does cap join
+    *    parallelism at 3 tasks, so triggering on it is correct).
+    *  - `nullRows`: NULL keys are invisible to the hash sketches but
+    *    ARE a hot key for any join that keeps them (a left join's
+    *    null-heavy big side hashes to one shuffle partition). */
+  final case class SkewStats(
+      nRows: Long, nullRows: Long, distinctEst: Double, f2Est: Double) {
     def skewRatio: Double =
       if (nRows == 0L) 1.0
       else f2Est * distinctEst / (nRows.toDouble * nRows.toDouble)
+    def hotMassLB: Double =
+      if (nRows == 0L) 0.0 else f2Est / (nRows.toDouble * nRows.toDouble)
+    def nullFraction: Double =
+      if (nRows + nullRows == 0L) 0.0 else nullRows.toDouble / (nRows + nullRows)
   }
 
   /** ONE-SCAN skew measurement: the KMV distinct sketch and the AMS F2
     * estimator computed in a single aggregate over `key` — at 100 TB
-    * this is the whole diagnosis (bounded state, map-side merged,
-    * one row collected), where [[keyHistogram]]'s exact groupBy is
-    * the full per-key shuffle it exists to avoid. */
+    * this is the whole diagnosis (bounded state, map-side merged, one
+    * row collected), where [[keyHistogram]]'s exact groupBy is the
+    * full per-key shuffle it exists to avoid. The md5 digest is
+    * projected ONCE below the aggregate ([[Cardinality.md5Hex]]) and
+    * all 17 estimator inputs slice that column; estimator geometry and
+    * the distinct-estimate rule are [[Cardinality]]'s single
+    * definitions, so this measurement cannot drift from the
+    * oracle-checked e65/e75 arithmetic. */
   def measure(df: DataFrame, key: String, k: Int = 256): SkewStats = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val rows = df.filter(col(key).isNotNull)
-    val keyStr = col(key).cast("string")
-    def slice(r: Int): Column =
-      conv(substring(md5(keyStr), 1 + 8 * r, 8), 16, 10).cast("long")
-    val signSums = Cardinality.AmsEstimators.map { case (r, b) =>
-      sum(lit(1L) - lit(2L) * (shiftright(slice(r), b) % 2)).as(s"s_${r}_$b")
-    }
+    val hexed = df.select(Cardinality.md5Hex(col(key)).as("__h")) // NULL key → NULL hex
     val aggs = Seq(
-      count(lit(1)).as("n"),
+      count(lit(1)).as("all_rows"),
+      count(col("__h")).as("n"), // non-null keys only
       call_function("graft_kmv",
-        Cardinality.portableStringHash(col(key)), lit(k)).as("kmv")) ++ signSums
-    val row = rows.agg(aggs.head, aggs.tail: _*).collect().head
+        Cardinality.kmvHashFromHex(col("__h")), lit(k)).as("kmv")) ++
+      Cardinality.amsSignSums(col("__h"))
+    val row = hexed.agg(aggs.head, aggs.tail: _*)
+      .select(col("all_rows"), col("n"),
+        Cardinality.estExpr(col("kmv"), k).as("d_est"),
+        Cardinality.amsF2Est.as("f2_est"))
+      .collect().head
     val n = row.getAs[Long]("n")
-    val sketch = row.getAs[scala.collection.Seq[Long]]("kmv")
-    val dEst =
-      if (sketch.size < k) sketch.size.toDouble
-      else (k - 1).toDouble * Cardinality.HashSpace / sketch.last.toDouble
-    val f2 = Cardinality.AmsEstimators.map { case (r, b) =>
-      val s = row.getAs[Long](s"s_${r}_$b"); s.toDouble * s.toDouble
-    }.sum / Cardinality.AmsEstimators.size
-    SkewStats(n, dEst, f2)
+    SkewStats(n, row.getAs[Long]("all_rows") - n,
+      row.getAs[Double]("d_est"), row.getAs[Double]("f2_est"))
   }
+
+  private val SaltableJoinTypes = Set("inner", "left", "left_outer", "leftouter")
 
   /** The measured join decision: sketch the big side's key shape in
     * one pass, then join PLAIN when the distribution reads uniform and
-    * SALTED when `skewRatio >= threshold` — statistics feeding the
-    * physical plan the way an optimizer's column stats would, with the
-    * measurement itself bounded however big the table. Returns the
-    * frame plus the stats and the decision so callers can log it. */
+    * SALTED when any straggler signal fires — `skewRatio >= threshold`
+    * (hot relative to the key count), `hotMassLB >= hotMass` (one key
+    * caps parallelism in absolute terms, the signal skewRatio
+    * saturates out of at low cardinality), or a null-heavy big side
+    * under a left join (null keys all hash to one partition; inner
+    * joins prune them, left joins keep them, and the whole-row salt
+    * spreads them). Statistics feeding the physical plan the way an
+    * optimizer's column stats would, with the measurement itself
+    * bounded however big the table. Restricted to inner/left joins —
+    * [[saltedJoin]]'s correctness scope; a replicated small side under
+    * right/full semantics would fabricate null-padded rows. Returns
+    * the frame plus the stats and the decision so callers can log
+    * it. */
   def autoSaltedJoin(
       big: DataFrame,
       small: DataFrame,
       key: String,
       threshold: Double = 4.0,
+      hotMass: Double = 0.2,
       factor: Int = 16,
       joinType: String = "inner"): (DataFrame, SkewStats, Boolean) = {
+    require(SaltableJoinTypes.contains(joinType.toLowerCase(java.util.Locale.ROOT)),
+      s"autoSaltedJoin supports inner/left joins only, got '$joinType' — " +
+        "a replicated small side under right/full semantics fabricates rows")
     val stats = measure(big, key)
-    val salt = stats.skewRatio >= threshold
+    val nullStraggler =
+      joinType.toLowerCase(java.util.Locale.ROOT) != "inner" &&
+        stats.nullFraction >= hotMass
+    val salt = stats.skewRatio >= threshold || stats.hotMassLB >= hotMass ||
+      nullStraggler
     val joined =
       if (salt) saltedJoin(big, small, Seq(key), factor, joinType)
       else big.join(small, Seq(key), joinType)

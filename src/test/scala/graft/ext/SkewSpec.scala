@@ -52,9 +52,36 @@ class SkewSpec extends SparkSpec {
     val ss = Skew.measure(skewed, "k")
     // one key owns 99% of 10.1k rows: F2 ≈ n², D ≈ 101 → ratio ≈ D
     assert(ss.skewRatio > 20.0, s"skewed ratio must scream: $ss")
-    // nulls scope out of the measurement entirely
+    // nulls scope out of the hash sketches but stay VISIBLE as counts
     val withNulls = skewed.union(Seq((null: String, 0L)).toDF("k", "v"))
-    assert(Skew.measure(withNulls, "k").nRows == ss.nRows)
+    val sn = Skew.measure(withNulls, "k")
+    assert(sn.nRows == ss.nRows && sn.nullRows == 1L)
+  }
+
+  test("low-cardinality pathology: skewRatio saturates but hotMassLB still salts; right joins refused") {
+    import spark.implicits._
+    // 3 distinct keys, one owning ~99.8%: skewRatio caps at ~D=3
+    // (below the 4.0 threshold) — the absolute mass bound must fire
+    val lowCard = ((1 to 5000).map(i => ("hot", i.toLong)) ++
+      Seq(("a", 1L), ("b", 2L))).toDF("k", "v")
+    val dim3 = Seq(("hot", "H"), ("a", "A"), ("b", "B")).toDF("k", "label")
+    val (joined, stats, salted) = Skew.autoSaltedJoin(lowCard, dim3, "k")
+    assert(stats.skewRatio < 4.0, s"fixture regression — ratio must saturate: $stats")
+    assert(salted && stats.hotMassLB > 0.9, s"mass bound must catch it: $stats")
+    assert(joined.count() == 5002)
+    // a null-heavy big side under a LEFT join is a one-partition
+    // straggler — salted even though the non-null tail is uniform
+    val nullHeavy = ((1 to 900).map(_ => (null: String, 0L)) ++
+      (1 to 100).map(i => (s"k$i", i.toLong))).toDF("k", "v")
+    val (leftJoined, nullStats, nullSalted) =
+      Skew.autoSaltedJoin(nullHeavy, dim, "k", joinType = "left")
+    assert(nullSalted && nullStats.nullFraction == 0.9, nullStats.toString)
+    assert(leftJoined.count() == 1000, "left join keeps every big row")
+    // outside saltedJoin's correctness scope: refuse loudly
+    val e = intercept[IllegalArgumentException] {
+      Skew.autoSaltedJoin(lowCard, dim3, "k", joinType = "right")
+    }
+    assert(e.getMessage.contains("inner/left"))
   }
 
   test("autoSaltedJoin: salts the hot bag, joins uniform plain, same rows either way") {
