@@ -2758,11 +2758,47 @@ object ExtQueries {
     (s, d) => Cardinality.amsSelfJoinSize(T.lineitem(s, d), "l_orderkey"),
     Some(amsOracle("lineitem", "l_orderkey")))
 
+  // E12 capstone: the auto-salting DECISION INPUTS as a hash-checked
+  // row — Skew.measure's one-pass diagnosis (KMV distinct + AMS F2 +
+  // null visibility + the two derived signals) restated by the oracle
+  // from the e65/e75 arithmetic it composes, so the numbers that pick
+  // plain-vs-salted joins are pinned by the gate, not just by specs.
+  private def skewStatsOracle(table: String, key: String): String = {
+    val rb = Cardinality.AmsEstimators
+    val sums = rb.map { case (r, b) =>
+      s"SUM(1 - 2 * ((${Cardinality.amsSliceSql(key, r)} >> $b) % 2)) AS s_${r}_$b"
+    }.mkString(",\n        ")
+    val sq = rb.map { case (r, b) => s"s_${r}_$b*s_${r}_$b" }.mkString(" + ")
+    s"""WITH hh AS (SELECT DISTINCT
+          ('0x'||substr(md5(CAST($key AS VARCHAR)),1,15))::BIGINT + 1 AS h
+        FROM $table WHERE $key IS NOT NULL),
+      r AS (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hh),
+      kmv AS (SELECT count(*) AS nk, max(h) AS kth FROM r WHERE rn <= 256),
+      s AS (SELECT CAST(COUNT(*) AS BIGINT) AS all_rows,
+        CAST(COUNT($key) AS BIGINT) AS n,
+        $sums
+      FROM $table),
+      est AS (SELECT all_rows, n,
+        CASE WHEN nk < 256 THEN CAST(nk AS DOUBLE)
+          ELSE 255 * CAST(1152921504606846976 AS DOUBLE) / CAST(kth AS DOUBLE) END AS d_est,
+        CAST($sq AS DOUBLE) / ${rb.size} AS f2_est
+      FROM s, kmv)
+      SELECT n AS n_rows, all_rows - n AS null_rows, d_est, f2_est,
+        f2_est * d_est / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS skew_ratio,
+        f2_est / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS hot_mass_lb
+      FROM est"""
+  }
+
+  val e76 = Q(
+    "e76_skew_stats",
+    (s, d) => Skew.measureFrame(T.lineitem(s, d), "l_orderkey", k = 256),
+    Some(skewStatsOracle("lineitem", "l_orderkey")))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
       e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41, e42, e43, e44,
       e45, e46, e47, e48, e49, e50, e51, e52, e53, e54, e55, e56, e57, e58, e59,
       e60, e61, e62, e63, e64, e65, e66, e67, e68, e69, e70, e71, e72, e73, e74,
-      e75)
+      e75, e76)
 }

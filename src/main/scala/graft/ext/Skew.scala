@@ -85,7 +85,11 @@ object Skew {
     * the distinct-estimate rule are [[Cardinality]]'s single
     * definitions, so this measurement cannot drift from the
     * oracle-checked e65/e75 arithmetic. */
-  def measure(df: DataFrame, key: String, k: Int = 256): SkewStats = {
+  /** The measurement as a ONE-ROW FRAME — the declared-query face of
+    * [[measure]] (e76 hash-checks every number against the combined
+    * e65/e75 oracle arithmetic): n_rows / null_rows / d_est / f2_est
+    * plus the two derived decision signals. */
+  def measureFrame(df: DataFrame, key: String, k: Int = 256): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val hexed = df.select(Cardinality.md5Hex(col(key)).as("__h")) // NULL key → NULL hex
     val aggs = Seq(
@@ -94,13 +98,20 @@ object Skew {
       call_function("graft_kmv",
         Cardinality.kmvHashFromHex(col("__h")), lit(k)).as("kmv")) ++
       Cardinality.amsSignSums(col("__h"))
-    val row = hexed.agg(aggs.head, aggs.tail: _*)
+    val nSq = col("n").cast("double") * col("n").cast("double")
+    hexed.agg(aggs.head, aggs.tail: _*)
       .select(col("all_rows"), col("n"),
         Cardinality.estExpr(col("kmv"), k).as("d_est"),
         Cardinality.amsF2Est.as("f2_est"))
-      .collect().head
-    val n = row.getAs[Long]("n")
-    SkewStats(n, row.getAs[Long]("all_rows") - n,
+      .select(col("n").as("n_rows"), (col("all_rows") - col("n")).as("null_rows"),
+        col("d_est"), col("f2_est"),
+        (col("f2_est") * col("d_est") / nSq).as("skew_ratio"),
+        (col("f2_est") / nSq).as("hot_mass_lb"))
+  }
+
+  def measure(df: DataFrame, key: String, k: Int = 256): SkewStats = {
+    val row = measureFrame(df, key, k).collect().head
+    SkewStats(row.getAs[Long]("n_rows"), row.getAs[Long]("null_rows"),
       row.getAs[Double]("d_est"), row.getAs[Double]("f2_est"))
   }
 
