@@ -171,6 +171,21 @@ object Bench {
       System.err.println(s"[bench] BENCH_HISTORY.jsonl append failed: ${e.getMessage}")
     }
     spark.stop()
+    // Driver-parseable FINAL line (VERDICT r13 item 7, four rounds of
+    // `parsed: null`): the driver keeps only the last ~2000 chars of
+    // stdout, and the full record above is ~8 kB — its head (and with it
+    // the opening '{') falls outside the window, so no tail line ever
+    // parses as JSON. Emit a compact summary as the very LAST stdout
+    // line, after spark.stop() so no shutdown logging can follow it:
+    // headline scalars + the top-15 most expensive queries (bounded —
+    // 15 × ~30 chars keeps the whole line + sbt's trailing "[success]"
+    // banner inside the window). The untruncated per-query record lives
+    // in BENCH_LAST.json / BENCH_HISTORY.jsonl.
+    val topQ = results.filter(_.ok).sortBy(-_.median).take(15)
+      .map(r => "\"" + r.name + "\":" + f"${r.median}%.3f").mkString("{", ",", "}")
+    println(
+      s"""{"metric":"conformance_total_s","unit":"sec",$headline,""" +
+        s""""sf":"$sfDir","queries_top15":$topQ,"queries_full":"BENCH_LAST.json"}""")
   }
 
   private case class QueryResult(name: String, min: Double, median: Double,

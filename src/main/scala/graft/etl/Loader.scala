@@ -249,7 +249,21 @@ final class ParquetLoader(warehouseDir: String, schema: String) extends Loader {
     * not be silently truncated. Resolves through [[ManifestCommit]]
     * like every read path, so the sweep hits the generation readers
     * actually see. Returns the dropped partition labels (what WOULD
-    * drop, under `dryRun`). */
+    * drop, under `dryRun`).
+    *
+    * CONCURRENCY CONTRACT (ADVICE r13): retention is an OFFLINE
+    * lifecycle op, same maintenance class as [[compact]] — no
+    * concurrent readers or loads on the table while the sweep runs.
+    * It deletes partition dirs IN PLACE inside the live generation, so
+    * a reader that resolved the same generation mid-sweep can hit
+    * FileNotFound on a just-dropped partition. This is deliberate, not
+    * an oversight: staging the sweep as a new [[ManifestCommit]]
+    * generation would make visibility atomic but would have to COPY
+    * every surviving byte on an object store (generation = whole
+    * directory; object-store "rename" is copy+delete) — rewriting
+    * ~100 TB to drop one expired month inverts the op's purpose. The
+    * in-place sweep is idempotent and per-partition bounded; schedule
+    * it in the same maintenance window compaction already requires. */
   def retention(spark: SparkSession, table: String,
       before: java.time.LocalDate, dryRun: Boolean = false): Seq[String] = {
     val root = new HPath(dataDir(spark, table))

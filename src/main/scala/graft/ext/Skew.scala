@@ -20,9 +20,16 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
-  /** Deterministic per-row salt in [0, factor). */
-  private def rowSalt(df: DataFrame, factor: Int): Column =
-    pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(factor.toLong)).cast("int")
+  /** Per-row salt in [0, factor). Mixes `monotonically_increasing_id()`
+    * into the whole-row hash so BIT-IDENTICAL rows still spread — the
+    * r13 whole-row-only salt degenerated on exactly the shape salting
+    * exists for (a hot key of n identical default rows all hashed to
+    * ONE salt, keeping the key a single task). The id is stable for a
+    * fixed scan layout (partition index × in-partition position), so
+    * runs stay replayable on unchanged inputs, same as before. */
+  private[ext] def rowSalt(df: DataFrame, factor: Int): Column =
+    pmod(xxhash64((df.columns.map(col) :+ monotonically_increasing_id()).toIndexedSeq: _*),
+      lit(factor.toLong)).cast("int")
 
   /** Equi-join `big ⋈ small` on `keys`, with the big side's rows spread
     * over `factor` salted sub-keys. Semantics identical to
@@ -99,14 +106,23 @@ object Skew {
         Cardinality.kmvHashFromHex(col("__h")), lit(k)).as("kmv")) ++
       Cardinality.amsSignSums(col("__h"))
     val nSq = col("n").cast("double") * col("n").cast("double")
+    // Zero non-null keys (empty frame / all-NULL key) makes the sign sums
+    // aggregate zero rows → NULL f2, and nSq = 0 → NaN ratios. Coalesce
+    // the estimates to 0 and pin the derived signals to the SkewStats
+    // degenerate-input values (skewRatio 1.0 "uniform", hotMassLB 0.0)
+    // so the frame is null-free and measure() never unboxes NULL to 0.0
+    // silently (ADVICE r13). On non-empty input every expression is
+    // byte-identical to the e76-hash-checked arithmetic.
     hexed.agg(aggs.head, aggs.tail: _*)
       .select(col("all_rows"), col("n"),
-        Cardinality.estExpr(col("kmv"), k).as("d_est"),
-        Cardinality.amsF2Est.as("f2_est"))
+        coalesce(Cardinality.estExpr(col("kmv"), k), lit(0.0)).as("d_est"),
+        coalesce(Cardinality.amsF2Est, lit(0.0)).as("f2_est"))
       .select(col("n").as("n_rows"), (col("all_rows") - col("n")).as("null_rows"),
         col("d_est"), col("f2_est"),
-        (col("f2_est") * col("d_est") / nSq).as("skew_ratio"),
-        (col("f2_est") / nSq).as("hot_mass_lb"))
+        when(col("n") === 0L, lit(1.0))
+          .otherwise(col("f2_est") * col("d_est") / nSq).as("skew_ratio"),
+        when(col("n") === 0L, lit(0.0))
+          .otherwise(col("f2_est") / nSq).as("hot_mass_lb"))
   }
 
   def measure(df: DataFrame, key: String, k: Int = 256): SkewStats = {

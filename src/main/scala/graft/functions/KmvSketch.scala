@@ -107,6 +107,15 @@ object KmvBuffer {
   * viable single-node, not at 100 TB. Spark's own `approx_count_distinct`
   * (HLL++) is non-deterministic across engines and so excluded from the
   * hash suite; KMV is the sketch that IS exactly restatable.
+  *
+  * INPUT CONTRACT: hashes must be NON-NEGATIVE (the engine's callers
+  * all feed 60-bit md5-prefix hashes via
+  * [[graft.ext.Cardinality.kmvHashFromHex]]). The ascending ordering
+  * and the `(k-1) * 2^60 / h_k` estimator both assume a non-negative
+  * hash space — a raw signed hash (e.g. `xxhash64`) would sort its
+  * negative half FIRST and yield a negative k-th minimum, silently
+  * producing nonsense estimates. `update` rejects negative inputs
+  * loudly instead (ADVICE r13).
   */
 case class KmvDistinct(
     child: Expression,
@@ -122,7 +131,16 @@ case class KmvDistinct(
 
   override def update(buffer: KmvBuffer, input: InternalRow): KmvBuffer = {
     val v = child.eval(input)
-    if (v != null) buffer.insert(v.asInstanceOf[Long])
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      if (h < 0L)
+        throw new IllegalArgumentException(
+          s"graft_kmv received a negative hash ($h): the sketch ordering and " +
+            "the (k-1)*2^60/h_k estimator require non-negative hashes — feed a " +
+            "60-bit hash (e.g. conv(substring(md5(x),1,15),16,10)+1), not a raw " +
+            "signed hash like xxhash64")
+      buffer.insert(h)
+    }
     buffer
   }
 

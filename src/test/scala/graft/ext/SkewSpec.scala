@@ -36,10 +36,43 @@ class SkewSpec extends SparkSpec {
   }
 
   test("the hot key actually spreads across salt buckets") {
-    val salts = skewed.filter(col("k") === "hot")
-      .withColumn("__salt", pmod(xxhash64(col("k"), col("v")), lit(8L)).cast("int"))
+    val hot = skewed.filter(col("k") === "hot")
+    val salts = hot.withColumn("__salt", Skew.rowSalt(hot, 8))
       .select("__salt").distinct().count()
     assert(salts >= 6, s"expected the hot key across most of 8 buckets, got $salts")
+  }
+
+  test("a hot key of BIT-IDENTICAL duplicate rows still spreads (r13 degenerate salt)") {
+    import spark.implicits._
+    // the shape salting exists for: one hot key whose rows are exact
+    // copies (a default/placeholder row repeated). The r13 whole-row-only
+    // salt hashed all of them to ONE bucket — zero spread.
+    val dups = ((1 to 8000).map(_ => ("hot", 0L)) ++
+      (1 to 50).map(i => (s"k$i", i.toLong))).toDF("k", "v")
+      .repartition(4) // multiple partitions: the id must spread within AND across
+    val hot = dups.filter(col("k") === "hot")
+    val salts = hot.withColumn("__salt", Skew.rowSalt(hot, 8))
+      .select("__salt").distinct().count()
+    assert(salts >= 6, s"identical rows must spread across most of 8 buckets, got $salts")
+    // and the salted join still returns exactly the plain join's multiset
+    val plain = dups.join(dim, Seq("k"))
+    val salted = Skew.saltedJoin(dups, dim, Seq("k"), factor = 8)
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("measureFrame is null-free on empty and all-NULL-key input (ADVICE r13)") {
+    import spark.implicits._
+    val empty = Seq.empty[(String, Long)].toDF("k", "v")
+    val er = Skew.measureFrame(empty, "k").collect().head
+    assert(!(0 until er.length).exists(er.isNullAt), s"empty-input frame has NULLs: $er")
+    val es = Skew.measure(empty, "k")
+    assert(es.nRows == 0L && es.skewRatio == 1.0 && es.hotMassLB == 0.0 && es.f2Est == 0.0)
+    val allNull = Seq((null: String, 1L), (null: String, 2L)).toDF("k", "v")
+    val nr = Skew.measureFrame(allNull, "k").collect().head
+    assert(!(0 until nr.length).exists(nr.isNullAt), s"all-NULL frame has NULLs: $nr")
+    val ns = Skew.measure(allNull, "k")
+    assert(ns.nRows == 0L && ns.nullRows == 2L && ns.nullFraction == 1.0)
   }
 
   test("measure: sketch stats read ~1.0 on uniform keys and >> 1 on the hot-key bag") {

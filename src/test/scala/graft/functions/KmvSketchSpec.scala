@@ -236,6 +236,28 @@ class KmvSketchSpec extends SparkSpec {
     assert(r.getAs[Double]("f2_est") == 25.0, "estimate and exact describe the same bag")
   }
 
+  test("negative hashes are rejected loudly, not silently mis-estimated (ADVICE r13)") {
+    import spark.implicits._
+    // a raw signed hash (xxhash64) sorts its negative half first and
+    // yields a negative k-th minimum — nonsense estimates with no error.
+    // update() must refuse instead.
+    GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      Seq("a", "b", "c").toDF("s")
+        .agg(call_function("graft_kmv", xxhash64(col("s")), lit(16)))
+        .collect()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("negative hash"), s"expected the contract error, got: $e")
+    // the engine's own 60-bit hash path is unaffected
+    val ok = Seq("a", "b", "c").toDF("s")
+      .select(Cardinality.md5Hex(col("s")).as("h"))
+      .agg(call_function("graft_kmv", Cardinality.kmvHashFromHex(col("h")), lit(16)))
+      .collect().head.getSeq[Long](0)
+    assert(ok.size == 3 && ok.forall(_ > 0L))
+  }
+
   test("exact below k: a group with fewer distinct tokens than k reports the exact count") {
     import spark.implicits._
     val docs = Seq(("g1", "a b a b c"), ("g1", "c a"), ("g2", "x")).toDF("src", "text")
