@@ -16,7 +16,10 @@ object Main {
       """usage: graft.Main <command> [options]
         |
         |commands:
-        |  sync [--months N] [--raw-only] [--dry-run] [--all-accounts] [--as-of YYYY-MM-DD] [--no-file-audit] [--incremental]
+        |  sync [--months N] [--raw-only] [--dry-run] [--all-accounts] [--as-of YYYY-MM-DD] [--no-file-audit] [--incremental] [--auto-salt]
+        |      (--auto-salt: sketch the date distribution per table and
+        |       salt the normalized write clustering when one date owns
+        |       the window — parallel writers instead of one straggler)
         |  compact <table> [--target-mb N]     (parquet warehouse only)
         |  compact-index <dedup|ann> <dir> [--vacuum]
         |      (fold append generations in place — atomic ledger promote;
@@ -368,6 +371,7 @@ object Main {
       case "--dry-run" :: t       => go(t, o.copy(dryRun = true))
       case "--all-accounts" :: t  => go(t, o.copy(allAccounts = true))
       case "--no-file-audit" :: t => go(t, o.copy(auditFiles = false))
+      case "--auto-salt" :: t     => go(t, o.copy(autoSalt = true))
       case "--as-of" :: d :: t    => go(t, o.copy(asOf = LocalDate.parse(d)))
       case bad :: _               => System.err.println(s"unknown option: $bad"); usage()
     }

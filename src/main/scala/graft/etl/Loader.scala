@@ -48,6 +48,18 @@ trait Loader extends AutoCloseable {
   def load(df: DataFrame, table: String, ifExists: String = "replace",
       partitionBy: Seq[String] = Nil): Long
 
+  /** [[load]] with a write-clustering salt: `clusterSalt > 1` spreads
+    * each partition value's rows over up to that many writer tasks
+    * (`repartition(keys :+ salt)`) instead of the default one-file-per-
+    * value clustering. The statistics-driven remedy for a HOT partition
+    * value — a date owning most of a sync window would otherwise funnel
+    * through ONE writer task and emit one giant file (the straggler
+    * shape [[graft.ext.Skew]] measures; see `Sync.Options.autoSalt`).
+    * Sinks without physical clustering (JDBC) ignore the salt. */
+  def loadClustered(df: DataFrame, table: String, ifExists: String,
+      partitionBy: Seq[String], clusterSalt: Int): Long =
+    load(df, table, ifExists, partitionBy)
+
   /** Read a previously-loaded table back (serving-side scan). */
   def table(spark: SparkSession, name: String): DataFrame
 
@@ -148,7 +160,12 @@ final class ParquetLoader(warehouseDir: String, schema: String) extends Loader {
   }
 
   override def load(df: DataFrame, table: String, ifExists: String,
-      partitionBy: Seq[String]): Long = {
+      partitionBy: Seq[String]): Long =
+    loadClustered(df, table, ifExists, partitionBy, clusterSalt = 1)
+
+  override def loadClustered(df: DataFrame, table: String, ifExists: String,
+      partitionBy: Seq[String], clusterSalt: Int): Long = {
+    require(clusterSalt >= 1, s"clusterSalt must be >= 1, got $clusterSalt")
     val dynamic = ifExists == "upsert_partitions"
     require(!dynamic || partitionBy.nonEmpty,
       "upsert_partitions requires a partitioned layout (partitionBy)")
@@ -156,13 +173,28 @@ final class ParquetLoader(warehouseDir: String, schema: String) extends Loader {
     // Cluster rows by the partition keys before a partitionBy write:
     // without this every one of the N shuffle partitions opens a writer
     // per partition value (dates × N tiny files, and N× the write cost).
-    // One shuffle up front → one file per date. A single date too big for
-    // one task would want repartition(n, keys :+ salt); at the serving
-    // tier's per-date volumes one columnar file per date is the right
-    // layout for pruning readers.
-    val clustered =
-      if (partitionBy.isEmpty) cleaned(df)
-      else cleaned(df).repartition(partitionBy.map(org.apache.spark.sql.functions.col): _*)
+    // One shuffle up front → one file per date. A single date too big
+    // for one task is the `clusterSalt > 1` path: repartition on
+    // (keys :+ salt) spreads every value over up to clusterSalt writer
+    // tasks — the hot date becomes clusterSalt parallel writes/files
+    // instead of one straggler, at the cost of up-to-clusterSalt files
+    // for the quiet dates too (why it is decision-gated, not default:
+    // see Sync.Options.autoSalt). At the serving tier's per-date
+    // volumes one columnar file per date is the right layout for
+    // pruning readers.
+    val clustered = {
+      val c = cleaned(df)
+      val keys = partitionBy.map(org.apache.spark.sql.functions.col)
+      if (partitionBy.isEmpty) c
+      else if (clusterSalt > 1)
+        // explicit numPartitions: AQE's post-shuffle coalesce would
+        // otherwise re-collapse the spread this path exists to create
+        // (small-looking shuffles fold back to one writer task — the
+        // straggler again)
+        c.repartition(c.sparkSession.sessionState.conf.numShufflePartitions,
+          (keys :+ graft.ext.Skew.rowSalt(c, clusterSalt)): _*)
+      else c.repartition(keys: _*)
+    }
     // dynamic partition overwrite is a per-write option (no session-conf
     // toggle): Overwrite then only replaces the partition values the
     // frame actually carries. EXCEPT when the existing table was written

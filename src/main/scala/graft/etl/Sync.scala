@@ -38,7 +38,19 @@ object Sync {
       // where a 1-month sync must not rewrite a multi-year table. The
       // default (off) keeps the reference's drop-and-recreate semantics:
       // the warehouse holds exactly the current window after each run.
-      incremental: Boolean = false)
+      incremental: Boolean = false,
+      // statistics-driven write clustering for the normalized load: ONE
+      // bounded-state pass sketches the date-key distribution
+      // (graft.ext.Skew.measure — the e76 decision numbers) and, when a
+      // single partition value owns >= `autoSaltHotMass` of the window
+      // (or the null-date partition does), the partitionBy clustering is
+      // salted so the hot date writes through `autoSaltFactor` parallel
+      // tasks instead of one straggler. The decision row is logged per
+      // table. Off by default: the diagnosis costs one extra read pass
+      // over the normalized frame, and uniform windows don't need it.
+      autoSalt: Boolean = false,
+      autoSaltHotMass: Double = 0.2,
+      autoSaltFactor: Int = 8)
 
   final case class TableResult(
       table: String,
@@ -267,9 +279,29 @@ object Sync {
                     .reduce(_ || _)
                   normalized.filter(col("date").isNotNull && inWindow)
                 }
-              val loaded = loader.load(toLoad, s"${table}_normalized",
+              // --auto-salt: sketch the date distribution ONCE (bounded
+              // state however big the window) and salt the write
+              // clustering only when a straggler signal fires —
+              // hotMassLB is a LOWER bound on the heaviest date's row
+              // fraction (one writer task's share), and a null-heavy
+              // date column funnels into the single null partition.
+              val clusterSalt =
+                if (!opts.autoSalt) 1
+                else {
+                  val stats = graft.ext.Skew.measure(toLoad, "date")
+                  val salted = stats.hotMassLB >= opts.autoSaltHotMass ||
+                    stats.nullFraction >= opts.autoSaltHotMass
+                  System.err.println(
+                    f"[sync] $table auto-salt: n_rows=${stats.nRows} " +
+                      f"null_rows=${stats.nullRows} d_est=${stats.distinctEst}%.1f " +
+                      f"f2_est=${stats.f2Est}%.6g skew_ratio=${stats.skewRatio}%.2f " +
+                      f"hot_mass_lb=${stats.hotMassLB}%.3f null_fraction=${stats.nullFraction}%.3f " +
+                      s"-> ${if (salted) s"SALTED writers x${opts.autoSaltFactor}" else "plain clustering"}")
+                  if (salted) opts.autoSaltFactor else 1
+                }
+              val loaded = loader.loadClustered(toLoad, s"${table}_normalized",
                 ifExists = if (opts.incremental) "upsert_partitions" else "replace",
-                partitionBy = Seq("date"))
+                partitionBy = Seq("date"), clusterSalt = clusterSalt)
               // normalize is a row-preserving select over the window's
               // raw rows, so excluded = rawRows - loaded — read off the
               // two writes' existing Observations with no extra action

@@ -27,7 +27,7 @@ object Skew {
     * ONE salt, keeping the key a single task). The id is stable for a
     * fixed scan layout (partition index × in-partition position), so
     * runs stay replayable on unchanged inputs, same as before. */
-  private[ext] def rowSalt(df: DataFrame, factor: Int): Column =
+  private[graft] def rowSalt(df: DataFrame, factor: Int): Column =
     pmod(xxhash64((df.columns.map(col) :+ monotonically_increasing_id()).toIndexedSeq: _*),
       lit(factor.toLong)).cast("int")
 

@@ -555,4 +555,67 @@ class SyncE2ESpec extends SparkSpec {
     val w = CurSource.lastMonths(3, LocalDate.parse("2024-03-10"))
     assert(w.months.map(_.toString) == Seq("2024-01", "2024-02", "2024-03"))
   }
+
+  /** CUR fixture whose January rows concentrate on ONE date (hotShare of
+    * `n` rows on 2024-01-10, the rest spread over the month). */
+  private def skewedFixture(n: Int, hotShare: Double): String = {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_cur_skew").toString
+    val ids = Accounts.registry.map(_.id)
+    val hot = (n * hotShare).toInt
+    (1 to n).map { i =>
+      val day = if (i <= hot) 10 else 1 + (i % 28)
+      (java.sql.Timestamp.valueOf(f"2024-01-$day%02d 12:00:00"),
+        ids(i % ids.size), "svc", "ap-southeast-2", i.toDouble, "USD", 2024, 1)
+    }.toDF("line_item_usage_start_date", "line_item_usage_account_id",
+        "product_servicename", "product_region", "line_item_unblended_cost",
+        "line_item_currency_code", "year", "month")
+      .write.partitionBy("year", "month").parquet(s"$root/cur-a")
+    root
+  }
+
+  private def filesPerDate(wh: String, date: String): Int = {
+    val dir = new java.io.File(s"$wh/s/cur_a_normalized/date=$date")
+    Option(dir.listFiles()).map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0)
+  }
+
+  test("--auto-salt: a hot date writes through parallel tasks; uniform windows stay 1-file-per-date") {
+    // the sketch decision must fire: one date owns 90% of the window
+    val skewRoot = skewedFixture(4000, 0.9)
+    def cfgAt(root: String, wh: String) = EngineConfig(
+      sourceRoot = s"file://$root", curPaths = Seq("cur-a"), warehouseDir = wh,
+      jdbcUrl = None, jdbcUser = "", jdbcPassword = "", schema = "s",
+      syncMonths = 1, logLevel = "WARN")
+    val opts = Sync.Options(months = 1, asOf = LocalDate.parse("2024-01-15"),
+      allAccounts = true, autoSalt = true)
+
+    val whSalted = Files.createTempDirectory("graft_wh").toString
+    val salted = Sync.run(spark, cfgAt(skewRoot, whSalted),
+      new ParquetLoader(whSalted, "s"), opts)
+    assert(salted.tables.map(_.status) == Seq("success"))
+    // plain sync of the same fixture: the baseline layout AND row truth
+    val whPlain = Files.createTempDirectory("graft_wh").toString
+    val plain = Sync.run(spark, cfgAt(skewRoot, whPlain),
+      new ParquetLoader(whPlain, "s"), opts.copy(autoSalt = false))
+    // salting is pure write plumbing: identical rows either way
+    assert(salted.tables.head.normRows == plain.tables.head.normRows &&
+      plain.tables.head.normRows == 4000L)
+    // the hot date funnels through ONE writer plain, MANY salted
+    assert(filesPerDate(whPlain, "2024-01-10") == 1,
+      "plain clustering writes one file per date")
+    assert(filesPerDate(whSalted, "2024-01-10") >= 2,
+      "the hot date must spread over parallel writer tasks under --auto-salt")
+
+    // uniform window: the decision must NOT fire — layout identical to plain
+    val uniRoot = skewedFixture(2000, 0.0)
+    val whUni = Files.createTempDirectory("graft_wh").toString
+    val uni = Sync.run(spark, cfgAt(uniRoot, whUni),
+      new ParquetLoader(whUni, "s"), opts)
+    assert(uni.tables.map(_.status) == Seq("success"))
+    val uniDates = new java.io.File(s"$whUni/s/cur_a_normalized")
+      .listFiles().filter(f => f.isDirectory && f.getName.startsWith("date="))
+    assert(uniDates.nonEmpty && uniDates.forall(d =>
+      d.listFiles().count(_.getName.endsWith(".parquet")) == 1),
+      "uniform dates must keep the 1-file-per-date layout")
+  }
 }
