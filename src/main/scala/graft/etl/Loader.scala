@@ -190,9 +190,12 @@ final class ParquetLoader(warehouseDir: String, schema: String) extends Loader {
         // explicit numPartitions: AQE's post-shuffle coalesce would
         // otherwise re-collapse the spread this path exists to create
         // (small-looking shuffles fold back to one writer task — the
-        // straggler again)
-        c.repartition(c.sparkSession.sessionState.conf.numShufflePartitions,
-          (keys :+ graft.ext.Skew.rowSalt(c, clusterSalt)): _*)
+        // straggler again). The salt column is dropped after placement
+        // so it never reaches the written files.
+        graft.ext.Skew.withRowSalt(c, clusterSalt)
+          .repartition(c.sparkSession.sessionState.conf.numShufflePartitions,
+            (keys :+ org.apache.spark.sql.functions.col("__salt")): _*)
+          .drop("__salt")
       else c.repartition(keys: _*)
     }
     // dynamic partition overwrite is a per-write option (no session-conf

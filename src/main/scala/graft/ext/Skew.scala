@@ -14,22 +14,42 @@ import org.apache.spark.sql.functions._
   * [[saltedJoin]] splits every hot key's rows across `factor` synthetic
   * sub-keys on the big side and replicates the small side `factor`
   * times, so the hot key becomes `factor` parallel tasks. The salt is
-  * derived deterministically from the whole row (xxhash64), keeping
-  * runs replayable. Result equality with the plain join is asserted in
-  * the test suite.
+  * the row's canonicalized in-partition POSITION (see [[withRowSalt]]
+  * for the determinism model), so bit-identical rows spread and a
+  * recomputed task re-derives the same salts. Result equality with the
+  * plain join is asserted in the test suite.
   */
 object Skew {
 
-  /** Per-row salt in [0, factor). Mixes `monotonically_increasing_id()`
-    * into the whole-row hash so BIT-IDENTICAL rows still spread — the
-    * r13 whole-row-only salt degenerated on exactly the shape salting
-    * exists for (a hot key of n identical default rows all hashed to
-    * ONE salt, keeping the key a single task). The id is stable for a
-    * fixed scan layout (partition index × in-partition position), so
-    * runs stay replayable on unchanged inputs, same as before. */
-  private[graft] def rowSalt(df: DataFrame, factor: Int): Column =
-    pmod(xxhash64((df.columns.map(col) :+ monotonically_increasing_id()).toIndexedSeq: _*),
-      lit(factor.toLong)).cast("int")
+  /** Attach a per-row `__salt` column in [0, factor).
+    *
+    * Determinism model — the distributed-correctness contract: the
+    * salt must be STABLE under task recomputation, or a fetch-failure
+    * retry re-salts recomputed rows differently and the (keys, salt)
+    * shuffle duplicates/loses rows downstream. Position alone
+    * (`monotonically_increasing_id`) is stable only for scan-rooted
+    * frames — a shuffle-rooted upstream delivers its partition in
+    * nondeterministic order; pure row content (the r13 salt) collapses
+    * BIT-IDENTICAL duplicate rows onto one salt — exactly the
+    * hot-key-of-default-rows shape salting exists for. So: an
+    * in-partition sort over every orderable column canonicalizes the
+    * row order (the same trick Spark's round-robin `repartition(n)`
+    * uses, SPARK-23207), after which the in-partition position is
+    * deterministic given the partition's row MULTISET — identical rows
+    * occupy interchangeable consecutive positions, so they spread, and
+    * which copy gets which salt cannot matter. Map-typed columns are
+    * unorderable and skipped from the canonicalization sort (rows tied
+    * beyond them are interchangeable the same way). */
+  private[graft] def withRowSalt(df: DataFrame, factor: Int): DataFrame = {
+    val orderable = df.schema.fields
+      .filter(f => org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(f.dataType))
+      .map(f => col(f.name)).toIndexedSeq
+    val canonical =
+      if (orderable.isEmpty) df else df.sortWithinPartitions(orderable: _*)
+    canonical.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(factor.toLong)).cast("int"))
+  }
 
   /** Equi-join `big ⋈ small` on `keys`, with the big side's rows spread
     * over `factor` salted sub-keys. Semantics identical to
@@ -42,7 +62,7 @@ object Skew {
       factor: Int = 16,
       joinType: String = "inner"): DataFrame = {
     require(factor > 0, "salt factor must be positive")
-    val salted = big.withColumn("__salt", rowSalt(big, factor))
+    val salted = withRowSalt(big, factor)
     val replicated = small.withColumn("__salt",
       explode(sequence(lit(0), lit(factor - 1))))
     salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")

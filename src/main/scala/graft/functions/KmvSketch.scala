@@ -108,14 +108,15 @@ object KmvBuffer {
   * (HLL++) is non-deterministic across engines and so excluded from the
   * hash suite; KMV is the sketch that IS exactly restatable.
   *
-  * INPUT CONTRACT: hashes must be NON-NEGATIVE (the engine's callers
-  * all feed 60-bit md5-prefix hashes via
+  * INPUT CONTRACT: hashes must be STRICTLY POSITIVE (the engine's
+  * callers all feed `md5-prefix + 1` 60-bit hashes via
   * [[graft.ext.Cardinality.kmvHashFromHex]]). The ascending ordering
-  * and the `(k-1) * 2^60 / h_k` estimator both assume a non-negative
-  * hash space — a raw signed hash (e.g. `xxhash64`) would sort its
-  * negative half FIRST and yield a negative k-th minimum, silently
-  * producing nonsense estimates. `update` rejects negative inputs
-  * loudly instead (ADVICE r13).
+  * and the `(k-1) * 2^60 / h_k` estimator both assume a positive hash
+  * space — a raw signed hash (e.g. `xxhash64`) would sort its negative
+  * half FIRST and yield a negative k-th minimum, and a zero would make
+  * the estimator divide by zero: nonsense estimates either way, with
+  * no error. `update` rejects non-positive inputs loudly instead
+  * (ADVICE r13).
   */
 case class KmvDistinct(
     child: Expression,
@@ -133,10 +134,14 @@ case class KmvDistinct(
     val v = child.eval(input)
     if (v != null) {
       val h = v.asInstanceOf[Long]
-      if (h < 0L)
+      // h == 0 is rejected too: a zero among the k minima makes the
+      // estimator divide by a zero k-th minimum — Infinity with no
+      // error, the same silent-nonsense mode as a negative hash. The
+      // engine's hash convention is `... + 1`, i.e. always >= 1.
+      if (h <= 0L)
         throw new IllegalArgumentException(
-          s"graft_kmv received a negative hash ($h): the sketch ordering and " +
-            "the (k-1)*2^60/h_k estimator require non-negative hashes — feed a " +
+          s"graft_kmv received a non-positive hash ($h): the sketch ordering and " +
+            "the (k-1)*2^60/h_k estimator require hashes >= 1 — feed a " +
             "60-bit hash (e.g. conv(substring(md5(x),1,15),16,10)+1), not a raw " +
             "signed hash like xxhash64")
       buffer.insert(h)

@@ -67,6 +67,17 @@ class PlanGoldenSpec extends SparkSpec {
       case a: AdaptiveSparkPlanExec =>
         sb.append("  " * depth).append("AdaptiveSparkPlan\n")
         walk(a.executedPlan, depth + 1)
+      // recurse INTO cached subtrees: queries that .cache() internally
+      // (the corpus pipelines) would otherwise golden as a 2-line
+      // InMemoryTableScan leaf, pinning nothing of the plan they pay for
+      case i: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        sb.append("  " * depth).append("InMemoryTableScan\n")
+        walk(i.relation.cachedPlan, depth + 1)
+      // runtime stage wrappers (appear once an adaptive subtree has
+      // materialized, e.g. inside a cached relation) are execution
+      // artifacts, not shape — traverse them transparently
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        walk(q.plan, depth)
       case _ =>
         sb.append("  " * depth).append(label(n)).append('\n')
         n.children.foreach(walk(_, depth + 1))

@@ -37,9 +37,24 @@ class SkewSpec extends SparkSpec {
 
   test("the hot key actually spreads across salt buckets") {
     val hot = skewed.filter(col("k") === "hot")
-    val salts = hot.withColumn("__salt", Skew.rowSalt(hot, 8))
+    val salts = Skew.withRowSalt(hot, 8)
       .select("__salt").distinct().count()
     assert(salts >= 6, s"expected the hot key across most of 8 buckets, got $salts")
+  }
+
+  test("salt assignment is replay-deterministic: input ORDER cannot change it") {
+    import spark.implicits._
+    // a shuffle-rooted upstream delivers its partition in nondeterministic
+    // order; the canonicalization sort must make (row -> salt) a pure
+    // function of the partition's row multiset, or a recomputed task
+    // re-salts rows differently and the downstream (keys, salt) shuffle
+    // duplicates/loses rows
+    val rows = (1 to 500).map(i => (s"k${i % 7}", i.toLong))
+    val fwd = rows.toDF("k", "v").coalesce(1)
+    val rev = rows.reverse.toDF("k", "v").coalesce(1)
+    val a = Skew.withRowSalt(fwd, 8).collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).sorted
+    val b = Skew.withRowSalt(rev, 8).collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).sorted
+    assert(a.sameElements(b), "same multiset, different arrival order -> same salts")
   }
 
   test("a hot key of BIT-IDENTICAL duplicate rows still spreads (r13 degenerate salt)") {
@@ -51,7 +66,7 @@ class SkewSpec extends SparkSpec {
       (1 to 50).map(i => (s"k$i", i.toLong))).toDF("k", "v")
       .repartition(4) // multiple partitions: the id must spread within AND across
     val hot = dups.filter(col("k") === "hot")
-    val salts = hot.withColumn("__salt", Skew.rowSalt(hot, 8))
+    val salts = Skew.withRowSalt(hot, 8)
       .select("__salt").distinct().count()
     assert(salts >= 6, s"identical rows must spread across most of 8 buckets, got $salts")
     // and the salted join still returns exactly the plain join's multiset

@@ -249,7 +249,14 @@ class KmvSketchSpec extends SparkSpec {
     }
     val msg = Option(e.getMessage).getOrElse("") +
       Option(e.getCause).map(_.getMessage).getOrElse("")
-    assert(msg.contains("negative hash"), s"expected the contract error, got: $e")
+    assert(msg.contains("non-positive hash"), s"expected the contract error, got: $e")
+    // zero is rejected too: a zero k-th minimum divides the estimator
+    val z = intercept[Exception] {
+      Seq(1L, 0L).toDF("h").agg(call_function("graft_kmv", col("h"), lit(16))).collect()
+    }
+    val zmsg = Option(z.getMessage).getOrElse("") +
+      Option(z.getCause).map(_.getMessage).getOrElse("")
+    assert(zmsg.contains("non-positive hash"), s"zero must be rejected: $z")
     // the engine's own 60-bit hash path is unaffected
     val ok = Seq("a", "b", "c").toDF("s")
       .select(Cardinality.md5Hex(col("s")).as("h"))
