@@ -56,14 +56,24 @@ private[ext] object ObservedDrops {
     if (sessions.put(spark, java.lang.Boolean.TRUE) == null) {
       spark.listenerManager.register(new QueryExecutionListener {
         override def onSuccess(funcName: String, qe: QueryExecution,
-            durationNs: Long): Unit =
-          qe.observedMetrics.foreach { case (name, row) =>
+            durationNs: Long): Unit = {
+          // observedMetrics walks only the FINAL plan; AQE's
+          // empty-relation propagation can discard the subtree holding
+          // the metric node after its stage already ran — precisely
+          // the all-candidates-dropped case the warning exists for.
+          // Recover those rows from the adaptive stage cache.
+          val recovered =
+            try org.apache.spark.sql.execution.adaptive.GraftAdaptiveMetrics
+              .observedMetricsWithStages(qe.executedPlan)
+            catch { case _: Throwable => Map.empty[String, org.apache.spark.sql.Row] }
+          (recovered ++ qe.observedMetrics).foreach { case (name, row) =>
             if (name.startsWith("graft_drop_") && !row.isNullAt(0) && row.getLong(0) > 0)
               System.err.println(message(
                 name.stripPrefix("graft_drop_").replaceAll("_\\d+$", ""),
                 row.getLong(0),
                 if (row.isNullAt(1)) 0L else row.getLong(1)))
           }
+        }
         override def onFailure(funcName: String, qe: QueryExecution,
             exception: Exception): Unit = ()
       })

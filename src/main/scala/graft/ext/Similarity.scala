@@ -465,15 +465,23 @@ object Similarity {
         sum(when(col("bucket_n") > maxBucket, 1L).otherwise(0L)),
         max(when(col("bucket_n") > maxBucket, col("bucket_n"))))
       .filter(col("bucket_n") <= maxBucket)
+    // Cosine is computed IN the join projection and thresholded BEFORE
+    // the pair dedup, so the dropDuplicates aggregate buffers three
+    // narrow columns instead of two full embedding arrays per candidate
+    // (the r14 sf1 OOM site: a multi-table candidate set buffering
+    // ~600 B of UnsafeArrayData per pair in every task's hash map). A
+    // pair colliding in several tables re-computes its dot once per
+    // collision — bounded by `tables`, codegen'd, and identical on
+    // every copy, so the dedup keeps the same (id1, id2, cos) row the
+    // old order produced; the threshold also shrinks the dedup
+    // exchange to matching pairs only.
     pruned.as("x").join(pruned.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bucket") === col("y.bucket") &&
           col("x.id") < col("y.id"))
       .select(col("x.id").as("id1"), col("y.id").as("id2"),
-        col("x.e").as("e1"), col("y.e").as("e2"),
-        col("x.nrm").as("n1"), col("y.nrm").as("n2"))
-      .dropDuplicates("id1", "id2")
-      .withColumn("cos", fastDot(col("e1"), col("e2")) / (col("n1") * col("n2")))
+        (fastDot(col("x.e"), col("y.e")) / (col("x.nrm") * col("y.nrm"))).as("cos"))
       .filter(col("cos") >= threshold)
+      .dropDuplicates("id1", "id2")
       .select(col("id1"), col("id2"), col("cos"))
   }
 

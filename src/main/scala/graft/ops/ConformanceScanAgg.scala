@@ -27,11 +27,18 @@ object ConformanceScanAgg {
         col("l_shipdate") < lit("1997-01-01").cast(TimestampType) &&
         col("l_returnflag") === "R")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"), col("l_quantity"))
-      .orderBy(col("l_orderkey"), col("l_linenumber")),
+      // ORDER BY every output column: the synthetic lineitem carries
+      // duplicate (l_orderkey, l_linenumber) pairs, so the two-key sort
+      // is not total — both engines only agreed at small SF because a
+      // single-file scan fed their stable sorts the same arrival order
+      // (at sf1's multi-row-group file the tie luck breaks). A total
+      // order leaves only full-row duplicates tied, and those are
+      // hash-interchangeable.
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"), col("l_quantity")),
     Some("""SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
         AND l_returnflag = 'R'
-      ORDER BY l_orderkey, l_linenumber"""))
+      ORDER BY l_orderkey, l_linenumber, l_shipdate, l_quantity"""))
 
   // C3: IN-list filter — mirror of the reference's account-id filter
   // (reference src/sources/aws_cur.py:77-83).

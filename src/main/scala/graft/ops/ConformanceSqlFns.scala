@@ -129,7 +129,12 @@ object ConformanceSqlFns {
         coalesce(nullif(col("l_returnflag"), lit("N")), lit("none")).as("flag_or_none"),
         greatest(col("l_tax"), col("l_discount")).as("gst"),
         least(col("l_tax"), col("l_discount")).as("lst"))
-      .orderBy(col("l_orderkey"), col("l_linenumber")),
+      // total order (duplicate (okey, lineno) pairs exist in the
+      // synthetic data — see c02): every output column participates so
+      // only hash-interchangeable full-row duplicates remain tied
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("rnd"), col("ab"),
+        col("qty_band"), col("flag_or_none"), col("gst"), col("lst"),
+        col("flr"), col("cl")),
     Some("""SELECT l_orderkey, l_linenumber,
         ROUND(l_extendedprice, 2) AS rnd,
         CAST(FLOOR(l_quantity) AS BIGINT) AS flr,
@@ -139,7 +144,8 @@ object ConformanceSqlFns {
         COALESCE(NULLIF(l_returnflag, 'N'), 'none') AS flag_or_none,
         GREATEST(l_tax, l_discount) AS gst,
         LEAST(l_tax, l_discount) AS lst
-      FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+      FROM lineitem ORDER BY l_orderkey, l_linenumber, rnd, ab,
+        qty_band, flag_or_none, gst, lst, flr, cl"""))
 
   // C28: JSON extraction (events.props = {"k": <int>}) + grouped sum.
   val c28 = Q(
@@ -237,7 +243,10 @@ object ConformanceSqlFns {
         Array(col("l_discount").as("disc"), col("l_extendedprice").as("price"),
           col("l_quantity").as("qty")),
         "measure", "value")
-      .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure")),
+      // total order (duplicate (okey, lineno) pairs — see c02): value
+      // joins the sort so same-measure ties resolve identically on
+      // both engines
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"), col("value")),
     Some("""SELECT l_orderkey, l_linenumber, m AS measure, v AS value FROM (
         SELECT l_orderkey, l_linenumber, 'disc' AS m, l_discount AS v
           FROM lineitem WHERE l_orderkey < 1000
@@ -245,7 +254,7 @@ object ConformanceSqlFns {
           FROM lineitem WHERE l_orderkey < 1000
         UNION ALL SELECT l_orderkey, l_linenumber, 'qty', l_quantity
           FROM lineitem WHERE l_orderkey < 1000)
-      ORDER BY l_orderkey, l_linenumber, measure"""))
+      ORDER BY l_orderkey, l_linenumber, measure, value"""))
 
   // C48: correlated subqueries — the SQL-surface family the declared
   // set didn't yet cover: a correlated SCALAR aggregate subquery
