@@ -12,10 +12,21 @@ import org.apache.spark.sql.util.QueryExecutionListener
   *
   * The listener rides Spark's (async) listener bus; callers in tests
   * must poll for the warning rather than assert right after the action.
+  *
+  * Coverage boundary (best-effort by design): when AQE discards the
+  * metric's subtree via empty-relation propagation, the rows are
+  * recovered from the adaptive stage cache — but only if the metric's
+  * own stage MATERIALIZED. If a *different* stage's emptiness lets AQE
+  * cancel the metric stage mid-flight, the count is partial (tasks that
+  * completed before the kill) or absent; a recovered count is therefore
+  * a LOWER BOUND, which is the right polarity for a warning. The
+  * engine's own shapes (self-joins of the observed frame) learn
+  * emptiness from the metric stage itself, so they report exactly.
   */
 private[ext] object ObservedDrops {
 
   private val seq = new java.util.concurrent.atomic.AtomicLong()
+  private val recoveryBroken = new java.util.concurrent.atomic.AtomicBoolean()
   // weak keys: the registry must not pin a stopped session in memory
   private val sessions =
     java.util.Collections.synchronizedMap(
@@ -62,10 +73,21 @@ private[ext] object ObservedDrops {
           // the metric node after its stage already ran — precisely
           // the all-candidates-dropped case the warning exists for.
           // Recover those rows from the adaptive stage cache.
+          // NonFatal + LinkageError: the helper reaches into Spark's
+          // adaptive internals, so a jar-version mismatch surfaces as
+          // NoSuchMethodError — degrade to final-tree coverage but say
+          // so ONCE; anything else fatal (OOM, interrupt) propagates
           val recovered =
             try org.apache.spark.sql.execution.adaptive.GraftAdaptiveMetrics
               .observedMetricsWithStages(qe.executedPlan)
-            catch { case _: Throwable => Map.empty[String, org.apache.spark.sql.Row] }
+            catch {
+              case e @ (scala.util.control.NonFatal(_) | _: LinkageError) =>
+                if (recoveryBroken.compareAndSet(false, true))
+                  System.err.println(
+                    "[graft] AQE metric recovery unavailable (" + e +
+                      "); drop warnings cover only metrics surviving in the final plan")
+                Map.empty[String, org.apache.spark.sql.Row]
+            }
           (recovered ++ qe.observedMetrics).foreach { case (name, row) =>
             if (name.startsWith("graft_drop_") && !row.isNullAt(0) && row.getLong(0) > 0)
               System.err.println(message(

@@ -16,34 +16,44 @@ class ObservedDropsSpec extends SparkSpec {
 
   test("AQE empty propagation swallows the final-plan metric; stage-cache recovery reads it") {
     // The e23/lshDupPairs shape in miniature: observe BEFORE a filter
-    // that (at runtime) empties the frame, then join. The shuffle stage
-    // holding the metric must materialize for AQE to learn it is empty,
-    // so the accumulator deterministically ran before the subtree is
-    // discarded — no race.
-    val observed = ObservedDrops.observe(
-        spark.range(100).toDF("id"), "test_recovery",
-        sum(when(col("id") >= 0, 1L).otherwise(0L)), max(col("id")))
-      .filter(col("id") < -1) // runtime-empty AFTER the metric
-      .repartition(col("id"))
-    val joined = observed.join(spark.range(100).toDF("id"), "id")
-    assert(joined.collect().isEmpty)
+    // that (at runtime) empties the frame, then join. Constraint
+    // propagation must be OFF here: with it on, Catalyst infers
+    // `id < -1` onto the right join side too, so BOTH stages race to
+    // materialize empty — and when the right one wins, AQE cancels the
+    // metric-carrying stage MID-FLIGHT and the accumulator honestly
+    // never completes (the documented best-effort boundary of the
+    // recovery, not its target). With inference off, only the observed
+    // side is empty, so AQE can learn emptiness solely from the stage
+    // that holds the metric — the accumulator deterministically ran.
+    // (e23's real self-join shape has this property intrinsically: both
+    // sides ARE the observed frame, one exchange-reused stage.)
+    spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    try {
+      val observed = ObservedDrops.observe(
+          spark.range(100).toDF("id"), "test_recovery",
+          sum(when(col("id") >= 0, 1L).otherwise(0L)), max(col("id")))
+        .filter(col("id") < -1) // runtime-empty AFTER the metric
+        .repartition(col("id"))
+      val joined = observed.join(spark.range(100).toDF("id"), "id")
+      assert(joined.collect().isEmpty)
 
-    val qe = joined.queryExecution
-    def key(m: Map[String, org.apache.spark.sql.Row]) =
-      m.keys.find(_.startsWith("graft_drop_test_recovery"))
+      val qe = joined.queryExecution
+      def key(m: Map[String, org.apache.spark.sql.Row]) =
+        m.keys.find(_.startsWith("graft_drop_test_recovery"))
 
-    // the swallow this helper exists for (if a Spark upgrade makes this
-    // fail, the recovery became redundant — delete both, happily)
-    assert(key(qe.observedMetrics).isEmpty,
-      s"expected AQE to drop the metric from the final plan; got ${qe.observedMetrics.keys}")
+      // the swallow this helper exists for (if a Spark upgrade makes
+      // this fail, the recovery became redundant — delete both, happily)
+      assert(key(qe.observedMetrics).isEmpty,
+        s"expected AQE to drop the metric from the final plan; got ${qe.observedMetrics.keys}")
 
-    val recovered = GraftAdaptiveMetrics.observedMetricsWithStages(qe.executedPlan)
-    val k = key(recovered)
-    assert(k.nonEmpty, s"recovery found only ${recovered.keys}")
-    val row = recovered(k.get)
-    assert(!row.isNullAt(0) && row.getLong(0) == 100L,
-      s"accumulator should have seen all 100 pre-filter rows, got $row")
-    assert(row.getLong(1) == 99L)
+      val recovered = GraftAdaptiveMetrics.observedMetricsWithStages(qe.executedPlan)
+      val k = key(recovered)
+      assert(k.nonEmpty, s"recovery found only ${recovered.keys}")
+      val row = recovered(k.get)
+      assert(!row.isNullAt(0) && row.getLong(0) == 100L,
+        s"accumulator should have seen all 100 pre-filter rows, got $row")
+      assert(row.getLong(1) == 99L)
+    } finally spark.conf.set("spark.sql.constraintPropagation.enabled", "true")
   }
 
   test("a metric surviving in the final plan resolves to the final tree's row") {
