@@ -436,12 +436,12 @@ object ExtQueries {
           SQRT(LIST_SUM(LIST_TRANSFORM(COALESCE(nn.ce, s.ce),
             x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS cn
         FROM $in s LEFT JOIN newc_$n nn USING (cid))"""
-  val e14 = Q(
-    "e14_ann_ivf_topk",
-    (s, d) => Similarity.ivfTopK(
-      T.embeddings(s, d), T.embeddings(s, d).filter(col("vec_id") < 10),
-      k = 5, nlist = 16, nprobe = 4, lloydIters = 2),
-    Some(s"""WITH corp AS (SELECT vec_id, embedding,
+  /** The full IVF top-k restatement as a reusable CTE chain ending in
+    * `r` (qid, vec_id, cos, rn) — e14 selects from it directly; e77
+    * composes it with the brute-force ground truth for recall@k. ONE
+    * source of truth for the oracle-side IVF replay. */
+  private def ivfTopkCtes: String =
+    s"""corp AS (SELECT vec_id, embedding,
         SQRT(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS vn
         FROM embeddings),
       picked AS (SELECT vec_id, embedding FROM embeddings
@@ -471,7 +471,14 @@ object ExtQueries {
         FROM assign a JOIN probes p ON a.cid = p.cid AND p.qid <> a.vec_id
         JOIN corp q ON q.vec_id = p.qid JOIN corp v ON v.vec_id = a.vec_id),
       r AS (SELECT qid, vec_id, cos,
-          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM sc)
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM sc)"""
+
+  val e14 = Q(
+    "e14_ann_ivf_topk",
+    (s, d) => Similarity.ivfTopK(
+      T.embeddings(s, d), T.embeddings(s, d).filter(col("vec_id") < 10),
+      k = 5, nlist = 16, nprobe = 4, lloydIters = 2),
+    Some(s"""WITH $ivfTopkCtes
       SELECT qid, vec_id, cos, rn FROM r WHERE rn <= 5 ORDER BY qid, rn"""))
 
   // E4 (BPE-ish token counting, oracle-portable): subword class counts
@@ -2794,11 +2801,40 @@ object ExtQueries {
     (s, d) => Skew.measureFrame(T.lineitem(s, d), "l_orderkey", k = 256),
     Some(skewStatsOracle("lineitem", "l_orderkey")))
 
+  // E3 quality measurement: recall@k of the IVF index against exact
+  // brute-force ground truth ([[Similarity.annRecall]]) — the number an
+  // ANN deployment tunes nlist/nprobe by. The oracle composes the SAME
+  // IVF CTE chain e14 verifies with the e03-shaped exact arm, so a
+  // recall regression in either arm (a probing bug, a cell-assignment
+  // drift) breaks the hash, not just a spec threshold. Declared flavor
+  // matches e14's geometry (k=5, nlist=16, nprobe=4, 2 Lloyd rounds)
+  // over the same 10-query sample.
+  val e77 = Q(
+    "e77_ann_recall",
+    (s, d) => Similarity.annRecall(
+      T.embeddings(s, d), T.embeddings(s, d).filter(col("vec_id") < 10),
+      k = 5, nlist = 16, nprobe = 4, lloydIters = 2),
+    Some(s"""WITH $ivfTopkCtes,
+      ivf AS (SELECT qid, vec_id FROM r WHERE rn <= 5),
+      tsc AS (SELECT q.vec_id AS qid, v.vec_id,
+          LIST_SUM(LIST_TRANSFORM(range(1, LEN(v.embedding)+1),
+            i -> CAST(q.embedding[i] AS DOUBLE) * CAST(v.embedding[i] AS DOUBLE)))
+            / (q.vn * v.vn) AS cos
+        FROM corp v, corp q WHERE q.vec_id < 10 AND v.vec_id <> q.vec_id),
+      truth AS (SELECT qid, vec_id FROM
+          (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS trn FROM tsc)
+        WHERE trn <= 5)
+      SELECT t.qid, CAST(COUNT(*) AS BIGINT) AS n_true,
+        CAST(COUNT(i.vec_id) AS BIGINT) AS n_hit,
+        CAST(COUNT(i.vec_id) AS DOUBLE) / COUNT(*) AS recall
+      FROM truth t LEFT JOIN ivf i ON i.qid = t.qid AND i.vec_id = t.vec_id
+      GROUP BY t.qid ORDER BY t.qid"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
       e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41, e42, e43, e44,
       e45, e46, e47, e48, e49, e50, e51, e52, e53, e54, e55, e56, e57, e58, e59,
       e60, e61, e62, e63, e64, e65, e66, e67, e68, e69, e70, e71, e72, e73, e74,
-      e75, e76)
+      e75, e76, e77)
 }

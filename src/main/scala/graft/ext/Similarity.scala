@@ -322,6 +322,39 @@ object Similarity {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** Recall@k of the IVF path against exact brute-force ground truth —
+    * the index-quality measurement every ANN deployment runs before
+    * trusting an approximate index (the nlist/nprobe tuning loop of
+    * Jégou et al. 2011 §V evaluates exactly this curve). One row per
+    * query: how many of its true top-k neighbors the probed cells
+    * surfaced, and the resulting recall fraction.
+    *
+    * Scale shape: ground truth is the expensive arm — O(|Q|·N·dim) exact
+    * scoring — so at 100 TB recall is estimated on a BOUNDED query
+    * sample (|Q| of a few hundred bounds the brute arm to a broadcast
+    * join over one corpus scan; the estimate's sampling error shrinks as
+    * 1/√|Q| independent of corpus size). Both arms end in per-query
+    * top-k frames of k·|Q| rows, so the hit-join and the recall
+    * aggregation are driver-trivial. The recall column is a small-int
+    * ratio (n_hit/n_true), exact in f64 on every engine.
+    */
+  def annRecall(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, lloydIters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val truth = bruteForceTopK(corpus, queries, k, idCol, vecCol)
+      .select(col("qid"), col(idCol).as("t_id"))
+    val approx = ivfTopK(corpus, queries, k, nlist, nprobe, lloydIters, idCol, vecCol)
+      .select(col("qid").as("a_qid"), col(idCol).as("a_id"))
+    truth
+      .join(approx, col("qid") === col("a_qid") && col("t_id") === col("a_id"), "left")
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("n_true"), count(col("a_id")).as("n_hit"))
+      .withColumn("recall",
+        col("n_hit").cast(DoubleType) / col("n_true").cast(DoubleType))
+      .orderBy(col("qid"))
+  }
+
   /** Semantic deduplication — SemDeDup-shaped (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding space with the same
     * deterministic Lloyd k-means as [[ivfTopK]], then prune WITHIN each

@@ -197,6 +197,25 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"simhash recall $recall < 0.5 on ${exact.size} strong pairs")
   }
 
+  test("E3: annRecall — exhaustive probing recovers 1.0; probed recall is n_hit/k") {
+    val qs = embs.filter(col("vec_id") < 10)
+    // nprobe = nlist scans every cell → the candidate set IS the corpus
+    // minus self, so the IVF arm equals brute force and recall is exact 1
+    val full = Similarity.annRecall(embs, qs, k = 5, nlist = 8, nprobe = 8,
+      lloydIters = 1).collect()
+    assert(full.length == 10)
+    assert(full.forall(_.getAs[Long]("n_true") == 5L))
+    assert(full.forall(_.getAs[Double]("recall") == 1.0))
+    // the declared e77 geometry: recall is the exact hit ratio, bounded
+    val probed = Similarity.annRecall(embs, qs, k = 5, nlist = 16, nprobe = 4,
+      lloydIters = 2).collect()
+    assert(probed.length == 10)
+    assert(probed.forall { r =>
+      val rec = r.getAs[Double]("recall")
+      rec >= 0.0 && rec <= 1.0 && rec == r.getAs[Long]("n_hit").toDouble / 5.0
+    })
+  }
+
   test("near-dup clusters: connected components labels every node with its component min") {
     import spark.implicits._
     // chain, pair, and cycle — including a component whose min enters late
