@@ -2830,11 +2830,40 @@ object ExtQueries {
       FROM truth t LEFT JOIN ivf i ON i.qid = t.qid AND i.vec_id = t.vec_id
       GROUP BY t.qid ORDER BY t.qid"""))
 
+  // E-suite sampling capstone: PER-ROW weighted sampling without
+  // replacement ([[Sampling.prioritySample]], Duffield-Lund-Thorup) —
+  // importance-weighted corpus subsampling with the weight = each
+  // document's token count, carrying the unbiased Horvitz-Thompson
+  // weight beside every kept row. Complements e18/e59, which weight
+  // STRATA; this weights ROWS. The oracle replays hash draw, priority
+  // arithmetic, threshold and HT weight exactly.
+  val e78 = Q(
+    "e78_priority_sample",
+    (s, d) => {
+      val weighted = T.documents(s, d).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("w"))
+      Sampling.prioritySample(weighted, "doc_id", "w", k = 200)
+        .orderBy(col("doc_id"))
+    },
+    Some("""WITH wdoc AS (SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+          ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,6))::BIGINT AS h
+        FROM documents),
+      pr AS (SELECT doc_id, w,
+          (CAST(w AS DOUBLE) * 16777216.0) / CAST(h + 1 AS DOUBLE) AS priority
+        FROM wdoc),
+      rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id) AS rnp FROM pr),
+      tau AS (SELECT MIN(CASE WHEN rnp = 201 THEN priority END) AS tau FROM rk WHERE rnp <= 201)
+      SELECT doc_id, w, priority,
+        CASE WHEN tau IS NULL THEN CAST(w AS DOUBLE)
+          ELSE GREATEST(CAST(w AS DOUBLE), tau) END AS est_w
+      FROM rk, tau WHERE rnp <= 200 ORDER BY doc_id"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
       e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41, e42, e43, e44,
       e45, e46, e47, e48, e49, e50, e51, e52, e53, e54, e55, e56, e57, e58, e59,
       e60, e61, e62, e63, e64, e65, e66, e67, e68, e69, e70, e71, e72, e73, e74,
-      e75, e76, e77)
+      e75, e76, e77, e78)
 }

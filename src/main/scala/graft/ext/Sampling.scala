@@ -65,6 +65,54 @@ object Sampling {
       .filter(col("rank_in_stratum") <= cap)
   }
 
+  /** PER-ROW weighted sampling without replacement — priority sampling
+    * (Duffield, Lund & Thorup, "Priority sampling for estimation of
+    * arbitrary subset sums", JACM 54(6), 2007). Each row draws
+    * u = (hash24(id)+1)/2^24 ∈ (0,1] and gets priority q = w/u; the k
+    * highest priorities are the sample. With τ = the (k+1)-th priority,
+    * each kept row carries the Horvitz-Thompson weight est_w = max(w, τ)
+    * — subset-sum estimates over the sample are unbiased (the DLT
+    * estimator), so the sample can stand in for the corpus in
+    * token-count accounting. Rows with weight ≥ τ are ALWAYS kept
+    * (heavy documents can't be missed); light rows are kept with
+    * probability proportional to weight.
+    *
+    * The "uniform" is the same engine-neutral id hash the rest of the
+    * sampling suite uses: membership is reproducible across runs,
+    * engines and partitionings, and replayable by the oracle. Float
+    * discipline: priority = (w·2^24)/(h+1) — the product is exact in
+    * f64 for any realistic weight, the division is one correctly-
+    * rounded op, and est_w is a max of exactly-representable values, so
+    * the whole output hashes bit-for-bit.
+    *
+    * Shape: the top-(k+1) select is a `TakeOrderedAndProject` —
+    * map-side per-partition heaps of k+1 rows, ONE bounded reduce, the
+    * corpus never shuffles. The rank/threshold window then runs on a
+    * (k+1)-row frame (single partition by construction — bounded, not a
+    * scale hazard). Weights must be ≥ 1 (a zero weight would pin
+    * priority 0; callers clamp). */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    val h = Dedup.portableHash24(col(idCol).cast(StringType))
+    val keyed = df.withColumn("priority",
+      (col(weightCol).cast(DoubleType) * lit(16777216.0)) /
+        (h + lit(1L)).cast(DoubleType))
+    val top = keyed.orderBy(col("priority").desc, col(idCol)).limit(k + 1)
+    // rank and threshold ride ONE pass over the same (k+1)-row frame (a
+    // whole-frame window aggregate, not a second corpus scan): τ is the
+    // (k+1)-th priority, null when the population is ≤ k
+    val ranked = top
+      .withColumn("__rnp",
+        row_number().over(Window.orderBy(col("priority").desc, col(idCol))))
+      .withColumn("__tau",
+        min(when(col("__rnp") === k + 1, col("priority"))).over(Window.partitionBy()))
+    ranked.filter(col("__rnp") <= k)
+      .withColumn("est_w",
+        when(col("__tau").isNull, col(weightCol).cast(DoubleType))
+          .otherwise(greatest(col(weightCol).cast(DoubleType), col("__tau"))))
+      .drop("__rnp", "__tau")
+  }
+
   /** Deterministic global shuffle: place every row at a reproducible
     * (shard, pos) — the "shuffle once, write N training shards" step
     * at the end of a corpus pipeline. `shard = hash(id) % nShards`

@@ -52,6 +52,32 @@ class SamplingSpec extends SparkSpec {
     assert(small == again, "selection must be deterministic")
   }
 
+  test("priority sample: guaranteed heavy row, HT weights, small-pop identity") {
+    import spark.implicits._
+    // weights spread over orders of magnitude; doc 7 so heavy its
+    // priority (≥ w) exceeds any light row's max possible w·2^24
+    val df = (1L to 50L).map(i => (i, if (i == 7L) 100000000000L else 1L + i % 9))
+      .toDF("doc_id", "w")
+    val got = Sampling.prioritySample(df, "doc_id", "w", k = 10)
+      .orderBy("doc_id").collect()
+    assert(got.length == 10)
+    assert(got.exists(_.getLong(0) == 7L), "a dominant weight must always be kept")
+    // HT weight: never below the row's own weight, and exact for heavy rows
+    got.foreach { r =>
+      assert(r.getAs[Double]("est_w") >= r.getLong(1).toDouble)
+    }
+    assert(got.find(_.getLong(0) == 7L).get.getAs[Double]("est_w") == 1e11)
+    // determinism
+    val again = Sampling.prioritySample(df, "doc_id", "w", k = 10)
+      .orderBy("doc_id").collect()
+    assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // population ≤ k: everything kept, est_w collapses to the true weight
+    val small = Sampling.prioritySample(df.filter($"doc_id" <= 5), "doc_id", "w", k = 10)
+      .orderBy("doc_id").collect()
+    assert(small.length == 5)
+    small.foreach(r => assert(r.getAs[Double]("est_w") == r.getLong(1).toDouble))
+  }
+
   test("shard assignment is a total, deterministic, dense placement") {
     val out = Sampling.shardAssign(docs, "doc_id", nShards = 4)
       .select("doc_id", "shard", "pos").collect()
