@@ -190,5 +190,37 @@ object StreamQueries {
           BETWEEN epoch_ns(p.ts) // 1000 - 3600000000 AND epoch_ns(p.ts) // 1000
       ORDER BY p_id, c_id"""))
 
-  val all: Seq[Q] = Seq(c40, c47, c50, c51)
+  // C55: arbitrary keyed state on the v2 `transformWithState` API
+  // ([[TypeCompletion]]) — the successor of c50's
+  // flatMapGroupsWithState, exercising the v2-only typed primitives
+  // (MapState per-type counts + ValueState latch, per-entry RocksDB
+  // rows instead of one opaque blob per key). Emits each user exactly
+  // once when their distinct-event-type count reaches 5; the emitted
+  // SET is order- and batching-independent, so the batch oracle
+  // restates it as COUNT(DISTINCT event_type) >= 5.
+  val c55 = Q(
+    "c55_stream_transform_state",
+    (outer, d) => {
+      // isolated session sized for streaming state (see c51), RocksDB
+      // backend — transformWithState requires the RocksDB provider
+      val s = StateBackend.isolatedStreamSession(outer)
+      import s.implicits._
+      val ev = eventStream(s, d)
+        .select(col("user_id"), col("event_type"))
+        .as[TypeCompletion.TypedEvent]
+      val out = TypeCompletion.completions(s, ev, need = 5)
+      val q = out.toDF()
+        .writeStream
+        .format("memory").queryName("graft_c55_stream")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_c55_stream").orderBy(col("account_id"))
+    },
+    Some("""SELECT CAST(user_id AS BIGINT) AS account_id, 5 AS n_types
+      FROM events GROUP BY user_id HAVING COUNT(DISTINCT event_type) >= 5
+      ORDER BY account_id"""))
+
+  val all: Seq[Q] = Seq(c40, c47, c50, c51, c55)
 }
