@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver-parseable bench output (VERDICT r14 item 1, five rounds of
+// `parsed: null`): the driver keeps the last ~2000 chars of stdout and
+// json-parses the tail. Under sbt's default LoggedOutput every forked
+// line gets an `[info] ` prefix and a `[success] Total time` banner
+// lands after the program's last line — so no line Bench prints can
+// ever be the tail's clean JSON. StdoutOutput passes the forked
+// process's stdout through verbatim (no prefix) and showSuccess drops
+// the trailing banner, making Bench's compact summary the literal last
+// stdout line. (BENCH_SUMMARY.json is also written as a file, so the
+// record survives any capture at all.)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -183,9 +183,21 @@ object Bench {
     // in BENCH_LAST.json / BENCH_HISTORY.jsonl.
     val topQ = results.filter(_.ok).sortBy(-_.median).take(15)
       .map(r => "\"" + r.name + "\":" + f"${r.median}%.3f").mkString("{", ",", "}")
-    println(
+    val summary =
       s"""{"metric":"conformance_total_s","unit":"sec",$headline,""" +
-        s""""sf":"$sfDir","queries_top15":$topQ,"queries_full":"BENCH_LAST.json"}""")
+        s""""sf":"$sfDir","queries_top15":$topQ,"queries_full":"BENCH_LAST.json"}"""
+    // file-based summary (VERDICT r14 item 1): the compact record as a
+    // FILE, so the driver/judge can ingest it without scraping stdout
+    // at all — five rounds of `parsed: null` came from sbt's output
+    // framing around the printed line (see build.sbt, which also fixes
+    // the stdout path via StdoutOutput + showSuccess := false)
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_SUMMARY.json"),
+        (summary + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_SUMMARY.json write failed: ${e.getMessage}")
+    }
+    println(summary)
   }
 
   private case class QueryResult(name: String, min: Double, median: Double,

@@ -186,7 +186,21 @@ final class ParquetLoader(warehouseDir: String, schema: String) extends Loader {
       val c = cleaned(df)
       val keys = partitionBy.map(org.apache.spark.sql.functions.col)
       if (partitionBy.isEmpty) c
-      else if (clusterSalt > 1)
+      else if (clusterSalt > 1) {
+        // withRowSalt's recompute-determinism contract has one documented
+        // hole: rows differing ONLY in unorderable (map-typed) columns tie
+        // completely in the canonicalization sort, so a fetch-failure
+        // recompute could swap their salts — harmless for saltedJoin
+        // (multiset output) but a duplicate/lose hazard for THIS path's
+        // downstream (keys, salt) shuffle. Partitioned warehouse tables
+        // don't carry map columns; refuse loudly rather than risk it.
+        val mapCols = c.schema.fields.collect {
+          case f if !org.apache.spark.sql.catalyst.expressions.RowOrdering
+            .isOrderable(f.dataType) => f.name
+        }
+        require(mapCols.isEmpty,
+          s"loadClustered with clusterSalt > 1 requires all columns orderable " +
+            s"(salt replay-safety); unorderable columns: ${mapCols.mkString(", ")}")
         // explicit numPartitions: AQE's post-shuffle coalesce would
         // otherwise re-collapse the spread this path exists to create
         // (small-looking shuffles fold back to one writer task — the
@@ -196,7 +210,7 @@ final class ParquetLoader(warehouseDir: String, schema: String) extends Loader {
           .repartition(c.sparkSession.sessionState.conf.numShufflePartitions,
             (keys :+ org.apache.spark.sql.functions.col("__salt")): _*)
           .drop("__salt")
-      else c.repartition(keys: _*)
+      } else c.repartition(keys: _*)
     }
     // dynamic partition overwrite is a per-write option (no session-conf
     // toggle): Overwrite then only replaces the partition values the

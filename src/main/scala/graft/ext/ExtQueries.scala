@@ -2010,6 +2010,7 @@ object ExtQueries {
       val q = CorpusPipeline.streamingDedupIngest(src, "doc_id", "text",
         dir, sink, ckpt, minEstSim = 0.4)
       q.awaitTermination()
+      graft.streaming.MicroBatchPlans.record("e54_streaming_dedup_ingest", q)
       graft.streaming.ExactlyOnce.readCommitted(s, sink)
         .select(col("doc_id"), col("verdict"), col("match_doc"), col("est_sim"))
         .orderBy(col("doc_id"))
@@ -2058,6 +2059,7 @@ object ExtQueries {
         }
         .start()
       q.awaitTermination()
+      graft.streaming.MicroBatchPlans.record("e55_streaming_ann_ingest", q)
       val idx = Similarity.loadIndex(s, dir)
       Similarity.queryIndex(idx, embs.filter(col("vec_id") < 10), k = 5, nprobe = 8)
     },

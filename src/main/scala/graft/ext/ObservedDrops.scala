@@ -88,7 +88,16 @@ private[ext] object ObservedDrops {
                       "); drop warnings cover only metrics surviving in the final plan")
                 Map.empty[String, org.apache.spark.sql.Row]
             }
-          (recovered ++ qe.observedMetrics).foreach { case (name, row) =>
+          // populated-wins merge (same rule as GraftAdaptiveMetrics.offer):
+          // a never-run CollectMetricsExec clone surviving in the final
+          // tree reports an all-null initial-state row — letting it
+          // clobber a recovered populated row would silence the warning
+          // this listener exists to emit
+          val finalsKept = qe.observedMetrics.filter { case (name, row) =>
+            !recovered.contains(name) ||
+              (0 until row.length).exists(i => !row.isNullAt(i))
+          }
+          (recovered ++ finalsKept).foreach { case (name, row) =>
             if (name.startsWith("graft_drop_") && !row.isNullAt(0) && row.getLong(0) > 0)
               System.err.println(message(
                 name.stripPrefix("graft_drop_").replaceAll("_\\d+$", ""),

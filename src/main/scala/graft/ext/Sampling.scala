@@ -89,14 +89,25 @@ object Sampling {
     * map-side per-partition heaps of k+1 rows, ONE bounded reduce, the
     * corpus never shuffles. The rank/threshold window then runs on a
     * (k+1)-row frame (single partition by construction — bounded, not a
-    * scale hazard). Weights must be ≥ 1 (a zero weight would pin
-    * priority 0; callers clamp). */
+    * scale hazard). Weights must be ≥ 1 and non-null — enforced in the
+    * plan (ADVICE r14): a zero/negative weight pins priority ≤ 0 and
+    * silently biases the sample, and a NULL weight yields NULL-priority
+    * rows that can leak into the kept set when the population is ≤ k.
+    * The guard is a `raise_error` branch on the weight expression, so a
+    * bad weight fails the job loudly mid-scan instead of corrupting the
+    * estimate; valid rows pay one codegen'd comparison. */
   def prioritySample(df: DataFrame, idCol: String, weightCol: String,
       k: Int): DataFrame = {
     val h = Dedup.portableHash24(col(idCol).cast(StringType))
+    val w = col(weightCol).cast(DoubleType)
+    val checkedW = when(w.isNull.or(w < 1.0),
+        raise_error(concat(
+          lit(s"prioritySample: weight '$weightCol' must be >= 1 and non-null, got "),
+          coalesce(w.cast(StringType), lit("NULL")),
+          lit(" for id "), col(idCol).cast(StringType))))
+      .otherwise(w)
     val keyed = df.withColumn("priority",
-      (col(weightCol).cast(DoubleType) * lit(16777216.0)) /
-        (h + lit(1L)).cast(DoubleType))
+      (checkedW * lit(16777216.0)) / (h + lit(1L)).cast(DoubleType))
     val top = keyed.orderBy(col("priority").desc, col(idCol)).limit(k + 1)
     // rank and threshold ride ONE pass over the same (k+1)-row frame (a
     // whole-frame window aggregate, not a second corpus scan): τ is the

@@ -103,6 +103,34 @@ class PlanGoldenSpec extends SparkSpec {
     out.toString
   }
 
+  /** Streaming entries (ADVICE r14): the main golden for e54/e55 pins
+    * only the post-stream readback — the micro-batch plan the bench
+    * cost flows through is recorded by the query itself
+    * ([[graft.streaming.MicroBatchPlans]], populated as a side effect
+    * of running `fn` in the main golden test) and goldened here as
+    * `<name>.microbatch.plan`. For these foreachBatch sinks that plan
+    * is the ADMISSION shape (bounded file-source scan → ForeachBatch);
+    * the heavy inner dedup/append work runs as ordinary batch queries
+    * on the code path the e52/e53 goldens pin. */
+  private val streamingGoldenQueries =
+    Seq("e54_streaming_dedup_ingest", "e55_streaming_ann_ingest")
+
+  private def checkGolden(fileName: String, actual: String): Unit = {
+    val file = goldenDir.resolve(fileName)
+    if (regen) {
+      Files.createDirectories(goldenDir)
+      Files.write(file, actual.getBytes(StandardCharsets.UTF_8))
+      info(s"regenerated $file (${actual.linesIterator.size} lines)")
+    } else {
+      assert(Files.exists(file),
+        s"missing golden $file — run with SPARK_GRAFT_REGEN_GOLDENS=1 to create")
+      val expected = new String(Files.readAllBytes(file), StandardCharsets.UTF_8)
+      assert(expected == actual,
+        s"plan shape drifted for $fileName (regen deliberately with " +
+          s"SPARK_GRAFT_REGEN_GOLDENS=1 and review):\n${lineDiff(expected, actual)}")
+    }
+  }
+
   goldenQueries.foreach { name =>
     test(s"golden plan skeleton: $name") {
       // other suites (and earlier goldens) may have cached shared
@@ -110,21 +138,24 @@ class PlanGoldenSpec extends SparkSpec {
       // InMemoryRelation and make the skeleton order-dependent
       spark.catalog.clearCache()
       val df = Queries.byName(name).fn(spark, sf001)
-      val actual = skeleton(df.queryExecution.executedPlan)
-      val file = goldenDir.resolve(s"$name.plan")
-      if (regen) {
-        Files.createDirectories(goldenDir)
-        Files.write(file, actual.getBytes(StandardCharsets.UTF_8))
-        info(s"regenerated $file (${actual.linesIterator.size} lines)")
-      } else {
-        assert(Files.exists(file),
-          s"missing golden $file — run with SPARK_GRAFT_REGEN_GOLDENS=1 to create")
-        val expected = new String(Files.readAllBytes(file), StandardCharsets.UTF_8)
-        assert(expected == actual,
-          s"plan shape drifted for $name (regen deliberately with " +
-            s"SPARK_GRAFT_REGEN_GOLDENS=1 and review):\n${lineDiff(expected, actual)}")
-      }
+      checkGolden(s"$name.plan", skeleton(df.queryExecution.executedPlan))
       spark.catalog.clearCache()
+    }
+  }
+
+  streamingGoldenQueries.foreach { name =>
+    test(s"golden micro-batch plan skeleton: $name") {
+      // the main golden test above already ran `fn`, which drained the
+      // stream and recorded its final IncrementalExecution; re-run only
+      // if something (test filtering) skipped it
+      val plan = graft.streaming.MicroBatchPlans.get(name).getOrElse {
+        spark.catalog.clearCache()
+        Queries.byName(name).fn(spark, sf001)
+        spark.catalog.clearCache()
+        graft.streaming.MicroBatchPlans.get(name).getOrElse(
+          fail(s"$name ran but recorded no micro-batch plan"))
+      }
+      checkGolden(s"$name.microbatch.plan", skeleton(plan))
     }
   }
 }

@@ -26,6 +26,26 @@ class LoaderSpec extends SparkSpec {
     assert(back.columns.toSet == Set("id", "resource_tags_env"))
   }
 
+  test("ParquetLoader: clustered write refuses map-typed columns (salt replay-safety)") {
+    // withRowSalt's canonicalization sort skips unorderable (map) columns,
+    // so rows differing only there could swap salts on a fetch-failure
+    // recompute — a duplicate/lose hazard for the (keys, salt) write
+    // shuffle. The guard turns the documented edge into a loud error.
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft_wh").toString
+    val ld = new ParquetLoader(wh, "s")
+    ld.ensureNamespace()
+    val withMap = Seq((1L, "2024-01-01", Map("k" -> "v")))
+      .toDF("id", "date", "tags")
+    val e = intercept[IllegalArgumentException] {
+      ld.loadClustered(withMap, "t_map", "replace", Seq("date"), clusterSalt = 2)
+    }
+    assert(e.getMessage.contains("orderable"), e.getMessage)
+    // unsalted path still accepts maps (no salt, no replay hazard)
+    assert(ld.loadClustered(withMap, "t_map", "replace", Seq("date"),
+      clusterSalt = 1) == 1L)
+  }
+
   test("ParquetLoader: empty input short-circuits without touching target") {
     val wh = Files.createTempDirectory("graft_wh").toString
     val ld = new ParquetLoader(wh, "s")

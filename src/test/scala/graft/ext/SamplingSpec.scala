@@ -78,6 +78,25 @@ class SamplingSpec extends SparkSpec {
     small.foreach(r => assert(r.getAs[Double]("est_w") == r.getLong(1).toDouble))
   }
 
+  test("priority sample: NULL / sub-1 weights fail loudly, not silently bias") {
+    import spark.implicits._
+    val zero = Seq((1L, 5L), (2L, 0L), (3L, 2L)).toDF("doc_id", "w")
+    val eZero = intercept[Exception] {
+      Sampling.prioritySample(zero, "doc_id", "w", k = 2).collect()
+    }
+    assert(eZero.getMessage.contains("prioritySample") ||
+      Option(eZero.getCause).exists(_.getMessage.contains("prioritySample")),
+      s"expected the weight-contract error, got: ${eZero.getMessage}")
+    val withNull = Seq((1L, java.lang.Long.valueOf(5L)), (2L, null: java.lang.Long))
+      .toDF("doc_id", "w")
+    val eNull = intercept[Exception] {
+      Sampling.prioritySample(withNull, "doc_id", "w", k = 5).collect()
+    }
+    assert(eNull.getMessage.contains("prioritySample") ||
+      Option(eNull.getCause).exists(_.getMessage.contains("prioritySample")),
+      s"expected the weight-contract error, got: ${eNull.getMessage}")
+  }
+
   test("shard assignment is a total, deterministic, dense placement") {
     val out = Sampling.shardAssign(docs, "doc_id", nShards = 4)
       .select("doc_id", "shard", "pos").collect()
