@@ -1,0 +1,85 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** One regression net for every ANN tier (VERDICT r14 item 2): recall@k
+  * against exact float brute-force ground truth, computed by
+  * [[Similarity.recallVsBruteForce]] (the e77 measurement generalized),
+  * with a pinned floor per tier at each tier's DECLARED geometry. A
+  * quantization, hashing, or cell-assignment change that silently
+  * degrades a tier's ranking fails here as a recall drop instead of
+  * surfacing rounds later.
+  *
+  * Floors are pinned a small margin under the measured sf0.001 values
+  * (the pipeline is deterministic — same draw, same ranking every run —
+  * so any drop below the floor is a code change, not noise; the margin
+  * only absorbs deliberate re-pins of the corpus fixture). The absolute
+  * numbers reflect this fixture's near-random gaussian embeddings —
+  * the hardest case for locality structures — so the floors are
+  * regression pins, not quality claims about real corpora.
+  */
+class RecallSpec extends SparkSpec {
+  import graft.{Tables => T}
+
+  private lazy val embs = T.embeddings(spark, sf001).cache()
+  private lazy val queries = embs.filter(col("vec_id") < 10)
+  private val k = 5
+
+  private def meanRecall(approx: DataFrame): Double = {
+    val r = Similarity.recallVsBruteForce(approx, embs, queries, k)
+      .agg(avg(col("recall"))).collect().head.getDouble(0)
+    info(f"mean recall@$k = $r%.3f")
+    r
+  }
+
+  test("IVF recall floor (e14 geometry: nlist=16 nprobe=4 lloyd=2)") {
+    val r = meanRecall(Similarity.ivfTopK(embs, queries, k,
+      nlist = 16, nprobe = 4, lloydIters = 2))
+    assert(r >= 0.55, f"IVF recall regressed: $r%.3f < 0.55 (measured 0.580)")
+  }
+
+  test("IVF recall floor (e28 geometry: nlist=512 nprobe=8 lloyd=0)") {
+    val r = meanRecall(Similarity.ivfTopK(embs, queries, k,
+      nlist = 512, nprobe = 8, lloydIters = 0))
+    assert(r >= 0.95, f"large-nlist IVF recall regressed: $r%.3f < 0.95 (measured 1.000)")
+  }
+
+  test("LSH recall floor (e07 geometry: planes=8 dim=64 tables=8)") {
+    val r = meanRecall(Similarity.lshTopK(embs, queries, k,
+      planes = 8, dim = 64, tables = 8))
+    assert(r >= 0.50, f"LSH recall regressed: $r%.3f < 0.50 (measured 0.560)")
+  }
+
+  test("int8 recall floor (e22 geometry: quantized brute force)") {
+    val q = Similarity.quantizeInt8(embs)
+    val r = meanRecall(Similarity.bruteForceTopK(q, q.filter(col("vec_id") < 10),
+      k, vecCol = "q"))
+    assert(r >= 0.95, f"int8 recall regressed: $r%.3f < 0.95 (measured 1.000)")
+  }
+
+  test("int8 IVF recall floor (e34 geometry: nlist=512 nprobe=8 lloyd=0)") {
+    val q = Similarity.quantizeInt8(embs)
+      .select(col("vec_id"), col("q").as("embedding"))
+    val r = meanRecall(Similarity.ivfTopK(q, q.filter(col("vec_id") < 10),
+      k, nlist = 512, nprobe = 8, lloydIters = 0))
+    assert(r >= 0.95, f"int8 IVF recall regressed: $r%.3f < 0.95 (measured 1.000)")
+  }
+
+  test("IVF-PQ recall floor (e37 geometry: nlist=64 nprobe=8 m=16 ksub=64)") {
+    val r = meanRecall(Similarity.ivfPqTopK(embs, queries, k,
+      nlist = 64, nprobe = 8, m = 16, ksub = 64, pqIters = 2))
+    assert(r >= 0.35, f"IVF-PQ recall regressed: $r%.3f < 0.35 (measured 0.380)")
+  }
+
+  test("served-index recall floor (e47 geometry: persisted IVF-PQ, nprobe=8)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_recall_idx").toString
+    Similarity.buildIndex(embs, dir, nlist = 64, m = 16, ksub = 64, pqIters = 2)
+    val idx = Similarity.loadIndex(spark, dir)
+    val r = meanRecall(Similarity.queryIndex(idx, queries, k, nprobe = 8))
+    assert(r >= 0.35, f"served-index recall regressed: $r%.3f < 0.35 (measured " +
+      "0.380, identical to the in-memory ivfPqTopK arm — the frozen-model " +
+      "serve contract)")
+  }
+}
