@@ -222,5 +222,54 @@ object StreamQueries {
       FROM events GROUP BY user_id HAVING COUNT(DISTINCT event_type) >= 5
       ORDER BY account_id"""))
 
-  val all: Seq[Q] = Seq(c40, c47, c50, c51, c55)
+  // C56: the TIMER half of the v2 transformWithState surface
+  // ([[GapSessions]]) — event-time timers + watermark closing gap
+  // sessions, the streaming restatement of the batch sessionize (c43).
+  // Sessions close in-batch (a later same-user event beyond the gap) or
+  // by timer (the final watermark — global max event time at 0s delay —
+  // passes the session's ms-registered expiry); only each user's last
+  // session can stay open. The oracle is c43's session frame with
+  // exactly that closed-session filter, so the timer firing set itself
+  // is hash-checked, not just the session arithmetic.
+  val c56 = Q(
+    "c56_stream_session_timers",
+    (outer, d) => {
+      val s = StateBackend.isolatedStreamSession(outer)
+      import s.implicits._
+      val gapUs = 1800L * 1000000L // 30 min, c43's gap
+      val ev = eventStream(s, d)
+        .withWatermark("ts", "0 seconds")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"))
+        .as[GapSessions.SessionEvent]
+      val out = GapSessions.sessions(s, ev, gapUs)
+      val q = out.toDF().writeStream
+        .format("memory").queryName("graft_c56_stream")
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.streaming.MicroBatchPlans.record("c56_stream_session_timers", q)
+      s.table("graft_c56_stream").orderBy(col("user_id"), col("session_id"))
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events),
+      m AS (SELECT user_id, us,
+          CASE WHEN LAG(us) OVER w IS NULL OR us - LAG(us) OVER w > 1800000000
+            THEN 1 ELSE 0 END AS new_sess
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+      s AS (SELECT user_id, us,
+          CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM m),
+      g AS (SELECT user_id, session_id, COUNT(*) AS n_events,
+          MAX(us) - MIN(us) AS duration_us, MAX(us) AS last_us
+        FROM s GROUP BY user_id, session_id),
+      mx AS (SELECT MAX(us) AS max_us FROM e)
+      SELECT user_id, session_id, n_events, duration_us
+      FROM g, mx
+      WHERE session_id < (SELECT MAX(session_id) FROM g g2
+          WHERE g2.user_id = g.user_id)
+        OR (last_us + 1800000000 + 999) // 1000 < max_us // 1000
+      ORDER BY user_id, session_id"""))
+
+  val all: Seq[Q] = Seq(c40, c47, c50, c51, c55, c56)
 }
