@@ -2861,11 +2861,44 @@ object ExtQueries {
           ELSE GREATEST(CAST(w AS DOUBLE), tau) END AS est_w
       FROM rk, tau WHERE rnp <= 200 ORDER BY doc_id"""))
 
+  // E-suite skew capstone: TWO-PHASE SALTED AGGREGATION
+  // ([[Skew.saltedAgg]] / [[Skew.saltedCountDistinct]]) — the
+  // aggregation face of c45's salted join, on the aggregation shapes
+  // partial aggregation can't save: the algebraic family through the
+  // replay-safe row salt (count / decimal sum / max decomposed and
+  // re-merged), and exact COUNT(DISTINCT) through the value-hash salt
+  // that caps the distinct expansion's reducer fan-in. The oracle is
+  // the PLAIN one-phase GROUP BY — so the hash check proves the salted
+  // decomposition is exactly result-identical, which is the entire
+  // correctness claim of the rewrite. event_type is the deliberately
+  // hot key (a handful of values over the whole events table).
+  val e79 = Q(
+    "e79_salted_agg",
+    (s, d) => {
+      import graft.Qh
+      val ev = T.events(s, d).select(col("event_type"), col("value"), col("user_id"))
+      val base = Skew.saltedAgg(ev, Seq("event_type"), Seq(
+        Skew.SaltedAggSpec("n_events", "count", lit(1)),
+        Skew.SaltedAggSpec("total_value", "sum", col("value").cast(Qh.Dec)),
+        Skew.SaltedAggSpec("max_value", "max", col("value"))), factor = 8)
+      val nd = Skew.saltedCountDistinct(ev, Seq("event_type"), "user_id",
+        "n_users", factor = 8)
+      base.join(nd, Seq("event_type"))
+        .select(col("event_type"), col("n_events"),
+          col("total_value").cast("double").as("total_value"),
+          col("max_value"), col("n_users"))
+        .orderBy(col("event_type"))
+    },
+    Some(s"""SELECT event_type, COUNT(*) AS n_events,
+        ${graft.Qh.oSum("value")} AS total_value, MAX(value) AS max_value,
+        COUNT(DISTINCT user_id) AS n_users
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
       e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41, e42, e43, e44,
       e45, e46, e47, e48, e49, e50, e51, e52, e53, e54, e55, e56, e57, e58, e59,
       e60, e61, e62, e63, e64, e65, e66, e67, e68, e69, e70, e71, e72, e73, e74,
-      e75, e76, e77, e78)
+      e75, e76, e77, e78, e79)
 }

@@ -198,4 +198,128 @@ object Skew {
       else big.join(small, Seq(key), joinType)
     (joined, stats, salt)
   }
+
+  /** A decomposable aggregate for [[saltedAgg]]: `alias` names the
+    * output column, `op` ∈ {sum, count, min, max, avg}. Float rule:
+    * two-phase summation re-associates additions, so DOUBLE inputs to
+    * `sum`/`avg` must be pre-cast to decimal (the suite's `Qh.dsum`
+    * discipline) if the caller needs bit-equality with the one-phase
+    * plan — with decimal/integral inputs the two plans are exactly
+    * equal. */
+  final case class SaltedAggSpec(alias: String, op: String, input: Column)
+
+  private val SupportedAggOps = Set("sum", "count", "min", "max", "avg")
+
+  private def plainAggCol(a: SaltedAggSpec): Column = a.op match {
+    case "sum"   => sum(a.input).as(a.alias)
+    case "count" => count(a.input).as(a.alias)
+    case "min"   => min(a.input).as(a.alias)
+    case "max"   => max(a.input).as(a.alias)
+    case "avg"   => (sum(a.input) / count(a.input)).as(a.alias)
+  }
+
+  /** Two-phase (salted partial → final) aggregation: `groupBy(keys)`
+    * computed as `groupBy(keys :+ salt)` partials merged by a second
+    * `groupBy(keys)` — the aggregation face of [[saltedJoin]].
+    *
+    * When this matters at 100 TB — and when it doesn't: for algebraic
+    * aggregates Spark's map-side partial aggregation already collapses a
+    * hot key to one partial row PER MAP TASK, so the hot key's reducer
+    * receives #map-tasks rows, not its raw rows — plain `groupBy` is
+    * usually fine. The shapes partial aggregation does NOT save are (a)
+    * merge-heavy aggregation STATES, where every partial row is itself
+    * large (sketches, collect-like buffers) and one reducer must merge
+    * all of a hot key's partials, and (b) the distinct expansion (see
+    * [[saltedCountDistinct]]). The salted plan bounds any reducer's
+    * merge fan-in at the cost of one extra (tiny: keys×factor rows)
+    * exchange. `avg` decomposes into (sum, count) partials — never
+    * average-of-averages.
+    *
+    * The salt is [[withRowSalt]]'s replay-safe position salt for the
+    * same reason the join uses it: a content-hash salt collapses
+    * bit-identical hot rows onto one sub-key, and a nondeterministic
+    * salt double-counts or loses rows when a fetch-failure retry
+    * recomputes a map task after some reducers already fetched its
+    * output. */
+  def saltedAgg(df: DataFrame, keys: Seq[String], aggs: Seq[SaltedAggSpec],
+      factor: Int = 16): DataFrame = {
+    require(factor > 0, "salt factor must be positive")
+    require(aggs.nonEmpty, "saltedAgg needs at least one aggregate")
+    aggs.foreach(a => require(SupportedAggOps.contains(a.op),
+      s"unsupported salted aggregate op '${a.op}' " +
+        s"(supported: ${SupportedAggOps.toSeq.sorted.mkString(", ")})"))
+    val partials = aggs.flatMap { a =>
+      a.op match {
+        case "avg" => Seq(sum(a.input).as(s"__ps_${a.alias}"),
+          count(a.input).as(s"__pc_${a.alias}"))
+        case "sum"   => Seq(sum(a.input).as(s"__p_${a.alias}"))
+        case "count" => Seq(count(a.input).as(s"__p_${a.alias}"))
+        case "min"   => Seq(min(a.input).as(s"__p_${a.alias}"))
+        case "max"   => Seq(max(a.input).as(s"__p_${a.alias}"))
+      }
+    }
+    val finals = aggs.map { a =>
+      a.op match {
+        case "avg" => (sum(col(s"__ps_${a.alias}")) / sum(col(s"__pc_${a.alias}")))
+          .as(a.alias)
+        case "sum"   => sum(col(s"__p_${a.alias}")).as(a.alias)
+        case "count" => sum(col(s"__p_${a.alias}")).as(a.alias)
+        case "min"   => min(col(s"__p_${a.alias}")).as(a.alias)
+        case "max"   => max(col(s"__p_${a.alias}")).as(a.alias)
+      }
+    }
+    withRowSalt(df, factor)
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(partials.head, partials.tail: _*)
+      .groupBy(keys.map(col): _*)
+      .agg(finals.head, finals.tail: _*)
+  }
+
+  /** Exact COUNT(DISTINCT value) per key with the distinct expansion
+    * salted BY VALUE: phase 1 groups by (keys, hash(value) % factor) and
+    * counts distincts inside each sub-key, phase 2 sums the per-sub-key
+    * counts. Each distinct value lands in exactly one sub-key, so the
+    * sum is exact — and the value-hash salt is replay-safe by
+    * construction (pure content function, no positional state).
+    *
+    * This is the aggregation shape partial aggregation genuinely cannot
+    * save: Spark plans `COUNT(DISTINCT v)` as a two-level aggregate
+    * whose first level groups by (key, v) — a hot key re-expands to one
+    * row PER DISTINCT VALUE at the second exchange, and one reducer
+    * counts them all. Salting caps that reducer's share at
+    * ~distincts/factor. */
+  def saltedCountDistinct(df: DataFrame, keys: Seq[String], valueCol: String,
+      alias: String, factor: Int = 16): DataFrame = {
+    require(factor > 0, "salt factor must be positive")
+    df.withColumn("__vsalt",
+        pmod(xxhash64(col(valueCol)), lit(factor.toLong)).cast("int"))
+      .groupBy((keys.map(col) :+ col("__vsalt")): _*)
+      .agg(count_distinct(col(valueCol)).as("__pd"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__pd")).as(alias))
+  }
+
+  /** The measured aggregation decision — [[autoSaltedJoin]]'s shape for
+    * `groupBy`: sketch the key in one pass, aggregate PLAIN when the
+    * distribution reads uniform and through [[saltedAgg]]'s two-phase
+    * plan when a straggler signal fires (same `skewRatio` / `hotMassLB`
+    * thresholds; NULL keys group like any value in aggregation, so the
+    * join path's null signal does not apply). Rows are identical either
+    * way (spec-asserted); only the physical shape changes. */
+  def autoSaltedAgg(
+      df: DataFrame,
+      key: String,
+      aggs: Seq[SaltedAggSpec],
+      threshold: Double = 4.0,
+      hotMass: Double = 0.2,
+      factor: Int = 16): (DataFrame, SkewStats, Boolean) = {
+    require(aggs.nonEmpty, "autoSaltedAgg needs at least one aggregate")
+    val stats = measure(df, key)
+    val salt = stats.skewRatio >= threshold || stats.hotMassLB >= hotMass
+    val out =
+      if (salt) saltedAgg(df, Seq(key), aggs, factor)
+      else df.groupBy(col(key))
+        .agg(plainAggCol(aggs.head), aggs.tail.map(plainAggCol): _*)
+    (out, stats, salt)
+  }
 }

@@ -147,6 +147,60 @@ class SkewSpec extends SparkSpec {
     assert(!plainJoined.queryExecution.executedPlan.toString.contains("explode"))
   }
 
+  test("saltedAgg: two-phase result is exactly the one-phase groupBy's") {
+    import spark.implicits._
+    val specs = Seq(
+      Skew.SaltedAggSpec("n", "count", lit(1)),
+      Skew.SaltedAggSpec("total", "sum", col("v")),
+      Skew.SaltedAggSpec("lo", "min", col("v")),
+      Skew.SaltedAggSpec("hi", "max", col("v")),
+      Skew.SaltedAggSpec("mean", "avg", col("v")))
+    val plain = skewed.groupBy(col("k")).agg(count(lit(1)).as("n"),
+      sum(col("v")).as("total"), min(col("v")).as("lo"), max(col("v")).as("hi"),
+      (sum(col("v")) / count(col("v"))).as("mean"))
+    val salted = Skew.saltedAgg(skewed, Seq("k"), specs, factor = 8)
+    assert(salted.columns.toSeq == plain.columns.toSeq)
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    // unsupported op and empty agg list refuse loudly
+    assert(intercept[IllegalArgumentException] {
+      Skew.saltedAgg(skewed, Seq("k"),
+        Seq(Skew.SaltedAggSpec("xs", "collect_list", col("v"))))
+    }.getMessage.contains("unsupported"))
+  }
+
+  test("saltedCountDistinct: value-hash salt sums to the exact distinct count") {
+    import spark.implicits._
+    // hot key with many duplicate values + NULL values (ignored by
+    // COUNT(DISTINCT) on both paths)
+    val df = ((1 to 5000).map(i => ("hot", (i % 137).toString)) ++
+      (1 to 50).map(i => (s"k$i", i.toString)) ++
+      Seq(("hot", null: String), ("k1", null: String))).toDF("k", "v")
+    val plain = df.groupBy(col("k")).agg(count_distinct(col("v")).as("nd"))
+    val salted = Skew.saltedCountDistinct(df, Seq("k"), "v", "nd", factor = 8)
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    assert(salted.filter(col("k") === "hot").collect().head.getLong(1) == 137L)
+  }
+
+  test("autoSaltedAgg: two-phase shape iff the sketch fires, rows identical") {
+    import spark.implicits._
+    val specs = Seq(
+      Skew.SaltedAggSpec("n", "count", lit(1)),
+      Skew.SaltedAggSpec("total", "sum", col("v")))
+    val (hotAgg, hotStats, hotSalted) = Skew.autoSaltedAgg(skewed, "k", specs)
+    assert(hotSalted, s"hot bag must trigger the two-phase plan: $hotStats")
+    val uniform = (1 to 5000).map(i => (s"k$i", i.toLong)).toDF("k", "v")
+    val (plainAgg, plainStats, plainSalted) = Skew.autoSaltedAgg(uniform, "k", specs)
+    assert(!plainSalted, s"uniform keys must aggregate plain: $plainStats")
+    // the decision is visible in the plan: only the salted path carries
+    // the __salt grouping (and with it the second aggregate exchange)
+    assert(hotAgg.queryExecution.executedPlan.toString.contains("__salt"))
+    assert(!plainAgg.queryExecution.executedPlan.toString.contains("__salt"))
+    // rows identical either way
+    val plainHot = skewed.groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("total"))
+    assert(hotAgg.exceptAll(plainHot).isEmpty && plainHot.exceptAll(hotAgg).isEmpty)
+  }
+
   test("keyHistogram surfaces the hot key first") {
     val top = Skew.keyHistogram(skewed, Seq("k"), 3).collect()
     assert(top.head.getString(0) == "hot" && top.head.getLong(1) == 10000L)
