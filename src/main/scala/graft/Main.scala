@@ -50,7 +50,9 @@ object Main {
         |
         |env: SOURCE_ROOT, CUR_PATHS (csv), WAREHOUSE_DIR, JDBC_URL,
         |     JDBC_USER, JDBC_PASSWORD, DB_SCHEMA, SYNC_MONTHS, LOG_LEVEL,
-        |     TEST_ACCOUNTS (csv override)""".stripMargin)
+        |     TEST_ACCOUNTS (csv override),
+        |     AWS_ACCESS_KEY_ID, AWS_SECRET_ACCESS_KEY, AWS_REGION,
+        |     S3_ENDPOINT, S3_PATH_STYLE_ACCESS (for s3a:// roots)""".stripMargin)
     sys.exit(2)
   }
 
@@ -65,12 +67,13 @@ object Main {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
-    // O26: S3 credentials flow into the Hadoop fs config so s3a:// roots
-    // work unchanged (mirror of the reference's DuckDB httpfs setup,
-    // aws_cur.py:44-54) — set only when present so local runs stay clean.
-    sys.env.get("AWS_ACCESS_KEY_ID").foreach(b.config("spark.hadoop.fs.s3a.access.key", _))
-    sys.env.get("AWS_SECRET_ACCESS_KEY").foreach(b.config("spark.hadoop.fs.s3a.secret.key", _))
-    sys.env.get("AWS_REGION").foreach(b.config("spark.hadoop.fs.s3a.endpoint.region", _))
+    // O26: the S3 surface (credentials/region/endpoint/path-style) flows
+    // from EngineConfig into the Hadoop fs config so s3a:// roots work
+    // unchanged (mirror of the reference's DuckDB httpfs setup,
+    // aws_cur.py:44-54) — only keys actually configured, so local runs
+    // stay clean. SyncE2ESpec drives the whole path offline over a
+    // local-backed fs.s3a.impl stub.
+    cfg.s3aHadoopConf.foreach { case (k, v) => b.config(s"spark.hadoop.$k", v) }
     // METASTORE_DIR: persistent catalog — the durable `costs` view
     // survives restarts (the reference's PG-backed view semantics)
     cfg.metastoreDir.foreach(Sessions.durableCatalog(b, _))

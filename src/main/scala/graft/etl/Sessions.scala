@@ -28,4 +28,20 @@ object Sessions {
         s"jdbc:derby:;databaseName=$dir/metastore_db;create=true")
       .config("datanucleus.schema.autoCreateAll", "true")
       .config("spark.hadoop.hive.metastore.schema.verification", "false")
+
+  /** Apply [[EngineConfig.s3aHadoopConf]] to a LIVE session's Hadoop
+    * configuration (O26 / reference aws_cur.py:44-54: credentials,
+    * region, endpoint, path-style). Hadoop fs confs are read at
+    * FileSystem instantiation, not session build, so setting them on a
+    * running session works — library callers that receive a session
+    * (rather than building one through [[graft.Main]]) use this.
+    * Deliberately does NOT touch `fs.s3a.impl`: the implementation
+    * binding belongs to the deployment's jars, and the offline contract
+    * test binds it to a local-backed stub. */
+  def applyS3a(s: SparkSession, cfg: EngineConfig): SparkSession = {
+    cfg.s3aHadoopConf.foreach { case (k, v) =>
+      s.sparkContext.hadoopConfiguration.set(k, v)
+    }
+    s
+  }
 }
