@@ -2894,11 +2894,57 @@ object ExtQueries {
         COUNT(DISTINCT user_id) AS n_users
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  // E-suite layout capstone: Z-ORDER CLUSTERING ([[Layout]]) — the
+  // multi-column file-skipping layout (Morton interleave of two
+  // fixed-point-normalized dimensions, then bucket by z-prefix). The
+  // declared query is the layout's VERIFIABLE core: per-z-bucket
+  // min/max extents on BOTH columns, which is literally the parquet
+  // footer metadata a scan would prune on. 64 buckets = the top 3 bits
+  // of each dimension, so every bucket's extent on each column is
+  // ~1/8th of its full span — the property a single-column sort cannot
+  // give. The oracle replays the exact fixed-point scale and every
+  // spread shift/mask in integer SQL, so the hash pins the bit-level
+  // interleave, not just the bucket counts.
+  val e80 = Q(
+    "e80_zorder_layout",
+    (s, d) => {
+      val li = T.lineitem(s, d).select(col("l_partkey"), col("l_suppkey"))
+      val (bx, by) = Layout.bounds2(li, "l_partkey", "l_suppkey")
+      li.withColumn("z", Layout.zvalue(col("l_partkey"), col("l_suppkey"), bx, by))
+        .groupBy(shiftright(col("z"), 26).as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"),
+          min(col("l_suppkey")).as("min_sk"), max(col("l_suppkey")).as("max_sk"))
+        .orderBy(col("bucket"))
+    },
+    Some("""WITH b AS (SELECT MIN(l_partkey) AS pmin,
+          MAX(l_partkey) - MIN(l_partkey) + 1 AS prng,
+          MIN(l_suppkey) AS smin,
+          MAX(l_suppkey) - MIN(l_suppkey) + 1 AS srng
+        FROM lineitem),
+      n AS (SELECT l_partkey, l_suppkey,
+          ((l_partkey - pmin) * 65536) // prng AS nx,
+          ((l_suppkey - smin) * 65536) // srng AS ny
+        FROM lineitem, b),
+      s1 AS (SELECT *, (nx | (nx << 8)) & 16711935 AS ax1,
+                       (ny | (ny << 8)) & 16711935 AS ay1 FROM n),
+      s2 AS (SELECT *, (ax1 | (ax1 << 4)) & 252645135 AS ax2,
+                       (ay1 | (ay1 << 4)) & 252645135 AS ay2 FROM s1),
+      s3 AS (SELECT *, (ax2 | (ax2 << 2)) & 858993459 AS ax3,
+                       (ay2 | (ay2 << 2)) & 858993459 AS ay3 FROM s2),
+      s4 AS (SELECT *, (ax3 | (ax3 << 1)) & 1431655765 AS ax4,
+                       (ay3 | (ay3 << 1)) & 1431655765 AS ay4 FROM s3),
+      z AS (SELECT l_partkey, l_suppkey, (ax4 | (ay4 << 1)) >> 26 AS bucket FROM s4)
+      SELECT bucket, COUNT(*) AS n,
+        MIN(l_partkey) AS min_pk, MAX(l_partkey) AS max_pk,
+        MIN(l_suppkey) AS min_sk, MAX(l_suppkey) AS max_sk
+      FROM z GROUP BY bucket ORDER BY bucket"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
       e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41, e42, e43, e44,
       e45, e46, e47, e48, e49, e50, e51, e52, e53, e54, e55, e56, e57, e58, e59,
       e60, e61, e62, e63, e64, e65, e66, e67, e68, e69, e70, e71, e72, e73, e74,
-      e75, e76, e77, e78, e79)
+      e75, e76, e77, e78, e79, e80)
 }
