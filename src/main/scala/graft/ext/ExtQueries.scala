@@ -2940,11 +2940,36 @@ object ExtQueries {
         MIN(l_suppkey) AS min_sk, MAX(l_suppkey) AS max_sk
       FROM z GROUP BY bucket ORDER BY bucket"""))
 
+  // E3 serving pattern: FILTERED vector search — top-k within the
+  // query's own attribute slice ([[Similarity.filteredBruteTopK]], the
+  // exact pre-filter arm of the selectivity-dispatched
+  // [[Similarity.filteredTopK]]). Declared flavor: each of 10 query
+  // vectors searches only corpus rows sharing its label (the
+  // tenant/category scoping every vector store serves). The oracle is
+  // the label-equijoined exact cosine ranking — same fold order as e03,
+  // so the hash pins both the filter semantics and the arithmetic.
+  val e81 = Q(
+    "e81_filtered_ann",
+    (s, d) => Similarity.filteredBruteTopK(
+      T.embeddings(s, d), T.embeddings(s, d).filter(col("vec_id") < 10),
+      k = 5, filterCol = "label"),
+    Some("""WITH q AS (SELECT vec_id AS qid, label AS ql, embedding AS qe
+          FROM embeddings WHERE vec_id < 10),
+      sc AS (SELECT q.qid, e.vec_id, e.label,
+          LIST_SUM(LIST_TRANSFORM(range(1, LEN(e.embedding)+1),
+            i -> CAST(q.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+          / (SQRT(LIST_SUM(LIST_TRANSFORM(q.qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+           * SQRT(LIST_SUM(LIST_TRANSFORM(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos
+        FROM embeddings e, q WHERE e.vec_id <> q.qid AND e.label = q.ql),
+      r AS (SELECT qid, vec_id, label, cos,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM sc)
+      SELECT qid, vec_id, label, cos, rn FROM r WHERE rn <= 5 ORDER BY qid, rn"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
       e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41, e42, e43, e44,
       e45, e46, e47, e48, e49, e50, e51, e52, e53, e54, e55, e56, e57, e58, e59,
       e60, e61, e62, e63, e64, e65, e66, e67, e68, e69, e70, e71, e72, e73, e74,
-      e75, e76, e77, e78, e79, e80)
+      e75, e76, e77, e78, e79, e80, e81)
 }

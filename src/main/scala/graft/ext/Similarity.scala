@@ -72,6 +72,94 @@ object Similarity {
       .orderBy(col("qid"), col("rn"))
   }
 
+  /** Predicate-FILTERED exact top-k — the "search within the query's
+    * attribute slice" serving pattern (tenant / language / category
+    * scoping: every production vector store exposes it). The filter is
+    * an equijoin key shared by query and corpus rows: instead of
+    * scoring a query against the whole corpus and discarding
+    * non-matching rows afterwards, the match column joins FIRST, so
+    * each query pays only its slice's dot products. Scale shape: the
+    * query side broadcasts (small by the annRecall contract) and the
+    * corpus never shuffles; with an attribute-clustered corpus layout
+    * (e.g. [[Layout.zorderWrite]] on (attribute, id)) the slice read
+    * prunes at the parquet-footer level before scoring. This is the
+    * PRE-FILTER arm — exact at any selectivity; [[filteredTopK]]
+    * dispatches between it and the post-filter IVF arm by measured
+    * selectivity. */
+  def filteredBruteTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int, filterCol: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val q = queries.select(col(idCol).as("qid"), col(filterCol).as("__fq"),
+      col(vecCol).as("qe"), l2norm(col(vecCol)).as("qn"))
+    val scored = corpus
+      .select(col(idCol), col(filterCol), col(vecCol), l2norm(col(vecCol)).as("cn"))
+      .join(broadcast(q), col("__fq") === col(filterCol) && col("qid") =!= col(idCol))
+      .withColumn("cos", fastDot(col("qe"), col(vecCol)) / (col("qn") * col("cn")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col(idCol))
+    scored
+      .withColumn("rn", row_number().over(w).cast(LongType))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col(idCol), col(filterCol), col("cos"), col("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  /** POST-FILTER arm: approximate top-(k·overfetch) from the IVF path,
+    * then apply the attribute match and keep k per query. The right arm
+    * when the predicate is NOT selective — the cell geometry is
+    * preserved and the filter discards few candidates, with `overfetch`
+    * covering the casualties. Post-filtering a 1%-selective predicate
+    * would need overfetch ~100× (use [[filteredBruteTopK]] there —
+    * that trade-off is exactly what [[filteredTopK]] automates). May
+    * return FEWER than k rows per query when the probed cells don't
+    * hold k matching rows — the documented approximate contract. */
+  def postFilterIvfTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int, filterCol: String,
+      overfetch: Int = 4, nlist: Int = 16, nprobe: Int = 4, lloydIters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cands = ivfTopK(corpus, queries, k * overfetch, nlist, nprobe, lloydIters,
+      idCol, vecCol)
+    val ql = queries.select(col(idCol).as("qid"), col(filterCol).as("__fq"))
+    // candidates are k·overfetch·|Q| rows — broadcast them onto the
+    // corpus attribute lookup, never the reverse
+    val attrs = corpus.select(col(idCol), col(filterCol))
+    val matched = attrs
+      .join(broadcast(cands.join(broadcast(ql), Seq("qid"))), Seq(idCol))
+      .filter(col(filterCol) === col("__fq"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col(idCol))
+    matched
+      .withColumn("rn2", row_number().over(w).cast(LongType))
+      .filter(col("rn2") <= k)
+      .select(col("qid"), col(idCol), col(filterCol), col("cos"), col("rn2").as("rn"))
+      .orderBy(col("qid"), col("rn"))
+  }
+
+  /** Measured-selectivity dispatch — the filtered-search planner: one
+    * map-side-combined aggregate measures the fraction of corpus rows
+    * whose attribute matches ANY query's (the query attribute set is a
+    * bounded collect — queries are small by the same contract as
+    * [[annRecall]]). Below `selectiveBelow` the slice is cheap to score
+    * exactly → pre-filter; above it the filter barely cuts the corpus
+    * and exactness would cost a full scan per query → post-filter IVF
+    * with overfetch. Returns the chosen arm's frame and the decision,
+    * so callers (and the spec) can assert the dispatch. */
+  def filteredTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int, filterCol: String,
+      selectiveBelow: Double = 0.2, overfetch: Int = 4,
+      nlist: Int = 16, nprobe: Int = 4, lloydIters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, Boolean) = {
+    val qVals = queries.select(col(filterCol)).distinct().collect().map(_.get(0))
+    val r = corpus.agg(
+      count(lit(1)).as("n"),
+      count(when(col(filterCol).isin(qVals: _*), 1)).as("m")).head()
+    val sel = if (r.getLong(0) == 0L) 0.0 else r.getLong(1).toDouble / r.getLong(0)
+    if (sel <= selectiveBelow)
+      (filteredBruteTopK(corpus, queries, k, filterCol, idCol, vecCol), true)
+    else
+      (postFilterIvfTopK(corpus, queries, k, filterCol, overfetch,
+        nlist, nprobe, lloydIters, idCol, vecCol), false)
+  }
+
   /** Deterministic random hyperplanes (fixed seed → identical plan on
     * every run/executor). Stored as f32 so the sign test runs through the
     * codegen'd [[fastDot]] (the HOF formulation interpreted one lambda per

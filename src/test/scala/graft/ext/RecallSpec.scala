@@ -82,4 +82,42 @@ class RecallSpec extends SparkSpec {
       "0.380, identical to the in-memory ivfPqTopK arm — the frozen-model " +
       "serve contract)")
   }
+
+  test("filtered ANN: pre-filter arm matches the per-slice brute force exactly") {
+    val f = Similarity.filteredBruteTopK(embs, queries, k, "label")
+    val ql = queries.select(col("vec_id").as("qid"), col("label").as("ql"))
+    assert(f.join(ql, Seq("qid")).filter(col("label") =!= col("ql")).count() == 0,
+      "a returned neighbor does not share its query's label")
+    // one slice, re-derived independently: brute force over the
+    // label-0 sub-corpus must be bit-identical (same fastDot fold)
+    val slice = embs.filter(col("label") === 0)
+    val manual = Similarity.bruteForceTopK(slice, slice.filter(col("vec_id") < 10), k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val got = f.join(ql, Seq("qid")).filter(col("ql") === 0)
+      .select(col("qid"), col("vec_id"), col("cos"), col("rn"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(manual.nonEmpty && got == manual)
+  }
+
+  test("filtered ANN: selectivity dispatch picks the measured arm") {
+    val one = embs.filter(col("vec_id") === 4) // label 0 → ~11% of corpus
+    val (rare, preRare) = Similarity.filteredTopK(embs, one, k, "label")
+    assert(preRare, "single-label query must take the exact pre-filter arm")
+    assert(rare.count() == k)
+    val (_, preCommon) = Similarity.filteredTopK(embs, queries, k, "label")
+    assert(!preCommon, "7-label query set (~70% of corpus) must take the post-filter arm")
+  }
+
+  test("filtered ANN: post-filter IVF arm recall floor vs filtered exact truth") {
+    val truth = Similarity.filteredBruteTopK(embs, queries, k, "label")
+      .select(col("qid"), col("vec_id"))
+    val approx = Similarity.postFilterIvfTopK(embs, queries, k, "label", overfetch = 8)
+    assert(approx.filter(col("rn") > k).count() == 0)
+    val nTruth = truth.count()
+    val hits = truth.join(approx.select(col("qid"), col("vec_id")),
+      Seq("qid", "vec_id")).count()
+    val r = hits.toDouble / nTruth
+    info(f"filtered post-filter recall@$k = $r%.3f")
+    assert(r >= 0.30, f"filtered post-filter recall regressed: $r%.3f < 0.30 (measured 0.360)")
+  }
 }
