@@ -2894,47 +2894,47 @@ object ExtQueries {
         COUNT(DISTINCT user_id) AS n_users
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
-  // E-suite layout capstone: Z-ORDER CLUSTERING ([[Layout]]) — the
-  // multi-column file-skipping layout (Morton interleave of two
-  // fixed-point-normalized dimensions, then bucket by z-prefix). The
-  // declared query is the layout's VERIFIABLE core: per-z-bucket
-  // min/max extents on BOTH columns, which is literally the parquet
-  // footer metadata a scan would prune on. 64 buckets = the top 3 bits
-  // of each dimension, so every bucket's extent on each column is
-  // ~1/8th of its full span — the property a single-column sort cannot
-  // give. The oracle replays the exact fixed-point scale and every
-  // spread shift/mask in integer SQL, so the hash pins the bit-level
-  // interleave, not just the bucket counts.
+  // E-suite layout capstone: the Z-ORDER LAYOUT EFFECT, declared.
+  // [[graft.etl.Bucketing.zValue]]/`zCluster` are the engine's z-order
+  // operator (c54 declares the per-row VALUE; BucketingSpec asserts
+  // per-file spans) — this query declares the layout's pruning surface
+  // itself: per-z-bucket min/max extents on BOTH clustered columns,
+  // which is literally the parquet footer metadata a multi-column
+  // predicate prunes on. 64 buckets = the top 3 interleaved bits of
+  // each dimension, so every bucket's extent on each column is ~1/8th
+  // of its full span — the property a single-column sort cannot give.
+  // The oracle replays the exact c54-pinned bucket arithmetic and all
+  // 16 interleave terms, so the hash pins the grid geometry end to end.
   val e80 = Q(
     "e80_zorder_layout",
     (s, d) => {
       val li = T.lineitem(s, d).select(col("l_partkey"), col("l_suppkey"))
-      val (bx, by) = Layout.bounds2(li, "l_partkey", "l_suppkey")
-      li.withColumn("z", Layout.zvalue(col("l_partkey"), col("l_suppkey"), bx, by))
-        .groupBy(shiftright(col("z"), 26).as("bucket"))
+      val row = li.agg(
+        min(col("l_partkey")), max(col("l_partkey")),
+        min(col("l_suppkey")), max(col("l_suppkey"))).head() // bounded: 4 longs
+      val zv = graft.etl.Bucketing.zValue(Seq(
+        (col("l_partkey"), lit(row.getLong(0)), lit(row.getLong(1))),
+        (col("l_suppkey"), lit(row.getLong(2)), lit(row.getLong(3)))), bits = 8)
+      li.withColumn("zv", zv)
+        .groupBy(shiftright(col("zv"), 10).as("bucket"))
         .agg(count(lit(1)).as("n"),
           min(col("l_partkey")).as("min_pk"), max(col("l_partkey")).as("max_pk"),
           min(col("l_suppkey")).as("min_sk"), max(col("l_suppkey")).as("max_sk"))
         .orderBy(col("bucket"))
     },
-    Some("""WITH b AS (SELECT MIN(l_partkey) AS pmin,
-          MAX(l_partkey) - MIN(l_partkey) + 1 AS prng,
-          MIN(l_suppkey) AS smin,
-          MAX(l_suppkey) - MIN(l_suppkey) + 1 AS srng
-        FROM lineitem),
-      n AS (SELECT l_partkey, l_suppkey,
-          ((l_partkey - pmin) * 65536) // prng AS nx,
-          ((l_suppkey - smin) * 65536) // srng AS ny
+    Some(s"""WITH b AS (SELECT MIN(l_partkey) AS mn_p, MAX(l_partkey) AS mx_p,
+          MIN(l_suppkey) AS mn_s, MAX(l_suppkey) AS mx_s FROM lineitem),
+      bk AS (SELECT l_partkey, l_suppkey,
+          CASE WHEN mx_p = mn_p THEN 0 ELSE CAST(LEAST(GREATEST(
+            FLOOR((l_partkey - mn_p) * 256.0 / (mx_p - mn_p)), 0), 255) AS BIGINT) END AS bp,
+          CASE WHEN mx_s = mn_s THEN 0 ELSE CAST(LEAST(GREATEST(
+            FLOOR((l_suppkey - mn_s) * 256.0 / (mx_s - mn_s)), 0), 255) AS BIGINT) END AS bs
         FROM lineitem, b),
-      s1 AS (SELECT *, (nx | (nx << 8)) & 16711935 AS ax1,
-                       (ny | (ny << 8)) & 16711935 AS ay1 FROM n),
-      s2 AS (SELECT *, (ax1 | (ax1 << 4)) & 252645135 AS ax2,
-                       (ay1 | (ay1 << 4)) & 252645135 AS ay2 FROM s1),
-      s3 AS (SELECT *, (ax2 | (ax2 << 2)) & 858993459 AS ax3,
-                       (ay2 | (ay2 << 2)) & 858993459 AS ay3 FROM s2),
-      s4 AS (SELECT *, (ax3 | (ax3 << 1)) & 1431655765 AS ax4,
-                       (ay3 | (ay3 << 1)) & 1431655765 AS ay4 FROM s3),
-      z AS (SELECT l_partkey, l_suppkey, (ax4 | (ay4 << 1)) >> 26 AS bucket FROM s4)
+      z AS (SELECT l_partkey, l_suppkey,
+          CAST(${(0 until 8).flatMap(j => Seq(
+            s"(((bp >> $j) & 1) << ${j * 2})",
+            s"(((bs >> $j) & 1) << ${j * 2 + 1})")).mkString(" | ")} AS BIGINT) >> 10 AS bucket
+        FROM bk)
       SELECT bucket, COUNT(*) AS n,
         MIN(l_partkey) AS min_pk, MAX(l_partkey) AS max_pk,
         MIN(l_suppkey) AS min_sk, MAX(l_suppkey) AS max_sk

@@ -128,4 +128,31 @@ class BucketingSpec extends SparkSpec {
     assert(spark.read.parquet(out).columns.sorted.toSeq == li.columns.sorted.toSeq,
       "z-clustering must not change the schema")
   }
+
+  test("64-bucket z-grid bounds every bucket's extent on BOTH dimensions (the e80 frame)") {
+    import org.apache.spark.sql.functions._
+    val li = T.lineitem(spark, sf001).select(col("l_partkey"), col("l_suppkey"))
+    val row = li.agg(min(col("l_partkey")), max(col("l_partkey")),
+      min(col("l_suppkey")), max(col("l_suppkey"))).head()
+    val (pmn, pmx, smn, smx) = (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    val zv = Bucketing.zValue(Seq(
+      (col("l_partkey"), lit(pmn), lit(pmx)),
+      (col("l_suppkey"), lit(smn), lit(smx))), bits = 8)
+    val stats = li.withColumn("zv", zv)
+      .groupBy(shiftright(col("zv"), 10).as("bucket"))
+      .agg(min(col("l_partkey")).as("minp"), max(col("l_partkey")).as("maxp"),
+        min(col("l_suppkey")).as("mins"), max(col("l_suppkey")).as("maxs"))
+      .collect()
+    assert(stats.length > 1)
+    // bucket = the top 3 interleaved bits of each dimension → every
+    // bucket spans ≤ 1/8th of each dimension's domain (+ floor slack)
+    val pCell = (pmx - pmn) / 8 + 2
+    val sCell = (smx - smn) / 8 + 2
+    stats.foreach { r =>
+      assert(r.getLong(2) - r.getLong(1) <= pCell,
+        s"bucket ${r.get(0)} partkey span ${r.getLong(2) - r.getLong(1)} > $pCell")
+      assert(r.getLong(4) - r.getLong(3) <= sCell,
+        s"bucket ${r.get(0)} suppkey span ${r.getLong(4) - r.getLong(3)} > $sCell")
+    }
+  }
 }
