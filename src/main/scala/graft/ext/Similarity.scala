@@ -148,7 +148,13 @@ object Similarity {
       selectiveBelow: Double = 0.2, overfetch: Int = 4,
       nlist: Int = 16, nprobe: Int = 4, lloydIters: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, Boolean) = {
-    val qVals = queries.select(col(filterCol)).distinct().collect().map(_.get(0))
+    val qVals = queries.select(col(filterCol)).distinct().limit(10001).collect().map(_.get(0))
+    // loud contract (the KmvDistinct/prioritySample style): the query
+    // attribute set must be driver-bounded — a corpus-sized "query" set
+    // here would silently become a driver materialization
+    require(qVals.length <= 10000,
+      s"filteredTopK: > 10000 distinct query '$filterCol' values — " +
+        "the query side must be bounded (sample it, or search unfiltered)")
     val r = corpus.agg(
       count(lit(1)).as("n"),
       count(when(col(filterCol).isin(qVals: _*), 1)).as("m")).head()
