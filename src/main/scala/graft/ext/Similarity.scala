@@ -81,8 +81,8 @@ object Similarity {
     * each query pays only its slice's dot products. Scale shape: the
     * query side broadcasts (small by the annRecall contract) and the
     * corpus never shuffles; with an attribute-clustered corpus layout
-    * (e.g. [[Layout.zorderWrite]] on (attribute, id)) the slice read
-    * prunes at the parquet-footer level before scoring. This is the
+    * (e.g. [[graft.etl.Bucketing.zCluster]] on (attribute, id)) the
+    * slice read prunes at the parquet-footer level before scoring. This is the
     * PRE-FILTER arm — exact at any selectivity; [[filteredTopK]]
     * dispatches between it and the post-filter IVF arm by measured
     * selectivity. */
