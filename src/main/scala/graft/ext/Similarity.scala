@@ -148,7 +148,8 @@ object Similarity {
       selectiveBelow: Double = 0.2, overfetch: Int = 4,
       nlist: Int = 16, nprobe: Int = 4, lloydIters: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): (DataFrame, Boolean) = {
-    val qVals = queries.select(col(filterCol)).distinct().limit(10001).collect().map(_.get(0))
+    val qVals = queries.select(col(filterCol)).distinct().limit(10001)
+      .collect().map(_.get(0)).toIndexedSeq
     // loud contract (the KmvDistinct/prioritySample style): the query
     // attribute set must be driver-bounded — a corpus-sized "query" set
     // here would silently become a driver materialization
@@ -279,7 +280,7 @@ object Similarity {
   /** Per-row scores against every centroid: array of (cos, -cid) structs
     * (array_max / array_sort order by cos first, then prefer small cid). */
   private[ext] def cellScoresCol(cents: Array[(Int, Seq[Float], Double)])(
-      vec: Column, vecNorm: Column): Column = array(cents.map {
+      vec: Column, vecNorm: Column): Column = array(cents.toIndexedSeq.map {
     case (i, v, nm) => struct(
       (fastDot(vec, typedLit(v)) / (vecNorm * lit(nm))).as("c"),
       lit(-i).as("nc"))
