@@ -1,0 +1,70 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Incremental aggregate maintenance: keep a materialized aggregate
+  * current by merging the PARTIAL aggregate of a new delta into it,
+  * never rescanning history (the reference syncs month partitions and
+  * recomputes serving aggregates from the full costs table each run —
+  * `sql/views.sql`; at 100 TB the recompute is the bottleneck, the
+  * delta merge is O(|delta| + |distinct keys touched|)).
+  *
+  * Representation: every maintained measure is stored in a MERGEABLE
+  * form — count and decimal sum (exact, order-independent), min/max.
+  * Non-mergeable reads (avg) are derived at query time from the
+  * partials (`sum/cnt`), never stored — storing avg would make the
+  * state non-mergeable (average-of-averages is wrong under uneven
+  * group sizes, the same rule `Skew.saltedAgg` enforces).
+  *
+  * Merge = `unionByName` + re-aggregate on the keys: Spark plans this
+  * as a map-side partial over each input followed by one exchange
+  * carrying one row per (input, key) — the existing aggregate is
+  * already one-row-per-key, the delta collapses before the shuffle,
+  * so the exchange never carries raw delta rows. Decimal addition is
+  * associative, so merged state is bit-identical to a full recompute
+  * over base ∪ delta — that identity is exactly what the e83 oracle
+  * hash-checks.
+  */
+object Incremental {
+  private val Dec: DecimalType = DecimalType(38, 6)
+
+  /** Mergeable per-key partials of `valueCol` grouped by `keys`:
+    * `cnt`, `sum_v` (DECIMAL(38,6)), `min_v`, `max_v`. Run this over a
+    * new delta partition (and once over history to bootstrap). */
+  def partials(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col(valueCol).cast(Dec)).as("sum_v"),
+        min(col(valueCol)).as("min_v"),
+        max(col(valueCol)).as("max_v"))
+
+  /** Merge any number of partial frames (same schema: keys + cnt /
+    * sum_v / min_v / max_v) into one — associative and commutative, so
+    * a day can be merged into a month, months into a year, replicas
+    * in any order. */
+  def merge(keys: Seq[String], frames: DataFrame*): DataFrame = {
+    require(frames.nonEmpty, "Incremental.merge: at least one frame")
+    frames.reduce(_ unionByName _)
+      .groupBy(keys.map(col): _*)
+      .agg(
+        sum(col("cnt")).as("cnt"),
+        sum(col("sum_v")).as("sum_v"),
+        min(col("min_v")).as("min_v"),
+        max(col("max_v")).as("max_v"))
+  }
+
+  /** Serving view over maintained partials: exact double sum and the
+    * derived mean (exact decimal sum ÷ count — the only correct way to
+    * read an average out of mergeable state). */
+  def serve(p: DataFrame): DataFrame =
+    p.select(
+      p.columns.filterNot(Set("cnt", "sum_v", "min_v", "max_v")).map(col) ++ Seq(
+        col("cnt"),
+        col("sum_v").cast(DoubleType).as("sum_v"),
+        (col("sum_v").cast(DoubleType) / col("cnt")).as("avg_v"),
+        col("min_v"),
+        col("max_v")): _*)
+}

@@ -1,0 +1,156 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.Qh
+
+/** Serving-side behavioral analytics over the events stream: funnel
+  * conversion, cost-spike detection (the FinOps anomaly surface a
+  * cloud-cost engine serves — the reference's dashboards read daily
+  * cost aggregates, `sql/views.sql`; flagging the outlier days is the
+  * query users run against them), and cohort retention.
+  *
+  * All three are pure aggregate/join compositions — no window sorts,
+  * no per-user collected state — so each scales as its shuffles:
+  * one user-keyed exchange per funnel step, one (key, day) exchange
+  * for spikes, one (user, week) distinct for cohorts.
+  */
+object Analytics {
+
+  /** Ordered-funnel conversion: for each user, the earliest time they
+    * completed step 1, then step 2 STRICTLY AFTER step 1, … Returns one
+    * row per user who completed at least step 1: `step{i}_ts`
+    * (nullable beyond their progress) and `steps_completed`.
+    *
+    * Shape per step k: filter events to the step's type (predicate
+    * pushes to the scan), join user-keyed against the k-1 frontier,
+    * keep events after the frontier time, take `min(ts)` — a
+    * map-side-combined aggregate. The frontier is one row per
+    * still-converting user, shrinking every step; all joins share the
+    * user-key partitioning, so AQE reuses the exchange layout rather
+    * than re-shuffling the frontier. No broadcast assumption: the user
+    * dimension is unbounded at 100 TB, and nothing here requires it to
+    * fit anywhere.
+    */
+  def funnel(
+      events: DataFrame,
+      steps: Seq[String],
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    require(steps.nonEmpty, "Analytics.funnel: steps must be non-empty")
+    val first = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("step1_ts"))
+    val joined = steps.zipWithIndex.drop(1).foldLeft(first) {
+      case (acc, (step, i)) =>
+        val prev = s"step${i}_ts"
+        val cur = s"step${i + 1}_ts"
+        val next = events.filter(col(typeCol) === step)
+          .select(col(userCol), col(tsCol))
+          .join(acc.select(col(userCol), col(prev)), Seq(userCol))
+          .filter(col(tsCol) > col(prev))
+          .groupBy(col(userCol)).agg(min(col(tsCol)).as(cur))
+        acc.join(next, Seq(userCol), "left")
+    }
+    // fold inner→outer so the DEEPEST step's check lands outermost:
+    // the final expression reads when(stepN…, N).otherwise(…step1…, 1)
+    val completed = steps.indices.foldLeft(lit(0)) { (acc, i) =>
+      when(col(s"step${i + 1}_ts").isNotNull, lit(i + 1)).otherwise(acc)
+    }
+    joined.withColumn("steps_completed", completed)
+  }
+
+  /** Daily cost-spike detection: days whose cost exceeds `threshold` ×
+    * the key's own mean daily cost. Emits (key, day, daily_cost,
+    * ratio) for flagged days.
+    *
+    * Determinism (the oracle-parity contract): daily sums are exact
+    * DECIMAL(38,6); the key's total is the decimal SUM OF THE DAILY
+    * DECIMALS (associative — bit-equal to summing raw rows), and the
+    * ratio is computed in double from those exact operands, so both
+    * engines do the identical IEEE divisions. The per-key stats frame
+    * is one row per key — broadcast back onto the daily frame.
+    */
+  def dailySpikes(
+      events: DataFrame,
+      keyCol: String = "event_type",
+      tsCol: String = "ts",
+      valueCol: String = "value",
+      threshold: Double = 1.5): DataFrame = {
+    val daily = events
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(sum(col(valueCol).cast(Qh.Dec)).as("sum_dec"))
+    val stats = daily.groupBy(col(keyCol))
+      .agg(sum(col("sum_dec")).cast(Qh.Dec).as("total_dec"),
+        count(lit(1)).as("n_days"))
+    daily.join(broadcast(stats), Seq(keyCol))
+      .select(
+        col(keyCol), col("day"),
+        col("sum_dec").cast(DoubleType).as("daily_cost"),
+        (col("sum_dec").cast(DoubleType) * col("n_days") /
+          col("total_dec").cast(DoubleType)).as("ratio"))
+      .filter(col("ratio") > lit(threshold))
+  }
+
+  /** Per-key daily forward fill: build each key's full day spine
+    * between its first and last observed day (`sequence` — generated
+    * in-row, no driver loop, unlike a recursive spine this needs no
+    * iteration limit), left-join the observed daily costs on, and
+    * carry the last observed value forward with an ignore-nulls
+    * running `last` (the gap-filling read every time-series dashboard
+    * does — c52 zero-fills a month spine; this is the
+    * carry-last-observation semantics).
+    *
+    * Emits (key, day, observed 0/1, filled_cost). Scale: the window
+    * partitions by key — each key's spine is bounded by its day span,
+    * so no partition outgrows time itself; the daily frame is already
+    * one row per (key, day).
+    */
+  def forwardFill(
+      events: DataFrame,
+      keyCol: String = "event_type",
+      tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(sum(col(valueCol).cast(Qh.Dec)).cast(DoubleType).as("cost"))
+    val spine = daily.groupBy(col(keyCol))
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(col(keyCol),
+        explode(sequence(col("lo"), col("hi"), expr("interval 1 day"))).as("day"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq(keyCol, "day"), "left")
+      .select(col(keyCol), col("day"),
+        col("cost").isNotNull.cast("int").as("observed"),
+        last(col("cost"), ignoreNulls = true).over(w).as("filled_cost"))
+  }
+
+  /** Weekly cohort retention: users bucketed by the week they were
+    * first seen; for each (cohort week, weeks-since) cell, how many of
+    * them were active. Monday-start ISO weeks (`date_trunc("week")` —
+    * the same convention DuckDB uses, so offsets are exact integers).
+    *
+    * Shape: one distinct over (user, week) — the only exchange that
+    * sees event-scale data, and it carries 16-byte rows; the first-seen
+    * frame is one row per user, joined user-keyed; the output is
+    * O(weeks²) cells.
+    */
+  def cohortRetention(
+      events: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val weekly = events
+      .select(col(userCol), date_trunc("week", col(tsCol)).cast("date").as("week"))
+      .distinct()
+    val cohorts = weekly.groupBy(col(userCol))
+      .agg(min(col("week")).as("cohort_week"))
+    weekly.join(cohorts, Seq(userCol))
+      .groupBy(col("cohort_week"),
+        (datediff(col("week"), col("cohort_week")) / 7).cast("int").as("week_offset"))
+      .agg(count(lit(1)).as("users"))
+  }
+}

@@ -2965,11 +2965,177 @@ object ExtQueries {
           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM sc)
       SELECT qid, vec_id, label, cos, rn FROM r WHERE rn <= 5 ORDER BY qid, rn"""))
 
+  // ETL capstone: CDC MERGE ([[graft.etl.Cdc.applyChanges]]) — row-level
+  // upsert+delete apply, the warehouse-load mode the reference's loader
+  // family lacks (overwrite/append/upsert_partitions only). The
+  // snapshot is the latest first-half state per user; the second half
+  // of the month is the changelog, 'error' as the delete op. The hash
+  // pins the whole merge contract: latest-change-wins (total order
+  // ts+event_id), delete removal, pass-through of untouched keys —
+  // while the PLAN never shuffles the snapshot (winner collapse via
+  // max_by, anti join + union).
+  val e82 = Q(
+    "e82_cdc_merge",
+    (s, d) => {
+      import graft.etl.Cdc
+      val ev = T.events(s, d)
+      val cut = lit("2024-01-16").cast("timestamp")
+      val asState = (df: DataFrame) => df.select(
+        col("user_id"), col("event_type").as("last_type"),
+        col("value").as("last_value"), col("ts").as("last_ts"),
+        col("event_id"))
+      val base = Cdc.latestState(
+        asState(ev.filter(col("ts") < cut)).withColumn("op", lit("U")),
+        keys = Seq("user_id"), orderCols = Seq("last_ts", "event_id"))
+        .drop("event_id")
+      val changes = asState(ev.filter(col("ts") >= cut))
+        .withColumn("op", when(col("last_type") === "error", "D").otherwise("U"))
+      Cdc.applyChanges(base, changes, keys = Seq("user_id"),
+        orderCols = Seq("last_ts", "event_id"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH
+      b0 AS (SELECT user_id, event_type AS last_type, value AS last_value, ts AS last_ts,
+          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts < TIMESTAMP '2024-01-16'),
+      base AS (SELECT user_id, last_type, last_value, last_ts FROM b0 WHERE rn = 1),
+      w0 AS (SELECT user_id, event_type AS last_type, value AS last_value, ts AS last_ts,
+          CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE ts >= TIMESTAMP '2024-01-16'),
+      win AS (SELECT user_id, last_type, last_value, last_ts, op FROM w0 WHERE rn = 1)
+      SELECT user_id, last_type, last_value, last_ts FROM base
+      WHERE user_id NOT IN (SELECT user_id FROM win)
+      UNION ALL
+      SELECT user_id, last_type, last_value, last_ts FROM win WHERE op <> 'D'
+      ORDER BY user_id"""))
+
+  // ETL capstone: INCREMENTAL AGGREGATE MAINTENANCE
+  // ([[graft.etl.Incremental]]) — the materialized daily aggregate kept
+  // current by merging the delta's PARTIALS (count / exact decimal sum /
+  // min / max), never rescanning history. The oracle is the full
+  // recompute over the whole month, so the hash check IS the
+  // incremental-equals-recompute identity (decimal addition is
+  // associative — the entire correctness claim of the maintenance path).
+  val e83 = Q(
+    "e83_incremental_agg",
+    (s, d) => {
+      import graft.etl.Incremental
+      val ev = T.events(s, d)
+        .select(col("event_type"), to_date(col("ts")).as("day"), col("value"))
+      val keys = Seq("event_type", "day")
+      val existing = Incremental.partials(
+        ev.filter(col("day") <= lit("2024-01-20").cast("date")), keys, "value")
+      val delta = Incremental.partials(
+        ev.filter(col("day") > lit("2024-01-20").cast("date")), keys, "value")
+      Incremental.serve(Incremental.merge(keys, existing, delta))
+        .orderBy(col("event_type"), col("day"))
+    },
+    Some(s"""SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt,
+        ${graft.Qh.oSum("value")} AS sum_v, ${graft.Qh.oAvg("value")} AS avg_v,
+        MIN(value) AS min_v, MAX(value) AS max_v
+      FROM events GROUP BY 1, 2 ORDER BY 1, 2"""))
+
+  // Serving analytics: per-key daily FORWARD FILL over a generated day
+  // spine ([[Analytics.forwardFill]]) — carry-last-observation gap
+  // filling (c52 zero-fills a month spine; this is the ignore-nulls
+  // running-last semantics). The declared slice filters to ~1% of users
+  // so the spine actually has gaps to fill at gate scale.
+  val e84 = Q(
+    "e84_gap_fill",
+    (s, d) => Analytics.forwardFill(
+      T.events(s, d).filter(pmod(col("user_id"), lit(97)) === 0))
+      .orderBy(col("event_type"), col("day")),
+    Some(s"""WITH f AS (SELECT * FROM events WHERE user_id % 97 = 0),
+      daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+          ${graft.Qh.oSum("value")} AS cost FROM f GROUP BY 1, 2),
+      b AS (SELECT event_type, MIN(day) AS lo, MAX(day) AS hi FROM daily GROUP BY 1),
+      sp AS (SELECT event_type, CAST(t.d AS DATE) AS day
+        FROM b, UNNEST(generate_series(CAST(lo AS TIMESTAMP), CAST(hi AS TIMESTAMP),
+          INTERVAL 1 DAY)) AS t(d)),
+      j AS (SELECT sp.event_type, sp.day, daily.cost FROM sp
+        LEFT JOIN daily ON sp.event_type = daily.event_type AND sp.day = daily.day)
+      SELECT event_type, day, CAST(cost IS NOT NULL AS INT) AS observed,
+        LAST_VALUE(cost IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_cost
+      FROM j ORDER BY event_type, day"""))
+
+  // Serving analytics: DAILY COST-SPIKE DETECTION
+  // ([[Analytics.dailySpikes]]) — the FinOps anomaly surface: days whose
+  // cost exceeds the key's own mean daily cost. Exact decimal daily
+  // sums; the ratio is one IEEE multiply+divide on exact operands, so
+  // the hash pins the full anomaly arithmetic. Threshold 1.0 declares
+  // the whole above-mean surface (ratio ordering included).
+  val e85 = Q(
+    "e85_cost_spikes",
+    (s, d) => Analytics.dailySpikes(T.events(s, d), threshold = 1.0)
+      .orderBy(col("event_type"), col("day")),
+    Some("""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+          SUM(CAST(value AS DECIMAL(38,6))) AS sum_dec
+        FROM events GROUP BY 1, 2),
+      st AS (SELECT event_type, CAST(SUM(sum_dec) AS DECIMAL(38,6)) AS total_dec,
+          COUNT(*) AS n_days FROM daily GROUP BY 1)
+      SELECT daily.event_type, day, CAST(sum_dec AS DOUBLE) AS daily_cost,
+        CAST(sum_dec AS DOUBLE) * n_days / CAST(total_dec AS DOUBLE) AS ratio
+      FROM daily JOIN st ON daily.event_type = st.event_type
+      WHERE CAST(sum_dec AS DOUBLE) * n_days / CAST(total_dec AS DOUBLE) > 1.0
+      ORDER BY daily.event_type, day"""))
+
+  // Serving analytics: ORDERED FUNNEL ([[Analytics.funnel]]) —
+  // signup → click → purchase, each step strictly after the user's
+  // previous-step time. One map-side-combined min per step, user-keyed
+  // joins, no per-user collected state (the collect_list funnel dies at
+  // 100 TB; this shape is three filtered scans and three aggregates).
+  // The declared slice keeps only high-value events (~5%) so the funnel
+  // actually attrites at gate scale (127 → 88 → 54 at sf0.01) and the
+  // nullable step columns exercise their null paths.
+  val e86 = Q(
+    "e86_funnel",
+    (s, d) => Analytics.funnel(
+      T.events(s, d).filter(col("value") > 95),
+      Seq("signup", "click", "purchase"))
+      .orderBy(col("user_id")),
+    Some("""WITH f AS (SELECT * FROM events WHERE value > 95),
+      s1 AS (SELECT user_id, MIN(ts) AS step1_ts FROM f
+          WHERE event_type = 'signup' GROUP BY 1),
+      s2 AS (SELECT e.user_id, MIN(e.ts) AS step2_ts FROM f e
+          JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.step1_ts
+          WHERE e.event_type = 'click' GROUP BY 1),
+      s3 AS (SELECT e.user_id, MIN(e.ts) AS step3_ts FROM f e
+          JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.step2_ts
+          WHERE e.event_type = 'purchase' GROUP BY 1)
+      SELECT s1.user_id, s1.step1_ts, s2.step2_ts, s3.step3_ts,
+        CASE WHEN s3.user_id IS NOT NULL THEN 3
+             WHEN s2.user_id IS NOT NULL THEN 2 ELSE 1 END AS steps_completed
+      FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        LEFT JOIN s3 ON s1.user_id = s3.user_id
+      ORDER BY s1.user_id"""))
+
+  // Serving analytics: WEEKLY COHORT RETENTION
+  // ([[Analytics.cohortRetention]]) — users bucketed by first-seen ISO
+  // week × weeks-since-cohort activity counts. The only event-scale
+  // exchange is the (user, week) distinct carrying 16-byte rows.
+  // Same ~5% high-value slice as e86 so first-seen weeks spread into
+  // multiple cohorts at gate scale (3 cohort weeks at sf0.01) instead of
+  // the whole population landing in week one.
+  val e87 = Q(
+    "e87_cohort_retention",
+    (s, d) => Analytics.cohortRetention(
+      T.events(s, d).filter(col("value") > 95))
+      .orderBy(col("cohort_week"), col("week_offset")),
+    Some("""WITH wk AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+          FROM events WHERE value > 95),
+      c AS (SELECT user_id, MIN(week) AS cohort_week FROM wk GROUP BY 1)
+      SELECT c.cohort_week, CAST((wk.week - c.cohort_week) // 7 AS INT) AS week_offset,
+        COUNT(*) AS users
+      FROM wk JOIN c ON wk.user_id = c.user_id
+      GROUP BY 1, 2 ORDER BY 1, 2"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
       e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41, e42, e43, e44,
       e45, e46, e47, e48, e49, e50, e51, e52, e53, e54, e55, e56, e57, e58, e59,
       e60, e61, e62, e63, e64, e65, e66, e67, e68, e69, e70, e71, e72, e73, e74,
-      e75, e76, e77, e78, e79, e80, e81)
+      e75, e76, e77, e78, e79, e80, e81, e82, e83, e84, e85, e86, e87)
 }

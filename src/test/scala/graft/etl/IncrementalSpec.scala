@@ -1,0 +1,72 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class IncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rows(xs: (String, Double)*): DataFrame =
+    xs.toDF("g", "v")
+
+  private def served(p: DataFrame): Seq[(String, Long, Double, Double, Double, Double)] =
+    Incremental.serve(p).orderBy("g")
+      .as[(String, Long, Double, Double, Double, Double)].collect().toSeq
+
+  test("incremental merge equals full recompute, bit for bit") {
+    val hist = rows("a" -> 1.25, "a" -> 2.5, "b" -> 10.0)
+    val delta = rows("a" -> 4.125, "b" -> -3.0, "c" -> 0.75)
+    val incremental = Incremental.merge(Seq("g"),
+      Incremental.partials(hist, Seq("g"), "v"),
+      Incremental.partials(delta, Seq("g"), "v"))
+    val full = Incremental.partials(hist.unionByName(delta), Seq("g"), "v")
+    assert(served(incremental) === served(full))
+  }
+
+  test("merge is associative and commutative across any batch grouping") {
+    val a = Incremental.partials(rows("x" -> 1.0, "y" -> 2.0), Seq("g"), "v")
+    val b = Incremental.partials(rows("x" -> 3.0), Seq("g"), "v")
+    val c = Incremental.partials(rows("y" -> 4.0, "z" -> 5.0), Seq("g"), "v")
+    val leftFold = Incremental.merge(Seq("g"), Incremental.merge(Seq("g"), a, b), c)
+    val rightFold = Incremental.merge(Seq("g"), a, Incremental.merge(Seq("g"), b, c))
+    val flat = Incremental.merge(Seq("g"), c, b, a)
+    assert(served(leftFold) === served(rightFold))
+    assert(served(leftFold) === served(flat))
+  }
+
+  test("derived avg is sum/count — not average-of-averages — on uneven batches") {
+    // batch1: one row of 10; batch2: three rows of 1 → true mean 3.25,
+    // average-of-averages would claim (10 + 1) / 2 = 5.5
+    val m = Incremental.merge(Seq("g"),
+      Incremental.partials(rows("g1" -> 10.0), Seq("g"), "v"),
+      Incremental.partials(rows("g1" -> 1.0, "g1" -> 1.0, "g1" -> 1.0), Seq("g"), "v"))
+    val Seq((_, cnt, sumV, avgV, minV, maxV)) = served(m)
+    assert(cnt === 4L)
+    assert(sumV === 13.0)
+    assert(avgV === 3.25)
+    assert(minV === 1.0)
+    assert(maxV === 10.0)
+  }
+
+  test("keys absent from one side survive the merge unchanged") {
+    val m = Incremental.merge(Seq("g"),
+      Incremental.partials(rows("only_hist" -> 7.0), Seq("g"), "v"),
+      Incremental.partials(rows("only_delta" -> 9.0), Seq("g"), "v"))
+    assert(served(m).map(r => (r._1, r._2, r._3)) ===
+      Seq(("only_delta", 1L, 9.0), ("only_hist", 1L, 7.0)))
+  }
+
+  test("delta merge never rescans history: the stored MV enters as a leaf") {
+    // the maintained aggregate is a stored table in production — model it
+    // as a lineage-cut frame; the merge plan must read it as a LEAF
+    // (LogicalRDD) and re-aggregate, never re-derive it from raw history
+    val hist = Incremental.partials(rows("a" -> 1.0), Seq("g"), "v")
+      .localCheckpoint(eager = true)
+    val delta = Incremental.partials(rows("a" -> 2.0), Seq("g"), "v")
+    val plan = Incremental.merge(Seq("g"), hist, delta)
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("LogicalRDD"), s"stored MV must be a leaf:\n$plan")
+    assert(plan.contains("Aggregate"), s"merge must re-aggregate partials:\n$plan")
+  }
+}

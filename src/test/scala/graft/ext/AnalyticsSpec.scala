@@ -1,0 +1,134 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(xs: (Long, String, String, Double)*): DataFrame =
+    xs.toDF("user_id", "tss", "event_type", "value")
+      .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+
+  // ---------------- funnel ----------------
+
+  test("funnel: steps must occur strictly in order") {
+    val events = ev(
+      // u1 completes all three in order
+      (1L, "2024-01-01 10:00:00", "signup", 1.0),
+      (1L, "2024-01-02 10:00:00", "click", 1.0),
+      (1L, "2024-01-03 10:00:00", "purchase", 1.0),
+      // u2 clicked BEFORE signing up — click must not count
+      (2L, "2024-01-01 10:00:00", "click", 1.0),
+      (2L, "2024-01-02 10:00:00", "signup", 1.0),
+      // u3 never signed up — absent from the output entirely
+      (3L, "2024-01-01 10:00:00", "click", 1.0),
+      (3L, "2024-01-02 10:00:00", "purchase", 1.0))
+    val out = Analytics.funnel(events, Seq("signup", "click", "purchase"))
+      .orderBy("user_id")
+      .select("user_id", "steps_completed").as[(Long, Int)].collect().toSeq
+    assert(out === Seq((1L, 3), (2L, 1)))
+  }
+
+  test("funnel: a same-timestamp next step does not advance (strictly after)") {
+    val events = ev(
+      (1L, "2024-01-01 10:00:00", "signup", 1.0),
+      (1L, "2024-01-01 10:00:00", "click", 1.0), // same instant: no
+      (2L, "2024-01-01 10:00:00", "signup", 1.0),
+      (2L, "2024-01-01 10:00:01", "click", 1.0)) // one second later: yes
+    val out = Analytics.funnel(events, Seq("signup", "click"))
+      .orderBy("user_id")
+      .select("user_id", "steps_completed").as[(Long, Int)].collect().toSeq
+    assert(out === Seq((1L, 1), (2L, 2)))
+  }
+
+  test("funnel: earliest qualifying time is kept per step") {
+    val events = ev(
+      (1L, "2024-01-05 00:00:00", "signup", 1.0),
+      (1L, "2024-01-01 00:00:00", "signup", 1.0), // earlier signup wins
+      (1L, "2024-01-03 00:00:00", "click", 1.0),  // after 01-01 → counts
+      (1L, "2024-01-06 00:00:00", "click", 1.0))
+    val out = Analytics.funnel(events, Seq("signup", "click"))
+      .select(col("step1_ts").cast("string"), col("step2_ts").cast("string"))
+      .as[(String, String)].head()
+    assert(out === (("2024-01-01 00:00:00", "2024-01-03 00:00:00")))
+  }
+
+  // ---------------- forwardFill ----------------
+
+  test("forwardFill: carry-last semantics on a gapped key") {
+    val events = ev(
+      (1L, "2024-01-01 05:00:00", "a", 10.0),
+      (1L, "2024-01-01 07:00:00", "a", 5.0),  // same day: summed → 15
+      (1L, "2024-01-04 05:00:00", "a", 7.0),  // 3-day gap before this
+      (1L, "2024-01-02 05:00:00", "b", 1.0))  // key b: single day
+    val out = Analytics.forwardFill(events, keyCol = "event_type")
+      .orderBy("event_type", "day")
+      .select(col("event_type"), col("day").cast("string"), col("observed"),
+        col("filled_cost"))
+      .as[(String, String, Int, Double)].collect().toSeq
+    assert(out === Seq(
+      ("a", "2024-01-01", 1, 15.0),
+      ("a", "2024-01-02", 0, 15.0),
+      ("a", "2024-01-03", 0, 15.0),
+      ("a", "2024-01-04", 1, 7.0),
+      ("b", "2024-01-02", 1, 1.0)))
+  }
+
+  // ---------------- dailySpikes ----------------
+
+  test("dailySpikes: ratio is daily/mean and the threshold filters") {
+    // key a: days of 10, 20, 60 → mean 30 → ratios 1/3, 2/3, 2.0
+    val events = ev(
+      (1L, "2024-01-01 01:00:00", "a", 10.0),
+      (1L, "2024-01-02 01:00:00", "a", 20.0),
+      (1L, "2024-01-03 01:00:00", "a", 60.0))
+    val out = Analytics.dailySpikes(events, threshold = 1.5)
+      .select(col("day").cast("string"), col("daily_cost"), col("ratio"))
+      .as[(String, Double, Double)].collect().toSeq
+    assert(out === Seq(("2024-01-03", 60.0, 2.0)))
+  }
+
+  test("dailySpikes: keys are scored against their OWN mean only") {
+    val events = ev(
+      (1L, "2024-01-01 01:00:00", "small", 1.0),
+      (1L, "2024-01-02 01:00:00", "small", 3.0),  // ratio 1.5 on key small
+      (1L, "2024-01-01 01:00:00", "big", 1000.0),
+      (1L, "2024-01-02 01:00:00", "big", 1000.0)) // flat: no spike
+    val out = Analytics.dailySpikes(events, threshold = 1.2)
+      .select("event_type").as[String].collect().toSeq
+    assert(out === Seq("small"))
+  }
+
+  // ---------------- cohortRetention ----------------
+
+  test("cohortRetention: first-seen week buckets and offset counts") {
+    val events = ev(
+      // u1 first seen week of Jan 1 (Mon), active again week of Jan 8
+      (1L, "2024-01-02 01:00:00", "x", 1.0),
+      (1L, "2024-01-10 01:00:00", "x", 1.0),
+      // u2 first seen week of Jan 1 only
+      (2L, "2024-01-03 01:00:00", "x", 1.0),
+      // u3 first seen week of Jan 8
+      (3L, "2024-01-09 01:00:00", "x", 1.0))
+    val out = Analytics.cohortRetention(events)
+      .orderBy("cohort_week", "week_offset")
+      .select(col("cohort_week").cast("string"), col("week_offset"), col("users"))
+      .as[(String, Int, Long)].collect().toSeq
+    assert(out === Seq(
+      ("2024-01-01", 0, 2L),
+      ("2024-01-01", 1, 1L),
+      ("2024-01-08", 0, 1L)))
+  }
+
+  test("cohortRetention: multiple events in one week count the user once") {
+    val events = ev(
+      (1L, "2024-01-02 01:00:00", "x", 1.0),
+      (1L, "2024-01-03 01:00:00", "x", 1.0),
+      (1L, "2024-01-04 01:00:00", "x", 1.0))
+    val out = Analytics.cohortRetention(events)
+      .select("users").as[Long].collect().toSeq
+    assert(out === Seq(1L))
+  }
+}
