@@ -77,6 +77,99 @@ object Cdc {
   /** Convenience single-expression ordering for (ts, unique-id) logs. */
   def byTsThen(id: String, ts: String = "ts"): Seq[String] = Seq(ts, id)
 
+  /** Out-of-order-safe CDC apply: merge a change batch into a VERSIONED
+    * state that keeps each key's `orderCols` and op — including DELETE
+    * TOMBSTONES — so batches may arrive in any order and the state still
+    * converges to the global latest-wins answer. ([[applyChanges]] is
+    * the ordered-batch fast path: it needs batches applied in `orderCols`
+    * order because the snapshot forgets versions; this variant pays the
+    * extra ord+op columns to drop that requirement — the contract every
+    * log-compacted store honors, and why they all keep tombstones:
+    * dropping a deleted key outright would let an older stale upsert
+    * resurrect it.)
+    *
+    * `state` and `changes` share one schema: keys + payload + orderCols +
+    * `opCol`. Per key, the row with the greatest `orderCols` wins,
+    * state's or the batch's. Read the live table with [[liveView]];
+    * tombstones compact away once no older change can still arrive
+    * (retention is the caller's policy).
+    *
+    * Scale shape: same as [[applyChanges]] — the batch collapses to one
+    * winner per key, the state is touched only by anti join (broadcast)
+    * + union; resolved keys join winner-side, so the state is never
+    * shuffled. */
+  def applyChangesVersioned(
+      state: DataFrame,
+      changes: DataFrame,
+      keys: Seq[String],
+      orderCols: Seq[String],
+      opCol: String = "op"): DataFrame = {
+    require(keys.nonEmpty && orderCols.nonEmpty,
+      "Cdc.applyChangesVersioned: keys and orderCols must be non-empty")
+    val cols = state.columns.toSeq
+    require(cols.contains(opCol),
+      s"Cdc.applyChangesVersioned: versioned state must carry '$opCol'")
+    require((orderCols :+ opCol).forall(cols.contains),
+      s"Cdc.applyChangesVersioned: state must carry orderCols ${orderCols.mkString(",")}")
+    val missing = cols.filterNot(changes.columns.contains)
+    require(missing.isEmpty,
+      s"Cdc.applyChangesVersioned: changes is missing columns ${missing.mkString(", ")}")
+    def pack(df: DataFrame, as: String): DataFrame =
+      df.select(keys.map(col) :+ struct(cols.filterNot(keys.contains).map(col): _*).as(as): _*)
+    val ord = (side: String) => struct(orderCols.map(c => col(s"$side.$c")): _*)
+    val winners = changes.groupBy(keys.map(col): _*)
+      .agg(max_by(struct(cols.map(col): _*), struct(orderCols.map(col): _*)).as("__w"))
+      .select(keys.map(k => col(s"__w.`$k`").as(k)) :+
+        struct(cols.filterNot(keys.contains).map(c => col(s"__w.`$c`").as(c)): _*).as("__w"): _*)
+    val untouched = state.join(winners.select(keys.map(col): _*), keys, "left_anti")
+    // winner side is the (collapsed) batch: join STATE onto it, not the
+    // reverse — a left join from winners touches only |winners| state rows
+    val resolved = winners.join(pack(state, "__s"), keys, "left")
+      .select(keys.map(col) :+
+        when(col("__s").isNotNull && ord("__s") > ord("__w"), col("__s"))
+          .otherwise(col("__w")).as("__r"): _*)
+      .select(keys.map(col) ++
+        cols.filterNot(keys.contains).map(c => col(s"__r.`$c`").as(c)): _*)
+      .select(cols.map(col): _*)
+    untouched.unionByName(resolved)
+  }
+
+  /** The queryable face of a versioned state: live rows only, version
+    * bookkeeping dropped. */
+  def liveView(state: DataFrame, orderCols: Seq[String],
+      opCol: String = "op"): DataFrame =
+    state.filter(col(opCol) =!= lit("D")).drop(opCol)
+
+  /** SCD Type-2 history: turn a keyed changelog into validity intervals
+    * — one row per VERSION with `valid_from` (the change's own time),
+    * `valid_to` (the next change's time for that key, null while
+    * current) and `is_current` (1 for an open interval). Deletes emit no
+    * version of their own but close the previous one — the standard
+    * dimension-history semantics ([[applyChanges]] keeps only the
+    * latest state; this keeps the full audit trail, the reference's
+    * sync_log records per-run state for the same reason).
+    *
+    * `tsCol` must be the first of `orderCols` (it becomes valid_from).
+    * Shape: one window (partition keys, order orderCols) — a single
+    * exchange + per-partition sort, the unavoidable minimum for
+    * interval building; everything else is a filter. */
+  def scd2History(
+      changes: DataFrame,
+      keys: Seq[String],
+      orderCols: Seq[String],
+      opCol: String = "op"): DataFrame = {
+    require(orderCols.nonEmpty, "Cdc.scd2History: orderCols must be non-empty")
+    val tsCol = orderCols.head
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*).orderBy(orderCols.map(col): _*)
+    changes
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .filter(col(opCol) =!= lit("D"))
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("is_current", col("valid_to").isNull.cast("int"))
+      .drop(opCol)
+  }
+
   /** The latest-state-per-key VIEW of a changelog alone (no base):
     * collapse to winners, drop deletes. Useful to seed a snapshot from
     * a log bootstrap — same aggregate shape as [[applyChanges]]. */

@@ -130,7 +130,7 @@ object ExtQueries {
       }
     }))
   }
-  private[ext] def tempQueryDir(prefix: String): String = {
+  private[graft] def tempQueryDir(prefix: String): String = {
     tempDirHook
     val p = java.nio.file.Files.createTempDirectory(prefix)
     tempDirs.add(p)
@@ -3131,11 +3131,41 @@ object ExtQueries {
       FROM wk JOIN c ON wk.user_id = c.user_id
       GROUP BY 1, 2 ORDER BY 1, 2"""))
 
+  // ETL capstone: SCD TYPE-2 HISTORY ([[graft.etl.Cdc.scd2History]]) —
+  // the changelog as validity intervals: one row per version with
+  // valid_from/valid_to chained by the key's next change and deletes
+  // closing without opening (e82 keeps only latest state; this keeps
+  // the audit trail). One window over (key, ts+event_id) — the minimum
+  // exchange for interval building. The hash pins the full chaining:
+  // every valid_to, the delete gaps, and the is_current frontier.
+  val e88 = Q(
+    "e88_scd2_history",
+    (s, d) => {
+      import graft.etl.Cdc
+      val log = T.events(s, d).select(
+        col("user_id"), col("event_type").as("last_type"),
+        col("value").as("last_value"), col("ts"), col("event_id"))
+        .withColumn("op", when(col("last_type") === "error", "D").otherwise("U"))
+      Cdc.scd2History(log, keys = Seq("user_id"), orderCols = Seq("ts", "event_id"))
+        .select(col("user_id"), col("last_type"), col("last_value"),
+          col("valid_from"), col("valid_to"), col("is_current"))
+        .orderBy(col("user_id"), col("valid_from"))
+    },
+    Some("""WITH log AS (SELECT user_id, event_type AS last_type, value AS last_value,
+          ts, event_id,
+          CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+        FROM events),
+      v AS (SELECT *, LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        FROM log)
+      SELECT user_id, last_type, last_value, ts AS valid_from, valid_to,
+        CAST(valid_to IS NULL AS INT) AS is_current
+      FROM v WHERE op <> 'D' ORDER BY user_id, valid_from"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
       e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41, e42, e43, e44,
       e45, e46, e47, e48, e49, e50, e51, e52, e53, e54, e55, e56, e57, e58, e59,
       e60, e61, e62, e63, e64, e65, e66, e67, e68, e69, e70, e71, e72, e73, e74,
-      e75, e76, e77, e78, e79, e80, e81, e82, e83, e84, e85, e86, e87)
+      e75, e76, e77, e78, e79, e80, e81, e82, e83, e84, e85, e86, e87, e88)
 }

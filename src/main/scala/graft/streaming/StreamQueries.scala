@@ -271,5 +271,87 @@ object StreamQueries {
         OR (last_us + 1800000000 + 999) // 1000 < max_us // 1000
       ORDER BY user_id, session_id"""))
 
-  val all: Seq[Q] = Seq(c40, c47, c50, c51, c55, c56)
+  // C57: STREAMING CDC APPLY — the versioned out-of-order-safe merge
+  // ([[graft.etl.Cdc.applyChangesVersioned]]) driven from a file stream:
+  // the warehouse snapshot is seeded from the first half of the month,
+  // the second half arrives as three micro-batches sliced by
+  // event_id % 3 — deliberately NOT time-ordered, so per-user changes
+  // interleave across batches and only the version compare (not batch
+  // order) can produce the right answer. Each batch merges into a
+  // versioned parquet state keyed BY BATCH ID (replay overwrites the
+  // same version — idempotent, the e49 discipline). The oracle is the
+  // global latest-wins restatement over the whole month with
+  // second-half 'error' as the delete op: the hash proves the
+  // stream-of-batches converges to exactly the one-shot batch answer,
+  // tombstone semantics included.
+  val c57 = Q(
+    "c57_stream_cdc_apply",
+    (outer, d) => {
+      import graft.etl.Cdc
+      val s = StateBackend.isolatedStreamSession(outer)
+      val cut = lit("2024-01-16").cast("timestamp")
+      val keys = Seq("user_id")
+      val ord = Seq("last_ts", "event_id")
+      def asChange(df: DataFrame, deletes: Boolean): DataFrame = {
+        val base = df.select(
+          col("user_id"), col("event_type").as("last_type"),
+          col("value").as("last_value"), col("ts").as("last_ts"), col("event_id"))
+        if (deletes)
+          base.withColumn("op",
+            when(col("last_type") === "error", "D").otherwise("U"))
+        else base.withColumn("op", lit("U"))
+      }
+      val ev = Tables.events(s, d)
+      // v0: the snapshot bootstrap is itself a versioned apply onto an
+      // empty state (dogfoods the operator's empty-state path)
+      val stateRoot = graft.ext.ExtQueries.tempQueryDir("graft_c57_state")
+      val h1 = asChange(ev.filter(col("ts") < cut), deletes = false)
+      Cdc.applyChangesVersioned(h1.limit(0), h1, keys, ord)
+        .write.mode("overwrite").parquet(s"$stateRoot/v0")
+      // stage the changelog as three deterministic micro-batches (the
+      // e54 discipline: one file per slice, mtimes pinned ascending so
+      // the oldest-first file source admits them one per trigger)
+      val staging = graft.ext.ExtQueries.tempQueryDir("graft_c57_in")
+      val fs = new org.apache.hadoop.fs.Path(staging)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      for (g <- 0 to 2) {
+        val p = s"$staging/slice$g"
+        asChange(ev.filter(col("ts") >= cut), deletes = true)
+          .filter(pmod(col("event_id"), lit(3)) === g)
+          .coalesce(1).write.mode("overwrite").parquet(p)
+        fs.listStatus(new org.apache.hadoop.fs.Path(p))
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+          .foreach(st => fs.setTimes(st.getPath, 1700000000000L + g * 60000L, -1))
+      }
+      val sch = s.read.parquet(s"$staging/slice0").schema
+      val src = s.readStream.schema(sch).option("maxFilesPerTrigger", 1)
+        .parquet(s"$staging/slice*")
+      val ckpt = graft.ext.ExtQueries.tempQueryDir("graft_c57_ck")
+      val q = src.writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          Cdc.applyChangesVersioned(
+            batch.sparkSession.read.parquet(s"$stateRoot/v$id"),
+            batch, keys, ord)
+            .write.mode("overwrite").parquet(s"$stateRoot/v${id + 1}")
+        }
+        .start()
+      q.awaitTermination()
+      val vmax = fs.listStatus(new org.apache.hadoop.fs.Path(stateRoot))
+        .map(_.getPath.getName).filter(_.startsWith("v")).map(_.drop(1).toInt).max
+      Cdc.liveView(s.read.parquet(s"$stateRoot/v$vmax"), ord)
+        .select(col("user_id"), col("last_type"), col("last_value"), col("last_ts"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH L AS (SELECT user_id, event_type AS last_type, value AS last_value,
+          ts AS last_ts,
+          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+      SELECT user_id, last_type, last_value, last_ts FROM L
+      WHERE rn = 1
+        AND NOT (last_type = 'error' AND last_ts >= TIMESTAMP '2024-01-16')
+      ORDER BY user_id"""))
+
+  val all: Seq[Q] = Seq(c40, c47, c50, c51, c55, c56, c57)
 }

@@ -69,6 +69,85 @@ class CdcSpec extends SparkSpec {
     assert(e2.getMessage.contains("missing"))
   }
 
+  // ---------------- versioned (out-of-order-safe) apply ----------------
+
+  private def vstate(xs: (Long, String, Long, String)*) =
+    xs.toDF("k", "attr", "seq", "op")
+
+  test("versioned apply: any batch permutation converges to global latest-wins") {
+    val b1 = vstate((1L, "v3", 3L, "U"), (2L, "w5", 5L, "U"))
+    val b2 = vstate((1L, "v7", 7L, "U"), (2L, "gone", 6L, "D"))
+    val b3 = vstate((1L, "v5", 5L, "U"), (3L, "z1", 1L, "U"))
+    val seed = vstate((1L, "v0", 0L, "U"))
+    val expected = Seq((1L, "v7"), (3L, "z1")) // k=2's latest is the seq-6 delete
+    for (perm <- Seq(b1, b2, b3).permutations) {
+      val finalState = perm.foldLeft(seed) { (st, b) =>
+        Cdc.applyChangesVersioned(st, b, Seq("k"), Seq("seq"))
+      }
+      val live = Cdc.liveView(finalState, Seq("seq"))
+        .orderBy("k").select("k", "attr").as[(Long, String)].collect().toSeq
+      assert(live === expected, s"diverged for permutation")
+    }
+  }
+
+  test("versioned apply: a tombstone blocks a STALE upsert from resurrecting the key") {
+    val afterDelete = Cdc.applyChangesVersioned(
+      vstate((1L, "live", 5L, "U")), vstate((1L, "x", 9L, "D")),
+      Seq("k"), Seq("seq"))
+    val afterStale = Cdc.applyChangesVersioned(
+      afterDelete, vstate((1L, "stale", 7L, "U")), Seq("k"), Seq("seq"))
+    assert(Cdc.liveView(afterStale, Seq("seq")).count() === 0)
+    // a genuinely NEWER upsert does resurrect it
+    val afterNewer = Cdc.applyChangesVersioned(
+      afterStale, vstate((1L, "back", 11L, "U")), Seq("k"), Seq("seq"))
+    assert(Cdc.liveView(afterNewer, Seq("seq")).select("attr").as[String]
+      .collect().toSeq === Seq("back"))
+  }
+
+  test("versioned apply: replaying the same batch is a no-op (idempotent)") {
+    val batch = vstate((1L, "v1", 1L, "U"), (2L, "w2", 2L, "D"))
+    val once = Cdc.applyChangesVersioned(
+      vstate((2L, "w0", 0L, "U")), batch, Seq("k"), Seq("seq"))
+    val twice = Cdc.applyChangesVersioned(once, batch, Seq("k"), Seq("seq"))
+    val snap = (df: org.apache.spark.sql.DataFrame) =>
+      df.orderBy("k").as[(Long, String, Long, String)].collect().toSeq
+    assert(snap(once) === snap(twice))
+  }
+
+  // ---------------- SCD2 history ----------------
+
+  test("scd2: versions chain valid_from→valid_to, deletes close without opening") {
+    val log = Seq(
+      (1L, "a", "2024-01-01 00:00:00", 1L, "U"),
+      (1L, "b", "2024-01-03 00:00:00", 2L, "U"),
+      (1L, "x", "2024-01-05 00:00:00", 3L, "D"), // closes 'b', opens nothing
+      (1L, "c", "2024-01-07 00:00:00", 4L, "U")) // re-insert: current
+      .toDF("k", "attr", "tss", "seq", "op")
+      .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    val out = Cdc.scd2History(log, Seq("k"), Seq("ts", "seq"))
+      .orderBy("valid_from")
+      .select(col("attr"), col("valid_from").cast("string"),
+        col("valid_to").cast("string"), col("is_current"))
+      .as[(String, String, Option[String], Int)].collect().toSeq
+    assert(out === Seq(
+      ("a", "2024-01-01 00:00:00", Some("2024-01-03 00:00:00"), 0),
+      ("b", "2024-01-03 00:00:00", Some("2024-01-05 00:00:00"), 0),
+      ("c", "2024-01-07 00:00:00", None, 1)))
+  }
+
+  test("scd2: keys version independently") {
+    val log = Seq(
+      (1L, "a1", "2024-01-01 00:00:00", 1L, "U"),
+      (2L, "b1", "2024-01-02 00:00:00", 2L, "U"),
+      (1L, "a2", "2024-01-03 00:00:00", 3L, "U"))
+      .toDF("k", "attr", "tss", "seq", "op")
+      .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    val out = Cdc.scd2History(log, Seq("k"), Seq("ts", "seq"))
+      .orderBy("k", "valid_from")
+      .select("k", "attr", "is_current").as[(Long, String, Int)].collect().toSeq
+    assert(out === Seq((1L, "a1", 0), (1L, "a2", 1), (2L, "b1", 1)))
+  }
+
   test("CDC plan: the snapshot side joins broadcast — never sort-merge-shuffled") {
     val changes = Seq((2L, "b2", 21.0, 1L, "U")).toDF("k", "attr", "v", "seq", "op")
     val merged = Cdc.applyChanges(base, changes, Seq("k"), Seq("seq"))
