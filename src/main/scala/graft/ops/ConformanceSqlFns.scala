@@ -353,6 +353,33 @@ object ConformanceSqlFns {
       FROM months LEFT JOIN agg ON agg.m = months.m
       ORDER BY month"""))
 
+  // C58: EXACT distributed quantiles per group — `percentile` is a
+  // sort-based TypedImperativeAggregate (the per-group value multiset is
+  // buffered and interpolated at rank p·(n−1)), the capability
+  // approx_percentile trades away. Both engines interpolate
+  // v[⌊h⌋] + (h−⌊h⌋)·(v[⌊h⌋+1]−v[⌊h⌋]) at h = p·(n−1) on the sorted
+  // values, so the doubles are bit-equal and the hash pins the whole
+  // rank arithmetic. Scale note: exact quantiles buffer each group's
+  // values on its reducer — correct tool for bounded groups (daily/key
+  // profiles); unbounded groups take the sketch path (e71's KMV /
+  // approx_percentile), the same bounded-state rule as graft_topk.
+  val c58 = Q(
+    "c58_group_quantiles",
+    (s, d) => T.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile(value, 0.25)").as("p25"),
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.9)").as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type")),
+    Some("""SELECT event_type,
+        quantile_cont(value, 0.25) AS p25,
+        quantile_cont(value, 0.5) AS p50,
+        quantile_cont(value, 0.9) AS p90,
+        COUNT(*) AS n
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[Q] = Seq(c22, c23, c24, c25, c26, c27, c28, c29, c30, c36, c37, c41,
-    c48, c49, c52)
+    c48, c49, c52, c58)
 }
