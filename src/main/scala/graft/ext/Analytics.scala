@@ -153,4 +153,124 @@ object Analytics {
         (datediff(col("week"), col("cohort_week")) / 7).cast("int").as("week_offset"))
       .agg(count(lit(1)).as("users"))
   }
+
+  /** Rolling z-score anomaly detection over per-key daily costs: a day
+    * is anomalous when it deviates from ITS OWN trailing 7-day window
+    * by more than `zThreshold` standard deviations — the windowed
+    * restatement of [[dailySpikes]] (which compares against the key's
+    * all-time mean): a gradual ramp never trips this detector, a step
+    * change does.
+    *
+    * Determinism (oracle-parity): the daily frame is an exact decimal
+    * sum cast to double; inside the trailing frame we sum `x` and `x²`
+    * AS DECIMALS (order-independent — a float moving sum would depend
+    * on the engine's frame-evaluation order, e.g. DuckDB's segment
+    * trees), then mean/variance/z are fixed-shape IEEE arithmetic on
+    * those exact operands. Variance uses the E[x²]−E[x]² form because
+    * it needs only the two decimal window sums; it is guarded at zero
+    * (a flat window has no z). Windows shorter than `minDays` are
+    * suppressed — a 1-day "window" calls everything normal and a 2-day
+    * one calls everything ±1σ.
+    *
+    * Scale: ONE hash exchange on the key for the window sort; frame
+    * state is 7 rows regardless of data size; the daily pre-aggregation
+    * reduces map-side before that exchange, so the window input is
+    * |keys|×|days| rows, not event-scale.
+    */
+  def rollingAnomalies(
+      events: DataFrame,
+      keyCol: String = "event_type",
+      tsCol: String = "ts",
+      valueCol: String = "value",
+      zThreshold: Double = 1.5,
+      minDays: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
+      .agg(sum(col(valueCol).cast(Qh.Dec)).cast(DoubleType).as("x"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+      .rowsBetween(-6, Window.currentRow)
+    val mean = col("sx") / col("n")
+    val variance = col("sxx") / col("n") - mean * mean
+    daily
+      .select(col(keyCol), col("day"), col("x"),
+        sum(col("x").cast(Qh.Dec)).over(w).cast(DoubleType).as("sx"),
+        sum((col("x") * col("x")).cast(Qh.Dec)).over(w).cast(DoubleType).as("sxx"),
+        count(lit(1)).over(w).as("n"))
+      .select(col(keyCol), col("day"), col("x").as("daily_cost"), col("n"),
+        when(variance > 0, (col("x") - mean) / sqrt(variance)).otherwise(lit(0.0)).as("z"))
+      .filter(col("n") >= minDays && abs(col("z")) > zThreshold)
+  }
+
+  /** Equi-width histogram of a numeric column: `nBins` buckets spanning
+    * the global [min, max], each with its row count and exact decimal
+    * value sum — the distribution profile a catalog/BI layer renders
+    * (and the column-statistics shape a CBO feeds on; e71 profiles
+    * moments/NDV, this bins the density).
+    *
+    * Bin assignment is `least(floor((x − lo) / width), nBins−1)` — pure
+    * elementwise IEEE arithmetic, bit-identical on any engine (unlike
+    * `width_bucket`, whose edge conventions differ across engines); the
+    * max value folds into the last bin. Bounds come from one map-side-
+    * combined min/max aggregate, broadcast back onto the scan — two
+    * scans total, no shuffle of the data itself (the per-bin aggregate
+    * combines map-side into ≤ nBins rows per task).
+    */
+  def histogram(df: DataFrame, valueCol: String, nBins: Int = 20): DataFrame = {
+    require(nBins > 0, s"Analytics.histogram: nBins must be positive, got $nBins")
+    val stats = df.agg(
+      min(col(valueCol)).cast(DoubleType).as("lo"),
+      max(col(valueCol)).cast(DoubleType).as("hi"))
+    val width = (col("hi") - col("lo")) / lit(nBins.toDouble)
+    // degenerate single-value domain: width 0 would put NaN through
+    // floor — everything belongs in bin 0 (never fires when lo < hi,
+    // so oracle parity on real data is untouched)
+    val bin = when(col("hi") === col("lo"), lit(0L))
+      .otherwise(least(floor((col(valueCol) - col("lo")) / width), lit(nBins - 1).cast("long")))
+    df.join(broadcast(stats))
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"), Qh.dsum(col(valueCol)).as("total"))
+  }
+
+  /** First/last-touch attribution: each conversion event credited to
+    * the user's first and most recent PRECEDING touch events (e.g.
+    * click/view before a purchase) — the marketing-attribution read
+    * over any behavioral event stream.
+    *
+    * One window per user ordered by (ts, id) with an EXCLUSIVE frame
+    * (unbounded preceding → 1 preceding, so a conversion that is
+    * itself a touch type never credits itself); first/last with
+    * ignoreNulls carry the touch columns across non-touch rows.
+    * Conversions with no prior touch keep NULL credits (organic).
+    *
+    * Scale: ONE hash exchange on the user key serves all four carried
+    * columns (same partitioning+ordering); per-user groups are
+    * bounded, no driver state. The touch/conversion predicates are
+    * simple `IN` filters evaluated in-row.
+    */
+  def attribution(
+      events: DataFrame,
+      touchTypes: Seq[String],
+      conversionType: String,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      idCol: String = "event_id",
+      typeCol: String = "event_type",
+      valueCol: String = "value"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(touchTypes.nonEmpty, "Analytics.attribution: touchTypes must be non-empty")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isTouch = col(typeCol).isin(touchTypes: _*)
+    val touchTs = when(isTouch, col(tsCol))
+    val touchType = when(isTouch, col(typeCol))
+    events
+      .select(col(idCol), col(userCol), col(tsCol), col(typeCol), col(valueCol),
+        first(touchTs, ignoreNulls = true).over(w).as("first_touch_ts"),
+        first(touchType, ignoreNulls = true).over(w).as("first_touch_type"),
+        last(touchTs, ignoreNulls = true).over(w).as("last_touch_ts"),
+        last(touchType, ignoreNulls = true).over(w).as("last_touch_type"))
+      .filter(col(typeCol) === conversionType)
+      .drop(typeCol)
+  }
 }

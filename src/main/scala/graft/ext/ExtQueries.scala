@@ -3161,11 +3161,159 @@ object ExtQueries {
         CAST(valid_to IS NULL AS INT) AS is_current
       FROM v WHERE op <> 'D' ORDER BY user_id, valid_from"""))
 
+  // Serving analytics: ROLLING Z-SCORE ANOMALIES
+  // ([[Analytics.rollingAnomalies]]) — days deviating from their own
+  // trailing 7-day window by >1.5σ (e85 compares against the all-time
+  // mean; this is the step-change detector). The window moments are
+  // exact decimal sums of x and x² — order-independent, so the z
+  // arithmetic is bit-equal on both engines and the hash pins the
+  // variance/threshold math end to end.
+  val e89 = Q(
+    "e89_rolling_anomaly",
+    (s, d) => Analytics.rollingAnomalies(T.events(s, d))
+      .orderBy(col("event_type"), col("day")),
+    Some(s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
+          ${graft.Qh.oSum("value")} AS x FROM events GROUP BY 1, 2),
+      win AS (SELECT event_type, day, x,
+          CAST(SUM(CAST(x AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sx,
+          CAST(SUM(CAST(x*x AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sxx,
+          COUNT(*) OVER w AS n
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day
+          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+      zed AS (SELECT event_type, day, x AS daily_cost, n,
+          CASE WHEN sxx/n - (sx/n)*(sx/n) > 0
+            THEN (x - sx/n) / sqrt(sxx/n - (sx/n)*(sx/n)) ELSE 0.0 END AS z
+        FROM win)
+      SELECT event_type, day, daily_cost, n, z FROM zed
+      WHERE n >= 4 AND abs(z) > 1.5
+      ORDER BY event_type, day"""))
+
+  // Catalog/profiling: EQUI-WIDTH HISTOGRAM ([[Analytics.histogram]]) —
+  // 20 bins over the global [min, max] of l_extendedprice with per-bin
+  // count + exact decimal sum. Bin assignment is elementwise IEEE
+  // arithmetic (not width_bucket, whose edge conventions differ across
+  // engines), so the hash pins bounds, widths, and edge folding.
+  val e90 = Q(
+    "e90_histogram",
+    (s, d) => Analytics.histogram(T.lineitem(s, d), "l_extendedprice", nBins = 20)
+      .orderBy(col("bin")),
+    Some(s"""WITH stats AS (SELECT CAST(MIN(l_extendedprice) AS DOUBLE) AS lo,
+          CAST(MAX(l_extendedprice) AS DOUBLE) AS hi FROM lineitem)
+      SELECT LEAST(CAST(FLOOR((l_extendedprice - lo) / ((hi - lo) / 20.0)) AS BIGINT), 19) AS bin,
+        COUNT(*) AS n, ${graft.Qh.oSum("l_extendedprice")} AS total
+      FROM lineitem CROSS JOIN stats
+      GROUP BY bin ORDER BY bin"""))
+
+  // Serving analytics: FIRST/LAST-TOUCH ATTRIBUTION
+  // ([[Analytics.attribution]]) — each purchase credited to the user's
+  // first and most recent preceding click/view via one user-keyed
+  // window with an exclusive frame; organic purchases keep NULL
+  // credits. The hash pins the frame exclusivity (a self-crediting
+  // touch would flip rows) and the ignore-nulls carry.
+  val e91 = Q(
+    "e91_attribution",
+    (s, d) => Analytics.attribution(T.events(s, d),
+        touchTypes = Seq("click", "view"), conversionType = "purchase")
+      .orderBy(col("event_id")),
+    Some("""WITH ev AS (SELECT event_id, user_id, ts, event_type, value,
+          CASE WHEN event_type IN ('click','view') THEN ts END AS touch_ts,
+          CASE WHEN event_type IN ('click','view') THEN event_type END AS touch_type
+        FROM events),
+      a AS (SELECT event_id, user_id, ts, event_type, value,
+          FIRST_VALUE(touch_ts IGNORE NULLS) OVER w AS first_touch_ts,
+          FIRST_VALUE(touch_type IGNORE NULLS) OVER w AS first_touch_type,
+          LAST_VALUE(touch_ts IGNORE NULLS) OVER w AS last_touch_ts,
+          LAST_VALUE(touch_type IGNORE NULLS) OVER w AS last_touch_type
+        FROM ev
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+      SELECT event_id, user_id, ts, value, first_touch_ts, first_touch_type,
+        last_touch_ts, last_touch_type
+      FROM a WHERE event_type = 'purchase' ORDER BY event_id"""))
+
+  // Warehouse governance: DATA-QUALITY AUDIT ([[graft.etl.DataQuality]])
+  // — the Deequ/dbt-test expectation report as one declared frame:
+  // four row-level checks in ONE scan (null / two ranges / set), the
+  // key-uniqueness check (two-phase distinct), and referential
+  // integrity into orders (left anti). The range/set thresholds are
+  // deliberately tighter than the data so violations are non-zero and
+  // the hash pins the counting, not just zeros; (l_orderkey,
+  // l_linenumber) genuinely collides in this generator, so the unique
+  // check counts real duplicates.
+  val e92 = Q(
+    "e92_dq_audit",
+    (s, d) => {
+      import graft.etl.DataQuality._
+      val li = T.lineitem(s, d)
+      report(Seq(
+        rowAudit(li, Seq(
+          notNull("l_orderkey"),
+          inRange("l_quantity", 1, 45),
+          inRange("l_discount", 0, 0.08),
+          inSet("l_returnflag", Seq("A", "N", "R")))),
+        uniqueAudit(li, Seq("l_orderkey", "l_linenumber")),
+        refAudit(li, "l_orderkey", T.orders(s, d), "o_orderkey")))
+    },
+    Some("""SELECT 'not_null:l_orderkey' AS check_name,
+        COUNT(*) FILTER (l_orderkey IS NULL) AS violations, COUNT(*) AS total FROM lineitem
+      UNION ALL SELECT 'in_range:l_quantity',
+        COUNT(*) FILTER (l_quantity IS NOT NULL AND (l_quantity < 1 OR l_quantity > 45)), COUNT(*) FROM lineitem
+      UNION ALL SELECT 'in_range:l_discount',
+        COUNT(*) FILTER (l_discount IS NOT NULL AND (l_discount < 0 OR l_discount > 0.08)), COUNT(*) FROM lineitem
+      UNION ALL SELECT 'in_set:l_returnflag',
+        COUNT(*) FILTER (l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N','R')), COUNT(*) FROM lineitem
+      UNION ALL SELECT 'unique:l_orderkey,l_linenumber',
+        COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)), COUNT(*) FROM lineitem
+      UNION ALL SELECT 'ref:l_orderkey->o_orderkey',
+        (SELECT COUNT(*) FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+          WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL), COUNT(*) FROM lineitem
+      ORDER BY check_name"""))
+
+  // ETL capstone: INCREMENTAL JOIN-VIEW MAINTENANCE
+  // ([[graft.etl.Incremental.joinDelta]]) — the join complement of
+  // e83's aggregate maintenance: a materialized orders⋈lineitem view
+  // kept current under append-only deltas via the IVM delta algebra
+  // ΔV = ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB (big sides scanned once against
+  // broadcast deltas, the view itself never rescanned). The 1999-01-01
+  // cut splits BOTH inputs non-trivially — an old order's late
+  // shipment, a new order's early-scanned lineitem, and the
+  // delta×delta leg all carry rows — and the oracle is the FULL
+  // RECOMPUTE over the grown inputs, so the hash check IS the
+  // maintained-equals-recomputed identity (a dropped or double-counted
+  // leg breaks counts and sums). Read side aggregates per order for a
+  // total output order.
+  val e93 = Q(
+    "e93_incremental_join",
+    (s, d) => {
+      import graft.etl.Incremental
+      val cut = lit("1999-01-01").cast("timestamp")
+      val a = T.orders(s, d).select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val b = T.lineitem(s, d).select(col("l_orderkey").as("o_orderkey"),
+        col("l_extendedprice"), col("l_shipdate"))
+      val aOld = a.filter(col("o_orderdate") < cut)
+      val aNew = a.filter(col("o_orderdate") >= cut)
+      val bOld = b.filter(col("l_shipdate") < cut)
+      val bNew = b.filter(col("l_shipdate") >= cut)
+      val view = aOld.join(bOld, Seq("o_orderkey")) // materialized bootstrap
+      view.unionByName(
+          Incremental.joinDelta(aOld, aNew, bOld, bNew, Seq("o_orderkey")))
+        .groupBy(col("o_orderkey"), col("o_custkey"))
+        .agg(count(lit(1)).as("n_items"),
+          graft.Qh.dsum(col("l_extendedprice")).as("total"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some(s"""SELECT o_orderkey, o_custkey, COUNT(*) AS n_items,
+        ${graft.Qh.oSum("l_extendedprice")} AS total
+      FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      GROUP BY o_orderkey, o_custkey ORDER BY o_orderkey"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
       e30, e31, e32, e33, e34, e35, e36, e37, e38, e39, e40, e41, e42, e43, e44,
       e45, e46, e47, e48, e49, e50, e51, e52, e53, e54, e55, e56, e57, e58, e59,
       e60, e61, e62, e63, e64, e65, e66, e67, e68, e69, e70, e71, e72, e73, e74,
-      e75, e76, e77, e78, e79, e80, e81, e82, e83, e84, e85, e86, e87, e88)
+      e75, e76, e77, e78, e79, e80, e81, e82, e83, e84, e85, e86, e87, e88, e89,
+      e90, e91, e92, e93)
 }

@@ -136,5 +136,35 @@ object ConformanceWindows {
         MAX(us) - MIN(us) AS duration_us
       FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id"""))
 
-  val all: Seq[Q] = Seq(c18, c19, c20, c21, c43)
+  // C59: the DISTRIBUTION window trio — ntile / percent_rank /
+  // cume_dist — the remaining ANSI window family (c18 covers the
+  // ranking trio). Determinism across engines: the window order is
+  // TOTAL (price, then unique order key), which ntile requires — it
+  // buckets by row position, so a tie-broken order is the only
+  // engine-independent spelling; percent_rank = (rank−1)/(n−1) and
+  // cume_dist = peers≤current / n are integer-operand IEEE divisions,
+  // bit-equal on both engines. Same scale shape as c18: one hash
+  // exchange on the partition key, per-key sort bounded by the key's
+  // group size.
+  val c59 = Q(
+    "c59_window_distribution",
+    (s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      T.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          ntile(4).over(w).cast(LongType).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy(col("o_custkey"), col("o_totalprice"), col("o_orderkey"))
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice,
+        NTILE(4) OVER w AS quartile,
+        PERCENT_RANK() OVER w AS pct_rank,
+        CUME_DIST() OVER w AS cume
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+      ORDER BY o_custkey, o_totalprice, o_orderkey"""))
+
+  val all: Seq[Q] = Seq(c18, c19, c20, c21, c43, c59)
 }

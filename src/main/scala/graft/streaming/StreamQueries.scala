@@ -353,5 +353,47 @@ object StreamQueries {
         AND NOT (last_type = 'error' AND last_ts >= TIMESTAMP '2024-01-16')
       ORDER BY user_id"""))
 
-  val all: Seq[Q] = Seq(c40, c47, c50, c51, c55, c56, c57)
+  // C60: STREAM–STATIC JOIN — the dimension-enrichment shape every
+  // streaming ingest runs (enrich each event with its customer's nation
+  // before aggregating), and the one join family the streaming track
+  // didn't yet declare (c51 is stream–stream). The static side is a
+  // plain batch frame re-planned per micro-batch; Spark broadcasts it
+  // under the usual size rules, so the stream side never shuffles for
+  // the join — exactly the posture a 100 TB stream needs (dims
+  // broadcast; only the post-join aggregation exchanges, and that
+  // after map-side partial aggregation). The dim chain
+  // (customer→nation) is joined batch-side first — one tiny
+  // broadcast instead of two.
+  //
+  // The oracle is the BATCH restatement of the same join+aggregate, so
+  // the hash proves the per-micro-batch join accumulates to exactly
+  // the batch semantics (complete output mode drains every group).
+  val c60 = Q(
+    "c60_stream_static_join",
+    (outer, d) => {
+      val s = StateBackend.isolatedStreamSession(outer)
+      val dim = Tables.customer(s, d)
+        .join(Tables.nation(s, d),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_mktsegment"), col("n_name"))
+      val joined = eventStream(s, d)
+        .join(dim, col("user_id") === col("c_custkey"))
+      val agg = joined
+        .groupBy(col("n_name"), col("c_mktsegment"))
+        .agg(dsum(col("value")).as("total"), count(lit(1)).as("n"))
+      val q = agg.writeStream
+        .format("memory").queryName("graft_c60_stream")
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_c60_stream").orderBy(col("n_name"), col("c_mktsegment"))
+    },
+    Some(s"""SELECT n_name, c_mktsegment, ${oSum("value")} AS total, COUNT(*) AS n
+      FROM events e
+      JOIN customer c ON e.user_id = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n_name, c_mktsegment ORDER BY n_name, c_mktsegment"""))
+
+  val all: Seq[Q] = Seq(c40, c47, c50, c51, c55, c56, c57, c60)
 }

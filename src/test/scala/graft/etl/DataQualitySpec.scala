@@ -1,0 +1,62 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+
+class DataQualitySpec extends SparkSpec {
+  import spark.implicits._
+  import DataQuality._
+
+  private def facts: DataFrame = Seq(
+    (Some(1L), Some(5.0), "A"),
+    (Some(1L), Some(55.0), "A"),  // range violation (and dup key with row 1)
+    (Some(2L), None, "X"),        // set violation; null qty ignored by range
+    (None, Some(10.0), "N")       // null-key violation; FK check skips it
+  ).toDF("k", "qty", "flag")
+
+  test("rowAudit: null / range / set checks count in one pass") {
+    val out = rowAudit(facts, Seq(
+      notNull("k"),
+      inRange("qty", 0, 50),
+      inSet("flag", Seq("A", "N"))))
+      .orderBy("check_name")
+      .select("check_name", "violations", "total")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out === Seq(
+      ("in_range:qty", 1L, 4L),
+      ("in_set:flag", 1L, 4L),
+      ("not_null:k", 1L, 4L)))
+    // one pass: a single Aggregate over a single scan — no join, no union
+    val plan = rowAudit(facts, Seq(notNull("k"), inRange("qty", 0, 50)))
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Union"))
+  }
+
+  test("uniqueAudit: counts rows beyond the first per key") {
+    val df = Seq((1L, 1), (1L, 1), (1L, 2), (2L, 1)).toDF("a", "b")
+    val out = uniqueAudit(df, Seq("a", "b"))
+      .select("check_name", "violations", "total")
+      .as[(String, Long, Long)].collect().head
+    assert(out === (("unique:a,b", 1L, 4L)))
+  }
+
+  test("refAudit: orphans counted, NULL foreign keys excluded") {
+    val dim = Seq(1L, 2L).toDF("pk")
+    val out = refAudit(facts, "k", dim, "pk")
+      .select("check_name", "violations", "total")
+      .as[(String, Long, Long)].collect().head
+    // all non-null ks (1, 2) resolve; the NULL row is not an orphan
+    assert(out === (("ref:k->pk", 0L, 4L)))
+    val dim2 = Seq(1L).toDF("pk")
+    assert(refAudit(facts, "k", dim2, "pk")
+      .select("violations").as[Long].collect().head === 1L)
+  }
+
+  test("report: unions audits into one name-ordered frame") {
+    val rep = report(Seq(
+      uniqueAudit(facts, Seq("k")),
+      rowAudit(facts, Seq(notNull("k")))))
+      .select("check_name").as[String].collect().toSeq
+    assert(rep === Seq("not_null:k", "unique:k"))
+  }
+}

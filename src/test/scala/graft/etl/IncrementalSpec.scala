@@ -57,6 +57,39 @@ class IncrementalSpec extends SparkSpec {
       Seq(("only_delta", 1L, 9.0), ("only_hist", 1L, 7.0)))
   }
 
+  test("joinDelta: view ∪ delta equals the full recompute, all three legs carrying") {
+    import spark.implicits._
+    val aOld = Seq((1, "a1"), (2, "a2")).toDF("k", "av")
+    val aNew = Seq((3, "a3")).toDF("k", "av")
+    val bOld = Seq((1, 10.0), (3, 30.0)).toDF("k", "bv") // 3 pre-arrives: ΔA⋈B_old leg
+    val bNew = Seq((2, 20.0), (3, 31.0)).toDF("k", "bv") // A_old⋈ΔB and ΔA⋈ΔB legs
+    val view = aOld.join(bOld, Seq("k"))
+    val maintained = view
+      .unionByName(Incremental.joinDelta(aOld, aNew, bOld, bNew, Seq("k")))
+      .orderBy("k", "bv").collect().toSeq
+    val recomputed = aOld.unionByName(aNew).join(bOld.unionByName(bNew), Seq("k"))
+      .orderBy("k", "bv").collect().toSeq
+    assert(maintained === recomputed)
+    assert(maintained.size === 4) // (1,10) (2,20) (3,30) (3,31)
+  }
+
+  test("joinDelta: empty deltas contribute nothing") {
+    import spark.implicits._
+    val a = Seq((1, "a1")).toDF("k", "av")
+    val b = Seq((1, 10.0)).toDF("k", "bv")
+    assert(Incremental.joinDelta(a, a.limit(0), b, b.limit(0), Seq("k")).count() === 0L)
+  }
+
+  test("joinDelta: big sides join against BROADCAST deltas (no big-side exchange)") {
+    import spark.implicits._
+    val a = Seq((1, "a1")).toDF("k", "av")
+    val b = Seq((1, 10.0)).toDF("k", "bv")
+    val plan = Incremental.joinDelta(a, a, b, b, Seq("k"))
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"deltas must broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"no big-side shuffle join:\n$plan")
+  }
+
   test("delta merge never rescans history: the stored MV enters as a leaf") {
     // the maintained aggregate is a stored table in production — model it
     // as a lineage-cut frame; the merge plan must read it as a LEAF

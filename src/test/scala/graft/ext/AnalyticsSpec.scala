@@ -131,4 +131,89 @@ class AnalyticsSpec extends SparkSpec {
       .select("users").as[Long].collect().toSeq
     assert(out === Seq(1L))
   }
+
+  // ---------------- rollingAnomalies ----------------
+
+  private def dayEv(xs: (String, Double)*): DataFrame =
+    xs.toDF("day", "value")
+      .select(lit("t").as("event_type"),
+        concat(col("day"), lit(" 12:00:00")).cast("timestamp").as("ts"),
+        col("value"))
+
+  test("rollingAnomalies: a step change is flagged, flat history is not") {
+    // 8 flat days then a 10× spike — only the spike day trips
+    val events = dayEv(
+      (1 to 8).map(i => (f"2024-01-$i%02d", 10.0)) :+ ("2024-01-09", 100.0): _*)
+    val out = Analytics.rollingAnomalies(events)
+      .select(col("day").cast("string"), col("z")).as[(String, Double)]
+      .collect().toSeq
+    assert(out.map(_._1) === Seq("2024-01-09"))
+    assert(out.head._2 > 1.5)
+  }
+
+  test("rollingAnomalies: the trailing window forgets a spike 8+ days old") {
+    // spike on day 1, flat after: day 1 itself is suppressed (n < minDays)
+    // and by day 9 the spike has left the 7-day frame entirely
+    val events = dayEv(
+      ("2024-01-01", 100.0) +: (2 to 9).map(i => (f"2024-01-$i%02d", 10.0)): _*)
+    assert(Analytics.rollingAnomalies(events).count() === 0L)
+  }
+
+  test("rollingAnomalies: windows shorter than minDays are suppressed") {
+    val events = dayEv(("2024-01-01", 10.0), ("2024-01-02", 500.0), ("2024-01-03", 10.0))
+    assert(Analytics.rollingAnomalies(events).count() === 0L)
+  }
+
+  // ---------------- histogram ----------------
+
+  test("histogram: equi-width bins, max folds into the last bin") {
+    val df = (0 to 10).map(_.toDouble).toDF("v")
+    val out = Analytics.histogram(df, "v", nBins = 5)
+      .orderBy("bin")
+      .select(col("bin"), col("n"), col("total")).as[(Long, Long, Double)]
+      .collect().toSeq
+    // width 2: [0,2) [2,4) [4,6) [6,8) [8,10]; v=10 folds into bin 4
+    assert(out === Seq(
+      (0L, 2L, 1.0), (1L, 2L, 5.0), (2L, 2L, 9.0), (3L, 2L, 13.0), (4L, 3L, 27.0)))
+  }
+
+  test("histogram: a single-value domain lands everything in bin 0") {
+    val df = Seq(7.0, 7.0, 7.0).toDF("v")
+    val out = Analytics.histogram(df, "v", nBins = 4)
+      .select(col("bin"), col("n")).as[(Long, Long)].collect().toSeq
+    assert(out === Seq((0L, 3L)))
+  }
+
+  // ---------------- attribution ----------------
+
+  private def idEv(xs: (Long, Long, String, String, Double)*): DataFrame =
+    xs.toDF("event_id", "user_id", "tss", "event_type", "value")
+      .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+
+  test("attribution: first and last preceding touches; organic stays NULL") {
+    val events = idEv(
+      (1L, 1L, "2024-01-01 10:00:00", "view", 0.0),
+      (2L, 1L, "2024-01-02 10:00:00", "click", 0.0),
+      (3L, 1L, "2024-01-03 10:00:00", "purchase", 50.0),
+      (4L, 1L, "2024-01-04 10:00:00", "view", 0.0), // AFTER: must not credit
+      (5L, 2L, "2024-01-01 10:00:00", "purchase", 9.0)) // organic
+    val out = Analytics.attribution(events, Seq("click", "view"), "purchase")
+      .orderBy("event_id")
+      .select(col("event_id"), col("first_touch_type"), col("last_touch_type"))
+      .as[(Long, Option[String], Option[String])].collect().toSeq
+    assert(out === Seq(
+      (3L, Some("view"), Some("click")),
+      (5L, None, None)))
+  }
+
+  test("attribution: same-timestamp touch counts only with a smaller id (exclusive frame)") {
+    val events = idEv(
+      (10L, 1L, "2024-01-01 10:00:00", "click", 0.0), // same ts, smaller id → counts
+      (11L, 1L, "2024-01-01 10:00:00", "purchase", 5.0),
+      (12L, 1L, "2024-01-01 10:00:00", "view", 0.0)) // same ts, larger id → excluded
+    val out = Analytics.attribution(events, Seq("click", "view"), "purchase")
+      .select(col("first_touch_type"), col("last_touch_type"))
+      .as[(Option[String], Option[String])].collect().toSeq
+    assert(out === Seq((Some("click"), Some("click"))))
+  }
 }
