@@ -161,16 +161,32 @@ object Analytics {
     * all-time mean): a gradual ramp never trips this detector, a step
     * change does.
     *
-    * Determinism (oracle-parity): the daily frame is an exact decimal
-    * sum cast to double; inside the trailing frame we sum `x` and `x²`
-    * AS DECIMALS (order-independent — a float moving sum would depend
+    * Determinism (oracle-parity): z is computed as the algebraically
+    * identical `(n·x − Σx) / √(n·Σx² − (Σx)²)` with BOTH operands kept
+    * in EXACT DECIMAL arithmetic until one final small-magnitude cast
+    * each — x² by exact (16,6)×(16,6) → (33,12) multiplication, window
+    * sums decimal (order-independent — a float moving sum would depend
     * on the engine's frame-evaluation order, e.g. DuckDB's segment
-    * trees), then mean/variance/z are fixed-shape IEEE arithmetic on
-    * those exact operands. Variance uses the E[x²]−E[x]² form because
-    * it needs only the two decimal window sums; it is guarded at zero
-    * (a flat window has no z). Windows shorter than `minDays` are
-    * suppressed — a 1-day "window" calls everything normal and a 2-day
-    * one calls everything ±1σ.
+    * trees), numerator exact at scale 6, and the radicand quantized to
+    * an INTEGER via explicit `round(…, 6)` then `floor` (both
+    * half-away/floor on positives in BOTH engines — a scale-reducing
+    * decimal CAST is not portable: Spark's rounds, DuckDB's truncates;
+    * Cauchy–Schwarz keeps the radicand ≥ 0, and one that floors to 0 —
+    * sub-unit variance on cost totals — is treated as flat).
+    * Why the contortion, twice over: (a) squaring the daily total as a
+    * DOUBLE and casting to decimal diverges at ~1e12 magnitude, where
+    * a double's ulp is coarser than the decimal's 1e-6 step, so
+    * shortest-string rounding (Spark) and exact-binary rounding
+    * (DuckDB) disagree in the 6th decimal; (b) even an exact Σx² at
+    * scale 12 can't be CAST to double portably — DuckDB converts
+    * int128-unscaled-then-divides (two roundings), Spark rounds the
+    * decimal value once, and the E[x²]−E[x]² cancellation amplifies
+    * that last-bit disagreement to ~1e-13 in z. Both were caught by
+    * the sf1 parity sweep; the exact-decimal/small-cast form removes
+    * every non-portable conversion: the two values that reach IEEE
+    * arithmetic are bit-identical on both engines. Windows shorter
+    * than `minDays` are suppressed — a 1-day "window" calls everything
+    * normal and a 2-day one calls everything ±1σ.
     *
     * Scale: ONE hash exchange on the key for the window sort; frame
     * state is 7 rows regardless of data size; the daily pre-aggregation
@@ -185,20 +201,36 @@ object Analytics {
       zThreshold: Double = 1.5,
       minDays: Int = 4): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
     val daily = events
       .groupBy(col(keyCol), to_date(col(tsCol)).as("day"))
-      .agg(sum(col(valueCol).cast(Qh.Dec)).cast(DoubleType).as("x"))
+      .agg(sum(col(valueCol).cast(Qh.Dec)).as("xd"))
     val w = Window.partitionBy(col(keyCol)).orderBy(col("day"))
       .rowsBetween(-6, Window.currentRow)
-    val mean = col("sx") / col("n")
-    val variance = col("sxx") / col("n") - mean * mean
+    // (16,6) gives ×(16,6) → (33,12): exact inside decimal128 with
+    // 10-digit integral headroom on the daily total (ANSI faults on
+    // overflow rather than rounding silently)
+    val xn = col("xd").cast(DecimalType(16, 6))
+    val n3 = col("n").cast(DecimalType(3, 0)) // frame ≤ 7 rows
+    // numerator n·x − Σx: every step exact at scale 6
+    val num = (n3 * xn).cast(DecimalType(38, 6)) - col("sxd")
+    // radicand n·Σx² − (Σx)²: both products exact at scale 12, each
+    // EXPLICITLY rounded at scale 6 (`round` is half-away-from-zero on
+    // positives in both engines — a scale-reducing CAST is NOT
+    // portable: Spark's rounds, DuckDB's truncates), subtracted
+    // exactly, then floored to an integer — the only rounding chain,
+    // identical on both engines
+    val rad = floor(
+      round(n3 * col("sxxd").cast(DecimalType(34, 12)), 6) -
+        round(col("sxd").cast(DecimalType(18, 6)) * col("sxd").cast(DecimalType(18, 6)), 6))
     daily
-      .select(col(keyCol), col("day"), col("x"),
-        sum(col("x").cast(Qh.Dec)).over(w).cast(DoubleType).as("sx"),
-        sum((col("x") * col("x")).cast(Qh.Dec)).over(w).cast(DoubleType).as("sxx"),
+      .select(col(keyCol), col("day"), col("xd"),
+        sum(col("xd")).over(w).as("sxd"),
+        sum(xn * xn).over(w).as("sxxd"),
         count(lit(1)).over(w).as("n"))
-      .select(col(keyCol), col("day"), col("x").as("daily_cost"), col("n"),
-        when(variance > 0, (col("x") - mean) / sqrt(variance)).otherwise(lit(0.0)).as("z"))
+      .select(col(keyCol), col("day"), col("xd").cast(DoubleType).as("daily_cost"), col("n"),
+        when(rad > 0, num.cast(DoubleType) / sqrt(rad.cast(DoubleType)))
+          .otherwise(lit(0.0)).as("z"))
       .filter(col("n") >= minDays && abs(col("z")) > zThreshold)
   }
 

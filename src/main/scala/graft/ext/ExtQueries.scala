@@ -3164,28 +3164,38 @@ object ExtQueries {
   // Serving analytics: ROLLING Z-SCORE ANOMALIES
   // ([[Analytics.rollingAnomalies]]) — days deviating from their own
   // trailing 7-day window by >1.5σ (e85 compares against the all-time
-  // mean; this is the step-change detector). The window moments are
-  // exact decimal sums of x and x² — order-independent, so the z
-  // arithmetic is bit-equal on both engines and the hash pins the
-  // variance/threshold math end to end.
+  // mean; this is the step-change detector). z is restated as
+  // (n·x − Σx)/√(n·Σx² − (Σx)²) with every operand EXACT DECIMAL and
+  // only two small-magnitude decimal→double casts — squaring the
+  // daily total as a double AND casting an exact scale-12 sum to
+  // double BOTH diverge between engines at sf1 magnitudes (see the
+  // operator's scaladoc for the two failure mechanisms the parity
+  // sweep caught); this form is bit-equal on both engines at any
+  // scale, and the hash pins the variance/threshold math end to end.
   val e89 = Q(
     "e89_rolling_anomaly",
     (s, d) => Analytics.rollingAnomalies(T.events(s, d))
       .orderBy(col("event_type"), col("day")),
     Some(s"""WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day,
-          ${graft.Qh.oSum("value")} AS x FROM events GROUP BY 1, 2),
-      win AS (SELECT event_type, day, x,
-          CAST(SUM(CAST(x AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sx,
-          CAST(SUM(CAST(x*x AS DECIMAL(38,6))) OVER w AS DOUBLE) AS sxx,
+          SUM(CAST(value AS DECIMAL(38,6))) AS xd FROM events GROUP BY 1, 2),
+      win AS (SELECT event_type, day, xd,
+          SUM(xd) OVER w AS sxd,
+          SUM(CAST(xd AS DECIMAL(19,6)) * CAST(xd AS DECIMAL(19,6))) OVER w AS sxxd,
           COUNT(*) OVER w AS n
         FROM daily
         WINDOW w AS (PARTITION BY event_type ORDER BY day
           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
-      zed AS (SELECT event_type, day, x AS daily_cost, n,
-          CASE WHEN sxx/n - (sx/n)*(sx/n) > 0
-            THEN (x - sx/n) / sqrt(sxx/n - (sx/n)*(sx/n)) ELSE 0.0 END AS z
-        FROM win)
-      SELECT event_type, day, daily_cost, n, z FROM zed
+      zed AS (SELECT event_type, day, CAST(xd AS DOUBLE) AS daily_cost, n,
+          CAST(CAST(CAST(n AS DECIMAL(3,0)) * CAST(xd AS DECIMAL(16,6)) AS DECIMAL(38,6))
+            - sxd AS DECIMAL(38,6)) AS numd,
+          FLOOR(ROUND(CAST(n AS DECIMAL(3,0)) * CAST(sxxd AS DECIMAL(34,12)), 6)
+            - ROUND(CAST(sxd AS DECIMAL(19,6)) * CAST(sxd AS DECIMAL(19,6)), 6)) AS radd
+        FROM win),
+      zz AS (SELECT event_type, day, daily_cost, n,
+          CASE WHEN radd > 0 THEN CAST(numd AS DOUBLE) / sqrt(CAST(radd AS DOUBLE))
+            ELSE 0.0 END AS z
+        FROM zed)
+      SELECT event_type, day, daily_cost, n, z FROM zz
       WHERE n >= 4 AND abs(z) > 1.5
       ORDER BY event_type, day"""))
 
