@@ -3318,6 +3318,64 @@ object ExtQueries {
       FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
       GROUP BY o_orderkey, o_custkey ORDER BY o_orderkey"""))
 
+  // Warehouse governance: RIGHT-TO-BE-FORGOTTEN CASCADE
+  // ([[graft.etl.Privacy.forget]]/[[graft.etl.Privacy.forgetAudit]]) —
+  // a deterministic ~2% subject slice is purged from the events table
+  // and the deletion PROPAGATES to the daily serving aggregate, with
+  // the per-day audit trail (kept vs purged counts) a deletion request
+  // legally requires. Both legs join the fact scan against a BROADCAST
+  // distinct subject list — the fact table never shuffles for the
+  // purge. The oracle restates purge + audit with NOT IN/IN, so the
+  // hash pins membership, propagation, and the audit counts together.
+  val e94 = Q(
+    "e94_cascade_delete",
+    (s, d) => {
+      import graft.etl.Privacy
+      val ev = T.events(s, d)
+      val subjects = ev.select(col("user_id")).filter(pmod(col("user_id"), lit(41)) === 0)
+      val daily = Privacy.forget(ev, subjects, "user_id")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(graft.Qh.dsum(col("value")).as("total_after"), count(lit(1)).as("n_after"))
+      val audit = Privacy.forgetAudit(ev, subjects, "user_id", to_date(col("ts")))
+      daily.join(audit, col("day") === col("bucket"))
+        .select(col("day"), col("total_after"), col("n_after"), col("n_purged"))
+        .orderBy(col("day"))
+    },
+    Some(s"""WITH subj AS (SELECT DISTINCT user_id FROM events WHERE user_id % 41 = 0),
+      a AS (SELECT CAST(ts AS DATE) AS day, ${graft.Qh.oSum("value")} AS total_after,
+          COUNT(*) AS n_after
+        FROM events WHERE user_id NOT IN (SELECT user_id FROM subj) GROUP BY 1),
+      p AS (SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_purged
+        FROM events WHERE user_id IN (SELECT user_id FROM subj) GROUP BY 1)
+      SELECT a.day, total_after, n_after, COALESCE(n_purged, 0) AS n_purged
+      FROM a LEFT JOIN p ON a.day = p.day ORDER BY a.day"""))
+
+  // Warehouse governance: DETERMINISTIC COLUMN MASKING
+  // ([[graft.etl.Privacy.pseudonymize]]/[[graft.etl.Privacy.generalize]])
+  // — the masking-policy projection a serving layer applies before
+  // exposing user-keyed data: salted SHA-256 pseudonyms (same salt →
+  // same token, so masked columns still join/group across tables) and
+  // k-anonymity-style numeric generalization into fixed bands. Pure
+  // map-only projection — no exchange at any size; the hash pins the
+  // exact token bytes and band arithmetic on both engines.
+  val e95 = Q(
+    "e95_masking",
+    (s, d) => {
+      import graft.etl.Privacy
+      T.customer(s, d).select(
+        col("c_custkey"),
+        Privacy.pseudonymize(col("c_name"), "graft").as("name_token"),
+        Privacy.generalize(col("c_acctbal"), 1000.0).as("acctbal_band"),
+        col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    },
+    Some("""SELECT c_custkey,
+        CASE WHEN c_name IS NULL THEN NULL
+          ELSE sha256('graft' || '|' || c_name) END AS name_token,
+        FLOOR(c_acctbal / 1000.0) * 1000.0 AS acctbal_band,
+        c_mktsegment
+      FROM customer ORDER BY c_custkey"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
@@ -3325,5 +3383,5 @@ object ExtQueries {
       e45, e46, e47, e48, e49, e50, e51, e52, e53, e54, e55, e56, e57, e58, e59,
       e60, e61, e62, e63, e64, e65, e66, e67, e68, e69, e70, e71, e72, e73, e74,
       e75, e76, e77, e78, e79, e80, e81, e82, e83, e84, e85, e86, e87, e88, e89,
-      e90, e91, e92, e93)
+      e90, e91, e92, e93, e94, e95)
 }

@@ -1,0 +1,55 @@
+package graft.etl
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class PrivacySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def facts = Seq(
+    (1L, "2024-01-01", 10.0),
+    (1L, "2024-01-02", 11.0),
+    (2L, "2024-01-01", 20.0),
+    (3L, "2024-01-02", 30.0))
+    .toDF("user_id", "day", "v")
+
+  test("forget: removes every subject row, keeps the rest") {
+    val subjects = Seq(1L, 99L).toDF("user_id") // 99 absent: harmless
+    val out = Privacy.forget(facts, subjects, "user_id")
+      .select("user_id").as[Long].collect().sorted.toSeq
+    assert(out === Seq(2L, 3L))
+  }
+
+  test("forget: broadcast anti join — the fact side never shuffles") {
+    val plan = Privacy.forget(facts, Seq(1L).toDF("user_id"), "user_id")
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected broadcast anti join:\n$plan")
+  }
+
+  test("forgetAudit: kept/purged counts per bucket sum to the table") {
+    val audit = Privacy.forgetAudit(facts, Seq(1L).toDF("user_id"), "user_id", col("day"))
+      .orderBy("bucket")
+      .select("bucket", "n_kept", "n_purged").as[(String, Long, Long)].collect().toSeq
+    assert(audit === Seq(("2024-01-01", 1L, 1L), ("2024-01-02", 1L, 1L)))
+  }
+
+  test("pseudonymize: deterministic, salt-sensitive, NULL-preserving") {
+    val df = Seq(Some("alice"), Some("alice"), Some("bob"), None).toDF("name")
+      .select(Privacy.pseudonymize(col("name"), "s1").as("t1"),
+        Privacy.pseudonymize(col("name"), "s2").as("t2"))
+    val rows = df.as[(Option[String], Option[String])].collect().toSeq
+    assert(rows(0)._1 === rows(1)._1)            // same value+salt → same token
+    assert(rows(0)._1 !== rows(2)._1)            // different value → different token
+    assert(rows(0)._1 !== rows(0)._2)            // different salt → different token
+    assert(rows(3) === ((None, None)))           // NULL stays NULL
+    assert(rows(0)._1.get.matches("[0-9a-f]{64}"))
+  }
+
+  test("generalize: floors into fixed-width bands, negatives included") {
+    val out = Seq(0.0, 999.99, 1000.0, -0.01).toDF("v")
+      .select(Privacy.generalize(col("v"), 1000.0).as("b"))
+      .as[Double].collect().toSeq
+    assert(out === Seq(0.0, 0.0, 1000.0, -1000.0))
+  }
+}
