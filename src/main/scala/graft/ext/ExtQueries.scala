@@ -3376,6 +3376,53 @@ object ExtQueries {
         c_mktsegment
       FROM customer ORDER BY c_custkey"""))
 
+  // Catalyst capstone: TRANSPARENT MV REWRITE
+  // ([[graft.plans.MaterializedView]]/[[graft.plans.RewriteToMv]]) —
+  // the serving half of incremental view maintenance: e83 keeps the
+  // partials table current, this optimizer rule makes an UNCHANGED
+  // aggregate over the BASE table answer from it. The declared query
+  // maintains an (event_type, user_id)-keyed MV, then runs the plain
+  // per-type rollup against the raw events scan under
+  // `serveWith` — the rule rewrites count/decimal-sum/min/max onto
+  // sum(cnt)/sum(sum_v)/min/max over the MV (a coarser grouping:
+  // partials are mergeable, so the rollup is exact), and the query
+  // REFUSES to return if the executed plan still scans the base (the
+  // rewrite actually firing is part of the declared semantics). The
+  // oracle is the full recompute over raw events — the hash IS the
+  // MV-serving-equals-recompute identity. At 100 TB this is the
+  // difference between reading |keys| partial rows and rescanning
+  // history for every dashboard refresh.
+  val e96 = Q(
+    "e96_mv_rewrite",
+    (s, d) => {
+      import graft.etl.Incremental
+      import graft.plans.MaterializedView
+      import graft.plans.MaterializedView.MvDef
+      val basePath = s"$d/events.parquet"
+      val mvDir = tempQueryDir("graft_e96_mv")
+      Incremental.partials(
+          s.read.parquet(basePath), Seq("event_type", "user_id"), "value")
+        .write.mode("overwrite").parquet(mvDir)
+      MaterializedView.serveWith(s,
+        Seq(MvDef(basePath, s.read.parquet(mvDir), Seq("event_type", "user_id"), "value"))) {
+        val served = s.read.parquet(basePath)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("value").cast(graft.Qh.Dec)).cast("double").as("total"),
+            min(col("value")).as("min_v"),
+            max(col("value")).as("max_v"))
+          .orderBy(col("event_type"))
+        val plan = served.queryExecution.executedPlan.toString
+        require(plan.contains(new java.io.File(mvDir).getName) &&
+          !plan.contains("events.parquet"),
+          s"e96: the MV rewrite must serve this query from the partials table:\n$plan")
+        served
+      }
+    },
+    Some(s"""SELECT event_type, COUNT(*) AS cnt, ${graft.Qh.oSum("value")} AS total,
+        MIN(value) AS min_v, MAX(value) AS max_v
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
@@ -3383,5 +3430,5 @@ object ExtQueries {
       e45, e46, e47, e48, e49, e50, e51, e52, e53, e54, e55, e56, e57, e58, e59,
       e60, e61, e62, e63, e64, e65, e66, e67, e68, e69, e70, e71, e72, e73, e74,
       e75, e76, e77, e78, e79, e80, e81, e82, e83, e84, e85, e86, e87, e88, e89,
-      e90, e91, e92, e93, e94, e95)
+      e90, e91, e92, e93, e94, e95, e96)
 }

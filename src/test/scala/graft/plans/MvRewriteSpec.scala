@@ -1,0 +1,116 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.etl.Incremental
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+class MvRewriteSpec extends SparkSpec {
+  import spark.implicits._
+  import MaterializedView._
+
+  private val Dec = DecimalType(38, 6)
+
+  private lazy val baseDir = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mv_base").toString
+    Seq(
+      ("click", "2024-01-01", 1.5), ("click", "2024-01-01", 2.5),
+      ("click", "2024-01-02", 4.0), ("view", "2024-01-01", 8.0),
+      ("view", "2024-01-02", 16.0), ("view", "2024-01-02", 0.5))
+      .toDF("event_type", "day", "value")
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private lazy val mvDir = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mv_state").toString
+    Incremental.partials(spark.read.parquet(baseDir), Seq("event_type", "day"), "value")
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  private def mvDefs = Seq(MvDef(
+    baseDir, spark.read.parquet(mvDir), Seq("event_type", "day"), "value"))
+
+  private def query(): DataFrame =
+    spark.read.parquet(baseDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt_q"),
+        sum(col("value").cast(Dec)).as("sum_q"),
+        min(col("value")).as("min_q"),
+        max(col("value")).as("max_q"))
+      .orderBy(col("event_type"))
+
+  test("rewrite fires: the scan reads the MV, not the base table") {
+    serveWith(spark, mvDefs) {
+      val files = query().queryExecution.executedPlan.toString
+      assert(files.contains(new java.io.File(mvDir).getName),
+        s"expected a scan of the MV:\n$files")
+      assert(!files.contains(new java.io.File(baseDir).getName),
+        s"base table must not be scanned:\n$files")
+    }
+  }
+
+  test("partial-key rollup from the MV equals the full recompute, bit for bit") {
+    val direct = query().collect().toSeq
+    val served = serveWith(spark, mvDefs) { query().collect().toSeq }
+    assert(served === direct)
+  }
+
+  test("full-key grouping also rewrites and matches") {
+    val q = () => spark.read.parquet(baseDir)
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("value").cast(Dec)).as("s"), count(lit(1)).as("c"))
+      .orderBy(col("event_type"), col("day"))
+    val direct = q().collect().toSeq
+    serveWith(spark, mvDefs) {
+      assert(q().queryExecution.executedPlan.toString
+        .contains(new java.io.File(mvDir).getName))
+      assert(q().collect().toSeq === direct)
+    }
+  }
+
+  test("no rewrite for: filtered child, non-key grouping, non-mergeable aggregate") {
+    serveWith(spark, mvDefs) {
+      val filtered = spark.read.parquet(baseDir)
+        .filter(col("value") > 1.0).groupBy(col("event_type"))
+        .agg(sum(col("value").cast(Dec)).as("s"))
+      assert(filtered.queryExecution.executedPlan.toString
+        .contains(new java.io.File(baseDir).getName))
+      val nonKey = spark.read.parquet(baseDir)
+        .groupBy(col("value")).agg(count(lit(1)).as("c"))
+      assert(nonKey.queryExecution.executedPlan.toString
+        .contains(new java.io.File(baseDir).getName))
+      val avgQ = spark.read.parquet(baseDir)
+        .groupBy(col("event_type")).agg(avg(col("value")).as("a"))
+      assert(avgQ.queryExecution.executedPlan.toString
+        .contains(new java.io.File(baseDir).getName))
+      // bare double sum is order-dependent — must NOT be served from partials
+      val rawSum = spark.read.parquet(baseDir)
+        .groupBy(col("event_type")).agg(sum(col("value")).as("s"))
+      assert(rawSum.queryExecution.executedPlan.toString
+        .contains(new java.io.File(baseDir).getName))
+    }
+  }
+
+  test("read-side cast folded into the aggregate still rewrites (CollapseProject)") {
+    val q = () => spark.read.parquet(baseDir)
+      .groupBy(col("event_type"))
+      .agg(sum(col("value").cast(Dec)).cast("double").as("total"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+    val direct = q().collect().toSeq
+    serveWith(spark, mvDefs) {
+      assert(q().queryExecution.executedPlan.toString
+        .contains(new java.io.File(mvDir).getName))
+      assert(q().collect().toSeq === direct)
+    }
+  }
+
+  test("registration is scoped: after serveWith, queries read the base again") {
+    serveWith(spark, mvDefs) { query().collect() }
+    assert(query().queryExecution.executedPlan.toString
+      .contains(new java.io.File(baseDir).getName))
+  }
+}
