@@ -3423,6 +3423,86 @@ object ExtQueries {
         MIN(value) AS min_v, MAX(value) AS max_v
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  // IVM lifecycle capstone: STREAM-MAINTAINED MV, REWRITE-SERVED —
+  // e83's partials maintenance driven by a FILE STREAM (three
+  // deterministic micro-batches merging into a batch-id-versioned
+  // parquet state — replay overwrites the same version, the e49
+  // idempotence discipline), then the plain per-type rollup over the
+  // RAW base scan served from that stream-maintained state by the e96
+  // optimizer rule (the query self-asserts the rewrite fired). The
+  // oracle is the one-shot batch recompute over all events, so the
+  // hash proves stream-of-merges ∘ MV-rewrite ≡ batch semantics end
+  // to end: the cron-replacement geometry for serving aggregates that
+  // never rescan history — per micro-batch work is O(|delta| +
+  // |touched keys|), the serve is O(|keys|).
+  val e97 = Q(
+    "e97_streaming_mv",
+    (outer, d) => {
+      import graft.etl.Incremental
+      import graft.plans.MaterializedView
+      import graft.plans.MaterializedView.MvDef
+      import org.apache.spark.sql.streaming.Trigger
+      val s = graft.streaming.StateBackend.isolatedStreamSession(outer)
+      val basePath = s"$d/events.parquet"
+      val keys = Seq("event_type", "user_id")
+      def slim(df: org.apache.spark.sql.DataFrame) =
+        df.select(col("event_type"), col("user_id"), col("value"), col("event_id"))
+      val ev = slim(s.read.parquet(basePath))
+      // v0: bootstrap = partials over the first half
+      val stateRoot = tempQueryDir("graft_e97_state")
+      Incremental.partials(ev.filter(pmod(col("event_id"), lit(2)) === 0), keys, "value")
+        .write.mode("overwrite").parquet(s"$stateRoot/v0")
+      // the second half arrives as three micro-batches (one file per
+      // slice, mtimes pinned ascending so the oldest-first source
+      // admits them one per trigger — the c57/e54 staging discipline)
+      val staging = tempQueryDir("graft_e97_in")
+      val fs = new org.apache.hadoop.fs.Path(staging)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      for (g <- 0 to 2) {
+        val p = s"$staging/slice$g"
+        ev.filter(pmod(col("event_id"), lit(2)) === 1)
+          .filter(pmod(col("event_id"), lit(3)) === g)
+          .coalesce(1).write.mode("overwrite").parquet(p)
+        fs.listStatus(new org.apache.hadoop.fs.Path(p))
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+          .foreach(st => fs.setTimes(st.getPath, 1700000000000L + g * 60000L, -1))
+      }
+      val sch = s.read.parquet(s"$staging/slice0").schema
+      val src = s.readStream.schema(sch).option("maxFilesPerTrigger", 1)
+        .parquet(s"$staging/slice*")
+      val ckpt = tempQueryDir("graft_e97_ck")
+      val q = src.writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          Incremental.merge(keys,
+            batch.sparkSession.read.parquet(s"$stateRoot/v$id"),
+            Incremental.partials(batch, keys, "value"))
+            .write.mode("overwrite").parquet(s"$stateRoot/v${id + 1}")
+        }
+        .start()
+      q.awaitTermination()
+      val vmax = fs.listStatus(new org.apache.hadoop.fs.Path(stateRoot))
+        .map(_.getPath.getName).filter(_.startsWith("v")).map(_.drop(1).toInt).max
+      MaterializedView.serveWith(s,
+        Seq(MvDef(basePath, s.read.parquet(s"$stateRoot/v$vmax"), keys, "value"))) {
+        val served = s.read.parquet(basePath)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("value").cast(graft.Qh.Dec)).cast("double").as("total"),
+            min(col("value")).as("min_v"),
+            max(col("value")).as("max_v"))
+          .orderBy(col("event_type"))
+        val plan = served.queryExecution.executedPlan.toString
+        require(plan.contains(s"v$vmax") && !plan.contains("events.parquet"),
+          s"e97: the rollup must serve from the stream-maintained MV:\n$plan")
+        served
+      }
+    },
+    Some(s"""SELECT event_type, COUNT(*) AS cnt, ${graft.Qh.oSum("value")} AS total,
+        MIN(value) AS min_v, MAX(value) AS max_v
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
@@ -3430,5 +3510,5 @@ object ExtQueries {
       e45, e46, e47, e48, e49, e50, e51, e52, e53, e54, e55, e56, e57, e58, e59,
       e60, e61, e62, e63, e64, e65, e66, e67, e68, e69, e70, e71, e72, e73, e74,
       e75, e76, e77, e78, e79, e80, e81, e82, e83, e84, e85, e86, e87, e88, e89,
-      e90, e91, e92, e93, e94, e95, e96)
+      e90, e91, e92, e93, e94, e95, e96, e97)
 }
