@@ -61,7 +61,7 @@ object Incremental {
     * read an average out of mergeable state). */
   def serve(p: DataFrame): DataFrame =
     p.select(
-      p.columns.filterNot(Set("cnt", "sum_v", "min_v", "max_v")).map(col) ++ Seq(
+      p.columns.filterNot(Set("cnt", "sum_v", "min_v", "max_v")).toIndexedSeq.map(col) ++ Seq(
         col("cnt"),
         col("sum_v").cast(DoubleType).as("sum_v"),
         (col("sum_v").cast(DoubleType) / col("cnt")).as("avg_v"),
