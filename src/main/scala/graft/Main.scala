@@ -34,6 +34,10 @@ object Main {
         |       fronts (index builds, CC rounds, min/max scans) still
         |       execute those while the frame is constructed;
         |       DIR defaults to $SPARK_GRAFT_SF_DIR)
+        |  lineage <declared-query> [--sf-dir DIR]
+        |      (column-level lineage of the query's output: which source
+        |       columns feed each column's VALUES, plus the filter/join
+        |       control columns; plan analysis only, nothing executes)
         |  corpus-prep <docs.parquet> <out-dir> [--shards N] [--pack-budget TOKENS] [--span-trim COV] [--surprisal-gate MICRO] [--unicode FORM]
         |      (filter [-> drop docs above MICRO mean unigram surprisal]
         |       [-> drop docs with >= COV duplicate-span coverage]
@@ -94,6 +98,7 @@ object Main {
     case "index-history" :: rest => indexHistoryCmd(rest)
     case "query" :: rest       => query(rest)
     case "explain" :: rest     => explainQuery(rest)
+    case "lineage" :: rest     => lineageQuery(rest)
     case "corpus-prep" :: rest => corpusPrep(rest)
     case "profile" :: rest => profileCmd(rest)
     case "retention" :: rest => retentionCmd(rest)
@@ -157,6 +162,37 @@ object Main {
         try println(q.fn(spark, dir).queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode))
         finally spark.stop()
+    }
+  }
+
+  /** Column-level lineage of a declared query ([[plans.Lineage]]) —
+    * the governance companion to `explain`: which source columns feed
+    * each output column (value lineage), plus the filter/join control
+    * columns. Plan analysis only; nothing executes. */
+  private def lineageQuery(args: List[String]): Unit = {
+    val (name, dir) = args match {
+      case n :: "--sf-dir" :: d :: Nil => (n, d)
+      case n :: Nil =>
+        (n, sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
+      case _ => usage()
+    }
+    Queries.byName.get(name) match {
+      case None =>
+        System.err.println(s"unknown declared query: $name")
+        sys.exit(2)
+      case Some(q) =>
+        val cfg = EngineConfig.fromEnv()
+        val spark = session(cfg)
+        try {
+          val df = q.fn(spark, dir)
+          plans.Lineage.columnLineage(df).toSeq.sortBy(_._1).foreach {
+            case (out, srcs) =>
+              println(s"$out <- ${srcs.toSeq.sorted.mkString(", ")}")
+          }
+          val ctl = plans.Lineage.controlColumns(df)
+          if (ctl.nonEmpty)
+            println(s"[control] ${ctl.toSeq.sorted.mkString(", ")}")
+        } finally spark.stop()
     }
   }
 
