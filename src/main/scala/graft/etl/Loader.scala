@@ -313,6 +313,25 @@ final class ParquetLoader(warehouseDir: String, schema: String) extends Loader {
     * ~100 TB to drop one expired month inverts the op's purpose. The
     * in-place sweep is idempotent and per-partition bounded; schedule
     * it in the same maintenance window compaction already requires. */
+  /** Drop specific partition directories by their key=value chain
+    * (ordered as the table's partitionBy). The targeted complement of
+    * [[retention]]'s date sweep, needed by operations that must remove
+    * a partition ENTIRELY — e.g. a privacy purge that empties one
+    * ([[Privacy.forgetInWarehouse]]): Spark's dynamic partition
+    * overwrite only touches partitions PRESENT in the written frame,
+    * so an all-rows-purged partition would otherwise silently survive.
+    * Returns the partitions actually removed. Idempotent. */
+  def dropPartitions(spark: SparkSession, table: String,
+      parts: Seq[Seq[(String, String)]]): Seq[String] = {
+    val root = new HPath(dataDir(spark, table))
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    parts.flatMap { kvs =>
+      require(kvs.nonEmpty, "dropPartitions: empty partition spec")
+      val p = kvs.foldLeft(root) { case (acc, (k, v)) => new HPath(acc, s"$k=$v") }
+      if (fs.exists(p) && fs.delete(p, true)) Some(p.toString) else None
+    }
+  }
+
   def retention(spark: SparkSession, table: String,
       before: java.time.LocalDate, dryRun: Boolean = false): Seq[String] = {
     val root = new HPath(dataDir(spark, table))

@@ -15,11 +15,13 @@ import org.apache.spark.sql.functions._
   * Scale shape: the subject list (users exercising deletion) is tiny
   * relative to the fact table — every operation here joins fact rows
   * against a BROADCAST of the distinct subject keys, so the fact table
-  * is scanned once and never shuffled. On a partitioned warehouse the
-  * rewrite touches only partitions containing subject rows (the
-  * partition-pruned upsert path of [[ParquetLoader]]'s
-  * `upsert_partitions` mode); masking is map-only — pure projection,
-  * no exchange at any size.
+  * is scanned once and never shuffled. On a partitioned warehouse,
+  * [[forgetInWarehouse]] executes the purge partition-pruned: only
+  * partitions containing subject rows are re-read (static pruning
+  * predicate) and rewritten (dynamic partition overwrite), with
+  * fully-purged partitions dropped explicitly — untouched partitions
+  * keep their exact bytes (spec-asserted). Masking is map-only — pure
+  * projection, no exchange at any size.
   */
 object Privacy {
 
@@ -41,6 +43,65 @@ object Privacy {
       .agg(
         sum(when(col("_is_subject").isNull, 1L).otherwise(0L)).as("n_kept"),
         sum(when(col("_is_subject").isNotNull, 1L).otherwise(0L)).as("n_purged"))
+  }
+
+  /** Execute a right-to-be-forgotten purge AGAINST the partitioned
+    * parquet warehouse, touching only the partitions that contain
+    * subject rows — the partition-pruned rewrite a 100 TB table
+    * requires (rewriting the whole table to delete 0.01% of rows
+    * inverts the op's purpose). Steps:
+    *
+    *  1. find the partitions holding subject rows (broadcast semi
+    *     join, collected — bounded by the table's partition count, the
+    *     same contract as [[ParquetLoader.retention]]);
+    *  2. re-read ONLY those partitions (an `isin`/equality predicate on
+    *     the partition columns — STATIC partition pruning in the scan),
+    *     anti-join the subjects out, and write back through dynamic
+    *     partition overwrite (`upsert_partitions`) — untouched
+    *     partitions keep their exact bytes;
+    *  3. partitions whose every row was a subject's end up ABSENT from
+    *     the written frame — dynamic overwrite would silently leave
+    *     them, so they are dropped explicitly
+    *     ([[ParquetLoader.dropPartitions]]).
+    *
+    * Returns the per-partition audit (kept/purged counts over the
+    * affected partitions; untouched partitions don't appear — nothing
+    * about them changed). */
+  def forgetInWarehouse(
+      spark: org.apache.spark.sql.SparkSession,
+      loader: ParquetLoader,
+      table: String,
+      subjects: DataFrame,
+      keyCol: String,
+      partitionCols: Seq[String]): DataFrame = {
+    require(partitionCols.nonEmpty, "Privacy.forgetInWarehouse: table must be partitioned")
+    val subj = broadcast(subjects.select(col(keyCol)).distinct())
+    val full = loader.table(spark, table)
+    val hot = full.join(subj, Seq(keyCol), "left_semi")
+      .select(partitionCols.map(c => col(c).cast("string").as(c)): _*)
+      .distinct().collect()
+      .map(r => partitionCols.map(c => c -> r.getAs[String](c)))
+    if (hot.isEmpty)
+      return full.limit(0).select(lit("").as("bucket"),
+        lit(0L).as("n_kept"), lit(0L).as("n_purged"))
+    def partPred(kvs: Seq[(String, String)]) =
+      kvs.map { case (k, v) => col(k).cast("string") === lit(v) }.reduce(_ && _)
+    val hotPred = hot.map(partPred).reduce(_ || _)
+    val hotScan = loader.table(spark, table).filter(hotPred)
+    val audit = forgetAudit(hotScan, subjects, keyCol,
+      concat_ws("/", partitionCols.map(c => concat(lit(c + "="), col(c).cast("string"))): _*))
+      .orderBy(col("bucket"))
+      // materialize BEFORE the rewrite mutates the partitions under it
+      .localCheckpoint(eager = true)
+    val purged = hotScan.join(subj, Seq(keyCol), "left_anti")
+      // survivors, re-read eagerly for the same reason
+      .localCheckpoint(eager = true)
+    val surviving = purged
+      .select(partitionCols.map(c => col(c).cast("string").as(c)): _*).distinct().collect()
+      .map(r => partitionCols.map(c => c -> r.getAs[String](c))).toSet
+    if (!purged.isEmpty) { loader.load(purged, table, "upsert_partitions", partitionCols); () }
+    loader.dropPartitions(spark, table, hot.toSeq.filterNot(surviving.contains))
+    audit
   }
 
   /** Deterministic pseudonymization: salted SHA-256 hex of the value.

@@ -52,4 +52,54 @@ class PrivacySpec extends SparkSpec {
       .as[Double].collect().toSeq
     assert(out === Seq(0.0, 0.0, 1000.0, -1000.0))
   }
+
+  test("forgetInWarehouse: rewrites only affected partitions, drops fully-purged ones") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_privacy_wh").toString
+    val loader = new ParquetLoader(wh, "s")
+    loader.ensureNamespace()
+    loader.load(Seq(
+      (1L, "d1", 10.0), (2L, "d1", 20.0), // d1: mixed → rewritten
+      (1L, "d2", 11.0),                   // d2: all subject → dropped entirely
+      (3L, "d3", 30.0))                   // d3: untouched, byte for byte
+      .toDF("user_id", "day", "v"),
+      "events", "replace", partitionBy = Seq("day"))
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def files(part: String) = {
+      val p = new org.apache.hadoop.fs.Path(s"$wh/s/events/$part")
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).filter(_.isFile).map(st =>
+        (st.getPath.getName, st.getLen, st.getModificationTime)).toSeq.sortBy(_._1)
+    }
+    val d3Before = files("day=d3")
+    assert(d3Before.nonEmpty)
+
+    val audit = Privacy.forgetInWarehouse(spark, loader, "events",
+        Seq(1L).toDF("user_id"), "user_id", Seq("day"))
+      .select("bucket", "n_kept", "n_purged").as[(String, Long, Long)]
+      .collect().toSeq
+    assert(audit === Seq(("day=d1", 1L, 1L), ("day=d2", 0L, 1L)))
+
+    // content: subject gone everywhere, survivors intact
+    val left = loader.table(spark, "events")
+      .select("user_id", "v").as[(Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(left === Seq((2L, 20.0), (3L, 30.0)))
+    // d2 emptied → its directory is gone (dynamic overwrite alone would
+    // have left the stale files in place)
+    assert(files("day=d2").isEmpty)
+    // d3 was never touched: same files, sizes, and mtimes
+    assert(files("day=d3") === d3Before)
+  }
+
+  test("forgetInWarehouse: no subject rows → no-op, empty audit") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_privacy_wh2").toString
+    val loader = new ParquetLoader(wh, "s")
+    loader.ensureNamespace()
+    loader.load(Seq((3L, "d1", 1.0)).toDF("user_id", "day", "v"),
+      "events", "replace", partitionBy = Seq("day"))
+    val audit = Privacy.forgetInWarehouse(spark, loader, "events",
+      Seq(99L).toDF("user_id"), "user_id", Seq("day"))
+    assert(audit.count() === 0L)
+    assert(loader.table(spark, "events").count() === 1L)
+  }
 }
