@@ -45,6 +45,10 @@ object Main {
         |  retention <table> --before YYYY-MM-DD [--dry-run]
         |      (drop date=/year=month= partitions whose period ends
         |       before the cutoff; idempotent, unknown layouts skipped)
+        |  forget <table> --subjects <keys.parquet> --key COL --partition COLS
+        |      (right-to-be-forgotten: purge the subject keys from a
+        |       partitioned warehouse table, rewriting ONLY affected
+        |       partitions; prints the kept/purged audit per partition)
         |  profile <table.parquet> [--cols a,b,c] [--k N]
         |      (one-scan data-quality profile: per-column null count +
         |       KMV distinct estimate; default all columns, k=256)
@@ -102,6 +106,7 @@ object Main {
     case "corpus-prep" :: rest => corpusPrep(rest)
     case "profile" :: rest => profileCmd(rest)
     case "retention" :: rest => retentionCmd(rest)
+    case "forget" :: rest => forgetCmd(rest)
     case "list-accounts" :: _  => listAccounts()
     case "test-connection" :: _ => testConnection()
     case "test-s3" :: _        => testS3()
@@ -246,6 +251,43 @@ object Main {
       case other =>
         other.close()
         System.err.println("retention applies to the parquet warehouse sink only")
+        sys.exit(1)
+    }
+  }
+
+  /** Right-to-be-forgotten purge of a partitioned warehouse table
+    * ([[Privacy.forgetInWarehouse]]): subjects read from a one-column
+    * parquet list, only partitions containing subject rows rewritten,
+    * fully-purged partitions dropped; prints the per-partition audit
+    * trail the deletion request requires. */
+  private def forgetCmd(args: List[String]): Unit = {
+    val parsed = args match {
+      case t :: "--subjects" :: s :: "--key" :: k :: "--partition" :: p :: Nil =>
+        (t, s, k, p)
+      case _ => usage()
+    }
+    val (table, subjectsPath, keyCol, partCsv) = parsed
+    val cfg = EngineConfig.fromEnv()
+    loaderFor(cfg) match {
+      case pl: ParquetLoader =>
+        val spark = session(cfg)
+        try {
+          val subjects = spark.read.parquet(subjectsPath)
+          require(subjects.columns.contains(keyCol),
+            s"subjects parquet has no column '$keyCol' " +
+              s"(has: ${subjects.columns.mkString(", ")})")
+          val audit = Privacy.forgetInWarehouse(
+            spark, pl, table, subjects, keyCol, partCsv.split(',').toSeq)
+            .collect()
+          if (audit.isEmpty) println(s"[forget] $table: no subject rows found")
+          else audit.foreach { r =>
+            println(s"[forget] ${r.getAs[String]("bucket")}: " +
+              s"kept=${r.getAs[Long]("n_kept")} purged=${r.getAs[Long]("n_purged")}")
+          }
+        } finally spark.stop()
+      case other =>
+        other.close()
+        System.err.println("forget applies to the parquet warehouse sink only")
         sys.exit(1)
     }
   }
