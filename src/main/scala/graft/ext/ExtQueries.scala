@@ -3503,6 +3503,51 @@ object ExtQueries {
         MIN(value) AS min_v, MAX(value) AS max_v
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
+  // Serving capstone: FILTER-AWARE MV REWRITE — the reference's
+  // flagship dashboard query shape (`README.md:125-130`: cost by
+  // service over a date window — `WHERE key-filter … GROUP BY key`)
+  // answered from the maintained partials table by the e96 optimizer
+  // rule. Key-only filters are exact on partials (every row of a
+  // group shares its key values, so group-level filtering ≡ row-level
+  // filtering); the rule re-roots the scan's Filter onto the MV and
+  // the query REFUSES to return if the executed plan still reads the
+  // base. The oracle is the full recompute over raw events under the
+  // same predicate — the hash IS the filtered-serve-equals-recompute
+  // identity. At 100 TB: the dashboard's date-windowed refresh reads
+  // |touched keys| partial rows instead of rescanning history.
+  val e98 = Q(
+    "e98_mv_filtered_rewrite",
+    (s, d) => {
+      import graft.etl.Incremental
+      import graft.plans.MaterializedView
+      import graft.plans.MaterializedView.MvDef
+      val basePath = s"$d/events.parquet"
+      val mvDir = tempQueryDir("graft_e98_mv")
+      Incremental.partials(
+          s.read.parquet(basePath), Seq("event_type", "user_id"), "value")
+        .write.mode("overwrite").parquet(mvDir)
+      MaterializedView.serveWith(s,
+        Seq(MvDef(basePath, s.read.parquet(mvDir), Seq("event_type", "user_id"), "value"))) {
+        val served = s.read.parquet(basePath)
+          .filter(col("user_id") >= 100 && col("user_id") < 600)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("value").cast(graft.Qh.Dec)).cast("double").as("total"),
+            min(col("value")).as("min_v"),
+            max(col("value")).as("max_v"))
+          .orderBy(col("event_type"))
+        val plan = served.queryExecution.executedPlan.toString
+        require(plan.contains(new java.io.File(mvDir).getName) &&
+          !plan.contains("events.parquet"),
+          s"e98: the key-filtered aggregate must serve from the partials table:\n$plan")
+        served
+      }
+    },
+    Some(s"""SELECT event_type, COUNT(*) AS cnt, ${graft.Qh.oSum("value")} AS total,
+        MIN(value) AS min_v, MAX(value) AS max_v
+      FROM events WHERE user_id >= 100 AND user_id < 600
+      GROUP BY event_type ORDER BY event_type"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
@@ -3510,5 +3555,5 @@ object ExtQueries {
       e45, e46, e47, e48, e49, e50, e51, e52, e53, e54, e55, e56, e57, e58, e59,
       e60, e61, e62, e63, e64, e65, e66, e67, e68, e69, e70, e71, e72, e73, e74,
       e75, e76, e77, e78, e79, e80, e81, e82, e83, e84, e85, e86, e87, e88, e89,
-      e90, e91, e92, e93, e94, e95, e96, e97)
+      e90, e91, e92, e93, e94, e95, e96, e97, e98)
 }

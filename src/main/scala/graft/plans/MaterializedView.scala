@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.DecimalType
@@ -20,13 +20,21 @@ import org.apache.spark.sql.types.DecimalType
   *
   * What rewrites: `Aggregate(G, A, scan(base))` where
   *  - the child is a scan of the registered base path (bare relation
-  *    or attribute-only Project over it — i.e. column pruning; any
-  *    Filter/expression in between disqualifies, conservatively:
-  *    partials carry no per-row residue to filter on),
+  *    under attribute-only Projects — i.e. column pruning — and
+  *    deterministic Filters whose predicates reference ONLY MV key
+  *    columns; the path comparison qualifies BOTH sides to absolute
+  *    filesystem URIs, so a relative `basePath` can never
+  *    suffix-collide with an unrelated scan),
   *  - every grouping expression is a bare column ⊆ the MV's keys
   *    (a STRICT SUBSET is fine — partials are mergeable, so coarser
   *    groupings re-aggregate them: `merge()`'s associativity is
-  *    exactly what makes the rollup exact), and
+  *    exactly what makes the rollup exact). Key-only filters are
+  *    exact for the same reason: every row of a group shares its key
+  *    values, so filtering groups in the partials table ≡ filtering
+  *    rows in the base — the D1 dashboard shape
+  *    (`WHERE day >= … GROUP BY service`) serves from the MV. A
+  *    filter touching any NON-key column still disqualifies
+  *    (partials carry no per-row residue to filter on), and
   *  - every aggregate is one of the mergeable forms the MV stores:
   *    `sum(cast(v as decimal(38,6)))` → `sum(sum_v)`, `count(lit)` →
   *    `sum(cnt)`, `min(v)` → `min(min_v)`, `max(v)` → `max(max_v)`.
@@ -76,14 +84,27 @@ class RewriteToMv(defs: Seq[MaterializedView.MvDef]) extends Rule[LogicalPlan] {
         .nextOption().getOrElse(agg)
   }
 
-  /** The scanned root path, if `p` is a file relation under
-    * attribute-only projections. */
-  private def scannedPaths(p: LogicalPlan): Seq[String] = p match {
+  /** The scanned root paths plus any filter predicates, if `p` is a
+    * file relation under attribute-only projections and Filters.
+    * Filters are collected (not rejected) — eligibility of their
+    * predicates is the caller's check. */
+  private def scanRoots(p: LogicalPlan): Option[(Seq[String], Seq[Expression])] = p match {
     case Project(projectList, inner) if projectList.forall(_.isInstanceOf[AttributeReference]) =>
-      scannedPaths(inner)
+      scanRoots(inner)
+    case Filter(cond, inner) =>
+      scanRoots(inner).map { case (paths, fs) => (paths, cond +: fs) }
     case LogicalRelation(h: HadoopFsRelation, _, _, _, _) =>
-      h.location.rootPaths.map(_.toString)
-    case _ => Seq.empty
+      Some((h.location.rootPaths.map(_.toString), Nil))
+    case _ => None
+  }
+
+  /** `path` as a fully-qualified filesystem URI (scheme + absolute
+    * path), so `data/costs` and `/backup/data/costs` can never be
+    * confused — base-path matching is EXACT equality on these. */
+  private def qualify(path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val conf = org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()
+    p.getFileSystem(conf).makeQualified(p).toString
   }
 
   private def tryRewrite(
@@ -91,8 +112,14 @@ class RewriteToMv(defs: Seq[MaterializedView.MvDef]) extends Rule[LogicalPlan] {
       aggExprs: Seq[NamedExpression],
       child: LogicalPlan,
       d: MvDef): Option[LogicalPlan] = {
-    val baseUri = new org.apache.hadoop.fs.Path(d.basePath).toUri.toString
-    if (!scannedPaths(child).exists(p => p == baseUri || p.endsWith(d.basePath))) return None
+    val (paths, filters) = scanRoots(child).getOrElse(return None)
+    val baseQ = qualify(d.basePath)
+    if (!paths.exists(p => qualify(p) == baseQ)) return None
+    // key-only, deterministic filters rewrite onto the partials table
+    // (every row of a group shares its keys, so group-level filtering
+    // is exact); anything else disqualifies
+    if (!filters.forall(f => f.deterministic &&
+        f.references.forall(a => d.keys.contains(a.name)))) return None
     val groupAttrs = groupings.map {
       case a: AttributeReference if d.keys.contains(a.name) => a
       case _ => return None
@@ -104,26 +131,31 @@ class RewriteToMv(defs: Seq[MaterializedView.MvDef]) extends Rule[LogicalPlan] {
     def complete(fn: AggregateFunction): AggregateExpression =
       AggregateExpression(fn, Complete, isDistinct = false)
 
+    // A GLOBAL aggregate (no GROUP BY) over an empty/filtered-to-empty
+    // base returns count = 0, but sum(cnt) over the empty MV returns
+    // NULL — the count rewrite must coalesce to 0 in that case.
+    val global = groupings.isEmpty
+
     // the mergeable-form map; the replacement keeps ae's dataType by
     // construction (count(lit) is Long and so is sum(cnt); decimal
     // sums stay (38,6); min/max keep the value type)
     def mapAgg(ae: AggregateExpression): Option[Expression] = {
       if (ae.isDistinct || ae.filter.nonEmpty) return None
-      val repl: Option[AggregateFunction] = ae.aggregateFunction match {
+      val repl: Option[Expression] = ae.aggregateFunction match {
         case Sum(Cast(v: AttributeReference, dt: DecimalType, _, _), _)
             if v.name == d.valueCol && dt == DecimalType(38, 6) =>
-          Some(Sum(mvAttr("sum_v")))
+          Some(complete(Sum(mvAttr("sum_v"))))
         case Count(Seq(l: Literal)) if l.value != null =>
-          Some(Sum(mvAttr("cnt")))
+          val s = complete(Sum(mvAttr("cnt")))
+          Some(if (global) Coalesce(Seq(s, Literal(0L))) else s)
         case Min(v: AttributeReference) if v.name == d.valueCol =>
-          Some(Min(mvAttr("min_v")))
+          Some(complete(Min(mvAttr("min_v"))))
         case Max(v: AttributeReference) if v.name == d.valueCol =>
-          Some(Max(mvAttr("max_v")))
+          Some(complete(Max(mvAttr("max_v"))))
         case _ => None
       }
-      repl.map { fn =>
-        if (fn.dataType == ae.dataType) complete(fn)
-        else Cast(complete(fn), ae.dataType)
+      repl.map { e =>
+        if (e.dataType == ae.dataType) e else Cast(e, ae.dataType)
       }
     }
 
@@ -145,6 +177,10 @@ class RewriteToMv(defs: Seq[MaterializedView.MvDef]) extends Rule[LogicalPlan] {
     }
     if (mapped.exists(_.isEmpty)) return None
     val mvGroupings: Seq[Expression] = groupAttrs.map(a => mvAttr(a.name))
-    Some(Aggregate(mvGroupings, mapped.map(_.get), mvPlan))
+    // the base scan's key filters, re-rooted onto the partials table
+    val mvChild = filters.foldLeft(mvPlan) { (pl, cond) =>
+      Filter(cond.transform { case a: AttributeReference => mvAttr(a.name) }, pl)
+    }
+    Some(Aggregate(mvGroupings, mapped.map(_.get), mvChild))
   }
 }

@@ -71,7 +71,69 @@ class MvRewriteSpec extends SparkSpec {
     }
   }
 
-  test("no rewrite for: filtered child, non-key grouping, non-mergeable aggregate") {
+  test("key-filtered aggregate (the D1 dashboard shape) rewrites and matches") {
+    val q = () => spark.read.parquet(baseDir)
+      .filter(col("day") >= "2024-01-02")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("c"), sum(col("value").cast(Dec)).as("s"),
+        min(col("value")).as("mn"), max(col("value")).as("mx"))
+      .orderBy(col("event_type"))
+    val direct = q().collect().toSeq
+    serveWith(spark, mvDefs) {
+      val plan = q().queryExecution.executedPlan.toString
+      assert(plan.contains(new java.io.File(mvDir).getName),
+        s"expected the key-filtered aggregate to serve from the MV:\n$plan")
+      assert(!plan.contains(new java.io.File(baseDir).getName))
+      assert(q().collect().toSeq === direct)
+    }
+  }
+
+  test("compound key filter (two keys) rewrites and matches") {
+    val q = () => spark.read.parquet(baseDir)
+      .filter(col("day") >= "2024-01-01" && col("event_type") =!= "view")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("c"), sum(col("value").cast(Dec)).as("s"))
+      .orderBy(col("day"))
+    val direct = q().collect().toSeq
+    serveWith(spark, mvDefs) {
+      assert(q().queryExecution.executedPlan.toString
+        .contains(new java.io.File(mvDir).getName))
+      assert(q().collect().toSeq === direct)
+    }
+  }
+
+  test("global count over a filtered-to-empty base rewrites and still returns 0") {
+    val q = () => spark.read.parquet(baseDir)
+      .filter(col("day") > "2099-01-01")
+      .agg(count(lit(1)).as("c"))
+    val direct = q().collect().toSeq
+    assert(direct.head.getLong(0) === 0L)
+    serveWith(spark, mvDefs) {
+      assert(q().queryExecution.executedPlan.toString
+        .contains(new java.io.File(mvDir).getName))
+      assert(q().collect().toSeq === direct)
+    }
+  }
+
+  test("a suffix-colliding relative basePath does NOT hijack the scan") {
+    // old behavior: `p.endsWith(basePath)` let a registered relative
+    // path like 'graft_mv_base…' match ANY scan whose absolute path
+    // happened to end with it; exact-URI qualification forbids that
+    val suffix = new java.io.File(baseDir).getName
+    val defs = Seq(MvDef(suffix, spark.read.parquet(mvDir), Seq("event_type", "day"), "value"))
+    serveWith(spark, defs) {
+      assert(query().queryExecution.executedPlan.toString
+        .contains(suffix + "]")
+        || query().queryExecution.executedPlan.toString
+        .contains(new java.io.File(baseDir).getName),
+        "base table must still be scanned")
+      assert(!query().queryExecution.executedPlan.toString
+        .contains(new java.io.File(mvDir).getName),
+        "the MV must NOT serve a suffix-colliding path")
+    }
+  }
+
+  test("no rewrite for: non-key-filtered child, non-key grouping, non-mergeable aggregate") {
     serveWith(spark, mvDefs) {
       val filtered = spark.read.parquet(baseDir)
         .filter(col("value") > 1.0).groupBy(col("event_type"))
