@@ -49,7 +49,11 @@ object DataQuality {
 
   /** All row-level checks in one scan: a single aggregate computes the
     * total and every check's conditional count, then unpivots to the
-    * report shape. */
+    * report shape. The unpivot is typed Columns (explode over an array
+    * of structs), never spliced SQL — a check NAME containing a quote
+    * or backslash is carried as data, not parsed (string-built `stack`
+    * would silently mangle `'`-containing names: Spark's lexer escapes
+    * with backslashes, not doubled quotes). */
   def rowAudit(df: DataFrame, checks: Seq[RowCheck]): DataFrame = {
     require(checks.nonEmpty, "DataQuality.rowAudit: checks must be non-empty")
     val aggs = count(lit(1)).as("total") +:
@@ -57,20 +61,26 @@ object DataQuality {
         sum(when(c.violation, 1L).otherwise(0L)).as(s"v$i")
       }
     val one = df.agg(aggs.head, aggs.tail: _*)
-    val stacked = checks.zipWithIndex
-      .map { case (c, i) => s"'${c.name.replace("'", "''")}', v$i" }
-      .mkString(", ")
     one.select(
-      expr(s"stack(${checks.size}, $stacked) AS (check_name, violations)"),
-      col("total"))
+        explode(array(checks.zipWithIndex.map { case (c, i) =>
+          struct(lit(c.name).as("check_name"), col(s"v$i").as("violations"))
+        }: _*)).as("kv"),
+        col("total"))
+      .select(col("kv.check_name").as("check_name"),
+        col("kv.violations").as("violations"), col("total"))
   }
 
   /** Key columns must identify rows: violations = rows beyond the first
-    * per key (`total − distinct keys`). */
+    * per key (`total − distinct keys`). Keys are compared as a STRUCT,
+    * so NULL key fields compare equal to each other (GROUP BY
+    * semantics, and DuckDB's `COUNT(DISTINCT (a,b))`) — a bare
+    * multi-column `count_distinct` would DROP every NULL-containing
+    * tuple from the distinct count and report unique NULL-keyed rows
+    * as duplicates. */
   def uniqueAudit(df: DataFrame, keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "DataQuality.uniqueAudit: keys must be non-empty")
     df.agg(count(lit(1)).as("total"),
-        count_distinct(col(keys.head), keys.tail.map(col): _*).as("dk"))
+        count_distinct(struct(keys.map(col): _*)).as("dk"))
       .select(lit(s"unique:${keys.mkString(",")}").as("check_name"),
         (col("total") - col("dk")).as("violations"), col("total"))
   }

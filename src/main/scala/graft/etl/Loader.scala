@@ -320,14 +320,24 @@ final class ParquetLoader(warehouseDir: String, schema: String) extends Loader {
     * ([[Privacy.forgetInWarehouse]]): Spark's dynamic partition
     * overwrite only touches partitions PRESENT in the written frame,
     * so an all-rows-purged partition would otherwise silently survive.
+    * Values are Hive-escaped into directory names exactly as the writer
+    * escapes them (':', '%', '=' …), and a NULL value maps to the
+    * `__HIVE_DEFAULT_PARTITION__` dir — without this, a fully-purged
+    * partition whose value needs escaping (or is NULL) would survive on
+    * disk while the caller reads "dropped".
     * Returns the partitions actually removed. Idempotent. */
   def dropPartitions(spark: SparkSession, table: String,
       parts: Seq[Seq[(String, String)]]): Seq[String] = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     val root = new HPath(dataDir(spark, table))
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     parts.flatMap { kvs =>
       require(kvs.nonEmpty, "dropPartitions: empty partition spec")
-      val p = kvs.foldLeft(root) { case (acc, (k, v)) => new HPath(acc, s"$k=$v") }
+      // getPartitionPathString maps null/empty to DEFAULT_PARTITION_NAME
+      // and Hive-escapes everything else — the writer's own convention
+      val p = kvs.foldLeft(root) { case (acc, (k, v)) =>
+        new HPath(acc, ExternalCatalogUtils.getPartitionPathString(k, v))
+      }
       if (fs.exists(p) && fs.delete(p, true)) Some(p.toString) else None
     }
   }

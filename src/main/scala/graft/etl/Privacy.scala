@@ -45,6 +45,22 @@ object Privacy {
         sum(when(col("_is_subject").isNotNull, 1L).otherwise(0L)).as("n_purged"))
   }
 
+  /** The partition-membership predicate: does this row's partition-key
+    * tuple appear in `parts`? ONE `In` over a struct of the partition
+    * columns — flat at ANY affected-partition count (the optimizer
+    * converts long literal lists to a set lookup), where a per-partition
+    * OR-chain would plan a thousand-term predicate tree for a thousand
+    * partitions. Struct equality compares fields null-safely, so a NULL
+    * partition value matches its own partition (a bare `===` would
+    * silently never match NULL — rows neither purged nor audited).
+    * References only partition columns → static partition pruning. */
+  private[etl] def partitionMembership(
+      partitionCols: Seq[String], parts: Seq[Seq[(String, String)]]): Column = {
+    val key = struct(partitionCols.map(c => col(c).cast("string")): _*)
+    key.isin(parts.map(kvs =>
+      struct(kvs.map { case (_, v) => lit(v).cast("string") }: _*)): _*)
+  }
+
   /** Execute a right-to-be-forgotten purge AGAINST the partitioned
     * parquet warehouse, touching only the partitions that contain
     * subject rows — the partition-pruned rewrite a 100 TB table
@@ -54,15 +70,19 @@ object Privacy {
     *  1. find the partitions holding subject rows (broadcast semi
     *     join, collected — bounded by the table's partition count, the
     *     same contract as [[ParquetLoader.retention]]);
-    *  2. re-read ONLY those partitions (an `isin`/equality predicate on
-    *     the partition columns — STATIC partition pruning in the scan),
+    *  2. re-read ONLY those partitions ([[partitionMembership]] — a
+    *     single set-membership predicate on the partition columns:
+    *     STATIC partition pruning in the scan, plan size O(1) in the
+    *     affected-partition count, NULL partition values included),
     *     anti-join the subjects out, and write back through dynamic
     *     partition overwrite (`upsert_partitions`) — untouched
     *     partitions keep their exact bytes;
     *  3. partitions whose every row was a subject's end up ABSENT from
     *     the written frame — dynamic overwrite would silently leave
     *     them, so they are dropped explicitly
-    *     ([[ParquetLoader.dropPartitions]]).
+    *     ([[ParquetLoader.dropPartitions]], which Hive-escapes values
+    *     and maps NULL to the default-partition dir name, so escaped
+    *     and NULL partitions really come off the disk).
     *
     * Returns the per-partition audit (kept/purged counts over the
     * affected partitions; untouched partitions don't appear — nothing
@@ -84,12 +104,11 @@ object Privacy {
     if (hot.isEmpty)
       return full.limit(0).select(lit("").as("bucket"),
         lit(0L).as("n_kept"), lit(0L).as("n_purged"))
-    def partPred(kvs: Seq[(String, String)]) =
-      kvs.map { case (k, v) => col(k).cast("string") === lit(v) }.reduce(_ && _)
-    val hotPred = hot.map(partPred).reduce(_ || _)
-    val hotScan = loader.table(spark, table).filter(hotPred)
+    val hotScan = loader.table(spark, table)
+      .filter(partitionMembership(partitionCols, hot.toIndexedSeq))
     val audit = forgetAudit(hotScan, subjects, keyCol,
-      concat_ws("/", partitionCols.map(c => concat(lit(c + "="), col(c).cast("string"))): _*))
+      concat_ws("/", partitionCols.map(c =>
+        concat(lit(c + "="), coalesce(col(c).cast("string"), lit("null")))): _*))
       .orderBy(col("bucket"))
       // materialize BEFORE the rewrite mutates the partitions under it
       .localCheckpoint(eager = true)

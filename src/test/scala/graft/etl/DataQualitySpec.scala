@@ -40,6 +40,30 @@ class DataQualitySpec extends SparkSpec {
     assert(out === (("unique:a,b", 1L, 4L)))
   }
 
+  test("rowAudit: check names with quotes/backslashes are data, not SQL") {
+    val out = rowAudit(facts, Seq(
+      RowCheck("it's a 'quoted' name", $"k".isNull),
+      RowCheck("""back\slash, comma""", $"qty".isNull)))
+      .orderBy("check_name")
+      .select("check_name", "violations")
+      .as[(String, Long)].collect().toSeq
+    assert(out === Seq(
+      ("""back\slash, comma""", 1L),
+      ("it's a 'quoted' name", 1L)))
+  }
+
+  test("uniqueAudit: NULL key fields compare equal, unique NULL rows are NOT violations") {
+    // (null,1) appears once → unique; (null,2) twice → 1 violation;
+    // a bare multi-col count_distinct would drop all four NULL tuples
+    // from the distinct count and report 3 violations instead of 1
+    val df = Seq(
+      (None, 1), (Some(1L), 1),
+      (None, 2), (None, 2)).toDF("a", "b")
+    val out = uniqueAudit(df, Seq("a", "b"))
+      .select("violations", "total").as[(Long, Long)].collect().head
+    assert(out === ((1L, 4L)))
+  }
+
   test("refAudit: orphans counted, NULL foreign keys excluded") {
     val dim = Seq(1L, 2L).toDF("pk")
     val out = refAudit(facts, "k", dim, "pk")

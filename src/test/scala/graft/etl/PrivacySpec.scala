@@ -91,6 +91,56 @@ class PrivacySpec extends SparkSpec {
     assert(files("day=d3") === d3Before)
   }
 
+  test("partitionMembership: null-safe, exact, and FLAT at 1k partitions") {
+    val df = Seq(
+      (Some("a"), Some("p"), 1), (None, Some("q"), 2),
+      (Some("b"), None, 3), (Some("a"), Some("q"), 4))
+      .toDF("k1", "k2", "v")
+    // 1000 specs: two real (one with a NULL value) + 998 padding
+    val parts: Seq[Seq[(String, String)]] =
+      Seq(Seq("k1" -> null, "k2" -> "q"), Seq("k1" -> "b", "k2" -> null)) ++
+        (1 to 998).map(i => Seq("k1" -> s"z$i", "k2" -> s"w$i"))
+    val pred = Privacy.partitionMembership(Seq("k1", "k2"), parts)
+    val out = df.filter(pred).select("v").as[Int].collect().sorted.toSeq
+    assert(out === Seq(2, 3), "NULL partition values must match their own partition")
+    // flat plan: ONE membership predicate, not a 1000-term OR tree
+    val plan = df.filter(pred).queryExecution.optimizedPlan.toString
+    assert(!plan.contains(" OR "), s"expected a set membership, got an OR chain:\n${plan.take(500)}")
+    assert(plan.length < 100000, s"plan string blew up: ${plan.length} chars")
+  }
+
+  test("forgetInWarehouse: NULL and escape-needing partition values are purged for real") {
+    val wh = java.nio.file.Files.createTempDirectory("graft_privacy_wh3").toString
+    val loader = new ParquetLoader(wh, "s")
+    loader.ensureNamespace()
+    loader.load(Seq(
+      (1L, "d:1", 10.0),          // ':' needs Hive escaping on disk → fully purged
+      (1L, null.asInstanceOf[String], 11.0), // NULL partition → fully purged
+      (1L, "d2", 12.0), (2L, "d2", 20.0),    // mixed → rewritten
+      (3L, "d3", 30.0))                      // untouched
+      .toDF("user_id", "day", "v"),
+      "events", "replace", partitionBy = Seq("day"))
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def dirs() = fs.listStatus(new org.apache.hadoop.fs.Path(s"$wh/s/events"))
+      .filter(_.isDirectory).map(_.getPath.getName).sorted.toSeq
+
+    val audit = Privacy.forgetInWarehouse(spark, loader, "events",
+        Seq(1L).toDF("user_id"), "user_id", Seq("day"))
+      .select("bucket", "n_kept", "n_purged").as[(String, Long, Long)]
+      .collect().toSeq
+    assert(audit === Seq(
+      ("day=d2", 1L, 1L), ("day=d:1", 0L, 1L), ("day=null", 0L, 1L)))
+
+    // subject gone everywhere; survivors intact
+    val left = loader.table(spark, "events")
+      .select("user_id", "v").as[(Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(left === Seq((2L, 20.0), (3L, 30.0)))
+    // the escaped and NULL partitions are really off the disk — no
+    // stale `day=d%3A1` / `day=__HIVE_DEFAULT_PARTITION__` survivors
+    assert(dirs() === Seq("day=d2", "day=d3"))
+  }
+
   test("forgetInWarehouse: no subject rows → no-op, empty audit") {
     val wh = java.nio.file.Files.createTempDirectory("graft_privacy_wh2").toString
     val loader = new ParquetLoader(wh, "s")
