@@ -20,9 +20,29 @@ object Bench {
     // host state AT START (VERDICT r9 item 4): idleness matters when the
     // timings begin, not at report time. A loaded host or a foreign JVM
     // alive NOW is what poisons the numbers — flag the whole record.
-    val loadAtStart = loadavg()
-    val strayAtStart = strayJvms()
-    val contaminated = loadAtStart.headOption.exists(_ > 1.0) || strayAtStart.nonEmpty
+    // Pre-flight WAIT-AND-RETRY (VERDICT r15 item 3): the r14 and r15
+    // driver records both arrived `contaminated: true` because the
+    // driver benches right after other work while loadavg is still
+    // draining. Rather than record a poisoned run, wait (bounded —
+    // default 5 min, SPARK_GRAFT_PREFLIGHT_WAIT_S overrides; 0 disables)
+    // for the host to go idle, re-checking every 15 s. If the budget
+    // runs out busy, run anyway and flag the record as before.
+    var loadAtStart = loadavg()
+    var strayAtStart = strayJvms()
+    def busy: Boolean = loadAtStart.headOption.exists(_ > 1.0) || strayAtStart.nonEmpty
+    val waitBudgetS = sys.env.get("SPARK_GRAFT_PREFLIGHT_WAIT_S")
+      .flatMap(_.toIntOption).getOrElse(300).max(0)
+    val waitT0 = System.nanoTime()
+    var waitedS = 0L
+    while (busy && waitedS < waitBudgetS) {
+      System.err.println(f"[bench] pre-flight: host busy (load=${loadAtStart.headOption.getOrElse(-1.0)}%.2f, " +
+        s"stray=${strayAtStart.size}) — waiting 15s (${waitedS}s/${waitBudgetS}s used)")
+      Thread.sleep(15000)
+      waitedS = (System.nanoTime() - waitT0) / 1000000000L
+      loadAtStart = loadavg()
+      strayAtStart = strayJvms()
+    }
+    val contaminated = busy
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -143,7 +163,7 @@ object Bench {
         s""""contaminated":$contaminated"""
     val record =
       s"""{"metric":"conformance_total_s","unit":"sec",$headline,""" +
-        s""""reps":$reps,"sync_fixture_s":${f"$fixtureSec%.3f"},""" +
+        s""""reps":$reps,"preflight_wait_s":$waitedS,"sync_fixture_s":${f"$fixtureSec%.3f"},""" +
         s""""max_heap_mib":$maxHeapMib,"loadavg_start":${fmtLoad(loadAtStart)},""" +
         s""""loadavg":${fmtLoad(loadavg())},""" +
         s""""stray_jvms":${strayAtStart.map("\"" + _.replace("\"", "'") + "\"").mkString("[", ",", "]")},""" +
