@@ -170,10 +170,13 @@ object Main {
     }
   }
 
-  /** Column-level lineage of a declared query ([[plans.Lineage]]) —
-    * the governance companion to `explain`: which source columns feed
-    * each output column (value lineage), plus the filter/join control
-    * columns. Plan analysis only; nothing executes. */
+  /** Column-level lineage of a declared query OR a catalog table/view
+    * ([[plans.Lineage]]) — the governance companion to `explain`: which
+    * source columns feed each output column (value lineage), plus the
+    * filter/join control columns. A name that isn't a declared query is
+    * resolved against the session catalog, so `lineage costs` answers
+    * straight off the durable view with METASTORE_DIR set. Plan
+    * analysis only; nothing executes. */
   private def lineageQuery(args: List[String]): Unit = {
     val (name, dir) = args match {
       case n :: "--sf-dir" :: d :: Nil => (n, d)
@@ -181,24 +184,28 @@ object Main {
         (n, sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
       case _ => usage()
     }
-    Queries.byName.get(name) match {
-      case None =>
-        System.err.println(s"unknown declared query: $name")
-        sys.exit(2)
-      case Some(q) =>
-        val cfg = EngineConfig.fromEnv()
-        val spark = session(cfg)
-        try {
-          val df = q.fn(spark, dir)
-          plans.Lineage.columnLineage(df).toSeq.sortBy(_._1).foreach {
-            case (out, srcs) =>
-              println(s"$out <- ${srcs.toSeq.sorted.mkString(", ")}")
+    val cfg = EngineConfig.fromEnv()
+    val spark = session(cfg)
+    try {
+      val df = Queries.byName.get(name) match {
+        case Some(q) => q.fn(spark, dir)
+        case None =>
+          try spark.table(name)
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            System.err.println(s"'$name' is neither a declared query nor a catalog table/view")
+            System.err.println(
+              s"declared: ${Queries.all.map(_.name).sorted.mkString(", ")}")
+            sys.exit(2)
           }
-          val ctl = plans.Lineage.controlColumns(df)
-          if (ctl.nonEmpty)
-            println(s"[control] ${ctl.toSeq.sorted.mkString(", ")}")
-        } finally spark.stop()
-    }
+      }
+      plans.Lineage.columnLineage(df).toSeq.sortBy(_._1).foreach {
+        case (out, srcs) =>
+          println(s"$out <- ${srcs.toSeq.sorted.mkString(", ")}")
+      }
+      val ctl = plans.Lineage.controlColumns(df)
+      if (ctl.nonEmpty)
+        println(s"[control] ${ctl.toSeq.sorted.mkString(", ")}")
+    } finally spark.stop()
   }
 
   /** Small-files maintenance for the parquet warehouse (see

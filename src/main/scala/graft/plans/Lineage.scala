@@ -46,10 +46,13 @@ object Lineage {
     }.flatten.toSet
   }
 
+  private def baseName(n: String): String =
+    n.stripSuffix(".parquet").stripSuffix(".orc").stripSuffix(".csv")
+
   private def label(l: LogicalRelation): String = l.relation match {
     case h: HadoopFsRelation =>
       h.location.rootPaths.headOption
-        .map(p => p.getName.stripSuffix(".parquet").stripSuffix(".orc").stripSuffix(".csv"))
+        .map(p => baseName(p.getName))
         .getOrElse("relation")
     case _ => l.catalogTable.map(_.identifier.table).getOrElse("relation")
   }
@@ -99,6 +102,26 @@ object Lineage {
       }
       ch ++ merged
     case sa: SubqueryAlias => trace(sa.child)
+    // catalog views (the durable `costs` view is the governance surface
+    // users actually query): the view's output IS its stored plan's
+    // output, so lineage flows through to the base tables — a consumer
+    // of `costs.cost` sees the per-source normalized parquet columns
+    case v: View => trace(v.child)
+    // streaming sources: a `readStream` plan's leaf is a
+    // StreamingRelation (V1 file sources) — label by the source path's
+    // basename so stream lineage reads like its batch twin
+    case sr: org.apache.spark.sql.execution.streaming.runtime.StreamingRelation =>
+      val src = sr.dataSource.options.get("path")
+        .map(p => baseName(new org.apache.hadoop.fs.Path(p).getName))
+        .getOrElse(sr.sourceName)
+      sr.output.map(a => a.exprId -> Set(s"$src.${a.name}")).toMap
+    case s2: org.apache.spark.sql.catalyst.streaming.StreamingRelationV2 =>
+      s2.output.map(a => a.exprId -> Set(s"${s2.sourceName}.${a.name}")).toMap
+    // any other leaf (DSv2 relations, ranges, …): label by node name so
+    // unknown sources still attribute deterministically instead of `?`
+    case leaf if leaf.children.isEmpty =>
+      val src = leaf.nodeName.toLowerCase(java.util.Locale.ROOT)
+      leaf.output.map(a => a.exprId -> Set(s"$src.${a.name}")).toMap
     case _ =>
       // joins, filters, sorts, limits, repartitions, … : output attrs
       // pass through from whichever child owns them

@@ -68,6 +68,36 @@ class LineageSpec extends SparkSpec {
     assert(gen("x") === Set("orders.price"))
   }
 
+  test("catalog view (the `costs` serving shape): lineage flows through to base tables") {
+    // the durable-DDL pattern CostsView.createDurable emits: a UNION ALL
+    // view over SQL-addressable parquet refs
+    spark.sql(
+      s"""CREATE OR REPLACE VIEW lin_costs AS
+         |SELECT o_id AS k, price AS cost FROM parquet.`$ordersDir`
+         |UNION ALL
+         |SELECT c_id AS k, CAST(c_id AS DOUBLE) AS cost FROM parquet.`$custDir`
+         |WHERE nation = 'FR'""".stripMargin)
+    try {
+      val v = spark.table("lin_costs")
+      val lin = Lineage.columnLineage(v)
+      assert(lin("k") === Set("orders.o_id", "customer.c_id"))
+      assert(lin("cost") === Set("orders.price", "customer.c_id"))
+      // the view's WHERE is a control dependency, surfaced separately
+      assert(Lineage.controlColumns(v) === Set("customer.nation"))
+    } finally spark.sql("DROP VIEW IF EXISTS lin_costs")
+  }
+
+  test("streaming source: readStream lineage labels by the source path") {
+    val sch = spark.read.parquet(ordersDir).schema
+    val stream = spark.readStream.schema(sch).parquet(ordersDir)
+      .filter(col("cust") > 0L)
+      .select(col("o_id"), (col("price") * 2).as("dbl"))
+    val lin = Lineage.columnLineage(stream)
+    assert(lin("o_id") === Set("orders.o_id"))
+    assert(lin("dbl") === Set("orders.price"))
+    assert(Lineage.controlColumns(stream) === Set("orders.cust"))
+  }
+
   test("the privacy question: which served columns depend on a subject key") {
     val served = orders.join(customer, col("cust") === col("c_id"))
       .select(col("nation"), (col("price") + col("cust")).as("weird"), col("price"))
