@@ -73,6 +73,62 @@ object MaterializedView {
     try body
     finally spark.experimental.extraOptimizations = prev
   }
+
+  private val PropBase = "graft.mv.basePath"
+  private val PropKeys = "graft.mv.keys"
+  private val PropValue = "graft.mv.valueCol"
+
+  // Spark SQL string literals escape with BACKSLASHES (doubled quotes
+  // would concatenate adjacent literals) — same rule DataQuality.rowAudit
+  // learned the hard way
+  private def sqlStr(s: String): String =
+    "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+  /** Register a maintained partials table as a CATALOG table carrying
+    * its own rewrite metadata: the parquet at `mvPath` becomes an
+    * external table named `name`, with base path / keys / value column
+    * in TBLPROPERTIES. With a persistent metastore
+    * ([[graft.etl.Sessions.durableCatalog]]) the definition survives a
+    * restart — a fresh session calls [[fromCatalog]] and serves, the
+    * same durability contract the `costs` view has. The base path is
+    * stored fully qualified, so the rewrite's exact-URI match is
+    * independent of the registering process's working directory. */
+  def register(
+      spark: SparkSession, name: String, mvPath: String,
+      basePath: String, keys: Seq[String], valueCol: String): Unit = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"MV table name must be a plain SQL identifier, got '$name'")
+    require(keys.nonEmpty && keys.forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")),
+      s"MV keys must be plain identifiers, got ${keys.mkString(",")}")
+    val conf = spark.sessionState.newHadoopConf()
+    def q(p: String) = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(conf).makeQualified(hp).toString
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(
+      s"""CREATE TABLE $name USING parquet LOCATION ${sqlStr(q(mvPath))}
+         |TBLPROPERTIES (
+         |  ${sqlStr(PropBase)} = ${sqlStr(q(basePath))},
+         |  ${sqlStr(PropKeys)} = ${sqlStr(keys.mkString(","))},
+         |  ${sqlStr(PropValue)} = ${sqlStr(valueCol)})""".stripMargin)
+  }
+
+  /** Rebuild an [[MvDef]] from a catalog table written by [[register]]
+    * — the restart half of the durability contract. */
+  def fromCatalog(spark: SparkSession, name: String): MvDef = {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(name))
+    val p = meta.properties
+    def prop(k: String): String = p.getOrElse(k,
+      throw new IllegalArgumentException(
+        s"catalog table '$name' has no '$k' property — not a registered MV"))
+    MvDef(prop(PropBase), spark.table(name), prop(PropKeys).split(',').toSeq, prop(PropValue))
+  }
+
+  /** [[serveWith]] over definitions reconstructed from the catalog. */
+  def serveFromCatalog[T](spark: SparkSession, names: Seq[String])(body: => T): T =
+    serveWith(spark, names.map(fromCatalog(spark, _)))(body)
 }
 
 class RewriteToMv(defs: Seq[MaterializedView.MvDef]) extends Rule[LogicalPlan] {
@@ -124,7 +180,12 @@ class RewriteToMv(defs: Seq[MaterializedView.MvDef]) extends Rule[LogicalPlan] {
       case a: AttributeReference if d.keys.contains(a.name) => a
       case _ => return None
     }
-    val mvPlan = d.mv.queryExecution.analyzed
+    // strip SubqueryAliases: this rule runs AFTER the optimizer batch
+    // that eliminates them, and the physical planner has no strategy
+    // for a bare alias (a catalog-table MV arrives as
+    // SubqueryAlias(Relation) from spark.table)
+    val mvPlan = org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases(
+      d.mv.queryExecution.analyzed)
     val mvAttr: Map[String, Attribute] = mvPlan.output.map(a => a.name -> a).toMap
     if (!(d.keys ++ Seq("cnt", "sum_v", "min_v", "max_v")).forall(mvAttr.contains)) return None
 

@@ -62,4 +62,51 @@ class DurableCatalogSpec extends SparkSpec {
       SparkSession.setActiveSession(shared)
     }
   }
+
+  test("registered MV definition survives a restart and serves the rewrite") {
+    import graft.plans.MaterializedView
+    val shared = spark
+    val meta = Files.createTempDirectory("graft_meta_mv").toString
+    val baseDir = Files.createTempDirectory("graft_mv_base_d").toString + "/events"
+    val mvDir = Files.createTempDirectory("graft_mv_state_d").toString + "/partials"
+
+    def restart(): SparkSession = {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      Sessions.durableCatalog(SparkSession.builder(), meta).getOrCreate()
+    }
+
+    try {
+      // ---- session 1: base data, maintained partials, registration
+      val s1 = restart()
+      import s1.implicits._
+      Seq(("click", 1L, 1.5), ("click", 2L, 2.5), ("view", 1L, 8.0), ("view", 3L, 0.5))
+        .toDF("event_type", "user_id", "value")
+        .write.mode("overwrite").parquet(baseDir)
+      Incremental.partials(s1.read.parquet(baseDir), Seq("event_type", "user_id"), "value")
+        .write.mode("overwrite").parquet(mvDir)
+      MaterializedView.register(s1, "mv_events", mvDir,
+        baseDir, Seq("event_type", "user_id"), "value")
+
+      // ---- session 2: fresh catalog state — the MvDef must come back
+      // from the metastore and the rewrite must fire
+      val s2 = restart()
+      assert(s2 ne s1)
+      def rollup() = s2.read.parquet(baseDir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast(graft.Qh.Dec)).as("total"))
+        .orderBy(col("event_type"))
+      val direct = rollup().collect().toSeq
+      MaterializedView.serveFromCatalog(s2, Seq("mv_events")) {
+        val plan = rollup().queryExecution.executedPlan.toString
+        assert(plan.contains("partials") && !plan.contains("graft_mv_base_d"),
+          s"expected the restarted session to serve from the MV:\n$plan")
+        assert(rollup().collect().toSeq === direct)
+      }
+    } finally {
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
+  }
 }
