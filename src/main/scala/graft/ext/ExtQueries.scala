@@ -3548,6 +3548,31 @@ object ExtQueries {
       FROM events WHERE user_id >= 100 AND user_id < 600
       GROUP BY event_type ORDER BY event_type"""))
 
+  // Tokenizer round trip: BPE DECODE ([[TextOps.bpeDecode]]) — the
+  // detokenization half of the e48/e50 tokenizer: encode the corpus
+  // with a freshly fitted model, decode the id arrays back, and emit
+  // the reconstructed text. The oracle computes the normalized
+  // character stream DIRECTLY from the raw text (pre-tokenizer classes
+  // concatenated), so the hash match proves the whole
+  // fit→encode→decode chain is LOSSLESS — every merge, symbol id, and
+  // position survives the round trip. Decode's plan mirrors encode's:
+  // map-only explode + broadcast symbol join + one reassembly
+  // exchange; at 100 TB detokenization streams like tokenization.
+  val e99 = Q(
+    "e99_bpe_decode_roundtrip",
+    (s, d) => {
+      val docs = T.documents(s, d)
+      val model = TextOps.bpeFit(docs, "text", rounds = 6)
+      val enc = TextOps.bpeEncode(docs, "doc_id", "text", model)
+      TextOps.bpeDecode(enc, Seq("doc_id"), "token_ids", model)
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+        array_to_string(regexp_extract_all(lower(text), '[a-z]+|[0-9]+'), '') AS text_rt
+      FROM documents
+      WHERE len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) > 0
+      ORDER BY doc_id"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
@@ -3555,5 +3580,5 @@ object ExtQueries {
       e45, e46, e47, e48, e49, e50, e51, e52, e53, e54, e55, e56, e57, e58, e59,
       e60, e61, e62, e63, e64, e65, e66, e67, e68, e69, e70, e71, e72, e73, e74,
       e75, e76, e77, e78, e79, e80, e81, e82, e83, e84, e85, e86, e87, e88, e89,
-      e90, e91, e92, e93, e94, e95, e96, e97, e98)
+      e90, e91, e92, e93, e94, e95, e96, e97, e98, e99)
 }

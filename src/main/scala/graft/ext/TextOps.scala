@@ -686,6 +686,37 @@ object TextOps {
         count(when(col("j") === 0, 1)).cast(LongType).as("n_words"))
   }
 
+  /** Decode subword ids back to text — the DETOKENIZATION half of the
+    * tokenizer handoff (inspection, sample dumps, contamination spot
+    * checks all read tokens back as text). Map-only + one broadcast
+    * join against the bounded symbol table + the per-document
+    * reassembly exchange — the exact mirror of [[bpeEncode]]'s plan.
+    * The encoder flattens a document's subwords into one id array, so
+    * decode reconstructs the NORMALIZED character stream (the
+    * pre-tokenizer classes concatenated in order); word segmentation
+    * rides separately in `n_words` where a caller needs it.
+    * Round-trip contract (declared e99 hash-checks it): for a model
+    * fitted on the same pre-tokenizer classes,
+    * `decode(encode(text)) == concat(classes(lower(text)))` — subword
+    * ids are lossless. Documents with zero pre-tokenizer matches have
+    * no encoded row to decode (same as [[bpeEncode]]).
+    * Output: idCols ++ (text_rt). */
+  def bpeDecode(df: DataFrame, idCols: Seq[String], tokensCol: String,
+      model: BpeModel): DataFrame = {
+    require(idCols.nonEmpty, "bpeDecode needs at least one id column")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val symDf = broadcast(model.symbols.zipWithIndex
+      .map { case ((s, _), i) => (i.toLong, s) }.toDF("sym_id", "sym"))
+    df.select(idCols.map(col) :+
+        posexplode(col(tokensCol)).as(Seq("j", "sym_id")): _*)
+      .join(symDf, "sym_id")
+      .groupBy(idCols.map(col): _*)
+      .agg(concat_ws("",
+        transform(array_sort(collect_list(struct(col("j"), col("sym")))),
+          x => x.getField("sym"))).as("text_rt"))
+  }
+
   /** Content fingerprint: md5 of the case-folded text — the exact-dup
     * key for E1 at scale (hash once, group by 16 bytes, never by the
     * full text). */

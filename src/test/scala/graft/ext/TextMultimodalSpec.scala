@@ -532,6 +532,28 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("bpe decode: distributed detokenization round-trips the corpus") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf001).limit(80)
+    val model = TextOps.bpeFit(docs, "text", rounds = 6)
+    val enc = TextOps.bpeEncode(docs, "doc_id", "text", model)
+    val rt = TextOps.bpeDecode(enc, Seq("doc_id"), "token_ids", model)
+      .as[(Long, String)].collect().toMap
+    val expect = docs.select(col("doc_id"),
+      concat_ws("",
+        regexp_extract_all(lower(col("text")), lit("[a-z]+|[0-9]+"), lit(0))).as("t"))
+      .as[(Long, String)].collect().toMap
+    expect.foreach { case (id, t) =>
+      if (t.nonEmpty) assert(rt(id) == t, s"doc $id decode roundtrip")
+      else assert(!rt.contains(id), s"doc $id has no tokens, must be absent")
+    }
+    // plan shape: the symbol join is a broadcast — the corpus never
+    // shuffles for the symbol lookup
+    val plan = TextOps.bpeDecode(enc, Seq("doc_id"), "token_ids", model)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast symbol join:\n$plan")
+  }
+
   test("bpe encode scale shape: broadcast symbol join, one reassembly exchange") {
     import spark.implicits._
     val docs = graft.Tables.documents(spark, sf001)
