@@ -3614,6 +3614,43 @@ object ExtQueries {
          OR a.o_custkey <> b.o_custkey OR a.price <> b.price
       ORDER BY o_orderkey"""))
 
+  // Warehouse governance: DISTRIBUTION-DRIFT AUDIT (PSI —
+  // [[graft.etl.DataQuality.psiDrift]]) — the population-stability
+  // check a pipeline runs between segments/snapshots before trusting
+  // new data: view-event values vs purchase-event values binned into
+  // 20 equal buckets, Laplace-smoothed shares, per-bucket
+  // (p−q)·ln(p/q) in floor-quantized MICRO units (the e60 integer
+  // convention that hides last-ulp ln() divergence between engines —
+  // the hash pins binning, clamping, smoothing, and the quantized
+  // drift arithmetic together). Scale shape: one scan per side
+  // collapsing map-side to ≤20 rows; row-wise nothing ever shuffles.
+  val e101 = Q(
+    "e101_psi_drift",
+    (s, d) => {
+      val ev = T.events(s, d)
+      graft.etl.DataQuality.psiDrift(
+          ev.filter(col("event_type") === "view").select(col("value")),
+          ev.filter(col("event_type") === "purchase").select(col("value")),
+          "value", bins = 20, lo = 0.0, hi = 500.0)
+        .orderBy(col("bin"))
+    },
+    Some("""WITH b AS (SELECT LEAST(19, GREATEST(0, CAST(FLOOR((value - 0.0) / 25.0) AS INT))) AS bin,
+          COUNT(*) AS n_before
+        FROM events WHERE event_type = 'view' AND value IS NOT NULL GROUP BY 1),
+      a AS (SELECT LEAST(19, GREATEST(0, CAST(FLOOR((value - 0.0) / 25.0) AS INT))) AS bin,
+          COUNT(*) AS n_after
+        FROM events WHERE event_type = 'purchase' AND value IS NOT NULL GROUP BY 1),
+      j AS (SELECT COALESCE(b.bin, a.bin) AS bin,
+          COALESCE(n_before, 0) AS n_before, COALESCE(n_after, 0) AS n_after
+        FROM b FULL OUTER JOIN a ON a.bin = b.bin),
+      t AS (SELECT SUM(n_before) AS tb, SUM(n_after) AS ta FROM j),
+      s AS (SELECT bin, n_before, n_after,
+          (n_before + 1.0) / (tb + 20.0) AS p, (n_after + 1.0) / (ta + 20.0) AS q
+        FROM j, t)
+      SELECT bin, CAST(n_before AS BIGINT) AS n_before, CAST(n_after AS BIGINT) AS n_after,
+        CAST(FLOOR(((p - q) * LN(p / q)) * 1000000.0) AS BIGINT) AS psi_contrib_micro
+      FROM s ORDER BY bin"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
@@ -3621,5 +3658,5 @@ object ExtQueries {
       e45, e46, e47, e48, e49, e50, e51, e52, e53, e54, e55, e56, e57, e58, e59,
       e60, e61, e62, e63, e64, e65, e66, e67, e68, e69, e70, e71, e72, e73, e74,
       e75, e76, e77, e78, e79, e80, e81, e82, e83, e84, e85, e86, e87, e88, e89,
-      e90, e91, e92, e93, e94, e95, e96, e97, e98, e99, e100)
+      e90, e91, e92, e93, e94, e95, e96, e97, e98, e99, e100, e101)
 }

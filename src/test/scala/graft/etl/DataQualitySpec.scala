@@ -76,6 +76,27 @@ class DataQualitySpec extends SparkSpec {
       .select("violations").as[Long].collect().head === 1L)
   }
 
+  test("psiDrift: hand-computed buckets, smoothing, clamping, micro quantization") {
+    val before = Seq(1.0, 2.0, 7.0).toDF("v")
+    val after = Seq(6.0, 8.0, 12.0).toDF("v") // 12.0 clamps into the top bucket
+    val out = DataQuality.psiDrift(before, after, "v", bins = 2, lo = 0.0, hi = 10.0)
+      .orderBy("bin")
+      .select("bin", "n_before", "n_after", "psi_contrib_micro")
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    def contrib(nb: Long, na: Long, tb: Long, ta: Long): Long = {
+      val p = (nb + 1.0) / (tb + 2.0); val q = (na + 1.0) / (ta + 2.0)
+      math.floor(((p - q) * math.log(p / q)) * 1000000.0).toLong
+    }
+    assert(out === Seq(
+      (0, 2L, 0L, contrib(2, 0, 3, 3)),
+      (1, 1L, 3L, contrib(1, 3, 3, 3))))
+    // PSI of a population against itself is ~0 (all contributions 0)
+    val self = DataQuality.psiDrift(before, before, "v", 4, 0.0, 10.0)
+      .agg(org.apache.spark.sql.functions.sum("psi_contrib_micro"))
+      .as[Long].collect().head
+    assert(self === 0L)
+  }
+
   test("report: unions audits into one name-ordered frame") {
     val rep = report(Seq(
       uniqueAudit(facts, Seq("k")),
