@@ -3651,6 +3651,42 @@ object ExtQueries {
         CAST(FLOOR(((p - q) * LN(p / q)) * 1000000.0) AS BIGINT) AS psi_contrib_micro
       FROM s ORDER BY bin"""))
 
+  // Embedding governance: CENTROID DRIFT ([[Similarity.centroidDrift]])
+  // — the vector companion of e101's PSI: label-0 vs label-1 embedding
+  // populations compared per component (which directions of the space
+  // moved), means computed the order-independent, engine-exact way
+  // (per-component values floor-quantized to integer NANOS — below
+  // float32's own resolution — and summed exactly; a high-scale
+  // decimal cast would pick up sub-1e-12 engine rounding differences)
+  // so the derived doubles hash bit-identically across engines, with
+  // the shift floor-quantized to micro units.
+  // Scale shape: posexplode fans vectors into (component, value) pairs
+  // that partially aggregate map-side to ≤64 rows per task before one
+  // dim-sized exchange; the join/arithmetic touch ≤64 rows.
+  val e102 = Q(
+    "e102_embedding_centroid_drift",
+    (s, d) => {
+      val em = T.embeddings(s, d)
+      Similarity.centroidDrift(
+          em.filter(col("label") === 0).select(col("embedding")),
+          em.filter(col("label") === 1).select(col("embedding")),
+          "embedding")
+        .orderBy(col("i"))
+    },
+    Some("""WITH b AS (SELECT CAST(t.i - 1 AS INT) AS i,
+          CAST(SUM(CAST(FLOOR(CAST(embedding[t.i] AS DOUBLE) * 1000000000.0) AS BIGINT)) AS DOUBLE)
+            / COUNT(*) / 1000000000.0 AS mean_before
+        FROM embeddings, UNNEST(range(1, LEN(embedding)+1)) AS t(i)
+        WHERE label = 0 AND embedding IS NOT NULL GROUP BY 1),
+      a AS (SELECT CAST(t.i - 1 AS INT) AS i,
+          CAST(SUM(CAST(FLOOR(CAST(embedding[t.i] AS DOUBLE) * 1000000000.0) AS BIGINT)) AS DOUBLE)
+            / COUNT(*) / 1000000000.0 AS mean_after
+        FROM embeddings, UNNEST(range(1, LEN(embedding)+1)) AS t(i)
+        WHERE label = 1 AND embedding IS NOT NULL GROUP BY 1)
+      SELECT b.i AS i, mean_before, mean_after,
+        CAST(FLOOR(ABS(mean_before - mean_after) * 1000000.0) AS BIGINT) AS shift_micro
+      FROM b JOIN a ON a.i = b.i ORDER BY b.i"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
@@ -3658,5 +3694,5 @@ object ExtQueries {
       e45, e46, e47, e48, e49, e50, e51, e52, e53, e54, e55, e56, e57, e58, e59,
       e60, e61, e62, e63, e64, e65, e66, e67, e68, e69, e70, e71, e72, e73, e74,
       e75, e76, e77, e78, e79, e80, e81, e82, e83, e84, e85, e86, e87, e88, e89,
-      e90, e91, e92, e93, e94, e95, e96, e97, e98, e99, e100, e101)
+      e90, e91, e92, e93, e94, e95, e96, e97, e98, e99, e100, e101, e102)
 }

@@ -1130,4 +1130,38 @@ object Similarity {
         coalesce(col("vec_rn"), lit(-1L)).as("vec_rn"),
         col("rrf_micro"), col("rn"))
   }
+
+  /** Embedding-distribution drift between two populations: the
+    * per-component centroid shift — the vector-column companion of
+    * [[graft.etl.DataQuality.psiDrift]] (which components of the
+    * embedding space moved between segments/snapshots is the audit a
+    * retrained encoder, a corpus refresh, or a contaminated batch
+    * shows up in first). Means are ORDER-INDEPENDENT and engine-exact:
+    * each component value is floor-quantized to 1e-9 (an order of
+    * magnitude below float32's own resolution at unit scale ~1.2e-7,
+    * so the audit loses nothing) and summed as an exact INTEGER — a
+    * high-scale decimal cast of full-precision floats picks up
+    * sub-1e-12 engine rounding differences; integer nanos cannot. The
+    * shift is emitted in floor-quantized micro units alongside the
+    * derived means.
+    *
+    * Scale shape: one scan per side — `posexplode` fans each vector
+    * into (component, value) pairs that partially aggregate map-side
+    * to ≤ dim rows per task before ONE exchange of dim-sized partials;
+    * the join and arithmetic run on ≤ dim rows. Nothing row-wise is
+    * collected or broadcast at any corpus size. (Int64 nano sums bound
+    * one component's population at ~9e9 vectors; beyond that, widen
+    * the sum to decimal — exact either way.) */
+  def centroidDrift(before: DataFrame, after: DataFrame, vecCol: String): DataFrame = {
+    def centroid(df: DataFrame, n: String) =
+      df.filter(col(vecCol).isNotNull)
+        .select(posexplode(col(vecCol)).as(Seq("i", "x")))
+        .groupBy(col("i"))
+        .agg(((sum(floor(col("x").cast(DoubleType) * lit(1000000000.0)).cast(LongType))
+          .cast(DoubleType) / count(lit(1))) / lit(1000000000.0)).as(n))
+    centroid(before, "mean_before").join(centroid(after, "mean_after"), Seq("i"))
+      .select(col("i"), col("mean_before"), col("mean_after"),
+        floor(abs(col("mean_before") - col("mean_after")) * lit(1000000.0))
+          .cast(LongType).as("shift_micro"))
+  }
 }

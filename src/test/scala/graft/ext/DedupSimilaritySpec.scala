@@ -11,6 +11,21 @@ class DedupSimilaritySpec extends SparkSpec {
   private lazy val docs = T.documents(spark, sf001).cache()
   private lazy val embs = T.embeddings(spark, sf001).cache()
 
+  test("centroid drift: hand-computed per-component means and micro shift") {
+    import spark.implicits._
+    val before = Seq(Array(1.0f, 3.0f), Array(3.0f, 5.0f)).toDF("embedding")
+    val after = Seq(Array(0.0f, 2.0f)).toDF("embedding")
+    val out = Similarity.centroidDrift(before, after, "embedding")
+      .orderBy("i").as[(Int, Double, Double, Long)].collect().toSeq
+    assert(out === Seq(
+      (0, 2.0, 0.0, 2000000L),
+      (1, 4.0, 2.0, 2000000L)))
+    // drift against itself is exactly zero in every component
+    val self = Similarity.centroidDrift(before, before, "embedding")
+      .agg(sum("shift_micro")).as[Long].collect().head
+    assert(self === 0L)
+  }
+
   test("E1: exact dedup is idempotent and keyed") {
     import spark.implicits._
     val df = Seq((1, "a"), (2, "a"), (3, "b")).toDF("id", "k")
