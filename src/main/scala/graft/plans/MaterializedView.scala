@@ -52,10 +52,13 @@ import org.apache.spark.sql.types.DecimalType
   * child to the attribute-only Project this rule recognizes; use
   * [[MaterializedView.serveWith]] to scope registration to a block.
   *
-  * Limitation (documented, not load-bearing for correctness): each
-  * MvDef's plan is instantiated once per rule application, so a query
-  * that matches the SAME view twice keeps only the first rewrite
-  * eligible; the second occurrence is left on the base table.
+  * When several registered views match one aggregate, the COARSEST
+  * (fewest keys) wins — its partials table has the fewest rows, so it
+  * is the cheapest exact serve (the rollup-lattice rule every MV
+  * advisor applies). Each rewrite instantiates the MV plan with FRESH
+  * exprIds (`MultiInstanceRelation.newInstance`), so one view can
+  * serve multiple occurrences in the same query (e.g. a union of two
+  * rollups over the base) without duplicate-attribute conflicts.
   */
 object MaterializedView {
 
@@ -136,7 +139,9 @@ class RewriteToMv(defs: Seq[MaterializedView.MvDef]) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg @ Aggregate(groupings, aggExprs, child, _) =>
-      defs.iterator.flatMap(d => tryRewrite(groupings, aggExprs, child, d))
+      // coarsest matching view first: fewest keys = fewest partial rows
+      defs.sortBy(_.keys.size).iterator
+        .flatMap(d => tryRewrite(groupings, aggExprs, child, d))
         .nextOption().getOrElse(agg)
   }
 
@@ -183,9 +188,16 @@ class RewriteToMv(defs: Seq[MaterializedView.MvDef]) extends Rule[LogicalPlan] {
     // strip SubqueryAliases: this rule runs AFTER the optimizer batch
     // that eliminates them, and the physical planner has no strategy
     // for a bare alias (a catalog-table MV arrives as
-    // SubqueryAlias(Relation) from spark.table)
+    // SubqueryAlias(Relation) from spark.table); then re-instantiate
+    // with FRESH exprIds so the same view can serve multiple
+    // occurrences in one query (two subtrees sharing attribute ids
+    // would make the rewritten plan unresolvable)
     val mvPlan = org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases(
-      d.mv.queryExecution.analyzed)
+      d.mv.queryExecution.analyzed) match {
+      case m: org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation =>
+        m.newInstance().asInstanceOf[LogicalPlan]
+      case other => other
+    }
     val mvAttr: Map[String, Attribute] = mvPlan.output.map(a => a.name -> a).toMap
     if (!(d.keys ++ Seq("cnt", "sum_v", "min_v", "max_v")).forall(mvAttr.contains)) return None
 

@@ -170,6 +170,55 @@ class MvRewriteSpec extends SparkSpec {
     }
   }
 
+  test("one view serves MULTIPLE occurrences in the same query (fresh exprIds)") {
+    val q = () => {
+      val byType = spark.read.parquet(baseDir)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("c"))
+        .select(col("event_type").as("g"), col("c"))
+      val byDay = spark.read.parquet(baseDir)
+        .groupBy(col("day")).agg(count(lit(1)).as("c"))
+        .select(col("day").as("g"), col("c"))
+      byType.unionByName(byDay).orderBy(col("g"))
+    }
+    val direct = q().collect().toSeq
+    serveWith(spark, mvDefs) {
+      val plan = q().queryExecution.executedPlan.toString
+      assert(!plan.contains(new java.io.File(baseDir).getName),
+        s"both aggregate occurrences must serve from the MV:\n$plan")
+      assert(q().collect().toSeq === direct)
+    }
+  }
+
+  test("the COARSEST matching view wins when several match") {
+    // a second, coarser MV keyed on event_type only
+    val coarseDir = java.nio.file.Files.createTempDirectory("graft_mv_coarse").toString
+    Incremental.partials(spark.read.parquet(baseDir), Seq("event_type"), "value")
+      .write.mode("overwrite").parquet(coarseDir)
+    val both = mvDefs :+ MvDef(
+      baseDir, spark.read.parquet(coarseDir), Seq("event_type"), "value")
+    val q = () => spark.read.parquet(baseDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("c"), sum(col("value").cast(Dec)).as("s"))
+      .orderBy(col("event_type"))
+    val direct = q().collect().toSeq
+    serveWith(spark, both) {
+      val plan = q().queryExecution.executedPlan.toString
+      assert(plan.contains(new java.io.File(coarseDir).getName),
+        s"expected the single-key (coarsest) partials to serve:\n$plan")
+      assert(q().collect().toSeq === direct)
+    }
+    // a query needing the finer grouping still routes to the finer MV
+    val fine = () => spark.read.parquet(baseDir)
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("c")).orderBy(col("event_type"), col("day"))
+    val fineDirect = fine().collect().toSeq
+    serveWith(spark, both) {
+      assert(fine().queryExecution.executedPlan.toString
+        .contains(new java.io.File(mvDir).getName))
+      assert(fine().collect().toSeq === fineDirect)
+    }
+  }
+
   test("registration is scoped: after serveWith, queries read the base again") {
     serveWith(spark, mvDefs) { query().collect() }
     assert(query().queryExecution.executedPlan.toString
