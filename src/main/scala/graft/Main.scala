@@ -34,10 +34,12 @@ object Main {
         |       fronts (index builds, CC rounds, min/max scans) still
         |       execute those while the frame is constructed;
         |       DIR defaults to $SPARK_GRAFT_SF_DIR)
-        |  lineage <declared-query> [--sf-dir DIR]
+        |  lineage <declared-query|catalog-table-or-view> [--sf-dir DIR]
         |      (column-level lineage of the query's output: which source
         |       columns feed each column's VALUES, plus the filter/join
-        |       control columns; plan analysis only, nothing executes)
+        |       control columns; plan analysis only, nothing executes.
+        |       A name that isn't a declared query resolves against the
+        |       session catalog — e.g. `lineage costs` with METASTORE_DIR)
         |  corpus-prep <docs.parquet> <out-dir> [--shards N] [--pack-budget TOKENS] [--span-trim COV] [--surprisal-gate MICRO] [--unicode FORM]
         |      (filter [-> drop docs above MICRO mean unigram surprisal]
         |       [-> drop docs with >= COV duplicate-span coverage]
