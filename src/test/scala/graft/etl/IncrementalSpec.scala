@@ -90,6 +90,27 @@ class IncrementalSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), s"no big-side shuffle join:\n$plan")
   }
 
+  test("joinDelta: broadcastDeltas=false drops the hint and still matches (bulk backfill)") {
+    import spark.implicits._
+    val aOld = Seq((1, "a1"), (2, "a2")).toDF("k", "av")
+    val aNew = Seq((3, "a3")).toDF("k", "av")
+    val bOld = Seq((1, 10.0), (3, 30.0)).toDF("k", "bv")
+    val bNew = Seq((2, 20.0), (3, 31.0)).toDF("k", "bv")
+    val hinted = Incremental.joinDelta(aOld, aNew, bOld, bNew, Seq("k"))
+      .orderBy("k", "bv").collect().toSeq
+    val unhinted = Incremental.joinDelta(aOld, aNew, bOld, bNew, Seq("k"),
+        broadcastDeltas = false)
+      .orderBy("k", "bv").collect().toSeq
+    assert(unhinted === hinted)
+    // the unhinted logical plan carries no broadcast hint — AQE is free
+    // to pick the join for a bulk-sized delta
+    val logical = Incremental.joinDelta(aOld, aNew, bOld, bNew, Seq("k"),
+        broadcastDeltas = false)
+      .queryExecution.analyzed.toString
+    assert(!logical.contains("UnresolvedHint") && !logical.toLowerCase.contains("broadcast"),
+      s"no broadcast hint expected in the bulk arm:\n$logical")
+  }
+
   test("delta merge never rescans history: the stored MV enters as a leaf") {
     // the maintained aggregate is a stored table in production — model it
     // as a lineage-cut frame; the merge plan must read it as a LEAF
