@@ -215,6 +215,42 @@ object Cdc {
           .otherwise(col(s"__a.`$c`")).as(c)): _*)
   }
 
+  /** [[snapshotDiff]] with BOTH images: every value column `c` rides
+    * twice — `c` (the after-image, NULL on D) and `c_before` (the
+    * before-image, NULL on I). This is the Debezium-shaped full feed
+    * that RETRACTABLE downstream maintenance needs: an update that
+    * moves a row between groups can only be applied as (-before on the
+    * old group, +after on the new) when both images travel
+    * ([[Incremental.applyFeed]] consumes exactly this shape). Same
+    * plan as [[snapshotDiff]]: one key-partitioned full-outer join,
+    * null-safe struct compare, changed rows only. */
+  def snapshotDiffFull(
+      before: DataFrame,
+      after: DataFrame,
+      keys: Seq[String],
+      opCol: String = "op"): DataFrame = {
+    require(keys.nonEmpty, "Cdc.snapshotDiffFull: keys must be non-empty")
+    val cols = after.columns.toSeq
+    require(before.columns.toSeq == cols,
+      s"Cdc.snapshotDiffFull: schemas differ (${before.columns.mkString(",")} vs ${cols.mkString(",")})")
+    require(!cols.contains(opCol),
+      s"Cdc.snapshotDiffFull: snapshots must not carry the op column '$opCol'")
+    val vals = cols.filterNot(keys.contains)
+    require(vals.nonEmpty, "Cdc.snapshotDiffFull: snapshots need at least one value column")
+    val b = before.select(keys.map(col) :+ struct(vals.map(col): _*).as("__b"): _*)
+    val a = after.select(keys.map(col) :+ struct(vals.map(col): _*).as("__a"): _*)
+    b.join(a, keys, "full_outer")
+      .withColumn(opCol,
+        when(col("__b").isNull, lit("I"))
+          .when(col("__a").isNull, lit("D"))
+          .when(col("__a") <=> col("__b"), lit(null).cast("string"))
+          .otherwise(lit("U")))
+      .filter(col(opCol).isNotNull)
+      .select(Seq(col(opCol)) ++ keys.map(col) ++
+        vals.map(c => col(s"__a.`$c`").as(c)) ++
+        vals.map(c => col(s"__b.`$c`").as(s"${c}_before")): _*)
+  }
+
   /** The latest-state-per-key VIEW of a changelog alone (no base):
     * collapse to winners, drop deletes. Useful to seed a snapshot from
     * a log bootstrap — same aggregate shape as [[applyChanges]]. */

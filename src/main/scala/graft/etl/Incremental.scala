@@ -68,6 +68,57 @@ object Incremental {
         col("min_v"),
         col("max_v")): _*)
 
+  /** RETRACTABLE partials: per-key `cnt` + exact decimal `sum_v` only —
+    * the subset of [[partials]] that stays maintainable under DELETES
+    * and group-moving UPDATES (min/max are deliberately absent: they
+    * are not invertible — a deleted maximum cannot be retracted without
+    * rescanning the group). Feed state for [[applyFeed]]. */
+  def retractablePartials(df: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("cnt"), sum(col(valueCol).cast(Dec)).as("sum_v"))
+
+  /** Apply a FULL-IMAGE change feed ([[Cdc.snapshotDiffFull]]: op +
+    * after-image columns + `_before`-suffixed before-images) to a
+    * [[retractablePartials]] table — incremental aggregate maintenance
+    * that survives the mutations append-only [[merge]] can't: every
+    * feed row explodes into at most two sub-deltas,
+    *
+    * {{{ op ∈ {U, D}: (group_before, cnt −1, −value_before)
+    *     op ∈ {I, U}: (group_after,  cnt +1, +value_after) }}}
+    *
+    * so an update that MOVES a row between groups subtracts from the
+    * old group and adds to the new one, a delete retracts, an insert
+    * adds — and the merged result is bit-identical to recomputing the
+    * partials over the after-snapshot (decimal addition is exact and
+    * associative; the e103 oracle hash-checks that identity). Groups
+    * whose count reaches zero are dropped (an empty group has no
+    * partials row, matching the recompute).
+    *
+    * Scale shape: the feed (small by definition of a diff) collapses
+    * to per-group deltas map-side; the existing partials table is
+    * already one-row-per-group — one union + one |groups|-sized
+    * re-aggregation exchange, never a rescan of the base. */
+  def applyFeed(
+      partials: DataFrame,
+      feed: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      opCol: String = "op"): DataFrame = {
+    require(keys.nonEmpty, "Incremental.applyFeed: keys must be non-empty")
+    val minus = feed.filter(col(opCol) =!= lit("I"))
+      .select(keys.map(k => col(s"${k}_before").as(k)) ++ Seq(
+        lit(-1L).as("cnt"),
+        negate(col(s"${valueCol}_before").cast(Dec)).as("sum_v")): _*)
+    val plus = feed.filter(col(opCol) =!= lit("D"))
+      .select(keys.map(col) ++ Seq(
+        lit(1L).as("cnt"), col(valueCol).cast(Dec).as("sum_v")): _*)
+    partials.select(keys.map(col) :+ col("cnt") :+ col("sum_v"): _*)
+      .unionByName(minus).unionByName(plus)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"), sum(col("sum_v")).as("sum_v"))
+      .filter(col("cnt") =!= 0L)
+  }
+
   /** Incremental maintenance of a materialized EQUIJOIN view under
     * append-only deltas — the join complement of [[partials]]/[[merge]]:
     * with `V = A ⋈ B` materialized, new rows ΔA/ΔB contribute exactly

@@ -3687,6 +3687,47 @@ object ExtQueries {
         CAST(FLOOR(ABS(mean_before - mean_after) * 1000000.0) AS BIGINT) AS shift_micro
       FROM b JOIN a ON a.i = b.i ORDER BY b.i"""))
 
+  // IVM under mutation: RETRACTABLE PARTIALS maintained by a
+  // FULL-IMAGE change feed ([[graft.etl.Incremental.applyFeed]] over
+  // [[graft.etl.Cdc.snapshotDiffFull]]) — the aggregate-maintenance
+  // capability e83's append-only merge can't give: deletes retract,
+  // inserts add, and updates that MOVE a row between groups subtract
+  // from the old group and add to the new (the grouping band here is
+  // DERIVED FROM THE MUTATED VALUE, so the e100 price bumps genuinely
+  // relocate rows across bands). The declared result is
+  // apply(partials(before), diff(before, after)) and the oracle is the
+  // straight recompute over the after-snapshot — the hash IS the
+  // maintained-equals-recomputed identity under I/U/D. At 100 TB:
+  // aggregate refresh costs O(|diff| + |touched groups|), never a
+  // rescan, even when sources mutate in place.
+  val e103 = Q(
+    "e103_retractable_partials",
+    (s, d) => {
+      import graft.etl.{Cdc, Incremental}
+      val o = T.orders(s, d)
+      def snap(df: org.apache.spark.sql.DataFrame) = df.select(
+        col("o_orderkey"),
+        floor(col("price") / 50000.0).cast("long").as("band"),
+        col("price"))
+      val before = snap(o.filter(pmod(col("o_orderkey"), lit(5)) =!= 0)
+        .select(col("o_orderkey"), col("o_totalprice").as("price")))
+      val after = snap(o.filter(pmod(col("o_orderkey"), lit(7)) =!= 0)
+        .select(col("o_orderkey"),
+          when(pmod(col("o_orderkey"), lit(3)) === 0, col("o_totalprice") + 10.0)
+            .otherwise(col("o_totalprice")).as("price")))
+      val feed = Cdc.snapshotDiffFull(before, after, Seq("o_orderkey"))
+      Incremental.applyFeed(
+          Incremental.retractablePartials(before, Seq("band"), "price"),
+          feed, Seq("band"), "price")
+        .orderBy(col("band"))
+    },
+    Some("""WITH a AS (SELECT o_orderkey,
+          CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 10.0 ELSE o_totalprice END AS price
+        FROM orders WHERE o_orderkey % 7 <> 0)
+      SELECT CAST(FLOOR(price / 50000.0) AS BIGINT) AS band,
+        COUNT(*) AS cnt, SUM(CAST(price AS DECIMAL(38,6))) AS sum_v
+      FROM a GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
@@ -3694,5 +3735,5 @@ object ExtQueries {
       e45, e46, e47, e48, e49, e50, e51, e52, e53, e54, e55, e56, e57, e58, e59,
       e60, e61, e62, e63, e64, e65, e66, e67, e68, e69, e70, e71, e72, e73, e74,
       e75, e76, e77, e78, e79, e80, e81, e82, e83, e84, e85, e86, e87, e88, e89,
-      e90, e91, e92, e93, e94, e95, e96, e97, e98, e99, e100, e101, e102)
+      e90, e91, e92, e93, e94, e95, e96, e97, e98, e99, e100, e101, e102, e103)
 }

@@ -111,6 +111,46 @@ class IncrementalSpec extends SparkSpec {
       s"no broadcast hint expected in the bulk arm:\n$logical")
   }
 
+  test("applyFeed: insert adds, delete retracts, group-moving update relocates") {
+    import spark.implicits._
+    import graft.etl.Cdc
+    // groups derive from the value band (v div 10), so the k=2 update
+    // MOVES its row from band 1 to band 2
+    def snap(rows: Seq[(Long, Double)]) = rows.toDF("k", "v")
+      .select(col("k"), (col("v") / 10.0).cast("long").as("band"), col("v"))
+    val before = snap(Seq((1L, 5.0), (2L, 15.0), (3L, 15.5), (4L, 25.0)))
+    val after = snap(Seq((1L, 5.0), (2L, 21.0), (3L, 15.5), (5L, 7.0)))
+    val feed = Cdc.snapshotDiffFull(before, after, Seq("k"))
+    val maintained = Incremental.applyFeed(
+        Incremental.retractablePartials(before, Seq("band"), "v"),
+        feed, Seq("band"), "v")
+      .orderBy("band")
+      .select(col("band"), col("cnt"), col("sum_v").cast("double"))
+      .as[(Long, Long, Double)].collect().toSeq
+    val recomputed = Incremental.retractablePartials(after, Seq("band"), "v")
+      .orderBy("band")
+      .select(col("band"), col("cnt"), col("sum_v").cast("double"))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(maintained === recomputed)
+    // band 2 gained k=2 (21.0); band 0 gained k=5 and kept k=1; the
+    // fully-emptied band (k=4's 25.0 → band 2? no: 25.0 is band 2 —
+    // deleted) leaves no zero-count residue
+    assert(maintained === Seq((0L, 2L, 12.0), (1L, 1L, 15.5), (2L, 1L, 21.0)))
+  }
+
+  test("applyFeed: a group emptied by deletes disappears (no zero-count rows)") {
+    import spark.implicits._
+    import graft.etl.Cdc
+    def snap(rows: Seq[(Long, Double)]) = rows.toDF("k", "v")
+      .select(col("k"), lit(0L).as("band"), col("v"))
+    val before = snap(Seq((1L, 1.0), (2L, 2.0)))
+    val after = before.limit(0)
+    val feed = Cdc.snapshotDiffFull(before, after, Seq("k"))
+    assert(Incremental.applyFeed(
+      Incremental.retractablePartials(before, Seq("band"), "v"),
+      feed, Seq("band"), "v").count() === 0L)
+  }
+
   test("delta merge never rescans history: the stored MV enters as a leaf") {
     // the maintained aggregate is a stored table in production — model it
     // as a lineage-cut frame; the merge plan must read it as a LEAF
