@@ -3728,6 +3728,72 @@ object ExtQueries {
         COUNT(*) AS cnt, SUM(CAST(price AS DECIMAL(38,6))) AS sum_v
       FROM a GROUP BY 1 ORDER BY 1"""))
 
+  // MUTATION→IVM→SERVING capstone: the complete loop the round-16
+  // pieces compose into — a table MUTATES in place (the e100/e103
+  // orders carving: inserts, deletes, value updates), the change feed
+  // derives from the snapshot pair (snapshotDiffFull), the retractable
+  // partials MAINTAIN through it (applyFeed — never rescanning the
+  // before-state), and the maintained MV transparently SERVES a
+  // key-filtered dashboard aggregate against the AFTER base scan via
+  // the Catalyst rewrite (count/sum rewrite against the cnt/sum-only
+  // MV; the query self-asserts the rewrite fired). The oracle is the
+  // straight recompute over the after-snapshot under the same filter —
+  // one hash pins feed derivation, retractable maintenance, AND
+  // rewrite-serving end to end. At 100 TB: a mutating source keeps its
+  // dashboards fresh for O(|diff|) per cycle with serving reads of
+  // |touched groups| rows.
+  val e104 = Q(
+    "e104_mutation_ivm_serve",
+    (s, d) => {
+      import graft.etl.{Cdc, Incremental}
+      import graft.plans.MaterializedView
+      import graft.plans.MaterializedView.MvDef
+      val o = T.orders(s, d)
+      def snap(df: org.apache.spark.sql.DataFrame) = df.select(
+        col("o_orderkey"),
+        floor(col("price") / 50000.0).cast("long").as("band"),
+        col("price"))
+      val before = snap(o.filter(pmod(col("o_orderkey"), lit(5)) =!= 0)
+        .select(col("o_orderkey"), col("o_totalprice").as("price")))
+      val after = snap(o.filter(pmod(col("o_orderkey"), lit(7)) =!= 0)
+        .select(col("o_orderkey"),
+          when(pmod(col("o_orderkey"), lit(3)) === 0, col("o_totalprice") + 10.0)
+            .otherwise(col("o_totalprice")).as("price")))
+      // the mutated table as it exists on disk after the cycle
+      val basePath = tempQueryDir("graft_e104_base") + "/orders_after"
+      after.write.mode("overwrite").parquet(basePath)
+      // maintenance: feed from the snapshot pair, applied to the
+      // before-partials — the before state is never rescanned
+      val mvDir = tempQueryDir("graft_e104_mv")
+      Incremental.applyFeed(
+          Incremental.retractablePartials(before, Seq("band"), "price"),
+          Cdc.snapshotDiffFull(before, after, Seq("o_orderkey")),
+          Seq("band"), "price")
+        .write.mode("overwrite").parquet(mvDir)
+      MaterializedView.serveWith(s,
+        Seq(MvDef(basePath, s.read.parquet(mvDir), Seq("band"), "price"))) {
+        val served = s.read.parquet(basePath)
+          .filter(col("band") >= 2 && col("band") <= 6)
+          .groupBy(col("band"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("price").cast(graft.Qh.Dec)).cast("double").as("total"))
+          .orderBy(col("band"))
+        val plan = served.queryExecution.executedPlan.toString
+        require(plan.contains(new java.io.File(mvDir).getName) &&
+          !plan.contains("orders_after"),
+          s"e104: the dashboard must serve from the feed-maintained MV:\n$plan")
+        served
+      }
+    },
+    Some(s"""WITH a AS (SELECT
+          CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 10.0 ELSE o_totalprice END AS price
+        FROM orders WHERE o_orderkey % 7 <> 0)
+      SELECT CAST(FLOOR(price / 50000.0) AS BIGINT) AS band,
+        COUNT(*) AS cnt, ${graft.Qh.oSum("price")} AS total
+      FROM a
+      WHERE CAST(FLOOR(price / 50000.0) AS BIGINT) BETWEEN 2 AND 6
+      GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
@@ -3735,5 +3801,6 @@ object ExtQueries {
       e45, e46, e47, e48, e49, e50, e51, e52, e53, e54, e55, e56, e57, e58, e59,
       e60, e61, e62, e63, e64, e65, e66, e67, e68, e69, e70, e71, e72, e73, e74,
       e75, e76, e77, e78, e79, e80, e81, e82, e83, e84, e85, e86, e87, e88, e89,
-      e90, e91, e92, e93, e94, e95, e96, e97, e98, e99, e100, e101, e102, e103)
+      e90, e91, e92, e93, e94, e95, e96, e97, e98, e99, e100, e101, e102, e103,
+      e104)
 }

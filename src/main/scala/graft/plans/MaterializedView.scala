@@ -64,8 +64,12 @@ object MaterializedView {
 
   /** One registered view: scans of `basePath` aggregated on ⊆ `keys`
     * over `valueCol` may be answered from `mv` (a frame with columns
-    * keys ++ cnt/sum_v/min_v/max_v — [[graft.etl.Incremental.partials]]
-    * output, typically a parquet read of the maintained table). */
+    * keys ++ cnt/sum_v and optionally min_v/max_v —
+    * [[graft.etl.Incremental.partials]] output, or the cnt/sum-only
+    * [[graft.etl.Incremental.retractablePartials]] shape maintained
+    * under deletes; typically a parquet read of the maintained
+    * table). Without min_v/max_v, min/max aggregates simply don't
+    * rewrite. */
   final case class MvDef(basePath: String, mv: DataFrame, keys: Seq[String], valueCol: String)
 
   /** Run `body` with the rewrite rule active for `defs`, restoring the
@@ -199,7 +203,12 @@ class RewriteToMv(defs: Seq[MaterializedView.MvDef]) extends Rule[LogicalPlan] {
       case other => other
     }
     val mvAttr: Map[String, Attribute] = mvPlan.output.map(a => a.name -> a).toMap
-    if (!(d.keys ++ Seq("cnt", "sum_v", "min_v", "max_v")).forall(mvAttr.contains)) return None
+    // cnt/sum_v are the mergeable core every MV carries; min_v/max_v are
+    // OPTIONAL — a RETRACTABLE MV (Incremental.retractablePartials,
+    // maintained under deletes by applyFeed) stores only the invertible
+    // pair, and can still serve count/sum aggregates (min/max queries
+    // then simply don't rewrite)
+    if (!(d.keys ++ Seq("cnt", "sum_v")).forall(mvAttr.contains)) return None
 
     def complete(fn: AggregateFunction): AggregateExpression =
       AggregateExpression(fn, Complete, isDistinct = false)
@@ -221,9 +230,11 @@ class RewriteToMv(defs: Seq[MaterializedView.MvDef]) extends Rule[LogicalPlan] {
         case Count(Seq(l: Literal)) if l.value != null =>
           val s = complete(Sum(mvAttr("cnt")))
           Some(if (global) Coalesce(Seq(s, Literal(0L))) else s)
-        case Min(v: AttributeReference) if v.name == d.valueCol =>
+        case Min(v: AttributeReference)
+            if v.name == d.valueCol && mvAttr.contains("min_v") =>
           Some(complete(Min(mvAttr("min_v"))))
-        case Max(v: AttributeReference) if v.name == d.valueCol =>
+        case Max(v: AttributeReference)
+            if v.name == d.valueCol && mvAttr.contains("max_v") =>
           Some(complete(Max(mvAttr("max_v"))))
         case _ => None
       }

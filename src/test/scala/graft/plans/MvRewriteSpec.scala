@@ -219,6 +219,32 @@ class MvRewriteSpec extends SparkSpec {
     }
   }
 
+  test("retractable (cnt/sum-only) MV serves count/sum; min/max stay on the base") {
+    val rDir = java.nio.file.Files.createTempDirectory("graft_mv_retract").toString
+    Incremental.retractablePartials(
+        spark.read.parquet(baseDir), Seq("event_type", "day"), "value")
+      .write.mode("overwrite").parquet(rDir)
+    val defs = Seq(MvDef(
+      baseDir, spark.read.parquet(rDir), Seq("event_type", "day"), "value"))
+    val q = () => spark.read.parquet(baseDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("c"), sum(col("value").cast(Dec)).as("s"))
+      .orderBy(col("event_type"))
+    val direct = q().collect().toSeq
+    serveWith(spark, defs) {
+      assert(q().queryExecution.executedPlan.toString
+        .contains(new java.io.File(rDir).getName),
+        "count/sum must serve from the retractable MV")
+      assert(q().collect().toSeq === direct)
+      // a min aggregate has no min_v to read — must stay on the base
+      val minQ = spark.read.parquet(baseDir)
+        .groupBy(col("event_type")).agg(min(col("value")).as("m"))
+      assert(minQ.queryExecution.executedPlan.toString
+        .contains(new java.io.File(baseDir).getName),
+        "min must NOT rewrite against a cnt/sum-only MV")
+    }
+  }
+
   test("registration is scoped: after serveWith, queries read the base again") {
     serveWith(spark, mvDefs) { query().collect() }
     assert(query().queryExecution.executedPlan.toString
