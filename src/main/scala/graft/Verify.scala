@@ -73,6 +73,13 @@ object Verify {
     val errJson = errors
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    // version stamp (VERDICT r16 #3): the r16 e103 red was a
+    // builder-mirror/driver disagreement rooted in how each side's
+    // oracle stack represents DECIMAL results — stamp the Spark/JVM
+    // side here (tools/oracle_check.py stamps its duckdb/pandas side)
+    // so any future mirror-vs-driver divergence is comparable.
+    Files.writeString(Paths.get(s"$outDir/verify_meta.json"),
+      s"""{"spark": ${q(spark.version)}, "java": ${q(sys.props.getOrElse("java.version", "?"))}, "scala": ${q(scala.util.Properties.versionNumberString)}}""")
     if (errors.nonEmpty)
       System.err.println(s"[verify] ${errors.size} quer${if (errors.size == 1) "y" else "ies"} FAILED: " +
         errors.keys.mkString(", "))

@@ -129,7 +129,19 @@ object DataQuality {
       .select(col("bin"),
         coalesce(col("n_before"), lit(0L)).as("n_before"),
         coalesce(col("n_after"), lit(0L)).as("n_after"))
-    val tot = joined.agg(sum(col("n_before")).as("__tb"), sum(col("n_after")).as("__ta"))
+    // coalesce: an empty/all-NULL population sums to NULL, which would
+    // silently NULL every psi_contrib_micro — with totals pinned to 0
+    // the Laplace smoothing below still yields finite p/q (uniform
+    // 1/bins on the empty side), so the audit reports a real (maximal)
+    // drift number instead of unusable NULLs. Note buckets empty on
+    // BOTH sides are omitted from the output (the full-outer join
+    // never sees them); their smoothed contribution when totals differ
+    // is intentionally dropped — contributions are reported only for
+    // observed bins, and the omitted term is identical across the
+    // engines being compared.
+    val tot = joined.agg(
+      coalesce(sum(col("n_before")), lit(0L)).as("__tb"),
+      coalesce(sum(col("n_after")), lit(0L)).as("__ta"))
     joined.crossJoin(broadcast(tot))
       .withColumn("p", (col("n_before") + lit(1.0)) / (col("__tb") + lit(bins.toDouble)))
       .withColumn("q", (col("n_after") + lit(1.0)) / (col("__ta") + lit(bins.toDouble)))

@@ -105,11 +105,30 @@ object Incremental {
       valueCol: String,
       opCol: String = "op"): DataFrame = {
     require(keys.nonEmpty, "Incremental.applyFeed: keys must be non-empty")
-    val minus = feed.filter(col(opCol) =!= lit("I"))
+    // Fail loudly on malformed feeds instead of silently corrupting
+    // partials: (a) every key/value column must carry its `_before`
+    // twin (a feed keyed ON a grouping key has none — the caller needs
+    // the full-image feed of Cdc.snapshotDiffFull, not a keys-only
+    // diff); (b) op codes outside {I,U,D} (e.g. Debezium's lowercase
+    // c/u/d) would pass BOTH the =!= "I" and =!= "D" filters below and
+    // be double-counted as an update — reject them per row at exec time.
+    val needed = (keys :+ valueCol).map(c => s"${c}_before") ++ (keys :+ valueCol :+ opCol)
+    val missing = needed.filterNot(feed.columns.contains)
+    require(missing.isEmpty,
+      s"Incremental.applyFeed: feed is missing column(s) ${missing.mkString(", ")} — " +
+        "expected a FULL-IMAGE change feed (op + after-image columns + _before twins) " +
+        "as produced by Cdc.snapshotDiffFull; a grouping key that is also the diff's " +
+        "join key has no _before image there, so diff on a stable row id instead")
+    val opOk = when(col(opCol).isin("I", "U", "D"), col(opCol))
+      .otherwise(raise_error(concat(
+        lit("Incremental.applyFeed: unknown op code '"), col(opCol),
+        lit("' — expected I/U/D (Cdc.snapshotDiffFull codes); map other CDC " +
+          "vocabularies (e.g. Debezium c/u/d) before applying"))))
+    val minus = feed.filter(opOk =!= lit("I"))
       .select(keys.map(k => col(s"${k}_before").as(k)) ++ Seq(
         lit(-1L).as("cnt"),
         negate(col(s"${valueCol}_before").cast(Dec)).as("sum_v")): _*)
-    val plus = feed.filter(col(opCol) =!= lit("D"))
+    val plus = feed.filter(opOk =!= lit("D"))
       .select(keys.map(col) ++ Seq(
         lit(1L).as("cnt"), col(valueCol).cast(Dec).as("sum_v")): _*)
     partials.select(keys.map(col) :+ col("cnt") :+ col("sum_v"): _*)

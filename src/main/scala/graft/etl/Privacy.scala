@@ -57,8 +57,16 @@ object Privacy {
   private[etl] def partitionMembership(
       partitionCols: Seq[String], parts: Seq[Seq[(String, String)]]): Column = {
     val key = struct(partitionCols.map(c => col(c).cast("string")): _*)
-    key.isin(parts.map(kvs =>
-      struct(kvs.map { case (_, v) => lit(v).cast("string") }: _*)): _*)
+    // align each spec BY NAME against partitionCols — a positionally
+    // shuffled spec would otherwise match values against the wrong
+    // columns (rows neither purged nor audited), silently
+    key.isin(parts.map { kvs =>
+      val byName = kvs.toMap
+      require(byName.size == kvs.size && partitionCols.forall(byName.contains),
+        s"Privacy.partitionMembership: spec keys ${kvs.map(_._1).mkString(",")} " +
+          s"must cover partition columns ${partitionCols.mkString(",")} exactly once")
+      struct(partitionCols.map(c => lit(byName(c)).cast("string")): _*)
+    }: _*)
   }
 
   /** Execute a right-to-be-forgotten purge AGAINST the partitioned

@@ -3700,6 +3700,15 @@ object ExtQueries {
   // maintained-equals-recomputed identity under I/U/D. At 100 TB:
   // aggregate refresh costs O(|diff| + |touched groups|), never a
   // rescan, even when sources mutate in place.
+  // Float portability: the maintained value is pre-quantized to
+  // integer MICROS (floor(price*1e6) BIGINT) — the mutated price
+  // (+10.0) is an arithmetic-derived double, and casting such doubles
+  // to DECIMAL(38,6) rounds differently across engines/DuckDB versions
+  // at the 6th fractional digit (the r16 e103 red row; same class as
+  // e102's first attempt). floor() of an identical IEEE double is
+  // bit-deterministic everywhere, and the decimal sum of integers is
+  // exact, so the served sum is restated as BIGINT micros on both
+  // sides.
   val e103 = Q(
     "e103_retractable_partials",
     (s, d) => {
@@ -3708,7 +3717,7 @@ object ExtQueries {
       def snap(df: org.apache.spark.sql.DataFrame) = df.select(
         col("o_orderkey"),
         floor(col("price") / 50000.0).cast("long").as("band"),
-        col("price"))
+        floor(col("price") * 1000000.0).cast("long").as("price_micro"))
       val before = snap(o.filter(pmod(col("o_orderkey"), lit(5)) =!= 0)
         .select(col("o_orderkey"), col("o_totalprice").as("price")))
       val after = snap(o.filter(pmod(col("o_orderkey"), lit(7)) =!= 0)
@@ -3717,15 +3726,18 @@ object ExtQueries {
             .otherwise(col("o_totalprice")).as("price")))
       val feed = Cdc.snapshotDiffFull(before, after, Seq("o_orderkey"))
       Incremental.applyFeed(
-          Incremental.retractablePartials(before, Seq("band"), "price"),
-          feed, Seq("band"), "price")
+          Incremental.retractablePartials(before, Seq("band"), "price_micro"),
+          feed, Seq("band"), "price_micro")
+        .select(col("band"), col("cnt"),
+          col("sum_v").cast("long").as("sum_micro"))
         .orderBy(col("band"))
     },
     Some("""WITH a AS (SELECT o_orderkey,
           CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 10.0 ELSE o_totalprice END AS price
         FROM orders WHERE o_orderkey % 7 <> 0)
       SELECT CAST(FLOOR(price / 50000.0) AS BIGINT) AS band,
-        COUNT(*) AS cnt, SUM(CAST(price AS DECIMAL(38,6))) AS sum_v
+        COUNT(*) AS cnt,
+        CAST(SUM(CAST(FLOOR(price * 1000000.0) AS BIGINT)) AS BIGINT) AS sum_micro
       FROM a GROUP BY 1 ORDER BY 1"""))
 
   // MUTATION→IVM→SERVING capstone: the complete loop the round-16
@@ -3742,6 +3754,13 @@ object ExtQueries {
   // rewrite-serving end to end. At 100 TB: a mutating source keeps its
   // dashboards fresh for O(|diff|) per cycle with serving reads of
   // |touched groups| rows.
+  // Float portability: like e103, the maintained/served value is
+  // pre-quantized to integer micros — the +10.0-mutated price is an
+  // arithmetic-derived double whose DECIMAL(38,6) cast is not
+  // guaranteed stable across DuckDB versions; floor(price*1e6) BIGINT
+  // is. The served sum still goes through the MV rewrite's
+  // sum(cast(v as DECIMAL(38,6))) mergeable form — decimal sums of
+  // integers are exact — and is emitted as BIGINT micros.
   val e104 = Q(
     "e104_mutation_ivm_serve",
     (s, d) => {
@@ -3752,7 +3771,7 @@ object ExtQueries {
       def snap(df: org.apache.spark.sql.DataFrame) = df.select(
         col("o_orderkey"),
         floor(col("price") / 50000.0).cast("long").as("band"),
-        col("price"))
+        floor(col("price") * 1000000.0).cast("long").as("price_micro"))
       val before = snap(o.filter(pmod(col("o_orderkey"), lit(5)) =!= 0)
         .select(col("o_orderkey"), col("o_totalprice").as("price")))
       val after = snap(o.filter(pmod(col("o_orderkey"), lit(7)) =!= 0)
@@ -3766,17 +3785,17 @@ object ExtQueries {
       // before-partials — the before state is never rescanned
       val mvDir = tempQueryDir("graft_e104_mv")
       Incremental.applyFeed(
-          Incremental.retractablePartials(before, Seq("band"), "price"),
+          Incremental.retractablePartials(before, Seq("band"), "price_micro"),
           Cdc.snapshotDiffFull(before, after, Seq("o_orderkey")),
-          Seq("band"), "price")
+          Seq("band"), "price_micro")
         .write.mode("overwrite").parquet(mvDir)
       MaterializedView.serveWith(s,
-        Seq(MvDef(basePath, s.read.parquet(mvDir), Seq("band"), "price"))) {
+        Seq(MvDef(basePath, s.read.parquet(mvDir), Seq("band"), "price_micro"))) {
         val served = s.read.parquet(basePath)
           .filter(col("band") >= 2 && col("band") <= 6)
           .groupBy(col("band"))
           .agg(count(lit(1)).as("cnt"),
-            sum(col("price").cast(graft.Qh.Dec)).cast("double").as("total"))
+            sum(col("price_micro").cast(graft.Qh.Dec)).cast("long").as("total_micro"))
           .orderBy(col("band"))
         val plan = served.queryExecution.executedPlan.toString
         require(plan.contains(new java.io.File(mvDir).getName) &&
@@ -3785,11 +3804,12 @@ object ExtQueries {
         served
       }
     },
-    Some(s"""WITH a AS (SELECT
+    Some("""WITH a AS (SELECT
           CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 10.0 ELSE o_totalprice END AS price
         FROM orders WHERE o_orderkey % 7 <> 0)
       SELECT CAST(FLOOR(price / 50000.0) AS BIGINT) AS band,
-        COUNT(*) AS cnt, ${graft.Qh.oSum("price")} AS total
+        COUNT(*) AS cnt,
+        CAST(SUM(CAST(FLOOR(price * 1000000.0) AS BIGINT)) AS BIGINT) AS total_micro
       FROM a
       WHERE CAST(FLOOR(price / 50000.0) AS BIGINT) BETWEEN 2 AND 6
       GROUP BY 1 ORDER BY 1"""))

@@ -56,8 +56,10 @@ import org.apache.spark.sql.types.DecimalType
   * (fewest keys) wins — its partials table has the fewest rows, so it
   * is the cheapest exact serve (the rollup-lattice rule every MV
   * advisor applies). Each rewrite instantiates the MV plan with FRESH
-  * exprIds (`MultiInstanceRelation.newInstance`), so one view can
-  * serve multiple occurrences in the same query (e.g. a union of two
+  * output exprIds — `MultiInstanceRelation.newInstance` for relation
+  * MVs (parquet/table reads, the normal case), an alias-only Project
+  * wrapper for derived in-memory plans — so one view can serve
+  * multiple occurrences in the same query (e.g. a union of two
   * rollups over the base) without duplicate-attribute conflicts.
   */
 object MaterializedView {
@@ -200,7 +202,15 @@ class RewriteToMv(defs: Seq[MaterializedView.MvDef]) extends Rule[LogicalPlan] {
       d.mv.queryExecution.analyzed) match {
       case m: org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation =>
         m.newInstance().asInstanceOf[LogicalPlan]
-      case other => other
+      // a DERIVED mv plan (e.g. partials computed in-memory rather than
+      // read back from parquet) is not a MultiInstanceRelation — mint
+      // fresh OUTPUT exprIds via an alias-only Project so two rewritten
+      // occurrences in one query never expose duplicate attributes to
+      // their common parent (sibling branches may still share inner
+      // ids, which is fine: references never cross branches, exactly as
+      // in a self-union)
+      case other =>
+        Project(other.output.map(a => Alias(a, a.name)()), other)
     }
     val mvAttr: Map[String, Attribute] = mvPlan.output.map(a => a.name -> a).toMap
     // cnt/sum_v are the mergeable core every MV carries; min_v/max_v are
