@@ -73,6 +73,11 @@ object Bench {
       }
     }.getOrElse(3).max(1)
     val repsExplicit = sys.env.contains("SPARK_GRAFT_REPS")
+    // per-query rep floor (VERDICT r16 #6): queries with a DOCUMENTED
+    // slow-rep mode that sit above the sub-second auto-extension get
+    // extra samples so one anomalous rep can't dominate their spread
+    // (c53: one ORC rep read 3× its band at the r16 close; min normal)
+    val repFloor = Map("c53_orc_roundtrip" -> 5)
     val results = selected.map { case (name, fn) =>
       def runRep(): (Double, Boolean) = {
         val t0 = System.nanoTime()
@@ -91,7 +96,8 @@ object Bench {
         spark.catalog.clearCache()
         (elapsed, ok)
       }
-      var times = (1 to reps).map(_ => runRep())
+      val baseReps = if (repsExplicit) reps else reps.max(repFloor.getOrElse(name, reps))
+      var times = (1 to baseReps).map(_ => runRep())
       // sub-second queries get 5 reps (VERDICT r7 item 8): one JVM pause
       // dominates a 3-rep spread exactly where queries are shortest (c25
       // tripped the suspect flag two rounds running on a reproducible
@@ -124,6 +130,35 @@ object Bench {
     // flagged on the spot)
     val suspect = results
       .filter(r => r.ok && r.min > 0 && r.max / r.min > 3.0)
+      .map("\"" + _.name + "\"").mkString("[", ",", "]")
+    // CROSS-RUN drift (VERDICT r16 #4): the r16 close read e52 at 11.37 s
+    // where same-day runs read ~3 s — a >3× outlier the within-run spread
+    // could not see because every rep of that run was slow (cache-cold +
+    // GC class). Compare this run's per-query MIN (the load-insensitive
+    // reading) against the best historical min from CLEAN records at the
+    // SAME scale dir in BENCH_HISTORY.jsonl; flag >3× with an absolute
+    // floor of +1 s so sub-second noise can't trip it. Self-written
+    // records are flat JSON, so regex extraction is sound here.
+    val histBest: Map[String, Double] = {
+      val f = java.nio.file.Paths.get("BENCH_HISTORY.jsonl")
+      if (!java.nio.file.Files.exists(f)) Map.empty
+      else {
+        val sfRe = ("\"sf\":\"" + java.util.regex.Pattern.quote(sfDir) + "\"").r
+        val qmRe = "\"queries_min\":\\{([^}]*)\\}".r
+        val entRe = "\"([^\"]+)\":(-?[0-9.]+)".r
+        scala.io.Source.fromFile(f.toFile)(scala.io.Codec.UTF8).getLines()
+          .filter(l => sfRe.findFirstIn(l).isDefined && l.contains("\"contaminated\":false"))
+          .flatMap(l => qmRe.findFirstMatchIn(l).toSeq.flatMap(m =>
+            entRe.findAllMatchIn(m.group(1)).map(e => e.group(1) -> e.group(2).toDouble)))
+          .filter(_._2 > 0)
+          .foldLeft(Map.empty[String, Double]) { case (acc, (n, v)) =>
+            acc.updated(n, acc.get(n).fold(v)(math.min(_, v)))
+          }
+      }
+    }
+    val driftSuspect = results
+      .filter(r => r.ok && histBest.get(r.name).exists(b =>
+        b > 0 && r.min > 3.0 * b && r.min - b > 1.0))
       .map("\"" + _.name + "\"").mkString("[", ",", "]")
     val failed = results.filterNot(_.ok).map("\"" + _.name + "\"").mkString("[", ",", "]")
     // actual per-query sample counts (ADVICE r8): the sub-second 5-rep
@@ -167,7 +202,7 @@ object Bench {
         s""""max_heap_mib":$maxHeapMib,"loadavg_start":${fmtLoad(loadAtStart)},""" +
         s""""loadavg":${fmtLoad(loadavg())},""" +
         s""""stray_jvms":${strayAtStart.map("\"" + _.replace("\"", "'") + "\"").mkString("[", ",", "]")},""" +
-        s""""sf":"$sfDir","suspect":$suspect,"failed":$failed,""" +
+        s""""sf":"$sfDir","suspect":$suspect,"drift_suspect":$driftSuspect,"failed":$failed,""" +
         s""""queries":$qs,"queries_min":$qsMin,"spread":$spread,"reps_used":$repsUsed,""" +
         s""""tail_scalars":{$headline}}"""
     println(record)
