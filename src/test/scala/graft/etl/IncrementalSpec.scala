@@ -138,6 +138,39 @@ class IncrementalSpec extends SparkSpec {
     assert(maintained === Seq((0L, 2L, 12.0), (1L, 1L, 15.5), (2L, 1L, 21.0)))
   }
 
+  test("applyFeed: rejects a feed without full before-images, loudly") {
+    import spark.implicits._
+    // a keys-only diff (no band_before/v_before twins) must fail the
+    // require with a pointer at snapshotDiffFull, not an opaque
+    // AnalysisException deep in the select
+    val partials = Incremental.retractablePartials(
+      Seq((1L, 0L, 1.0)).toDF("k", "band", "v"), Seq("band"), "v")
+    val badFeed = Seq(("U", 1L, 0L, 2.0)).toDF("op", "k", "band", "v")
+    val e = intercept[IllegalArgumentException] {
+      Incremental.applyFeed(partials, badFeed, Seq("band"), "v")
+    }
+    assert(e.getMessage.contains("snapshotDiffFull") &&
+      e.getMessage.contains("band_before"))
+  }
+
+  test("applyFeed: an unknown op code fails at execution, never double-counts") {
+    import spark.implicits._
+    // Debezium-style lowercase 'u' passes both =!= "I" and =!= "D"
+    // filters — without the guard it would be silently treated as an
+    // update; with it the run fails with a pointed message
+    val partials = Incremental.retractablePartials(
+      Seq((1L, 0L, 1.0)).toDF("k", "band", "v"), Seq("band"), "v")
+    val feed = Seq(("u", 1L, 0L, 2.0, 0L, 1.0))
+      .toDF("op", "k", "band", "v", "band_before", "v_before")
+    val e = intercept[Throwable] {
+      Incremental.applyFeed(partials, feed, Seq("band"), "v").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("unknown op")),
+      s"expected the unknown-op raise, got: $e")
+  }
+
   test("applyFeed: a group emptied by deletes disappears (no zero-count rows)") {
     import spark.implicits._
     import graft.etl.Cdc

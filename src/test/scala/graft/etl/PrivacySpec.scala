@@ -109,6 +109,20 @@ class PrivacySpec extends SparkSpec {
     assert(plan.length < 100000, s"plan string blew up: ${plan.length} chars")
   }
 
+  test("partitionMembership: specs match by NAME, not position") {
+    val df = Seq(("a", "p", 1), ("p", "a", 2)).toDF("k1", "k2", "v")
+    // the spec lists k2 first — positional matching would select row 2
+    // (k1=p, k2=a); by-name matching must select row 1
+    val pred = Privacy.partitionMembership(
+      Seq("k1", "k2"), Seq(Seq("k2" -> "p", "k1" -> "a")))
+    assert(df.filter(pred).select("v").as[Int].collect().toSeq === Seq(1))
+    // a spec that doesn't cover the partition columns fails loudly
+    val e = intercept[IllegalArgumentException] {
+      Privacy.partitionMembership(Seq("k1", "k2"), Seq(Seq("k1" -> "a")))
+    }
+    assert(e.getMessage.contains("must cover partition columns"))
+  }
+
   test("forgetInWarehouse: NULL and escape-needing partition values are purged for real") {
     val wh = java.nio.file.Files.createTempDirectory("graft_privacy_wh3").toString
     val loader = new ParquetLoader(wh, "s")

@@ -189,6 +189,37 @@ class MvRewriteSpec extends SparkSpec {
     }
   }
 
+  test("a DERIVED (non-relation) mv plan serves multiple occurrences too") {
+    // the mv is an in-memory Aggregate plan, not a parquet read — no
+    // MultiInstanceRelation at its root, so the rewrite's fresh-output
+    // fallback (alias-only Project) is what prevents duplicate
+    // attributes when one view serves two aggregate occurrences
+    val mem = Seq(
+      ("click", "2024-01-01", 1.5), ("click", "2024-01-01", 2.5),
+      ("click", "2024-01-02", 4.0), ("view", "2024-01-01", 8.0),
+      ("view", "2024-01-02", 16.0), ("view", "2024-01-02", 0.5))
+      .toDF("event_type", "day", "value")
+    val derived = Seq(MvDef(baseDir,
+      Incremental.partials(mem, Seq("event_type", "day"), "value"),
+      Seq("event_type", "day"), "value"))
+    val q = () => {
+      val byType = spark.read.parquet(baseDir)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("c"))
+        .select(col("event_type").as("g"), col("c"))
+      val byDay = spark.read.parquet(baseDir)
+        .groupBy(col("day")).agg(count(lit(1)).as("c"))
+        .select(col("day").as("g"), col("c"))
+      byType.unionByName(byDay).orderBy(col("g"))
+    }
+    val direct = q().collect().toSeq
+    serveWith(spark, derived) {
+      val plan = q().queryExecution.executedPlan.toString
+      assert(!plan.contains(new java.io.File(baseDir).getName),
+        s"both occurrences must serve from the derived MV plan:\n$plan")
+      assert(q().collect().toSeq === direct)
+    }
+  }
+
   test("the COARSEST matching view wins when several match") {
     // a second, coarser MV keyed on event_type only
     val coarseDir = java.nio.file.Files.createTempDirectory("graft_mv_coarse").toString
