@@ -138,6 +138,73 @@ object Incremental {
       .filter(col("cnt") =!= 0L)
   }
 
+  /** Incremental maintenance of a materialized EQUIJOIN view under a
+    * FULL-IMAGE change feed on the A side — the join counterpart of
+    * [[applyFeed]], completing the IVM matrix: [[joinDelta]] maintains
+    * join views under append-only growth, this maintains them under
+    * DELETES and UPDATES (including updates that MOVE a row to a
+    * different join key — the old match rows leave the view, the new
+    * image re-joins wherever it now lands). The reference recomputes
+    * its serving views from the full base per sync (`sql/views.sql`);
+    * here a mutating source keeps a join view current for
+    * O(|feed| + |touched match rows|) per cycle.
+    *
+    * Inputs: `view` = the materialized A ⋈ B rows (must carry A's unique
+    * row id `rowId`, the join keys, and both sides' payload columns);
+    * `feed` = [[Cdc.snapshotDiffFull]] over A keyed on `rowId`; `b` =
+    * the CURRENT B side (column names already aligned to `joinKeys`).
+    * Maintenance is two legs:
+    *
+    * {{{ op ∈ {U, D}: view rows with that rowId LEAVE (left_anti)
+    *     op ∈ {I, U}: after-image ⋈ B rows ENTER (inner join) }}}
+    *
+    * so the result is row-identical to recomputing A_after ⋈ B — the
+    * identity the e105 oracle hash-checks. A fan-out join (several B
+    * rows per key) is handled naturally: the anti leg removes ALL of an
+    * updated row's old matches, the add leg re-derives the new ones.
+    *
+    * Scale shape: the feed is small by definition of a diff, so both
+    * legs BROADCAST it (`broadcastFeed=false` drops the hints for bulk
+    * backfills and lets AQE pick) — the view is touched only by a
+    * broadcast anti join and B only by a broadcast inner join: one
+    * streamed scan of each big side, ZERO exchanges on them, and the
+    * view itself is never re-derived from A. B must be current as of
+    * the feed (B-side mutations are the symmetric call with sides
+    * swapped, or [[joinDelta]] for append-only B growth). */
+  def applyJoinFeed(
+      view: DataFrame,
+      feed: DataFrame,
+      b: DataFrame,
+      joinKeys: Seq[String],
+      rowId: Seq[String],
+      opCol: String = "op",
+      broadcastFeed: Boolean = true): DataFrame = {
+    require(joinKeys.nonEmpty, "Incremental.applyJoinFeed: joinKeys must be non-empty")
+    require(rowId.nonEmpty, "Incremental.applyJoinFeed: rowId must be non-empty")
+    // A's after-image columns = everything in the feed that is not the
+    // op or a before-image twin (the snapshotDiffFull layout)
+    val aCols = feed.columns.toSeq.filter(c => c != opCol && !c.endsWith("_before"))
+    val missing = (rowId ++ joinKeys).filterNot(aCols.contains)
+    require(missing.isEmpty,
+      s"Incremental.applyJoinFeed: feed after-image is missing ${missing.mkString(", ")} — " +
+        "expected a FULL-IMAGE feed on the A side (Cdc.snapshotDiffFull keyed on rowId) " +
+        "whose images carry the join keys")
+    val viewMissing = aCols.filterNot(view.columns.contains)
+    require(viewMissing.isEmpty,
+      s"Incremental.applyJoinFeed: view is missing A-side column(s) ${viewMissing.mkString(", ")}")
+    // fail loudly on op codes outside the I/U/D vocabulary — the same
+    // double-count hazard applyFeed guards against
+    val opOk = when(col(opCol).isin("I", "U", "D"), col(opCol))
+      .otherwise(raise_error(concat(
+        lit("Incremental.applyJoinFeed: unknown op code '"), col(opCol),
+        lit("' — expected I/U/D (Cdc.snapshotDiffFull codes)"))))
+    def hint(df: DataFrame) = if (broadcastFeed) broadcast(df) else df
+    val leaving = hint(feed.filter(opOk =!= lit("I")).select(rowId.map(col): _*))
+    val entering = hint(feed.filter(opOk =!= lit("D")).select(aCols.map(col): _*))
+      .join(b, joinKeys)
+    view.join(leaving, rowId, "left_anti").unionByName(entering)
+  }
+
   /** Incremental maintenance of a materialized EQUIJOIN view under
     * append-only deltas — the join complement of [[partials]]/[[merge]]:
     * with `V = A ⋈ B` materialized, new rows ΔA/ΔB contribute exactly

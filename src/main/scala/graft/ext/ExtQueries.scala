@@ -1163,7 +1163,11 @@ object ExtQueries {
     * append contract — the final index is INDEPENDENT of how the
     * remaining vectors were batched in, which is why one static
     * restatement can pin a streaming ingest. */
-  private def ivfPqServeOracle(trainSrc: String): String =
+  /** @param excludeScored extra predicate on the SCORED corpus side
+    *   (`a` = the cell-assigned vectors), e.g. a forget-set exclusion
+    *   for e106 — probes, training, and model geometry are untouched,
+    *   exactly like [[Similarity.forgetFromIndex]]. */
+  private def ivfPqServeOracle(trainSrc: String, excludeScored: String = ""): String =
     s"""WITH corp AS (SELECT vec_id, embedding,
         SQRT(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS vn
         FROM embeddings),
@@ -1209,7 +1213,7 @@ object ExtQueries {
       dotj AS (SELECT p.qid, e.vec_id, e.j,
           LIST_SUM(LIST_TRANSFORM(range(1, 5),
             i -> CAST(q.embedding[e.j*4+i] AS DOUBLE) * CAST(cw.w[i] AS DOUBLE))) AS dj
-        FROM probes p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.qid
+        FROM probes p JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.qid $excludeScored
         JOIN enc e ON e.vec_id = a.vec_id
         JOIN cw ON cw.j = e.j AND cw.c = e.c
         JOIN corp q ON q.vec_id = p.qid),
@@ -3814,6 +3818,89 @@ object ExtQueries {
       WHERE CAST(FLOOR(price / 50000.0) AS BIGINT) BETWEEN 2 AND 6
       GROUP BY 1 ORDER BY 1"""))
 
+  // IVM under mutation, JOIN flavor ([[graft.etl.Incremental
+  // .applyJoinFeed]]): a materialized orders ⋈ customer view maintained
+  // through the same I/U/D carving as e103 — PLUS a join-key-moving
+  // update (every 11th order is reassigned to the next customer), the
+  // case append-only joinDelta (e93) cannot express: the old match rows
+  // leave the view, the new image re-joins under its new key (possibly
+  // to nobody — custkey+1 may not exist, and the row correctly drops).
+  // Declared result = applyJoinFeed(before-view, diff, customer); the
+  // oracle recomputes after ⋈ customer from scratch — the hash IS the
+  // maintained-equals-recomputed identity for join views under
+  // mutation. At 100 TB: the view is touched only by a broadcast anti
+  // join and customer only by a broadcast inner join (spec-asserted) —
+  // one streamed scan of each big side per maintenance cycle, zero
+  // exchanges on them, never a rescan of orders. Prices ride as integer
+  // micros (the e103 float-portability rule).
+  val e105 = Q(
+    "e105_join_view_maintenance",
+    (s, d) => {
+      import graft.etl.{Cdc, Incremental}
+      val o = T.orders(s, d)
+      val b = T.customer(s, d).select(
+        col("c_custkey").as("o_custkey"),
+        col("c_nationkey").cast("long").as("c_nationkey"))
+      def snap(df: org.apache.spark.sql.DataFrame) = df.select(
+        col("o_orderkey"),
+        col("o_custkey"),
+        floor(col("price") * 1000000.0).cast("long").as("price_micro"))
+      val before = snap(o.filter(pmod(col("o_orderkey"), lit(5)) =!= 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").as("price")))
+      val after = snap(o.filter(pmod(col("o_orderkey"), lit(7)) =!= 0)
+        .select(col("o_orderkey"),
+          when(pmod(col("o_orderkey"), lit(11)) === 0, col("o_custkey") + 1L)
+            .otherwise(col("o_custkey")).as("o_custkey"),
+          when(pmod(col("o_orderkey"), lit(3)) === 0, col("o_totalprice") + 10.0)
+            .otherwise(col("o_totalprice")).as("price")))
+      val view = before.join(b, Seq("o_custkey"))
+      val feed = Cdc.snapshotDiffFull(before, after, Seq("o_orderkey"))
+      Incremental.applyJoinFeed(view, feed, b, Seq("o_custkey"), Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("c_nationkey"), col("price_micro"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""WITH a AS (SELECT o_orderkey,
+          CASE WHEN o_orderkey % 11 = 0 THEN o_custkey + 1 ELSE o_custkey END AS o_custkey,
+          CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 10.0 ELSE o_totalprice END AS price
+        FROM orders WHERE o_orderkey % 7 <> 0)
+      SELECT a.o_orderkey, a.o_custkey,
+        CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+        CAST(FLOOR(price * 1000000.0) AS BIGINT) AS price_micro
+      FROM a JOIN customer c ON c.c_custkey = a.o_custkey
+      ORDER BY a.o_orderkey"""))
+
+  // RIGHT-TO-BE-FORGOTTEN in the ANN index ([[graft.ext.Similarity
+  // .forgetFromIndex]]): the vector-index half of the warehouse purge
+  // (Privacy.forgetInWarehouse) — a retrieval corpus must forget too.
+  // The declared query builds the e47 index, tombstones every 97th
+  // vector (one atomic ledger PUT, zero codes IO at forget time), then
+  // COMPACTS (the physical purge) and VACUUMS (reclaims the
+  // pre-compaction codes AND the folded tombstone generation) before
+  // serving — so the hash pins the full forget lifecycle: the served
+  // top-k equals the e37/e47 serve arithmetic with the forgotten
+  // vectors excluded from the scored corpus, model geometry unchanged
+  // (centroids/codebooks are corpus aggregates, not per-row data — no
+  // retrain on forget). At 100 TB: forget = O(|ids|), purge cost rides
+  // the next scheduled compaction, and serving stays cell-pruned.
+  val e106 = Q(
+    "e106_ann_index_forget",
+    (s, d) => {
+      val dir = tempQueryDir("graft_e106_idx")
+      Similarity.buildIndex(T.embeddings(s, d), dir,
+        nlist = 64, m = 16, ksub = 64, pqIters = 2)
+      Similarity.forgetFromIndex(s, dir,
+        T.embeddings(s, d).filter(pmod(col("vec_id"), lit(97)) === 3)
+          .select(col("vec_id")))
+      Similarity.compactIndex(s, dir)
+      Similarity.vacuumIndex(s, dir)
+      Similarity.queryIndex(Similarity.loadIndex(s, dir),
+        T.embeddings(s, d).filter(col("vec_id") < 10), k = 5, nprobe = 8)
+    },
+    Some(ivfPqServeOracle("embeddings",
+      excludeScored = "AND a.vec_id % 97 <> 3")))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
@@ -3822,5 +3909,5 @@ object ExtQueries {
       e60, e61, e62, e63, e64, e65, e66, e67, e68, e69, e70, e71, e72, e73, e74,
       e75, e76, e77, e78, e79, e80, e81, e82, e83, e84, e85, e86, e87, e88, e89,
       e90, e91, e92, e93, e94, e95, e96, e97, e98, e99, e100, e101, e102, e103,
-      e104)
+      e104, e105, e106)
 }

@@ -930,11 +930,72 @@ object Similarity {
     // each root reads (and partition-prunes) its own cid= layout; the
     // union stays a streamed scan — compact when the generation count
     // matters
-    val codes = roots.map(spark.read.parquet(_))
+    val codesRaw = roots.map(spark.read.parquet(_))
       .reduce(_.unionByName(_))
       .select(col(idCol), col("cid").cast(IntegerType).as("cid"),
         col("packed"), col("rnorm").as("__rnorm"))
+    // RIGHT-TO-BE-FORGOTTEN: committed tombstones ([[forgetFromIndex]])
+    // subtract from EVERY snapshot, including time-traveled ones — a
+    // purge that a historical read could resurrect is not a purge. The
+    // tombstone set is small by the nature of forget requests, so it
+    // broadcasts; ids already folded away by a compaction anti-match
+    // nothing (idempotent) and are vacuumed with the fold
+    // ([[vacuumIndex]]).
+    val tombDirs = graft.streaming.ExactlyOnce.committedDirs(fs, tombstonesAnchor(path))
+    val codes =
+      if (tombDirs.isEmpty) codesRaw
+      else codesRaw.join(
+        broadcast(tombDirs.map(d => spark.read.parquet(d.toString))
+          .reduce(_.unionByName(_)).select(col(idCol)).distinct()),
+        Seq(idCol), "left_anti")
     IvfPqIndex(IvfPqModel(cents, books, dim, dsub, nlist, m, ksub), idCol, codes)
+  }
+
+  /** Tombstone ledger anchor (generation dirs `tombstones__b<id>` +
+    * one-object ledger, the same [[graft.streaming.ExactlyOnce]] idiom
+    * as the codes appends). */
+  private def tombstonesAnchor(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/tombstones")
+
+  /** RIGHT-TO-BE-FORGOTTEN for a persisted ANN index: commit `ids` as a
+    * tombstone generation. Forgotten vectors disappear from every
+    * subsequent [[loadIndex]]/[[queryIndex]] — including TIME-TRAVELED
+    * reads (`asOfGen` rewinds the codes, never the forget set: a purge
+    * that history can resurrect is not a purge, the same contract as
+    * [[graft.etl.Privacy.forgetInWarehouse]]) — while the model tables
+    * (centroids/codebooks) are untouched: they are k-means/PQ
+    * aggregates over the training corpus, not per-row data, so serving
+    * geometry is unchanged and no retrain is needed.
+    *
+    * The subtraction is logical (a broadcast anti join at load) until
+    * the next [[compactIndex]], which folds the codes WITHOUT the
+    * tombstoned rows — the physical purge — and records the folded
+    * tombstone high-water mark so [[vacuumIndex]] can reclaim both the
+    * pre-compaction codes and the folded tombstone generations.
+    *
+    * Scale shape: the ids frame collapses to a distinct one-column
+    * parquet (one small write, one atomic ledger PUT); nothing about
+    * the codes table is read, rewritten, or shuffled at forget time —
+    * at 100 TB a forget request costs O(|ids|), the rewrite cost is
+    * deferred to the next scheduled compaction. Single-maintainer
+    * contract, like the appends. RE-INSERTING a forgotten id is only
+    * well-defined after its tombstone has been folded (compact) and
+    * reclaimed (vacuum) — before that the standing tombstone still
+    * subtracts the re-appended row. */
+  def forgetFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, ids: DataFrame): Unit = {
+    import graft.streaming.ExactlyOnce
+    val idCol = spark.read.parquet(s"$path/meta").head().getString(5)
+    require(ids.columns.contains(idCol),
+      s"Similarity.forgetFromIndex: ids must carry the index id column '$idCol'")
+    if (ids.isEmpty) return
+    val anchor = tombstonesAnchor(path)
+    val fs = anchor.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val id = ExactlyOnce.nextAppendId(fs, anchor)
+    val gen = ExactlyOnce.clearStage(fs, anchor, id)
+    ids.select(col(idCol)).distinct()
+      .coalesce(1).write.mode("overwrite").parquet(gen.toString)
+    ExactlyOnce.commitLedger(fs, anchor, id)
   }
 
   /** Compact an appended index into a fresh one at `outPath` WITHOUT
@@ -971,9 +1032,17 @@ object Similarity {
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit = {
     import graft.streaming.ExactlyOnce
-    val idx = loadIndex(spark, path)
+    // tombstone high-water mark BEFORE the fold: loadIndex's codes are
+    // already tombstone-filtered, so this fold physically purges every
+    // tombstone committed up to here — record that in the compaction
+    // generation (as a reserved-lineage tag) so vacuumIndex can reclaim
+    // the folded tombstone generations without risking ones committed
+    // mid-compaction
     val anchor = codesAnchor(path)
     val fs = anchor.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tombHwm = ExactlyOnce.committedBatches(fs, tombstonesAnchor(path))
+      .map(_._1).maxOption
+    val idx = loadIndex(spark, path)
     // carry folded stream watermarks forward (max per lineage) — see
     // Dedup.compactDedupIndex
     val (cbase0, tail0) = ExactlyOnce.resolveGenerations(fs, anchor)
@@ -985,7 +1054,12 @@ object Similarity {
     idx.codes
       .select(col(idx.idCol), col("packed"), col("__rnorm").as("rnorm"), col("cid"))
       .write.mode("overwrite").partitionBy("cid").parquet(gen.toString)
-    if (watermarks.nonEmpty) ExactlyOnce.writeStreamTags(fs, gen, watermarks)
+    // the reserved __tombstones lineage records the folded forget
+    // high-water mark; the max-merge with carried watermarks is correct
+    // because ledger ids only grow
+    val tags = watermarks ++ tombHwm.map(h =>
+      "__tombstones" -> (h max watermarks.getOrElse("__tombstones", Long.MinValue)))
+    if (tags.nonEmpty) ExactlyOnce.writeStreamTags(fs, gen, tags)
     ExactlyOnce.markCompaction(fs, gen)
     ExactlyOnce.commitLedger(fs, anchor, id)
   }
@@ -1008,8 +1082,17 @@ object Similarity {
         val codesDir = new org.apache.hadoop.fs.Path(s"$path/codes")
         val dead = ExactlyOnce.committedDirs(fs, anchor).takeWhile(_ != cgen) ++
           (if (fs.exists(codesDir)) Seq(codesDir) else Seq.empty)
-        dead.foreach(fs.delete(_, true))
-        dead.size
+        // tombstone generations the compaction physically folded (id ≤
+        // its recorded high-water mark) are spent: every retained codes
+        // snapshot already excludes those rows, so the anti-join side
+        // no longer needs them. Later tombstones stay until the next
+        // fold.
+        val tombDead = ExactlyOnce.readStreamTags(fs, cgen).get("__tombstones")
+          .toSeq.flatMap(h =>
+            ExactlyOnce.committedBatches(fs, tombstonesAnchor(path))
+              .filter(_._1 <= h).map(_._2))
+        (dead ++ tombDead).foreach(fs.delete(_, true))
+        dead.size + tombDead.size
     }
   }
 

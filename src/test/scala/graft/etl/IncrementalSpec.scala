@@ -171,6 +171,48 @@ class IncrementalSpec extends SparkSpec {
       s"expected the unknown-op raise, got: $e")
   }
 
+  test("applyJoinFeed: maintained join view equals recompute under I/U/D") {
+    import spark.implicits._
+    import graft.etl.Cdc
+    // A rows keyed by id, joining B on k; the id=2 update MOVES the row
+    // to a different join key (old matches leave, new ones enter), id=3
+    // is deleted, id=5 inserted; k=20 fans out to TWO B rows
+    val b = Seq((10L, "x"), (20L, "y"), (20L, "z"), (30L, "w"))
+      .toDF("k", "bv")
+    def aSnap(rows: Seq[(Long, Long, Double)]) = rows.toDF("id", "k", "v")
+    val aBefore = aSnap(Seq((1L, 10L, 1.0), (2L, 10L, 2.0), (3L, 20L, 3.0), (4L, 20L, 4.0)))
+    val aAfter = aSnap(Seq((1L, 10L, 1.0), (2L, 30L, 2.5), (4L, 20L, 4.0), (5L, 20L, 5.0)))
+    val view = aBefore.join(b, Seq("k"))
+    val feed = Cdc.snapshotDiffFull(aBefore, aAfter, Seq("id"))
+    val maintained = Incremental.applyJoinFeed(view, feed, b, Seq("k"), Seq("id"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id"), col("k"), col("v"), col("bv"))
+      .orderBy("id", "bv").collect().toSeq
+    assert(canon(maintained) === canon(aAfter.join(b, Seq("k"))))
+    // the big sides are never exchanged: BOTH maintenance legs (the
+    // anti join removing old matches from the view and the inner join
+    // deriving the new ones from B) are broadcast joins. The feed
+    // DERIVATION (snapshotDiffFull's full-outer over the two small A
+    // snapshots) may shuffle — that's upstream of the maintenance and
+    // scales with A's diff inputs, not with the view or B.
+    val plan = maintained.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"the leave leg must be a broadcast anti join:\n$plan")
+    assert("BroadcastHashJoin \\[k#\\d+L?\\]".r.findFirstIn(plan).isDefined,
+      s"the enter leg must broadcast-join B on the join key:\n$plan")
+  }
+
+  test("applyJoinFeed: rejects feeds whose images lack the join key") {
+    import spark.implicits._
+    val view = Seq((1L, 10L, "x")).toDF("id", "k", "bv")
+    val b = Seq((10L, "x")).toDF("k", "bv")
+    val feed = Seq(("U", 1L, 2.0, 1.0)).toDF("op", "id", "v", "v_before")
+    val e = intercept[IllegalArgumentException] {
+      Incremental.applyJoinFeed(view, feed, b, Seq("k"), Seq("id"))
+    }
+    assert(e.getMessage.contains("FULL-IMAGE feed"))
+  }
+
   test("applyFeed: a group emptied by deletes disappears (no zero-count rows)") {
     import spark.implicits._
     import graft.etl.Cdc

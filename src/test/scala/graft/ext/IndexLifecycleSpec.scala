@@ -355,6 +355,50 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(Similarity.vacuumIndex(spark, dir) == 0)
   }
 
+  test("ANN forget: tombstones subtract everywhere, compaction purges, vacuum reclaims") {
+    import spark.implicits._
+    val embs = graft.Tables.embeddings(spark, sf001)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ilc_forget").toString
+    Similarity.buildIndex(embs.filter(col("vec_id") < 450), dir,
+      nlist = 64, m = 16, ksub = 64, pqIters = 2)
+    Similarity.appendToIndex(embs.filter(col("vec_id") >= 450), dir)
+    val probeVec = embs.filter(col("vec_id") === 7L).collect().head.getSeq[Float](1)
+    val probe = Seq((999999L, probeVec)).toDF("vec_id", "embedding")
+    def ranking(k: Int): Seq[Long] =
+      Similarity.queryIndex(Similarity.loadIndex(spark, dir), probe,
+        k = k, nprobe = 64).collect().map(_.getLong(1)).toSeq
+    // full pre-forget ranking (nprobe = nlist: every cell probed, so the
+    // ranking over survivors is a pure filter of this one)
+    val full = ranking(500)
+    val victims = full.take(3) // forget the top hits — the hardest case
+    Similarity.forgetFromIndex(spark, dir, victims.toDF("vec_id"))
+    // logical subtraction at serve time: top-k = pre-forget ranking
+    // minus the forgotten ids, order preserved, no resurrection in k
+    val post = ranking(10)
+    assert(post == full.filterNot(victims.contains).take(10),
+      "post-forget serve must equal the pre-forget ranking minus victims")
+    // time travel does NOT resurrect: the as-built snapshot is also clean
+    val asBuilt = Similarity.loadIndex(spark, dir, asOfGen = Some(-1L))
+    assert(asBuilt.codes.filter(col("vec_id").isin(victims: _*)).count() == 0,
+      "forget must subtract from time-traveled snapshots too")
+    // compaction physically purges; serving unchanged
+    Similarity.compactIndex(spark, dir)
+    assert(ranking(10) == post, "compaction must not change post-forget serving")
+    val folded = Similarity.loadIndex(spark, dir)
+    assert(folded.codes.count() == 500 - victims.size)
+    // vacuum reclaims base + append gen + the folded tombstone generation
+    val reclaimed = Similarity.vacuumIndex(spark, dir)
+    assert(reclaimed == 3, s"base codes + 1 append + 1 tombstone gen, got $reclaimed")
+    val fs = fsOf(new HPath(s"$dir/tombstones"))
+    assert(ExactlyOnce.listBatchDirs(fs, new HPath(s"$dir/tombstones")).isEmpty,
+      "folded tombstone generations must be reclaimed")
+    assert(ranking(10) == post, "vacuum must not change post-forget serving")
+    // a NEW forget after the fold applies to the compacted base too
+    val next = post.head
+    Similarity.forgetFromIndex(spark, dir, Seq(next).toDF("vec_id"))
+    assert(ranking(10) == full.filterNot((victims :+ next).contains).take(10))
+  }
+
   test("asOfGen time travel: every retained snapshot reads exactly its history") {
     val (dir, anchor) = mkDedup("asof")
     val fs = fsOf(anchor)
