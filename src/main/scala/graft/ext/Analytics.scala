@@ -305,4 +305,45 @@ object Analytics {
       .filter(col(typeCol) === conversionType)
       .drop(typeCol)
   }
+
+  /** Batch gap-sessionization: the classic two-window assignment —
+    * `lag` flags a session break when the gap to the previous event
+    * exceeds `gapSeconds`, a running `sum` of the flags numbers the
+    * sessions per user, then one aggregate rolls each session up. The
+    * batch complement of the streaming timer sessions (c56 /
+    * [[graft.streaming.GapSessions]]): same semantics on data at rest,
+    * where one sort-per-user-partition beats maintaining state.
+    *
+    * One exchange total: both windows and the final aggregate share the
+    * user-key partitioning, so Spark plans a single shuffle and reuses
+    * its sort. Ordering is made total with the event-id tiebreak —
+    * duplicate timestamps otherwise make `lag` nondeterministic.
+    * Gap arithmetic is in whole epoch seconds (`unix_timestamp` floors,
+    * matching DuckDB `date_diff('second', ..)` boundary counting), so
+    * every comparison and every output column is exact integer math.
+    */
+  def sessionize(
+      events: DataFrame,
+      gapSeconds: Long,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(gapSeconds > 0, "Analytics.sessionize: gapSeconds must be positive")
+    val order = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val prev = lag(col(tsCol), 1).over(order)
+    val isBreak = prev.isNull ||
+      unix_timestamp(col(tsCol)) - unix_timestamp(prev) > gapSeconds
+    val sess = sum(when(isBreak, 1L).otherwise(0L))
+      .over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    events
+      .withColumn("session_seq", sess)
+      .groupBy(col(userCol), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("first_ts"),
+        max(col(tsCol)).as("last_ts"))
+      .withColumn("duration_s",
+        unix_timestamp(col("last_ts")) - unix_timestamp(col("first_ts")))
+  }
 }

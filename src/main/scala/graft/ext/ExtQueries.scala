@@ -3901,6 +3901,126 @@ object ExtQueries {
     Some(ivfPqServeOracle("embeddings",
       excludeScored = "AND a.vec_id % 97 <> 3")))
 
+  // DISTRIBUTED LINEAR ALGEBRA REDUCE ([[Pca.moments]]): the exact
+  // integer first/second-moment table of the embedding corpus — the
+  // front half of PCA/whitening. One corpus scan through a mergeable
+  // Aggregator whose state is 2,145 longs (d=64) regardless of rows;
+  // components ride as integer micros so the reduce is exact and
+  // partitioning-independent (the e103 float-portability rule applied
+  // to linear algebra). The 2,080-row output is driver-assembled from
+  // that bounded buffer — nothing row-scaled is ever collected.
+  val e107 = Q(
+    "e107_embedding_gram",
+    (s, d) => {
+      import s.implicits._
+      val mo = Pca.moments(T.embeddings(s, d), "embedding", 64)
+      val rows = for { i <- 0 until 64; j <- i until 64 }
+        yield (i.toLong, j.toLong, mo.gram(i)(j), mo.sums(i), mo.sums(j), mo.n)
+      rows.toDF("i", "j", "sum_qq", "sum_qi", "sum_qj", "n")
+        .orderBy(col("i"), col("j"))
+    },
+    Some("""WITH q AS (SELECT LIST_TRANSFORM(embedding,
+          x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv FROM embeddings),
+      s AS (SELECT i.i AS i, SUM(q.qv[i.i + 1]) AS s FROM q, range(0, 64) i(i) GROUP BY 1),
+      n AS (SELECT COUNT(*) AS n FROM q),
+      g AS (SELECT a.i AS i, b.j AS j, SUM(q.qv[a.i + 1] * q.qv[b.j + 1]) AS g
+            FROM q, range(0, 64) a(i), range(0, 64) b(j) WHERE a.i <= b.j GROUP BY 1, 2)
+      SELECT g.i, g.j, CAST(g.g AS BIGINT) AS sum_qq,
+        CAST(si.s AS BIGINT) AS sum_qi, CAST(sj.s AS BIGINT) AS sum_qj,
+        CAST(n.n AS BIGINT) AS n
+      FROM g JOIN s si ON si.i = g.i JOIN s sj ON sj.i = g.j CROSS JOIN n
+      ORDER BY g.i, g.j"""))
+
+  // DISTRIBUTED PCA PROJECTION ([[Pca.fit]]/[[Pca.project]]): top-2
+  // principal scores per embedding — exact-moment scan (e107's reduce),
+  // bounded 64×64 driver eigensolve (fixed 60-step power iteration with
+  // deflation, every double op in pinned order), then an embarrassingly
+  // parallel projection whose sequential `aggregate` fold matches DuckDB
+  // LIST_SUM bit-for-bit (the DotProductF32 parity contract). The oracle
+  // restates the full recurrence as a recursive CTE over LIST<DOUBLE> —
+  // an independent bit-exact replay of the eigensolve, not a copy of its
+  // outputs. At 100 TB: one scan + one constant-size state merge + one
+  // map-only projection pass; no shuffle ever carries a vector.
+  val e108 = Q(
+    "e108_pca_project",
+    (s, d) => {
+      val emb = T.embeddings(s, d)
+      val model = Pca.fit(emb, "embedding", 64)
+      Pca.project(emb, "embedding", model)
+        .select(col("vec_id"), col("pc1_q"), col("pc2_q"))
+        .orderBy(col("vec_id"))
+    },
+    Some("""WITH RECURSIVE
+      q AS MATERIALIZED (SELECT vec_id, LIST_TRANSFORM(embedding,
+        x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv FROM embeddings),
+      nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM q),
+      sums AS MATERIALIZED (SELECT i.i AS i, SUM(q.qv[i.i + 1]) AS s
+        FROM q, range(0, 64) i(i) GROUP BY 1),
+      mean AS MATERIALIZED (SELECT LIST(CAST(s AS DOUBLE) / nd ORDER BY i) AS m
+        FROM sums, nn GROUP BY nd),
+      gr AS MATERIALIZED (SELECT a.i AS i, b.j AS j, SUM(q.qv[a.i + 1] * q.qv[b.j + 1]) AS g
+        FROM q, range(0, 64) a(i), range(0, 64) b(j) GROUP BY 1, 2),
+      mat AS MATERIALIZED (SELECT LIST(row ORDER BY i) AS a FROM (
+        SELECT gr.i AS i, LIST(CAST(gr.g AS DOUBLE) / nd - m[gr.i + 1] * m[gr.j + 1] ORDER BY gr.j) AS row
+        FROM gr, nn, mean GROUP BY gr.i)),
+      it1(k, v) AS (
+        SELECT 0, LIST_TRANSFORM(range(0, 64), x -> CAST(0.125 AS DOUBLE))
+        UNION ALL
+        SELECT k + 1, LIST_TRANSFORM(
+            [LIST_TRANSFORM(range(1, 65), i -> LIST_SUM(LIST_TRANSFORM(range(1, 65), j -> a[i][j] * v[j])))],
+            w -> LIST_TRANSFORM(w, x -> x / SQRT(LIST_SUM(LIST_TRANSFORM(w, y -> y * y)))))[1]
+        FROM it1, mat WHERE k < 60),
+      v1r AS MATERIALIZED (SELECT v FROM it1 WHERE k = 60),
+      l1 AS MATERIALIZED (SELECT LIST_SUM(LIST_TRANSFORM(range(1, 65),
+          i -> v[i] * LIST_SUM(LIST_TRANSFORM(range(1, 65), j -> a[i][j] * v[j])))) AS lam
+        FROM v1r, mat),
+      mat2 AS MATERIALIZED (SELECT LIST_TRANSFORM(range(1, 65),
+          i -> LIST_TRANSFORM(range(1, 65), j -> a[i][j] - lam * v[i] * v[j])) AS a
+        FROM mat, v1r, l1),
+      it2(k, v) AS (
+        SELECT 0, LIST_TRANSFORM(range(0, 64), x -> CAST(0.125 AS DOUBLE))
+        UNION ALL
+        SELECT k + 1, LIST_TRANSFORM(
+            [LIST_TRANSFORM(range(1, 65), i -> LIST_SUM(LIST_TRANSFORM(range(1, 65), j -> a[i][j] * v[j])))],
+            w -> LIST_TRANSFORM(w, x -> x / SQRT(LIST_SUM(LIST_TRANSFORM(w, y -> y * y)))))[1]
+        FROM it2, mat2 WHERE k < 60),
+      v2r AS MATERIALIZED (SELECT v FROM it2 WHERE k = 60),
+      v1s AS MATERIALIZED (SELECT LIST_TRANSFORM(v, x -> x * sg) AS v FROM (
+        SELECT v, CASE WHEN v[LIST_POSITION(LIST_TRANSFORM(v, y -> ABS(y)), LIST_MAX(LIST_TRANSFORM(v, y -> ABS(y))))] < 0
+          THEN CAST(-1.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END AS sg FROM v1r)),
+      v2s AS MATERIALIZED (SELECT LIST_TRANSFORM(v, x -> x * sg) AS v FROM (
+        SELECT v, CASE WHEN v[LIST_POSITION(LIST_TRANSFORM(v, y -> ABS(y)), LIST_MAX(LIST_TRANSFORM(v, y -> ABS(y))))] < 0
+          THEN CAST(-1.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END AS sg FROM v2r))
+      SELECT q.vec_id,
+        LIST_SUM(LIST_TRANSFORM(range(1, 65), j -> (CAST(q.qv[j] AS DOUBLE) - m[j]) * v1s.v[j])) AS pc1_q,
+        LIST_SUM(LIST_TRANSFORM(range(1, 65), j -> (CAST(q.qv[j] AS DOUBLE) - m[j]) * v2s.v[j])) AS pc2_q
+      FROM q, mean, v1s, v2s
+      ORDER BY q.vec_id"""))
+
+  // BATCH GAP-SESSIONIZATION ([[Analytics.sessionize]]): the batch
+  // complement of c56's streaming timer sessions — lag-flag breaks,
+  // running-sum session numbers, one rollup. A single user-keyed
+  // exchange serves both windows and the aggregate; all session math is
+  // whole-second integer arithmetic (unix_timestamp floors on the Spark
+  // side, date_diff('second') boundary counts on the oracle side — the
+  // same values by construction).
+  val e109 = Q(
+    "e109_batch_sessionize",
+    (s, d) => Analytics.sessionize(T.events(s, d), gapSeconds = 1800)
+      .orderBy(col("user_id"), col("session_seq")),
+    Some("""WITH o AS (SELECT user_id, event_id, ts,
+        CASE WHEN LAG(ts) OVER w IS NULL
+             OR date_diff('second', LAG(ts) OVER w, ts) > 1800
+          THEN 1 ELSE 0 END AS ns
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      t AS (SELECT user_id, ts, SUM(ns) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq FROM o)
+      SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        CAST(COUNT(*) AS BIGINT) AS n_events,
+        MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+        CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_s
+      FROM t GROUP BY user_id, session_seq ORDER BY user_id, session_seq"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
@@ -3909,5 +4029,5 @@ object ExtQueries {
       e60, e61, e62, e63, e64, e65, e66, e67, e68, e69, e70, e71, e72, e73, e74,
       e75, e76, e77, e78, e79, e80, e81, e82, e83, e84, e85, e86, e87, e88, e89,
       e90, e91, e92, e93, e94, e95, e96, e97, e98, e99, e100, e101, e102, e103,
-      e104, e105, e106)
+      e104, e105, e106, e107, e108, e109)
 }

@@ -216,4 +216,43 @@ class AnalyticsSpec extends SparkSpec {
       .as[(Option[String], Option[String])].collect().toSeq
     assert(out === Seq((Some("click"), Some("click"))))
   }
+
+  // ---------------- sessionize ----------------
+
+  private def sessEv(xs: (Long, Long, String)*): DataFrame =
+    xs.toDF("event_id", "user_id", "tss")
+      .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+
+  test("sessionize: a gap strictly over the threshold opens a new session") {
+    val events = sessEv(
+      (1L, 1L, "2024-01-01 10:00:00"),
+      (2L, 1L, "2024-01-01 10:20:00"), // 1200s ≤ 1800 → same session
+      (3L, 1L, "2024-01-01 10:50:00"), // exactly 1800s → still same
+      (4L, 1L, "2024-01-01 11:20:01"), // 1801s → new session
+      (5L, 2L, "2024-01-01 10:00:00")) // other user: own numbering
+    val out = Analytics.sessionize(events, gapSeconds = 1800)
+      .orderBy("user_id", "session_seq")
+      .select("user_id", "session_seq", "n_events", "duration_s")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 1L, 3L, 3000L), (1L, 2L, 1L, 0L), (2L, 1L, 1L, 0L)))
+  }
+
+  test("sessionize: duplicate timestamps are ordered by event id (deterministic)") {
+    val events = sessEv(
+      (2L, 1L, "2024-01-01 10:00:00"),
+      (1L, 1L, "2024-01-01 10:00:00"), // same instant, lower id first
+      (3L, 1L, "2024-01-01 12:00:00"))
+    val out = Analytics.sessionize(events, gapSeconds = 60)
+      .orderBy("session_seq")
+      .select("session_seq", "n_events").as[(Long, Long)].collect().toSeq
+    assert(out === Seq((1L, 2L), (2L, 1L)))
+  }
+
+  test("sessionize plan: one exchange serves both windows and the rollup") {
+    val events = graft.Tables.events(spark, sf001)
+    val plan = Analytics.sessionize(events, gapSeconds = 1800)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 1, s"expected a single user-keyed exchange:\n$plan")
+  }
 }

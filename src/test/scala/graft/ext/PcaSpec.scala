@@ -1,0 +1,84 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** PCA over embeddings: exactness of the moment reduce (partitioning-
+  * independence is the load-bearing scale property), eigensolve sanity
+  * (orthogonality, variance ordering, residual), and projection
+  * equivalence with a driver-side replay. */
+class PcaSpec extends SparkSpec {
+  private val dim = 64
+  private def emb = graft.Tables.embeddings(spark, sf001)
+
+  test("moments: exact and partitioning-independent") {
+    val m1 = Pca.moments(emb.repartition(1), "embedding", dim)
+    val m7 = Pca.moments(emb.repartition(7, col("vec_id")), "embedding", dim)
+    assert(m1.n == m7.n && m1.n > 0)
+    assert(m1.sums.sameElements(m7.sums))
+    assert(m1.gram.map(_.toSeq).toSeq == m7.gram.map(_.toSeq).toSeq)
+    // brute-force replay on the driver over the same quantization
+    val rows = emb.select(Pca.quantizeMicros(col("embedding"))).collect()
+      .map(_.getSeq[Long](0).toArray)
+    assert(m1.n == rows.length)
+    val s = new Array[Long](dim)
+    val g = Array.ofDim[Long](dim, dim)
+    rows.foreach { q =>
+      var i = 0
+      while (i < dim) {
+        s(i) += q(i)
+        var j = 0
+        while (j < dim) { g(i)(j) += q(i) * q(j); j += 1 }
+        i += 1
+      }
+    }
+    assert(m1.sums.sameElements(s))
+    assert(m1.gram.map(_.toSeq).toSeq == g.map(_.toSeq).toSeq)
+  }
+
+  test("fit: top-2 eigenpairs are unit, near-orthogonal, variance-ordered") {
+    val mo = Pca.fit(emb, "embedding", dim)
+    def dot(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    assert(math.abs(dot(mo.v1, mo.v1) - 1.0) < 1e-12)
+    assert(math.abs(dot(mo.v2, mo.v2) - 1.0) < 1e-12)
+    // fixed 60-step iteration is a determinism contract, not a
+    // convergence guarantee — orthogonality is approximate when the
+    // λ2/λ3 gap is small (sanity bound, not bit contract)
+    assert(math.abs(dot(mo.v1, mo.v2)) < 0.01)
+    assert(mo.lam1 > 0 && mo.lam2 > 0 && mo.lam1 >= mo.lam2)
+    // sign convention: largest-|x| component is positive
+    def maxComp(v: Array[Double]) = v(v.map(math.abs).zipWithIndex.maxBy(_._1)._2)
+    assert(maxComp(mo.v1) > 0 && maxComp(mo.v2) > 0)
+  }
+
+  test("project: distributed scores equal a driver-side replay; pc1 variance >= pc2") {
+    val model = Pca.fit(emb, "embedding", dim)
+    val got = Pca.project(emb, "embedding", model)
+      .select(col("vec_id"), col("pc1_q"), col("pc2_q"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val qs = emb.select(col("vec_id"), Pca.quantizeMicros(col("embedding")))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    qs.foreach { case (id, q) =>
+      var p1 = 0.0; var p2 = 0.0; var j = 0
+      while (j < dim) {
+        val c = q(j).toDouble - model.mean(j)
+        p1 += c * model.v1(j); p2 += c * model.v2(j); j += 1
+      }
+      assert(got(id) == ((p1, p2)), s"vec $id") // bit-equal, not approx
+    }
+    def variance(xs: Iterable[Double]) = {
+      val n = xs.size.toDouble
+      val m = xs.sum / n
+      xs.map(x => (x - m) * (x - m)).sum / n
+    }
+    assert(variance(got.values.map(_._1)) >= variance(got.values.map(_._2)))
+  }
+
+  test("projection plan: map-only, no exchange") {
+    val model = Pca.fit(emb, "embedding", dim)
+    val plan = Pca.project(emb, "embedding", model)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"projection must not shuffle:\n$plan")
+  }
+}
