@@ -3909,16 +3909,21 @@ object ExtQueries {
   // partitioning-independent (the e103 float-portability rule applied
   // to linear algebra). The 2,080-row output is driver-assembled from
   // that bounded buffer — nothing row-scaled is ever collected.
+  /** Upper-triangular moment table from a bounded driver buffer —
+    * 2,080 rows for d=64 regardless of corpus size. */
+  private def momentTable(s: org.apache.spark.sql.SparkSession,
+      mo: Pca.Moments): DataFrame = {
+    import s.implicits._
+    val dim = mo.sums.length
+    val rows = for { i <- 0 until dim; j <- i until dim }
+      yield (i.toLong, j.toLong, mo.gram(i)(j), mo.sums(i), mo.sums(j), mo.n)
+    rows.toDF("i", "j", "sum_qq", "sum_qi", "sum_qj", "n")
+      .orderBy(col("i"), col("j"))
+  }
+
   val e107 = Q(
     "e107_embedding_gram",
-    (s, d) => {
-      import s.implicits._
-      val mo = Pca.moments(T.embeddings(s, d), "embedding", 64)
-      val rows = for { i <- 0 until 64; j <- i until 64 }
-        yield (i.toLong, j.toLong, mo.gram(i)(j), mo.sums(i), mo.sums(j), mo.n)
-      rows.toDF("i", "j", "sum_qq", "sum_qi", "sum_qj", "n")
-        .orderBy(col("i"), col("j"))
-    },
+    (s, d) => momentTable(s, Pca.moments(T.embeddings(s, d), "embedding", 64)),
     Some("""WITH q AS (SELECT LIST_TRANSFORM(embedding,
           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv FROM embeddings),
       s AS (SELECT i.i AS i, SUM(q.qv[i.i + 1]) AS s FROM q, range(0, 64) i(i) GROUP BY 1),
@@ -4021,6 +4026,51 @@ object ExtQueries {
         CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_s
       FROM t GROUP BY user_id, session_seq ORDER BY user_id, session_seq"""))
 
+  // INCREMENTAL PCA ([[Pca.applyMomentsFeed]]): the moment table is
+  // ADDITIVE, so a change feed maintains it exactly — retract before-
+  // images, add after-images, all in exact Longs, so maintained ≡
+  // recomputed BIT-FOR-BIT with no float drift across any number of
+  // feed applications (the integer twin of e103's retractable
+  // partials, applied to linear algebra). The declared query mutates
+  // the embedding corpus (drops, inserts, and in-place vector updates),
+  // derives the full-image feed from the snapshot pair, maintains the
+  // before-moments, and emits the maintained table; the oracle
+  // recomputes the moments from the after-corpus directly. At 100 TB:
+  // a PCA model over a daily-mutating corpus costs O(|feed|) per day
+  // after the one historical scan — the eigensolve rides the bounded
+  // driver matrix either way.
+  val e110 = Q(
+    "e110_incremental_pca",
+    (s, d) => {
+      import graft.etl.Cdc
+      val emb = T.embeddings(s, d)
+      val asDouble = transform(col("embedding"), x => x.cast("double"))
+      val mutated = transform(col("embedding"), x => x.cast("double") + lit(0.25))
+      val before = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+        .select(col("vec_id"), asDouble.as("vec"))
+      val after = emb.filter(pmod(col("vec_id"), lit(7)) =!= 0)
+        .select(col("vec_id"),
+          when(pmod(col("vec_id"), lit(11)) === 0, mutated)
+            .otherwise(asDouble).as("vec"))
+      val feed = Cdc.snapshotDiffFull(before, after, Seq("vec_id"))
+      momentTable(s, Pca.applyMomentsFeed(
+        Pca.moments(before, "vec", 64), feed, "vec", 64))
+    },
+    Some("""WITH a AS (SELECT CASE WHEN vec_id % 11 = 0
+            THEN LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) + 0.25)
+            ELSE LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) END AS vec
+          FROM embeddings WHERE vec_id % 7 <> 0),
+      q AS (SELECT LIST_TRANSFORM(vec, x -> CAST(FLOOR(x * 1000000.0) AS BIGINT)) AS qv FROM a),
+      s AS (SELECT i.i AS i, SUM(q.qv[i.i + 1]) AS s FROM q, range(0, 64) i(i) GROUP BY 1),
+      n AS (SELECT COUNT(*) AS n FROM q),
+      g AS (SELECT a2.i AS i, b.j AS j, SUM(q.qv[a2.i + 1] * q.qv[b.j + 1]) AS g
+            FROM q, range(0, 64) a2(i), range(0, 64) b(j) WHERE a2.i <= b.j GROUP BY 1, 2)
+      SELECT g.i, g.j, CAST(g.g AS BIGINT) AS sum_qq,
+        CAST(si.s AS BIGINT) AS sum_qi, CAST(sj.s AS BIGINT) AS sum_qj,
+        CAST(n.n AS BIGINT) AS n
+      FROM g JOIN s si ON si.i = g.i JOIN s sj ON sj.i = g.j CROSS JOIN n
+      ORDER BY g.i, g.j"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
@@ -4029,5 +4079,5 @@ object ExtQueries {
       e60, e61, e62, e63, e64, e65, e66, e67, e68, e69, e70, e71, e72, e73, e74,
       e75, e76, e77, e78, e79, e80, e81, e82, e83, e84, e85, e86, e87, e88, e89,
       e90, e91, e92, e93, e94, e95, e96, e97, e98, e99, e100, e101, e102, e103,
-      e104, e105, e106, e107, e108, e109)
+      e104, e105, e106, e107, e108, e109, e110)
 }

@@ -99,6 +99,44 @@ object Pca {
       ExpressionEncoder[Array[Long]]()
   }
 
+  /** Signed [[GramAggregator]]: each row contributes `w ×` its moment
+    * terms (w = +1 insert / −1 retract). Same exact-Long state, so a
+    * maintained moment buffer under a change feed is BIT-IDENTICAL to
+    * one recomputed from the after-corpus — integer IVM, no float
+    * drift ever accumulates across feed applications. */
+  final class WeightedGramAggregator(dim: Int)
+      extends Aggregator[(Long, Array[Long]), Array[Long], Array[Long]] {
+    private val tri = dim * (dim + 1) / 2
+    override def zero: Array[Long] = new Array[Long](1 + dim + tri)
+    override def reduce(b: Array[Long], row: (Long, Array[Long])): Array[Long] = {
+      val (w, q) = row
+      require(q != null && q.length == dim,
+        s"WeightedGramAggregator: expected a dim=$dim vector, got " +
+          (if (q == null) "null" else s"length ${q.length}"))
+      b(0) += w
+      var i = 0
+      var k = 1 + dim
+      while (i < dim) {
+        val qi = q(i)
+        b(1 + i) += w * qi
+        var j = i
+        while (j < dim) { b(k) += w * (qi * q(j)); k += 1; j += 1 }
+        i += 1
+      }
+      b
+    }
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < x.length) { x(i) += y(i); i += 1 }
+      x
+    }
+    override def finish(b: Array[Long]): Array[Long] = b
+    override def bufferEncoder: ExpressionEncoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: ExpressionEncoder[Array[Long]] =
+      ExpressionEncoder[Array[Long]]()
+  }
+
   /** One corpus scan → exact moments. The head() is bounded: the
     * aggregate output is a single `1 + d + d(d+1)/2`-long array
     * regardless of corpus size (never row-scaled). */
@@ -121,6 +159,55 @@ object Pca {
       i += 1
     }
     Moments(n, sums, gram)
+  }
+
+  /** INCREMENTAL MAINTENANCE of the moments under a full-image change
+    * feed ([[graft.etl.Cdc.snapshotDiffFull]] shape: `op` ∈ {I,U,D},
+    * after-image `vecCol`, before-image `${vecCol}_before`): retract
+    * the before-images, add the after-images, fold the signed delta
+    * into the stored buffer. Because every term is an exact Long,
+    * maintained ≡ recomputed bit-for-bit — the PCA twin of
+    * `Incremental.applyFeed`, at O(|feed|) per cycle instead of a
+    * corpus rescan. Op validation mirrors applyFeed: unknown codes
+    * fail per-row at exec time rather than double-counting. */
+  def applyMomentsFeed(
+      m: Moments,
+      feed: DataFrame,
+      vecCol: String,
+      dim: Int,
+      opCol: String = "op"): Moments = {
+    val missing = Seq(opCol, vecCol, s"${vecCol}_before").filterNot(feed.columns.contains)
+    require(missing.isEmpty,
+      s"Pca.applyMomentsFeed: feed is missing column(s) ${missing.mkString(", ")} — " +
+        "expected a FULL-IMAGE change feed as produced by Cdc.snapshotDiffFull")
+    val opOk = when(col(opCol).isin("I", "U", "D"), col(opCol))
+      .otherwise(raise_error(concat(
+        lit("Pca.applyMomentsFeed: unknown op code '"), col(opCol),
+        lit("' — expected I/U/D (Cdc.snapshotDiffFull codes)"))))
+    val minus = feed.filter(opOk =!= lit("I"))
+      .select(lit(-1L).as("w"), quantizeMicros(col(s"${vecCol}_before")).as("qv"))
+    val plus = feed.filter(opOk =!= lit("D"))
+      .select(lit(1L).as("w"), quantizeMicros(col(vecCol)).as("qv"))
+    val spark = feed.sparkSession
+    import spark.implicits._
+    val agg = new WeightedGramAggregator(dim)
+    val deltaRows = minus.unionByName(plus).as[(Long, Array[Long])]
+    // an empty feed has no aggregate row to head(); the delta is zero
+    val delta = deltaRows.select(agg.toColumn).collect()
+      .headOption.getOrElse(new Array[Long](1 + dim + dim * (dim + 1) / 2))
+    val sums = Array.tabulate(dim)(i => m.sums(i) + delta(1 + i))
+    val gram = Array.ofDim[Long](dim, dim)
+    var k = 1 + dim
+    var i = 0
+    while (i < dim) {
+      var j = i
+      while (j < dim) {
+        val v = m.gram(i)(j) + delta(k)
+        gram(i)(j) = v; gram(j)(i) = v; k += 1; j += 1
+      }
+      i += 1
+    }
+    Moments(m.n + delta(0), sums, gram)
   }
 
   // --- driver-side eigensolve: every double op in pinned order so the

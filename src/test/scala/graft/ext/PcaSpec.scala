@@ -75,6 +75,48 @@ class PcaSpec extends SparkSpec {
     assert(variance(got.values.map(_._1)) >= variance(got.values.map(_._2)))
   }
 
+  test("applyMomentsFeed: maintained moments equal recomputed, bit-for-bit") {
+    import graft.etl.Cdc
+    val before = emb.filter(col("vec_id") % 5 =!= 0)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("vec"))
+    val after = emb.filter(col("vec_id") % 7 =!= 0)
+      .select(col("vec_id"),
+        when(col("vec_id") % 11 === 0,
+          transform(col("embedding"), x => x.cast("double") + lit(0.25)))
+          .otherwise(transform(col("embedding"), x => x.cast("double"))).as("vec"))
+    val feed = Cdc.snapshotDiffFull(before, after, Seq("vec_id"))
+    assert(feed.filter(col("op") === "I").count() > 0)
+    assert(feed.filter(col("op") === "D").count() > 0)
+    assert(feed.filter(col("op") === "U").count() > 0)
+    val maintained = Pca.applyMomentsFeed(Pca.moments(before, "vec", dim), feed, "vec", dim)
+    val recomputed = Pca.moments(after, "vec", dim)
+    assert(maintained.n == recomputed.n)
+    assert(maintained.sums.sameElements(recomputed.sums))
+    assert(maintained.gram.map(_.toSeq).toSeq == recomputed.gram.map(_.toSeq).toSeq)
+  }
+
+  test("applyMomentsFeed: empty feed is the identity; malformed feeds fail loudly") {
+    import spark.implicits._
+    val m0 = Pca.moments(emb.limit(10), "embedding", dim)
+    val cols = Seq("op", "vec", "vec_before")
+    val empty = Seq.empty[(String, Array[Double], Array[Double])].toDF(cols: _*)
+    val same = Pca.applyMomentsFeed(m0, empty, "vec", dim)
+    assert(same.n == m0.n && same.sums.sameElements(m0.sums))
+    // missing before-image column
+    val noBefore = Seq(("I", Array.fill(dim)(0.0))).toDF("op", "vec")
+    val e1 = intercept[IllegalArgumentException] {
+      Pca.applyMomentsFeed(m0, noBefore, "vec", dim)
+    }
+    assert(e1.getMessage.contains("vec_before"))
+    // unknown op code fails at exec time, not silently double-counted
+    val badOp = Seq(("c", Array.fill(dim)(0.0), Array.fill(dim)(0.0))).toDF(cols: _*)
+    val e2 = intercept[Exception] {
+      Pca.applyMomentsFeed(m0, badOp, "vec", dim)
+    }
+    assert(e2.getMessage.contains("unknown op code") ||
+      Option(e2.getCause).exists(_.getMessage.contains("unknown op code")))
+  }
+
   test("projection plan: map-only, no exchange") {
     val model = Pca.fit(emb, "embedding", dim)
     val plan = Pca.project(emb, "embedding", model)
