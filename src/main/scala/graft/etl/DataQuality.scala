@@ -156,4 +156,54 @@ object DataQuality {
     require(audits.nonEmpty, "DataQuality.report: audits must be non-empty")
     audits.reduce(_.unionByName(_)).orderBy(col("check_name"))
   }
+
+  /** Pearson correlation profile across numeric columns — the
+    * feature-relationship half of the profiling surface ([[rowAudit]] /
+    * e71's per-column stats cover the univariate half).
+    *
+    * Exactness contract (the e102/e103 float-portability rule applied
+    * to covariance): each column is quantized to integers at its OWN
+    * scale — correlation is invariant under positive linear maps, so
+    * per-column scales are free — and ALL cross-row aggregation is
+    * exact `Long` sums in ONE codegen'd `groupBy().agg` pass
+    * (`k + k(k+1)/2 + 1` native sums: map-side partial, order-free,
+    * no custom state — for a handful of columns the built-in path
+    * beats e107's typed Aggregator, which exists for d=64 where 2,080
+    * aggregate expressions would sink codegen). Only the final
+    * bounded-size correlation arithmetic is floating point, every op
+    * in pinned order, so a DuckDB oracle restating the same formula is
+    * bit-equal. Overflow bound: `max(q)² × rows < 2^63` — with whole-
+    * unit price quantization that holds to ~1e8 rows per aggregation
+    * (document per call site; shard-and-combine beyond).
+    *
+    * Returns one row per unordered column pair `(col_a, col_b, corr)`.
+    * The constant-width aggregate row is collected (bounded: one row,
+    * `1 + k + k(k+1)/2` longs) and the k(k-1)/2 output rows are
+    * driver-assembled. */
+  def corrProfile(df: DataFrame, cols: Seq[(String, Double)]): DataFrame = {
+    require(cols.size >= 2, "DataQuality.corrProfile: need at least two columns")
+    val k = cols.size
+    val q = cols.zipWithIndex.map { case ((c, scale), i) =>
+      floor(col(c) * lit(scale)).cast("long").as(s"q$i")
+    }
+    val sums =
+      (0 until k).map(i => sum(col(s"q$i")).as(s"s$i")) ++
+        (for { i <- 0 until k; j <- i until k }
+          yield sum(col(s"q$i") * col(s"q$j")).as(s"s${i}_$j")) :+
+        count(lit(1)).as("n")
+    val row = df.select(q: _*).agg(sums.head, sums.tail: _*).head()
+    require(row.getAs[Long]("n") > 0, "DataQuality.corrProfile: empty input")
+    val nd = row.getAs[Long]("n").toDouble
+    def sd(i: Int) = row.getAs[Long](s"s$i").toDouble
+    def sdd(i: Int, j: Int) = row.getAs[Long](s"s${i}_$j").toDouble
+    val out = for { i <- 0 until k; j <- (i + 1) until k } yield {
+      val corr = (nd * sdd(i, j) - sd(i) * sd(j)) /
+        (math.sqrt(nd * sdd(i, i) - sd(i) * sd(i)) *
+          math.sqrt(nd * sdd(j, j) - sd(j) * sd(j)))
+      (cols(i)._1, cols(j)._1, corr)
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    out.toDF("col_a", "col_b", "corr")
+  }
 }

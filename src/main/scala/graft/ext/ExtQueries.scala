@@ -4071,6 +4071,114 @@ object ExtQueries {
       FROM g JOIN s si ON si.i = g.i JOIN s sj ON sj.i = g.j CROSS JOIN n
       ORDER BY g.i, g.j"""))
 
+  // COLUMN-CORRELATION PROFILE ([[graft.etl.DataQuality.corrProfile]]):
+  // Pearson correlations across lineitem's numeric columns in ONE
+  // codegen'd aggregate pass — per-column integer quantization (scales
+  // are free under correlation's linear invariance), exact Long sums,
+  // pinned-order double math only in the bounded final step. The
+  // bivariate complement of e71's univariate profile. At 100 TB: one
+  // scan, constant aggregation state, nothing row-scaled collected.
+  val e111 = Q(
+    "e111_column_corr",
+    (s, d) => graft.etl.DataQuality.corrProfile(
+      T.lineitem(s, d),
+      Seq(("l_quantity", 100.0), ("l_extendedprice", 1.0),
+        ("l_discount", 1000000.0), ("l_tax", 1000000.0)))
+      .orderBy(col("col_a"), col("col_b")),
+    Some("""WITH v AS (SELECT
+        CAST(FLOOR(l_quantity * 100.0) AS BIGINT) AS q0,
+        CAST(FLOOR(l_extendedprice * 1.0) AS BIGINT) AS q1,
+        CAST(FLOOR(l_discount * 1000000.0) AS BIGINT) AS q2,
+        CAST(FLOOR(l_tax * 1000000.0) AS BIGINT) AS q3 FROM lineitem),
+      m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
+        CAST(CAST(SUM(q0) AS BIGINT) AS DOUBLE) AS s0, CAST(CAST(SUM(q1) AS BIGINT) AS DOUBLE) AS s1,
+        CAST(CAST(SUM(q2) AS BIGINT) AS DOUBLE) AS s2, CAST(CAST(SUM(q3) AS BIGINT) AS DOUBLE) AS s3,
+        CAST(CAST(SUM(q0*q0) AS BIGINT) AS DOUBLE) AS s00, CAST(CAST(SUM(q0*q1) AS BIGINT) AS DOUBLE) AS s01,
+        CAST(CAST(SUM(q0*q2) AS BIGINT) AS DOUBLE) AS s02, CAST(CAST(SUM(q0*q3) AS BIGINT) AS DOUBLE) AS s03,
+        CAST(CAST(SUM(q1*q1) AS BIGINT) AS DOUBLE) AS s11, CAST(CAST(SUM(q1*q2) AS BIGINT) AS DOUBLE) AS s12,
+        CAST(CAST(SUM(q1*q3) AS BIGINT) AS DOUBLE) AS s13, CAST(CAST(SUM(q2*q2) AS BIGINT) AS DOUBLE) AS s22,
+        CAST(CAST(SUM(q2*q3) AS BIGINT) AS DOUBLE) AS s23, CAST(CAST(SUM(q3*q3) AS BIGINT) AS DOUBLE) AS s33
+        FROM v)
+      SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+        (nd*s01 - s0*s1) / (SQRT(nd*s00 - s0*s0) * SQRT(nd*s11 - s1*s1)) AS corr FROM m
+      UNION ALL SELECT 'l_quantity', 'l_discount',
+        (nd*s02 - s0*s2) / (SQRT(nd*s00 - s0*s0) * SQRT(nd*s22 - s2*s2)) FROM m
+      UNION ALL SELECT 'l_quantity', 'l_tax',
+        (nd*s03 - s0*s3) / (SQRT(nd*s00 - s0*s0) * SQRT(nd*s33 - s3*s3)) FROM m
+      UNION ALL SELECT 'l_extendedprice', 'l_discount',
+        (nd*s12 - s1*s2) / (SQRT(nd*s11 - s1*s1) * SQRT(nd*s22 - s2*s2)) FROM m
+      UNION ALL SELECT 'l_extendedprice', 'l_tax',
+        (nd*s13 - s1*s3) / (SQRT(nd*s11 - s1*s1) * SQRT(nd*s33 - s3*s3)) FROM m
+      UNION ALL SELECT 'l_discount', 'l_tax',
+        (nd*s23 - s2*s3) / (SQRT(nd*s22 - s2*s2) * SQRT(nd*s33 - s3*s3)) FROM m
+      ORDER BY col_a, col_b"""))
+
+  /** Oracle for e112: MMR greedy selection restated as k chained SQL
+    * steps (greedy is sequential in k, so the oracle unrolls it — step
+    * t picks `ROW_NUMBER() = 1` over `λ·cos − (1−λ)·max sim-to-
+    * selected`, exactly the operator's argmax/tie-break order). */
+  private def mmrOracle(fetch: Int, k: Int): String = {
+    val head = s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+      sc AS (SELECT q.qid, e.vec_id,
+          LIST_SUM(LIST_TRANSFORM(range(1, LEN(e.embedding)+1),
+            i -> CAST(q.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+          / (SQRT(LIST_SUM(LIST_TRANSFORM(q.qe, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+           * SQRT(LIST_SUM(LIST_TRANSFORM(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))) AS cos
+        FROM embeddings e, q WHERE e.vec_id <> q.qid),
+      cand AS (SELECT qid, vec_id, cos FROM (
+          SELECT qid, vec_id, cos, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM sc)
+        WHERE rn <= $fetch),
+      cv AS MATERIALIZED (SELECT c.qid, c.vec_id, c.cos, e.embedding AS emb,
+          SQRT(LIST_SUM(LIST_TRANSFORM(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
+        FROM cand c JOIN embeddings e USING (vec_id)),
+      sim AS MATERIALIZED (SELECT a.qid, a.vec_id AS ca, b.vec_id AS cb,
+          LIST_SUM(LIST_TRANSFORM(range(1, LEN(a.emb)+1),
+            i -> CAST(a.emb[i] AS DOUBLE) * CAST(b.emb[i] AS DOUBLE))) / (a.nrm * b.nrm) AS s
+        FROM cv a JOIN cv b ON a.qid = b.qid AND a.vec_id <> b.vec_id),
+      s1 AS (SELECT qid, vec_id, cos, 1 AS mmr_rank FROM (
+          SELECT qid, vec_id, cos, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM cv)
+        WHERE rn = 1),
+      sel1 AS (SELECT qid, vec_id FROM s1)"""
+    val steps = (2 to k).map { t =>
+      s""",
+      sc$t AS (SELECT p.qid, p.vec_id, p.cos,
+          0.7 * p.cos - (1.0 - 0.7) * MAX(sim.s) AS score
+        FROM cv p
+        JOIN sim ON sim.qid = p.qid AND sim.ca = p.vec_id
+        JOIN sel${t - 1} w ON w.qid = sim.qid AND w.vec_id = sim.cb
+        WHERE NOT EXISTS (SELECT 1 FROM sel${t - 1} x
+          WHERE x.qid = p.qid AND x.vec_id = p.vec_id)
+        GROUP BY p.qid, p.vec_id, p.cos),
+      s$t AS (SELECT qid, vec_id, cos, $t AS mmr_rank FROM (
+          SELECT qid, vec_id, cos, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn FROM sc$t)
+        WHERE rn = 1),
+      sel$t AS (SELECT * FROM sel${t - 1} UNION ALL SELECT qid, vec_id FROM s$t)"""
+    }.mkString
+    val union = (1 to k).map(t => s"SELECT * FROM s$t").mkString(" UNION ALL ")
+    s"""$head$steps
+      SELECT qid, vec_id, cos, CAST(mmr_rank AS BIGINT) AS mmr_rank
+      FROM ($union) ORDER BY qid, mmr_rank"""
+  }
+
+  // DIVERSIFIED RETRIEVAL ([[Similarity.mmrRerank]]): maximal marginal
+  // relevance over the e03 candidate front — greedy λ·rel − (1−λ)·
+  // max-sim-to-selected, the standard answer to "the top-k is five
+  // copies of the same near-duplicate". The oracle unrolls the greedy
+  // recursion into k chained SQL steps over the same pinned arithmetic.
+  // At 100 TB: candidates come from the ANN index (bounded per query),
+  // selection state is ≤ fetch vectors per group, queries parallelize
+  // across the cluster — the only exchange is the qid grouping.
+  val e112 = Q(
+    "e112_mmr_diverse_topk",
+    (s, d) => {
+      val emb = T.embeddings(s, d)
+      val cands = Similarity.bruteForceTopK(
+        emb, emb.filter(col("vec_id") < 10), k = 20)
+      Similarity.mmrRerank(cands, emb, k = 5, lambda = 0.7)
+        .orderBy(col("qid"), col("mmr_rank"))
+    },
+    Some(mmrOracle(fetch = 20, k = 5)))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
@@ -4079,5 +4187,5 @@ object ExtQueries {
       e60, e61, e62, e63, e64, e65, e66, e67, e68, e69, e70, e71, e72, e73, e74,
       e75, e76, e77, e78, e79, e80, e81, e82, e83, e84, e85, e86, e87, e88, e89,
       e90, e91, e92, e93, e94, e95, e96, e97, e98, e99, e100, e101, e102, e103,
-      e104, e105, e106, e107, e108, e109, e110)
+      e104, e105, e106, e107, e108, e109, e110, e111, e112)
 }

@@ -1247,4 +1247,82 @@ object Similarity {
         floor(abs(col("mean_before") - col("mean_after")) * lit(1000000.0))
           .cast(LongType).as("shift_micro"))
   }
+
+  /** MAXIMAL MARGINAL RELEVANCE re-rank: diversify any retriever's
+    * candidate list — greedy selection of k results maximizing
+    * `λ·relevance − (1−λ)·max-similarity-to-already-selected`. The
+    * training-data shape: sample diverse exemplars from a near-dup-
+    * heavy retrieval neighborhood instead of k copies of one cluster.
+    *
+    * Inputs: `candidates` = (qid, idCol, cos) from ANY retriever —
+    * [[bruteForceTopK]] for the exact flavor, [[queryIndex]] at scale —
+    * and the corpus to re-attach vectors. Greedy selection is
+    * inherently sequential IN k, but k and the candidate list are both
+    * bounded (`fetch` per query), so each query's selection runs
+    * inside one `flatMapGroups` group: a single exchange keyed by qid,
+    * per-group state ≤ fetch vectors, queries parallelize freely. This
+    * is built-in-op composition + bounded per-group logic — the
+    * documented last-resort tier is avoided everywhere except the
+    * k-step greedy core that no relational operator expresses.
+    *
+    * Determinism/parity contract: candidates sorted by id; argmax by
+    * strict `>` in id order ≡ SQL `ROW_NUMBER() OVER (ORDER BY score
+    * DESC, id)`; candidate-candidate cosines use the same left-fold f64
+    * arithmetic as [[fastDot]]/DuckDB `LIST_SUM`; `max` over selected
+    * is order-free; λ enters as `lambda·rel − (1.0−lambda)·maxSim`,
+    * restated identically in the oracle. */
+  def mmrRerank(
+      candidates: DataFrame, corpus: DataFrame, k: Int,
+      lambda: Double = 0.7,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k > 0, "Similarity.mmrRerank: k must be positive")
+    require(lambda >= 0.0 && lambda <= 1.0,
+      "Similarity.mmrRerank: lambda must be in [0, 1]")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val ds = candidates.select(col("qid"), col(idCol), col("cos"))
+      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+      .select(col("qid"), col(idCol), col("cos"), col(vecCol))
+      .as[(Long, Long, Double, Array[Float])]
+    ds.groupByKey(_._1).flatMapGroups { (qid, it) =>
+      val cands = it.toArray.sortBy(_._2) // id asc: ties resolve low-id
+      val norms = cands.map(c => foldNorm(c._4.toSeq))
+      def dot(a: Array[Float], b: Array[Float]): Double = {
+        var s = 0.0
+        var j = 0
+        val n = math.min(a.length, b.length)
+        while (j < n) { s += a(j).toDouble * b(j).toDouble; j += 1 }
+        s
+      }
+      val selected = scala.collection.mutable.BitSet.empty
+      val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Long)]
+      var rank = 1L
+      while (rank <= k && selected.size < cands.length) {
+        var bestIdx = -1
+        var bestScore = Double.NegativeInfinity
+        var i = 0
+        while (i < cands.length) {
+          if (!selected.contains(i)) {
+            val rel = cands(i)._3
+            val score =
+              if (selected.isEmpty) rel
+              else {
+                var mx = Double.NegativeInfinity
+                selected.foreach { s =>
+                  val sim = dot(cands(i)._4, cands(s)._4) / (norms(i) * norms(s))
+                  if (sim > mx) mx = sim
+                }
+                lambda * rel - (1.0 - lambda) * mx
+              }
+            if (score > bestScore) { bestScore = score; bestIdx = i }
+          }
+          i += 1
+        }
+        selected += bestIdx
+        picks += ((qid, cands(bestIdx)._2, cands(bestIdx)._3, rank))
+        rank += 1
+      }
+      picks.iterator
+    }.toDF("qid", idCol, "cos", "mmr_rank")
+  }
 }

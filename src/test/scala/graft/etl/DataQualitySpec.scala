@@ -104,4 +104,37 @@ class DataQualitySpec extends SparkSpec {
       .select("check_name").as[String].collect().toSeq
     assert(rep === Seq("not_null:k", "unique:k"))
   }
+
+  test("corrProfile: perfect linear / anti-linear pairs, scale invariance") {
+    val df = Seq((1.0, 2.0, -1.0), (2.0, 4.0, -2.0), (3.0, 6.0, -3.0),
+      (4.0, 8.0, -4.0)).toDF("x", "y", "z")
+    val out = DataQuality.corrProfile(df,
+      Seq(("x", 1000000.0), ("y", 1000000.0), ("z", 1000000.0)))
+      .orderBy("col_a", "col_b")
+      .as[(String, String, Double)].collect().toSeq
+    assert(out.map(_._1).zip(out.map(_._2)) ===
+      Seq(("x", "y"), ("x", "z"), ("y", "z")))
+    assert(out.forall { case (_, _, c) => math.abs(math.abs(c) - 1.0) < 1e-9 })
+    assert(out(0)._3 > 0 && out(1)._3 < 0 && out(2)._3 < 0)
+    // correlation is invariant under a different positive per-column scale
+    val other = DataQuality.corrProfile(df,
+      Seq(("x", 100.0), ("y", 100.0), ("z", 100.0)))
+      .orderBy("col_a", "col_b").as[(String, String, Double)].collect().toSeq
+    out.zip(other).foreach { case ((_, _, a), (_, _, b)) =>
+      assert(math.abs(a - b) < 1e-9)
+    }
+  }
+
+  test("corrProfile: single aggregate pass, empty input fails loudly") {
+    val plan = DataQuality.corrProfile(
+      graft.Tables.lineitem(spark, sf001),
+      Seq(("l_quantity", 100.0), ("l_discount", 1000000.0)))
+    assert(plan.collect().length == 1)
+    val e = intercept[IllegalArgumentException] {
+      DataQuality.corrProfile(
+        Seq.empty[(Double, Double)].toDF("a", "b"),
+        Seq(("a", 1.0), ("b", 1.0)))
+    }
+    assert(e.getMessage.contains("empty input"))
+  }
 }

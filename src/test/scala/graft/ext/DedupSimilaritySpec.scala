@@ -1172,4 +1172,45 @@ class DedupSimilaritySpec extends SparkSpec {
       c.startsWith("fp") || c.startsWith("doc")),
       s"unexpected shuffle keys: $exchangeCols")
   }
+
+  // ---------------- MMR diversified re-rank ----------------
+
+  test("E3: mmrRerank prefers a diverse pick over a redundant higher-rel one") {
+    import spark.implicits._
+    // query at e1; top candidate A, its near-copy B (redundant: sim to
+    // A ≈ 1 while rel is a hair lower), and a diverse C whose rel
+    // exceeds its similarity to A by a wide margin
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val corpus = Seq(
+      (100L, v(1.0, 0.0)), // query
+      (1L, v(0.9, 0.1)), // A: best rel
+      (2L, v(0.9, 0.11)), // B: redundant near-copy of A
+      (3L, v(0.8, -0.6)) // C: diverse (rel 0.80, sim-to-A 0.73)
+    ).toDF("vec_id", "embedding")
+    val cands = Similarity.bruteForceTopK(
+      corpus, corpus.filter(col("vec_id") === 100L), k = 3)
+    val out = Similarity.mmrRerank(cands, corpus, k = 2, lambda = 0.5)
+      .orderBy("mmr_rank")
+      .select("vec_id", "mmr_rank").as[(Long, Long)].collect().toSeq
+    // rank 1 = highest rel (copy A); rank 2 = the DIVERSE vector, not copy B
+    assert(out === Seq((1L, 1L), (3L, 2L)))
+    // λ=1 degenerates to plain relevance order: copy B outranks diverse
+    val plain = Similarity.mmrRerank(cands, corpus, k = 2, lambda = 1.0)
+      .orderBy("mmr_rank").select("vec_id").as[Long].collect().toSeq
+    assert(plain === Seq(1L, 2L))
+  }
+
+  test("E3: mmrRerank is partitioning-independent and caps at the candidate count") {
+    val emb = T.embeddings(spark, sf001)
+    val cands = Similarity.bruteForceTopK(
+      emb, emb.filter(col("vec_id") < 3), k = 8)
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Similarity.mmrRerank(c, emb, k = 20, lambda = 0.7) // k > fetch: emit all 8
+        .orderBy("qid", "mmr_rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    val a = run(cands.repartition(1))
+    val b = run(cands.repartition(5))
+    assert(a == b)
+    assert(a.groupBy(_._1).values.forall(_.size == 8))
+  }
 }
