@@ -279,16 +279,17 @@ object Pca {
   }
 
   /** Distributed projection onto the model's top-2 axes (micro units).
-    * Sequential `aggregate` fold over `(q_j - m_j) * v_j` — identical
-    * per-element rounding and fold order to DuckDB's
-    * `LIST_SUM(LIST_TRANSFORM(...))`, so scores hash-match. */
+    * `Σ_j (q_j − m_j)·v_j` via the codegen'd
+    * [[graft.functions.PcaProjectExpr]] — one fused primitive loop per
+    * row with identical per-element rounding and fold order to DuckDB's
+    * `LIST_SUM(LIST_TRANSFORM(...))`, so scores hash-match. (The HOF
+    * formulation of the same fold benched exactly linear at the
+    * sf1→sf10 anchor; the native loop is the DotProductF32 rule.) */
   def project(df: DataFrame, vecCol: String, model: PcaModel): DataFrame = {
-    val qd = transform(quantizeMicros(col(vecCol)), x => x.cast("double"))
-    def score(v: Array[Double]): Column = aggregate(
-      zip_with(
-        zip_with(qd, typedLit(model.mean.toSeq), (a, b) => a - b),
-        typedLit(v.toSeq), (a, b) => a * b),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val qv = quantizeMicros(col(vecCol))
+    def score(v: Array[Double]): Column = call_function("graft_pca_project",
+      qv, typedLit(model.mean.toSeq), typedLit(v.toSeq))
     df.withColumn("pc1_q", score(model.v1))
       .withColumn("pc2_q", score(model.v2))
   }

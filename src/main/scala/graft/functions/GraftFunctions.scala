@@ -145,6 +145,20 @@ object GraftFunctions {
         val (books, ints) = pqArgs("graft_pq_lut", children)
         PqLut(children.head, books, ints(0), ints(1), ints(2))
       }),
+    (new FunctionIdentifier("graft_pca_project"),
+      new ExpressionInfo(classOf[PcaProjectExpr].getName, "graft_pca_project"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "graft_pca_project takes (qv_array_long, mean, axis)")
+        def darr(e: Expression, what: String): Array[Double] = e match {
+          case Literal(a: org.apache.spark.sql.catalyst.util.ArrayData,
+              org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType, _)) =>
+            a.toDoubleArray()
+          case other => throw new IllegalArgumentException(
+            s"graft_pca_project $what must be an array<double> literal, got $other")
+        }
+        PcaProjectExpr(children.head, darr(children(1), "mean"), darr(children(2), "axis"))
+      }),
     (new FunctionIdentifier("graft_lsh_buckets"),
       new ExpressionInfo(classOf[LshBuckets].getName, "graft_lsh_buckets"),
       (children: Seq[Expression]) => {
