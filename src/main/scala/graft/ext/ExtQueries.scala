@@ -4179,6 +4179,25 @@ object ExtQueries {
     },
     Some(mmrOracle(fetch = 20, k = 5)))
 
+  // FEATURE HASHING ([[TextOps.featureHash]]): the hashing-trick
+  // featurizer — tokens into a fixed 1024-bucket space, tf per
+  // (doc, bucket), no vocabulary state anywhere. The vocabulary-free
+  // complement of e44/e45: features are stable across shards and
+  // reruns by construction, and the only exchange carries
+  // (doc, bucket, count) with map-side combine. Bucket ids ride the
+  // portable md5 hash so the oracle restates them exactly.
+  val e113 = Q(
+    "e113_feature_hashing",
+    (s, d) => TextOps.featureHash(T.documents(s, d), "doc_id", "text", dim = 1024)
+      .orderBy(col("doc_id"), col("bucket")),
+    Some("""WITH t AS (SELECT doc_id, tok FROM (
+          SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents)
+        WHERE length(tok) > 0)
+      SELECT doc_id,
+        CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) % 1024 AS bucket,
+        COUNT(*) AS tf
+      FROM t GROUP BY 1, 2 ORDER BY doc_id, bucket"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
@@ -4187,5 +4206,5 @@ object ExtQueries {
       e60, e61, e62, e63, e64, e65, e66, e67, e68, e69, e70, e71, e72, e73, e74,
       e75, e76, e77, e78, e79, e80, e81, e82, e83, e84, e85, e86, e87, e88, e89,
       e90, e91, e92, e93, e94, e95, e96, e97, e98, e99, e100, e101, e102, e103,
-      e104, e105, e106, e107, e108, e109, e110, e111, e112)
+      e104, e105, e106, e107, e108, e109, e110, e111, e112, e113)
 }

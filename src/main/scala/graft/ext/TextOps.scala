@@ -772,4 +772,27 @@ object TextOps {
       .select((Seq(col(docCol), col(chunkCol), col("bucket"), col("seq_id"),
         col(tokenCol)) ++ keep.map(col)): _*)
   }
+
+  /** FEATURE HASHING (the HashingVectorizer / hashing-trick shape):
+    * tokens hash into a fixed `dim`-bucket feature space, term
+    * frequency per (doc, bucket) — the vocabulary-free featurizer for
+    * linear models and similarity over unbounded token spaces. No
+    * vocabulary state exists at all, so the operator is one pass at
+    * any corpus size and features are stable across shards and reruns
+    * by construction (the property that makes the trick the standard
+    * at-scale featurizer).
+    *
+    * Buckets come from [[Dedup.portableHash64]] (engine-neutral md5
+    * bridge, positive, so `pmod` ≡ SQL `%`). The only exchange carries
+    * `(doc_id, bucket, count)` triples with map-side combine — never
+    * tokens. */
+  def featureHash(df: DataFrame, idCol: String, textCol: String,
+      dim: Int): DataFrame = {
+    require(dim > 0, "TextOps.featureHash: dim must be positive")
+    df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .withColumn("bucket", pmod(Dedup.portableHash64(col("tok")), lit(dim.toLong)))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("tf"))
+  }
 }

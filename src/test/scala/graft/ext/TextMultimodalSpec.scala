@@ -647,4 +647,23 @@ class TextMultimodalSpec extends SparkSpec {
     assert(plan.contains("ReusedExchange"),
       s"tf exchange must be computed once:\n${plan.take(2000)}")
   }
+
+  test("featureHash: tf preserved through hashing, stable across partitionings") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b a c"), (2L, "b b"), (3L, "")).toDF("doc_id", "text")
+    val out = TextOps.featureHash(docs, "doc_id", "text", dim = 16)
+      .orderBy("doc_id", "bucket")
+      .as[(Long, Long, Long)].collect().toSeq
+    // total tf equals total non-empty tokens; empty doc contributes none
+    assert(out.map(_._3).sum == 6L)
+    assert(out.forall { case (_, b, _) => b >= 0 && b < 16 })
+    assert(!out.exists(_._1 == 3L))
+    // doc 1: token 'a' twice lands in ONE bucket with tf=2
+    val d1 = out.filter(_._1 == 1L)
+    assert(d1.map(_._3).sum == 4L && d1.exists(_._3 == 2L))
+    // same bucket ids at any partitioning (vocabulary-free stability)
+    val re = TextOps.featureHash(docs.repartition(7), "doc_id", "text", dim = 16)
+      .orderBy("doc_id", "bucket").as[(Long, Long, Long)].collect().toSeq
+    assert(re == out)
+  }
 }
