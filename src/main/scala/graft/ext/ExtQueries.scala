@@ -1168,7 +1168,14 @@ object ExtQueries {
     *   for e106 — probes, training, and model geometry are untouched,
     *   exactly like [[Similarity.forgetFromIndex]]. */
   private def ivfPqServeOracle(trainSrc: String, excludeScored: String = ""): String =
-    s"""WITH corp AS (SELECT vec_id, embedding,
+    s"""WITH ${ivfPqServeCtes(trainSrc, excludeScored)}
+      SELECT qid, vec_id, adc, rn FROM rk WHERE rn <= 5 ORDER BY qid, rn"""
+
+  /** The IVF-PQ serve recompute as a reusable WITH-body (ends at `rk`:
+    * qid, vec_id, adc, rn) so composed serving oracles (e114) can chain
+    * onto the same candidate front e37/e47/e55/e106 pin. */
+  private def ivfPqServeCtes(trainSrc: String, excludeScored: String = ""): String =
+    s"""corp AS (SELECT vec_id, embedding,
         SQRT(LIST_SUM(LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS vn
         FROM embeddings),
       tcorp AS (SELECT vec_id, embedding FROM $trainSrc),
@@ -1223,8 +1230,7 @@ object ExtQueries {
         JOIN rnorm r ON r.vec_id = d.vec_id
         GROUP BY d.qid, d.vec_id, q.vn, r.rn_),
       rk AS (SELECT qid, vec_id, adc,
-          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) AS rn FROM sc)
-      SELECT qid, vec_id, adc, rn FROM rk WHERE rn <= 5 ORDER BY qid, rn"""
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc DESC, vec_id) AS rn FROM sc)"""
 
   val e37 = Q(
     "e37_ann_ivf_pq",
@@ -4117,8 +4123,8 @@ object ExtQueries {
     * steps (greedy is sequential in k, so the oracle unrolls it — step
     * t picks `ROW_NUMBER() = 1` over `λ·cos − (1−λ)·max sim-to-
     * selected`, exactly the operator's argmax/tie-break order). */
-  private def mmrOracle(fetch: Int, k: Int): String = {
-    val head = s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
+  private def mmrOracle(fetch: Int, k: Int): String =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 10),
       sc AS (SELECT q.qid, e.vec_id,
           LIST_SUM(LIST_TRANSFORM(range(1, LEN(e.embedding)+1),
             i -> CAST(q.qe[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
@@ -4128,7 +4134,13 @@ object ExtQueries {
       cand AS (SELECT qid, vec_id, cos FROM (
           SELECT qid, vec_id, cos, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM sc)
         WHERE rn <= $fetch),
-      cv AS MATERIALIZED (SELECT c.qid, c.vec_id, c.cos, e.embedding AS emb,
+      ${mmrTail(k)}"""
+
+  /** The greedy-MMR unroll as a reusable WITH-tail: expects a CTE
+    * `cand(qid, vec_id, cos)` — any retriever's candidate front — and
+    * finishes with the SELECT of (qid, vec_id, cos, mmr_rank). */
+  private def mmrTail(k: Int): String = {
+    val head = s"""cv AS MATERIALIZED (SELECT c.qid, c.vec_id, c.cos, e.embedding AS emb,
           SQRT(LIST_SUM(LIST_TRANSFORM(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
         FROM cand c JOIN embeddings e USING (vec_id)),
       sim AS MATERIALIZED (SELECT a.qid, a.vec_id AS ca, b.vec_id AS cb,
@@ -4198,6 +4210,30 @@ object ExtQueries {
         COUNT(*) AS tf
       FROM t GROUP BY 1, 2 ORDER BY doc_id, bucket"""))
 
+  // DIVERSIFIED SERVING FROM THE PERSISTED INDEX: e47's IVF-PQ serve
+  // as the candidate front (fetch=20 ADC-scored rows per query, cell-
+  // pruned reads) re-ranked by e112's greedy MMR (exact full-vector
+  // sims among the bounded candidates). The end-to-end 100 TB serving
+  // shape: approximate index narrows, exact diversity re-ranks — the
+  // re-rank touches ≤ fetch vectors per query no matter the corpus.
+  // The oracle chains the two recomputes: the full IVF-PQ recompute
+  // CTEs (e37's) feed `cand`, then the k-step greedy unroll.
+  val e114 = Q(
+    "e114_index_mmr_serve",
+    (s, d) => {
+      val dir = tempQueryDir("graft_e114_idx")
+      Similarity.buildIndex(T.embeddings(s, d), dir,
+        nlist = 64, m = 16, ksub = 64, pqIters = 2)
+      val cands = Similarity.queryIndex(Similarity.loadIndex(s, dir),
+        T.embeddings(s, d).filter(col("vec_id") < 10), k = 20, nprobe = 8)
+        .withColumnRenamed("adc", "cos")
+      Similarity.mmrRerank(cands, T.embeddings(s, d), k = 5, lambda = 0.7)
+        .orderBy(col("qid"), col("mmr_rank"))
+    },
+    Some(s"""WITH ${ivfPqServeCtes("embeddings")},
+      cand AS (SELECT qid, vec_id, adc AS cos FROM rk WHERE rn <= 20),
+      ${mmrTail(5)}"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
@@ -4206,5 +4242,5 @@ object ExtQueries {
       e60, e61, e62, e63, e64, e65, e66, e67, e68, e69, e70, e71, e72, e73, e74,
       e75, e76, e77, e78, e79, e80, e81, e82, e83, e84, e85, e86, e87, e88, e89,
       e90, e91, e92, e93, e94, e95, e96, e97, e98, e99, e100, e101, e102, e103,
-      e104, e105, e106, e107, e108, e109, e110, e111, e112, e113)
+      e104, e105, e106, e107, e108, e109, e110, e111, e112, e113, e114)
 }
