@@ -4234,6 +4234,29 @@ object ExtQueries {
       cand AS (SELECT qid, vec_id, adc AS cos FROM rk WHERE rn <= 20),
       ${mmrTail(5)}"""))
 
+  // EXACT GLOBAL RANK AT SCALE ([[Ranking.globalRowNumber]]): the
+  // single-partition window trap, solved — rank every lineitem row by
+  // price over a TOTAL order (unique PK tiebreak) via range exchange +
+  // bounded offset table + seeded per-partition enumeration, plus the
+  // rank-transform `pct` feature. Bit-identical to the one-task window
+  // at any partition count (spec-pinned); the oracle IS that window.
+  val e115 = Q(
+    "e115_global_rank",
+    (s, d) => Ranking.globalRowNumber(
+      T.lineitem(s, d).select(col("l_orderkey"),
+        col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_extendedprice")),
+      Seq(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber")))
+      .orderBy(col("rn")),
+    Some("""WITH r AS (SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        l_extendedprice,
+        ROW_NUMBER() OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+        COUNT(*) OVER () AS n
+      FROM lineitem)
+      SELECT l_orderkey, l_linenumber, l_extendedprice, rn,
+        CAST(rn - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS pct
+      FROM r ORDER BY rn"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
@@ -4242,5 +4265,5 @@ object ExtQueries {
       e60, e61, e62, e63, e64, e65, e66, e67, e68, e69, e70, e71, e72, e73, e74,
       e75, e76, e77, e78, e79, e80, e81, e82, e83, e84, e85, e86, e87, e88, e89,
       e90, e91, e92, e93, e94, e95, e96, e97, e98, e99, e100, e101, e102, e103,
-      e104, e105, e106, e107, e108, e109, e110, e111, e112, e113, e114)
+      e104, e105, e106, e107, e108, e109, e110, e111, e112, e113, e114, e115)
 }
