@@ -3961,7 +3961,14 @@ object ExtQueries {
         .select(col("vec_id"), col("pc1_q"), col("pc2_q"))
         .orderBy(col("vec_id"))
     },
-    Some("""WITH RECURSIVE
+    Some(s"""WITH RECURSIVE ${pcaProjectCtes()}
+      SELECT vec_id, pc1_q, pc2_q FROM proj ORDER BY vec_id"""))
+
+  /** The full PCA recompute (exact micro moments → 60-step power
+    * iteration ×2 via recursive CTE → per-row projection) as a reusable
+    * WITH-body ending in `proj(vec_id, pc1_q, pc2_q)` — e108 pins it
+    * directly; the eval oracles (e116/e117) rank over it. */
+  private def pcaProjectCtes(): String = """
       q AS MATERIALIZED (SELECT vec_id, LIST_TRANSFORM(embedding,
         x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv FROM embeddings),
       nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM q),
@@ -4001,12 +4008,11 @@ object ExtQueries {
           THEN CAST(-1.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END AS sg FROM v1r)),
       v2s AS MATERIALIZED (SELECT LIST_TRANSFORM(v, x -> x * sg) AS v FROM (
         SELECT v, CASE WHEN v[LIST_POSITION(LIST_TRANSFORM(v, y -> ABS(y)), LIST_MAX(LIST_TRANSFORM(v, y -> ABS(y))))] < 0
-          THEN CAST(-1.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END AS sg FROM v2r))
-      SELECT q.vec_id,
+          THEN CAST(-1.0 AS DOUBLE) ELSE CAST(1.0 AS DOUBLE) END AS sg FROM v2r)),
+      proj AS MATERIALIZED (SELECT q.vec_id,
         LIST_SUM(LIST_TRANSFORM(range(1, 65), j -> (CAST(q.qv[j] AS DOUBLE) - m[j]) * v1s.v[j])) AS pc1_q,
         LIST_SUM(LIST_TRANSFORM(range(1, 65), j -> (CAST(q.qv[j] AS DOUBLE) - m[j]) * v2s.v[j])) AS pc2_q
-      FROM q, mean, v1s, v2s
-      ORDER BY q.vec_id"""))
+      FROM q, mean, v1s, v2s)"""
 
   // BATCH GAP-SESSIONIZATION ([[Analytics.sessionize]]): the batch
   // complement of c56's streaming timer sessions — lag-flag breaks,
@@ -4257,6 +4263,61 @@ object ExtQueries {
         CAST(rn - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) AS pct
       FROM r ORDER BY rn"""))
 
+  // EXACT ROC-AUC AT SCALE ([[Ranking.rocAuc]]): the rank-sum identity
+  // over e115's global rank — one range exchange + one aggregate, not
+  // the quadratic positives×negatives pair join. Score = PC1 from the
+  // e108 model (does the top principal axis separate the label
+  // halves?); positives = label < 5. Rank sums are exact Longs; the
+  // one IEEE division is pinned and restated identically in the
+  // oracle, whose rank is the plain window over the same PCA CTEs.
+  val e116 = Q(
+    "e116_roc_auc",
+    (s, d) => {
+      val emb = T.embeddings(s, d)
+      val scored = Pca.project(emb, "embedding", Pca.fit(emb, "embedding", 64))
+        .select(col("vec_id"), col("pc1_q"), col("label"))
+      Ranking.rocAuc(scored,
+        Seq(col("pc1_q"), col("vec_id")), col("label") < 5)
+    },
+    Some(s"""WITH RECURSIVE ${pcaProjectCtes()},
+      sc AS (SELECT p.vec_id, p.pc1_q, e.label FROM proj p JOIN embeddings e USING (vec_id)),
+      r AS (SELECT label, ROW_NUMBER() OVER (ORDER BY pc1_q, vec_id) AS rn FROM sc),
+      a AS (SELECT CAST(SUM(CASE WHEN label < 5 THEN rn ELSE 0 END) AS BIGINT) AS rank_sum,
+          CAST(SUM(CASE WHEN label < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+          COUNT(*) AS n FROM r)
+      SELECT n_pos, n - n_pos AS n_neg,
+        CAST(rank_sum - n_pos * (n_pos + 1) // 2 AS DOUBLE)
+          / (CAST(n_pos AS DOUBLE) * CAST(n - n_pos AS DOUBLE)) AS auc
+      FROM a"""))
+
+  // CALIBRATION TABLE ([[Ranking.calibration]]): equal-population
+  // score-decile buckets (rank-transform pct, not equal-width values)
+  // × positive rate in integer micros — the binned-eval companion to
+  // e116, same single range exchange. Every output column exact
+  // integer arithmetic.
+  val e117 = Q(
+    "e117_calibration",
+    (s, d) => {
+      val emb = T.embeddings(s, d)
+      val scored = Pca.project(emb, "embedding", Pca.fit(emb, "embedding", 64))
+        .select(col("vec_id"), col("pc1_q"), col("label"))
+      Ranking.calibration(scored,
+        Seq(col("pc1_q"), col("vec_id")), col("label") < 5, bins = 10)
+        .orderBy(col("bucket"))
+    },
+    Some(s"""WITH RECURSIVE ${pcaProjectCtes()},
+      sc AS (SELECT p.vec_id, p.pc1_q, e.label FROM proj p JOIN embeddings e USING (vec_id)),
+      r AS (SELECT label,
+          ROW_NUMBER() OVER (ORDER BY pc1_q, vec_id) AS rn,
+          COUNT(*) OVER () AS nn FROM sc),
+      b AS (SELECT label,
+          CAST(LEAST(FLOOR(CAST(rn - 1 AS DOUBLE) / CAST(nn - 1 AS DOUBLE) * 10.0), 9.0) AS BIGINT) AS bucket
+        FROM r)
+      SELECT bucket, COUNT(*) AS n,
+        CAST(SUM(CASE WHEN label < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        CAST(SUM(CASE WHEN label < 5 THEN 1 ELSE 0 END) AS BIGINT) * 1000000 // COUNT(*) AS pos_rate_micro
+      FROM b GROUP BY bucket ORDER BY bucket"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
@@ -4265,5 +4326,5 @@ object ExtQueries {
       e60, e61, e62, e63, e64, e65, e66, e67, e68, e69, e70, e71, e72, e73, e74,
       e75, e76, e77, e78, e79, e80, e81, e82, e83, e84, e85, e86, e87, e88, e89,
       e90, e91, e92, e93, e94, e95, e96, e97, e98, e99, e100, e101, e102, e103,
-      e104, e105, e106, e107, e108, e109, e110, e111, e112, e113, e114, e115)
+      e104, e105, e106, e107, e108, e109, e110, e111, e112, e113, e114, e115, e116, e117)
 }

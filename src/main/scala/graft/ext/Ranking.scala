@@ -62,4 +62,48 @@ object Ranking {
     out.withColumn("pct",
       (col("rn") - lit(1L)).cast("double") / lit((total - 1L).toDouble))
   }
+
+  /** Exact ROC-AUC at scale via the rank-sum (Mann–Whitney) identity:
+    * `AUC = (Σ rank(positives) − P(P+1)/2) / (P·N)` over the GLOBAL
+    * rank of the score — one range exchange ([[globalRowNumber]]) +
+    * one aggregate; no pairwise positives×negatives join (the naive
+    * formulation is P·N pairs — quadratic, dead at scale). The order
+    * must be total (score + unique tiebreak), which also makes tie
+    * handling deterministic and oracle-restatable: ties split by the
+    * tiebreak rather than averaged, identical on both engines. All
+    * rank sums are exact Longs; the final division is one pinned
+    * IEEE op. Returns one row (n_pos, n_neg, auc). */
+  def rocAuc(df: DataFrame, orderCols: Seq[Column], posCol: Column): DataFrame = {
+    val ranked = globalRowNumber(df.withColumn("__pos", posCol), orderCols)
+    ranked.agg(
+      sum(when(col("__pos"), col("rn")).otherwise(0L)).as("rank_sum"),
+      sum(when(col("__pos"), 1L).otherwise(0L)).as("n_pos"),
+      count(lit(1)).as("n"))
+      .select(
+        col("n_pos"),
+        (col("n") - col("n_pos")).as("n_neg"),
+        ((col("rank_sum") - expr("n_pos * (n_pos + 1) div 2")).cast("double")
+          / (col("n_pos").cast("double") * (col("n") - col("n_pos")).cast("double")))
+          .as("auc"))
+  }
+
+  /** Calibration / reliability table: score-quantile buckets (from the
+    * rank-transform `pct`, so buckets are equal-POPULATION, not
+    * equal-width) × positive rate in integer micro units — the binned
+    * eval companion to [[rocAuc]]. Same single range exchange; the
+    * bucket rollup is one more tiny aggregate. */
+  def calibration(df: DataFrame, orderCols: Seq[Column], posCol: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins > 0, "Ranking.calibration: bins must be positive")
+    val ranked = globalRowNumber(df.withColumn("__pos", posCol), orderCols)
+    ranked
+      .withColumn("bucket",
+        least(floor(col("pct") * lit(bins.toDouble)), lit((bins - 1).toDouble))
+          .cast("long"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("__pos"), 1L).otherwise(0L)).as("n_pos"))
+      .withColumn("pos_rate_micro", expr("(n_pos * 1000000) div n"))
+  }
 }

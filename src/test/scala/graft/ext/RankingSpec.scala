@@ -35,6 +35,39 @@ class RankingSpec extends SparkSpec {
     assert(pcts.zip(pcts.tail).forall { case (a, b) => a < b })
   }
 
+  test("rocAuc: perfect separation 1.0, inverse 0.0, exact hand value on a mix") {
+    import spark.implicits._
+    def auc(rows: Seq[(Long, Double, Boolean)]): Double =
+      Ranking.rocAuc(rows.toDF("id", "score", "p"),
+        Seq(col("score"), col("id")), col("p"))
+        .collect().head.getAs[Double]("auc")
+    // positives all score higher -> 1.0; all lower -> 0.0
+    assert(auc(Seq((1L, 1.0, false), (2L, 2.0, false), (3L, 3.0, true), (4L, 4.0, true))) == 1.0)
+    assert(auc(Seq((1L, 1.0, true), (2L, 2.0, true), (3L, 3.0, false), (4L, 4.0, false))) == 0.0)
+    // hand value: ranks asc by score; positives at ranks 2 and 4:
+    // (2+4 - 2*3/2) / (2*2) = 3/4
+    assert(auc(Seq((1L, 1.0, false), (2L, 2.0, true), (3L, 3.0, false), (4L, 4.0, true))) == 0.75)
+  }
+
+  test("calibration: equal-population buckets, exact micro rates") {
+    import spark.implicits._
+    // 20 rows, scores 1..20; positives are the top 5 scores
+    val rows = (1 to 20).map(i => (i.toLong, i.toDouble, i > 15))
+    val out = Ranking.calibration(rows.toDF("id", "score", "p"),
+      Seq(col("score"), col("id")), col("p"), bins = 4)
+      .orderBy("bucket")
+      .select("bucket", "n", "n_pos", "pos_rate_micro")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // pct = (rn-1)/19 in [0,1]; bucket = min(floor(pct*4), 3) splits
+    // 20 rows as 5/5/5/5 except the pct=1.0 row folds into bucket 3
+    assert(out.map(_._2).sum == 20L)
+    assert(out.map(_._1) == Seq(0L, 1L, 2L, 3L))
+    // positives (scores 16..20) occupy the top bucket(s) only
+    assert(out.filter(_._1 <= 1L).forall(_._3 == 0L))
+    val top = out.last
+    assert(top._3 > 0 && top._4 == top._3 * 1000000L / top._2)
+  }
+
   test("plan: range exchange, never a single-partition collapse") {
     // the enumeration stage is an RDD lineage (LogicalRDD hides the
     // upstream plan), so assert on the operator's data path — the
