@@ -42,23 +42,31 @@ object Ranking {
     val parts =
       if (numPartitions > 0) numPartitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // localCheckpoint: the positional algorithm is inherently
+    // multi-pass (zipWithIndex's count job, the total count, and any
+    // downstream sort's range sampling each re-execute an un-cached
+    // lineage — measured 17× wall at 10× rows without it). One eager
+    // materialization of the ranged+sorted partitions turns every
+    // later pass into a local read; at scale that is the standard
+    // trade for positional work (executors spill to local disk).
     val ranged = df.repartitionByRange(parts, orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
+      .localCheckpoint()
     // .rdd pins the executed plan with the local sort at the root
     // (a Dataset.mapPartitions above it would let the optimizer drop
     // the sort — object consumers declare no ordering requirement);
-    // zipWithIndex is the offsets pass: one extra job over the SAME
-    // shuffle files computing per-partition counts (bounded), then a
-    // seeded enumeration of each sorted partition.
+    // zipWithIndex is the offsets pass: one extra job over the
+    // checkpointed partitions computing per-partition counts
+    // (bounded), then a seeded enumeration of each sorted partition.
     val spark = df.sparkSession
     val withIdx = ranged.rdd.zipWithIndex().map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ (i + 1L))
     }
     val outSchema = ranged.schema.add("rn", LongType, nullable = false)
     val out = spark.createDataFrame(withIdx, outSchema)
-    // total as a literal (parquet-footer count — never a window over
-    // the full frame, which would be its own single-partition trap)
-    val total = df.count()
+    // total as a literal from the checkpointed partitions — never a
+    // window over the full frame (its own single-partition trap)
+    val total = ranged.count()
     out.withColumn("pct",
       (col("rn") - lit(1L)).cast("double") / lit((total - 1L).toDouble))
   }
