@@ -4318,6 +4318,50 @@ object ExtQueries {
         CAST(SUM(CASE WHEN label < 5 THEN 1 ELSE 0 END) AS BIGINT) * 1000000 // COUNT(*) AS pos_rate_micro
       FROM b GROUP BY bucket ORDER BY bucket"""))
 
+  // TRIANGLE COUNTING ([[Graph.triangleCounts]]): cluster-density
+  // diagnostics on the near-dup graph — a duplicate family is
+  // near-clique (many triangles), a boilerplate hub chains documents
+  // with NONE; degree alone can't tell them apart. Degree-oriented
+  // node-iterator (wedges enumerated at the lowest-(degree,id) corner)
+  // bounds wedge fan-out at O(√m) per node for any degree
+  // distribution — the hub that would cost deg² under the naive wedge
+  // join costs nothing. Edge set = e02's exact Jaccard pairs; the
+  // oracle enumerates triangles by sorted order and credits corners.
+  val e118 = Q(
+    "e118_triangle_count",
+    (s, d) => Graph.triangleCounts(
+      Dedup.jaccardPairs(
+        // < 1000 keeps the raw-corpus component at every scale;
+        // % 5000 < 20 admits WHOLE cross-copy near-dup families at the
+        // replicated scales (sf1+ family ids differ by multiples of
+        // 5000) so the sf1/sf10 graphs carry real clique structure
+        T.documents(s, d).filter(col("doc_id") < 1000 ||
+          pmod(col("doc_id"), lit(5000)) < 20),
+        "doc_id", "text", shingleWidth = 3, threshold = 0.5, maxDf = Int.MaxValue)
+        .select(col("doc1"), col("doc2")),
+      "doc1", "doc2")
+      .orderBy(col("node")),
+    Some("""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        WHERE doc_id < 1000 OR doc_id % 5000 < 20),
+      sh AS (SELECT DISTINCT doc_id, s FROM (
+        SELECT doc_id, concat_ws(' ', ws[i], ws[i+1], ws[i+2]) AS s
+        FROM w, UNNEST(range(1, greatest(len(ws)-2, 1)+1)) AS t(i))),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, COUNT(*) AS i
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+      ed AS (SELECT doc1 AS a, doc2 AS b
+        FROM inter JOIN sizes n1 ON n1.doc_id = doc1 JOIN sizes n2 ON n2.doc_id = doc2
+        WHERE CAST(inter.i AS DOUBLE)/(n1.n + n2.n - inter.i) >= 0.5),
+      tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM ed e1
+        JOIN ed e2 ON e2.a = e1.a AND e2.b > e1.b
+        JOIN ed e3 ON e3.a = e1.b AND e3.b = e2.b)
+      SELECT node, COUNT(*) AS triangles FROM (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri)
+      GROUP BY node ORDER BY node"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
@@ -4326,5 +4370,5 @@ object ExtQueries {
       e60, e61, e62, e63, e64, e65, e66, e67, e68, e69, e70, e71, e72, e73, e74,
       e75, e76, e77, e78, e79, e80, e81, e82, e83, e84, e85, e86, e87, e88, e89,
       e90, e91, e92, e93, e94, e95, e96, e97, e98, e99, e100, e101, e102, e103,
-      e104, e105, e106, e107, e108, e109, e110, e111, e112, e113, e114, e115, e116, e117)
+      e104, e105, e106, e107, e108, e109, e110, e111, e112, e113, e114, e115, e116, e117, e118)
 }

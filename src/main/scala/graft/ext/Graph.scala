@@ -75,4 +75,56 @@ object Graph {
     ranks.join(deg, ranks("node") === deg("u"))
       .select(col("node"), col("rank_micro"), col("deg"))
   }
+
+  /** Exact TRIANGLE COUNT per node over an undirected edge list — the
+    * cluster-density diagnostic for near-dup graphs (a duplicate
+    * family is near-clique: high triangle counts; a boilerplate hub
+    * chains documents WITHOUT triangles — the two look identical by
+    * degree alone). Node-iterator with DEGREE ORIENTATION (Schank &
+    * Wagner): orient every edge from the lower-(degree, id) endpoint
+    * to the higher, so each triangle is counted exactly once at its
+    * lowest-ranked vertex and — the scale property — wedge
+    * enumeration is `Σ d_out(v)²` with `d_out` bounded by O(√m) for
+    * ANY degree distribution. The naive undirected wedge join
+    * explodes as `Σ d(v)²` on hubs; orientation is the difference
+    * between a boilerplate hub costing deg² and costing nothing.
+    *
+    * Shape: degree aggregate → two joins of the oriented list with
+    * itself (wedge build on the low vertex, closure probe on the
+    * (b, c) pair) → per-node count rollup crediting all three
+    * corners. All exchanges carry (long, long) pairs.
+    *
+    * Input pairs must be unique undirected edges (a < b, no
+    * self-loops — the near-dup pair operators emit exactly this).
+    * Returns (node, triangles), one row per node WITH ≥1 triangle. */
+  def triangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val e = edges.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+    val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    // orient: lower (degree, id) endpoint -> higher
+    val withDeg = e
+      .join(deg.withColumnRenamed("n", "a").withColumnRenamed("d", "da"), Seq("a"))
+      .join(deg.withColumnRenamed("n", "b").withColumnRenamed("d", "db"), Seq("b"))
+    val oriented = withDeg.select(
+      when(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")), col("a"))
+        .otherwise(col("b")).as("src"),
+      when(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")), col("b"))
+        .otherwise(col("a")).as("dst"))
+    // wedges at the low vertex: src -> (dst1, dst2), dst1 < dst2
+    val w1 = oriented.select(col("src"), col("dst").as("x"))
+    val w2 = oriented.select(col("src"), col("dst").as("y"))
+    val wedges = w1.join(w2, Seq("src")).filter(col("x") < col("y"))
+    // closure: is (x, y) an oriented edge? (x<y in oriented order is
+    // not guaranteed — probe both orientations via the undirected set)
+    val und = e.select(least(col("a"), col("b")).as("u1"),
+      greatest(col("a"), col("b")).as("u2"))
+    val tris = wedges // x < y, so the undirected probe is (x, y) directly
+      .join(und, col("x") === col("u1") && col("y") === col("u2"))
+      .select(col("src"), col("x"), col("y"))
+    // credit each corner
+    tris.select(explode(array(col("src"), col("x"), col("y"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("triangles"))
+  }
 }

@@ -78,4 +78,45 @@ class GraphSpec extends SparkSpec {
       .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
     assert((2L to 8L).forall(l => r(1L) > r(l)), r.toString)
   }
+
+  // ---------------- triangle counting ----------------
+
+  private def triangles(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.triangleCounts(edges.toDF("doc1", "doc2"), "doc1", "doc2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("K4: every node sits in 3 triangles; a star hub sits in none") {
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(triangles(k4) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // hub chains leaves without closing: the dedup-vs-boilerplate signal
+    val star = (2L to 9L).map(l => (1L, l))
+    assert(triangles(star).isEmpty)
+  }
+
+  test("mixed graph: hand-counted, degree orientation counts each triangle once") {
+    // triangle {1,2,3} + pendant 4 on node 1 + disjoint triangle {5,6,7}
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L), (5L, 6L), (5L, 7L), (6L, 7L))
+    assert(triangles(g) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L, 6L -> 1L, 7L -> 1L))
+  }
+
+  test("triangle property: matches the brute triple enumeration at random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 3) {
+      val n = 12
+      val edges = (for {
+        a <- 1L to n.toLong; b <- (a + 1) to n.toLong
+        if rnd.nextDouble() < 0.35
+      } yield (a, b)).toSeq
+      val es = edges.toSet
+      val brute = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for {
+        a <- 1L to n.toLong; b <- (a + 1) to n.toLong; c <- (b + 1) to n.toLong
+        if es((a, b)) && es((b, c)) && es((a, c))
+      } { brute(a) += 1; brute(b) += 1; brute(c) += 1 }
+      assert(triangles(edges) == brute.toMap, s"edges=$edges")
+    }
+  }
 }
