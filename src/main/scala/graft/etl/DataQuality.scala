@@ -176,6 +176,12 @@ object DataQuality {
     * unit price quantization that holds to ~1e8 rows per aggregation
     * (document per call site; shard-and-combine beyond).
     *
+    * Assumes non-NULL numeric columns (the profile's contract): a NULL
+    * skips the sums but still counts in `n`, silently biasing the
+    * result — run [[rowAudit]]'s not-null checks first on nullable
+    * inputs. A zero-variance column yields NaN for its pairs (0/0),
+    * identically on both engines.
+    *
     * Returns one row per unordered column pair `(col_a, col_b, corr)`.
     * The constant-width aggregate row is collected (bounded: one row,
     * `1 + k + k(k+1)/2` longs) and the k(k-1)/2 output rows are

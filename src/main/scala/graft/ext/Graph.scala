@@ -98,7 +98,15 @@ object Graph {
     * self-loops — the near-dup pair operators emit exactly this).
     * Returns (node, triangles), one row per node WITH ≥1 triangle. */
   def triangleCounts(edges: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val e = edges.select(col(aCol).cast("long").as("a"), col(bCol).cast("long").as("b"))
+    // normalize + dedup defensively: a repeated or reversed input pair
+    // would otherwise double-count every wedge it closes; the pair
+    // operators emit unique a<b edges, so the distinct is a no-op
+    // exchange-wise there (same key as the degree aggregate)
+    val e = edges.select(
+      least(col(aCol).cast("long"), col(bCol).cast("long")).as("a"),
+      greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
     val deg = e.select(col("a").as("n")).unionAll(e.select(col("b").as("n")))
       .groupBy("n").agg(count(lit(1)).as("d"))
     // orient: lower (degree, id) endpoint -> higher

@@ -80,7 +80,10 @@ object Ranking {
     * handling deterministic and oracle-restatable: ties split by the
     * tiebreak rather than averaged, identical on both engines. All
     * rank sums are exact Longs; the final division is one pinned
-    * IEEE op. Returns one row (n_pos, n_neg, auc). */
+    * IEEE op. Returns one row (n_pos, n_neg, auc); a single-class
+    * input yields NaN auc (0·N or P·0 denominator — IEEE, identical
+    * on both engines), which is the honest answer for an undefined
+    * AUC. */
   def rocAuc(df: DataFrame, orderCols: Seq[Column], posCol: Column): DataFrame = {
     val ranked = globalRowNumber(df.withColumn("__pos", posCol), orderCols)
     ranked.agg(

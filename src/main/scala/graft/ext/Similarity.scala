@@ -1278,6 +1278,11 @@ object Similarity {
     require(k > 0, "Similarity.mmrRerank: k must be positive")
     require(lambda >= 0.0 && lambda <= 1.0,
       "Similarity.mmrRerank: lambda must be in [0, 1]")
+    val needed = Seq("qid", idCol, "cos").filterNot(candidates.columns.contains)
+    require(needed.isEmpty,
+      s"Similarity.mmrRerank: candidates frame is missing ${needed.mkString(", ")} — " +
+        "expected (qid, id, cos) as produced by bruteForceTopK/queryIndex " +
+        "(rename the score column to 'cos')")
     val spark = candidates.sparkSession
     import spark.implicits._
     val ds = candidates.select(col("qid"), col(idCol), col("cos"))

@@ -1200,6 +1200,15 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(plain === Seq(1L, 2L))
   }
 
+  test("E3: mmrRerank rejects a candidate frame without the expected columns") {
+    import spark.implicits._
+    val noScore = Seq((1L, 2L)).toDF("qid", "vec_id")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.mmrRerank(noScore, T.embeddings(spark, sf001), k = 2)
+    }
+    assert(e.getMessage.contains("cos"))
+  }
+
   test("E3: mmrRerank is partitioning-independent and caps at the candidate count") {
     val emb = T.embeddings(spark, sf001)
     val cands = Similarity.bruteForceTopK(

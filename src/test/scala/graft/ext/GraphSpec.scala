@@ -102,6 +102,13 @@ class GraphSpec extends SparkSpec {
       Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L, 6L -> 1L, 7L -> 1L))
   }
 
+  test("triangles: repeated and reversed input pairs do not double-count") {
+    val base = Seq((1L, 2L), (1L, 3L), (2L, 3L))
+    val noisy = base ++ Seq((2L, 1L), (3L, 1L), (1L, 2L), (3L, 2L))
+    assert(triangles(noisy) == triangles(base))
+    assert(triangles(base ++ Seq((2L, 2L))) == triangles(base)) // self-loop dropped
+  }
+
   test("triangle property: matches the brute triple enumeration at random graphs") {
     val rnd = new scala.util.Random(7)
     for (_ <- 1 to 3) {
