@@ -306,6 +306,56 @@ object Analytics {
       .drop(typeCol)
   }
 
+  /** Additive SEASONAL DECOMPOSITION of a daily series —
+    * `value = trend + seasonal + residual` — the FinOps anomaly
+    * primitive one level up from [[rollingAnomalies]]: weekly
+    * seasonality (weekend dips, Monday batch spikes) must come OUT of
+    * the series before a deviation means anything. Per key:
+    *
+    *  - `trend` = centered 7-observed-day rolling mean,
+    *  - `seasonal` = day-of-week mean minus the key's overall mean,
+    *  - `residual` = the remainder (the alarm feed).
+    *
+    * Exactness (the float-portability discipline): daily values are
+    * exact micro sums; every mean is an integer division of a
+    * NON-NEGATIVE sum — truncating `div` ≡ flooring `//`, so the two
+    * engines agree (a mean over signed values would NOT round-trip:
+    * Spark `div` truncates toward zero, DuckDB `//` floors — which is
+    * why `seasonal` is defined as a difference of two positive-sum
+    * means rather than a mean of signed detrended values). Day-of-week
+    * is epoch-day mod 7 — engine-neutral, unlike the engines'
+    * conflicting dayofweek numberings. Scale: one (key, day) aggregate
+    * and three windows sharing the key partitioning — a single
+    * exchange; per-key windows bounded by the day count. */
+  def seasonalDecompose(
+      events: DataFrame,
+      typeCol: String = "event_type",
+      tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .groupBy(col(typeCol), to_date(col(tsCol)).as("day"))
+      .agg(sum(floor(col(valueCol) * lit(1000000.0)).cast("long")).as("v_micro"))
+    val w7 = Window.partitionBy(col(typeCol)).orderBy(col("day")).rowsBetween(-3, 3)
+    val wDow = Window.partitionBy(col(typeCol), col("dow"))
+    val wAll = Window.partitionBy(col(typeCol))
+    daily
+      .withColumn("__s7", sum(col("v_micro")).over(w7))
+      .withColumn("__c7", count(lit(1)).over(w7))
+      .withColumn("trend_micro", expr("__s7 div __c7"))
+      .withColumn("dow",
+        pmod(datediff(col("day"), to_date(lit("1970-01-01"))), lit(7)).cast("long"))
+      .withColumn("__sd", sum(col("v_micro")).over(wDow))
+      .withColumn("__cd", count(lit(1)).over(wDow))
+      .withColumn("__sa", sum(col("v_micro")).over(wAll))
+      .withColumn("__ca", count(lit(1)).over(wAll))
+      .withColumn("seasonal_micro", expr("__sd div __cd - __sa div __ca"))
+      .withColumn("residual_micro",
+        col("v_micro") - col("trend_micro") - col("seasonal_micro"))
+      .select(col(typeCol), col("day"), col("v_micro"), col("dow"),
+        col("trend_micro"), col("seasonal_micro"), col("residual_micro"))
+  }
+
   /** Batch gap-sessionization: the classic two-window assignment —
     * `lag` flags a session break when the gap to the previous event
     * exceeds `gapSeconds`, a running `sum` of the flags numbers the

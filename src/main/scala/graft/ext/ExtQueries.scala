@@ -4362,6 +4362,36 @@ object ExtQueries {
         UNION ALL SELECT z FROM tri)
       GROUP BY node ORDER BY node"""))
 
+  // SEASONAL DECOMPOSITION ([[Analytics.seasonalDecompose]]): the
+  // FinOps anomaly primitive — weekly seasonality out of the daily
+  // series before a deviation means anything. value = trend (centered
+  // 7-day mean) + seasonal (dow mean − overall mean) + residual, all
+  // in exact integer micros; every division is of a non-negative sum
+  // so truncating div ≡ flooring // across engines, and day-of-week is
+  // epoch-day mod 7 (engine-neutral numbering). One exchange.
+  val e119 = Q(
+    "e119_seasonal_decompose",
+    (s, d) => Analytics.seasonalDecompose(T.events(s, d))
+      .orderBy(col("event_type"), col("day")),
+    Some("""WITH dl AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        CAST(SUM(CAST(FLOOR(value * 1000000.0) AS BIGINT)) AS BIGINT) AS v_micro
+      FROM events GROUP BY 1, 2),
+      t AS (SELECT event_type, day, v_micro,
+        CAST(SUM(v_micro) OVER w7 AS BIGINT) // COUNT(*) OVER w7 AS trend_micro,
+        date_diff('day', DATE '1970-01-01', day) % 7 AS dow
+      FROM dl WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      sg AS (SELECT *,
+        CAST(SUM(v_micro) OVER (PARTITION BY event_type, dow) AS BIGINT)
+          // COUNT(*) OVER (PARTITION BY event_type, dow)
+        - CAST(SUM(v_micro) OVER (PARTITION BY event_type) AS BIGINT)
+          // COUNT(*) OVER (PARTITION BY event_type) AS seasonal_micro FROM t)
+      SELECT event_type, day, v_micro, CAST(dow AS BIGINT) AS dow,
+        CAST(trend_micro AS BIGINT) AS trend_micro,
+        CAST(seasonal_micro AS BIGINT) AS seasonal_micro,
+        CAST(v_micro - trend_micro - seasonal_micro AS BIGINT) AS residual_micro
+      FROM sg ORDER BY event_type, day"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
@@ -4370,5 +4400,5 @@ object ExtQueries {
       e60, e61, e62, e63, e64, e65, e66, e67, e68, e69, e70, e71, e72, e73, e74,
       e75, e76, e77, e78, e79, e80, e81, e82, e83, e84, e85, e86, e87, e88, e89,
       e90, e91, e92, e93, e94, e95, e96, e97, e98, e99, e100, e101, e102, e103,
-      e104, e105, e106, e107, e108, e109, e110, e111, e112, e113, e114, e115, e116, e117, e118)
+      e104, e105, e106, e107, e108, e109, e110, e111, e112, e113, e114, e115, e116, e117, e118, e119)
 }

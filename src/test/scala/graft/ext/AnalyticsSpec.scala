@@ -248,6 +248,44 @@ class AnalyticsSpec extends SparkSpec {
     assert(out === Seq((1L, 2L), (2L, 1L)))
   }
 
+  test("seasonalDecompose: additive identity holds; flat series has zero seasonal+residual") {
+    import java.time.LocalDate
+    // one event per day, constant 10.0, 21 days: trend = seasonal-free
+    val rows = (0 until 21).map { i =>
+      (1L, 1L, s"2024-01-${"%02d".format(1 + i)} 10:00:00", "flat", 10.0)
+    }
+    val events = rows.toDF("event_id", "user_id", "tss", "event_type", "value")
+      .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    val out = Analytics.seasonalDecompose(events)
+      .orderBy("day")
+      .select("v_micro", "trend_micro", "seasonal_micro", "residual_micro")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out.size == 21)
+    // flat: every day sums to 10e6; trend = mean = 10e6; seasonal = 0
+    assert(out.forall { case (v, t, s, r) => v == 10000000L && t == 10000000L && s == 0L && r == 0L })
+  }
+
+  test("seasonalDecompose: weekly pattern lands in seasonal, identity always exact") {
+    // 28 days, weekends (epoch-dow pattern) doubled
+    val rows = (0 until 28).map { i =>
+      val day = java.time.LocalDate.of(2024, 1, 1).plusDays(i)
+      val dow = java.time.temporal.ChronoUnit.DAYS.between(
+        java.time.LocalDate.of(1970, 1, 1), day) % 7
+      val v = if (dow == 0L) 20.0 else 10.0
+      (i.toLong, 1L, s"$day 10:00:00", "weekly", v)
+    }
+    val events = rows.toDF("event_id", "user_id", "tss", "event_type", "value")
+      .withColumn("ts", col("tss").cast("timestamp")).drop("tss")
+    val out = Analytics.seasonalDecompose(events)
+      .select("v_micro", "dow", "trend_micro", "seasonal_micro", "residual_micro")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // the additive identity is exact by construction on every row
+    assert(out.forall { case (v, _, t, s, r) => v == t + s + r })
+    // the spiked dow carries the strictly largest seasonal component
+    val byDow = out.groupBy(_._2).view.mapValues(_.head._4).toMap
+    assert((1L to 6L).forall(d => byDow(0L) > byDow(d)), byDow.toString)
+  }
+
   test("sessionize plan: one exchange serves both windows and the rollup") {
     val events = graft.Tables.events(spark, sf001)
     val plan = Analytics.sessionize(events, gapSeconds = 1800)
