@@ -39,6 +39,10 @@ object Ranking {
       orderCols: Seq[Column],
       numPartitions: Int = 0): DataFrame = {
     require(orderCols.nonEmpty, "Ranking.globalRowNumber: orderCols must be non-empty")
+    val clash = Seq("rn", "pct").filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"Ranking.globalRowNumber: input already has column(s) ${clash.mkString(", ")} — " +
+        "rename them; the rank output appends rn and pct")
     val parts =
       if (numPartitions > 0) numPartitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
