@@ -39,9 +39,15 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        // the write was the frame's last action here — release any
+        // localCheckpoint blocks backing it (e.g. the global-rank
+        // range exchange) so a 184-query session doesn't accumulate
+        // dead checkpoint storage until the ContextCleaner gets there
+        graft.ext.Checkpoints.releaseLineage(df)
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         e.printStackTrace()
         errors(name) = s"${e.getClass.getName}: ${e.getMessage}"

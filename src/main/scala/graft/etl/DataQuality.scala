@@ -195,10 +195,25 @@ object DataQuality {
     val sums =
       (0 until k).map(i => sum(col(s"q$i")).as(s"s$i")) ++
         (for { i <- 0 until k; j <- i until k }
-          yield sum(col(s"q$i") * col(s"q$j")).as(s"s${i}_$j")) :+
+          yield sum(col(s"q$i") * col(s"q$j")).as(s"s${i}_$j")) ++
+        (0 until k).map(i => max(abs(col(s"q$i"))).as(s"m$i")) :+
         count(lit(1)).as("n")
     val row = df.select(q: _*).agg(sums.head, sums.tail: _*).head()
     require(row.getAs[Long]("n") > 0, "DataQuality.corrProfile: empty input")
+    // loud overflow guard (same pass, k extra max aggregates): the
+    // documented `max(q_i)·max(q_j)·rows < 2^63` bound is checked in
+    // BigInt AFTER the aggregate — Spark's non-ANSI Long sums wrap
+    // SILENTLY past it (the DuckDB oracle sums in HUGEINT and errors
+    // on the BIGINT cast instead), so exceeding the bound must fail
+    // here rather than diverge quietly at large scale
+    for (i <- 0 until k; j <- i until k) {
+      val bound = BigInt(row.getAs[Long](s"m$i")) *
+        BigInt(row.getAs[Long](s"m$j")) * BigInt(row.getAs[Long]("n"))
+      require(bound < BigInt(Long.MaxValue),
+        s"DataQuality.corrProfile: sum(q$i*q$j) can exceed int64 " +
+          s"(max|q$i|·max|q$j|·n = $bound) — reduce the column scales " +
+          "or shard-and-combine")
+    }
     val nd = row.getAs[Long]("n").toDouble
     def sd(i: Int) = row.getAs[Long](s"s$i").toDouble
     def sdd(i: Int, j: Int) = row.getAs[Long](s"s${i}_$j").toDouble

@@ -335,7 +335,20 @@ object Analytics {
     import org.apache.spark.sql.expressions.Window
     val daily = events
       .groupBy(col(typeCol), to_date(col(tsCol)).as("day"))
-      .agg(sum(floor(col(valueCol) * lit(1000000.0)).cast("long")).as("v_micro"))
+      .agg(sum(floor(col(valueCol) * lit(1000000.0)).cast("long")).as("__v_raw"))
+      // loud guard for the documented non-negativity assumption: every
+      // mean below divides a sum of daily values, and truncating `div`
+      // ≡ flooring `//` ONLY for non-negative sums — a negative daily
+      // total (refunds/credits) would silently diverge from the
+      // oracle's floor division instead of failing
+      .withColumn("v_micro",
+        when(col("__v_raw") < 0L, raise_error(concat(
+          lit("seasonalDecompose: negative daily sum (v_micro="),
+          col("__v_raw").cast("string"),
+          lit(") violates the non-negative-series contract — truncating"
+            + " div diverges from floor division on negative sums"))).cast("long"))
+          .otherwise(col("__v_raw")))
+      .drop("__v_raw")
     val w7 = Window.partitionBy(col(typeCol)).orderBy(col("day")).rowsBetween(-3, 3)
     val wDow = Window.partitionBy(col(typeCol), col("dow"))
     val wAll = Window.partitionBy(col(typeCol))

@@ -4140,12 +4140,15 @@ object ExtQueries {
       cand AS (SELECT qid, vec_id, cos FROM (
           SELECT qid, vec_id, cos, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn FROM sc)
         WHERE rn <= $fetch),
-      ${mmrTail(k)}"""
+      ${mmrTail(k, lambda = 0.7)}"""
 
   /** The greedy-MMR unroll as a reusable WITH-tail: expects a CTE
     * `cand(qid, vec_id, cos)` — any retriever's candidate front — and
-    * finishes with the SELECT of (qid, vec_id, cos, mmr_rank). */
-  private def mmrTail(k: Int): String = {
+    * finishes with the SELECT of (qid, vec_id, cos, mmr_rank).
+    * `lambda` must match the operator call it restates (interpolated
+    * into the score, with `1.0 - λ` left as an EXPRESSION — the same
+    * two IEEE ops the Scala side runs, per the parity contract). */
+  private def mmrTail(k: Int, lambda: Double): String = {
     val head = s"""cv AS MATERIALIZED (SELECT c.qid, c.vec_id, c.cos, e.embedding AS emb,
           SQRT(LIST_SUM(LIST_TRANSFORM(e.embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))) AS nrm
         FROM cand c JOIN embeddings e USING (vec_id)),
@@ -4160,7 +4163,7 @@ object ExtQueries {
     val steps = (2 to k).map { t =>
       s""",
       sc$t AS (SELECT p.qid, p.vec_id, p.cos,
-          0.7 * p.cos - (1.0 - 0.7) * MAX(sim.s) AS score
+          $lambda * p.cos - (1.0 - $lambda) * MAX(sim.s) AS score
         FROM cv p
         JOIN sim ON sim.qid = p.qid AND sim.ca = p.vec_id
         JOIN sel${t - 1} w ON w.qid = sim.qid AND w.vec_id = sim.cb
@@ -4238,7 +4241,7 @@ object ExtQueries {
     },
     Some(s"""WITH ${ivfPqServeCtes("embeddings")},
       cand AS (SELECT qid, vec_id, adc AS cos FROM rk WHERE rn <= 20),
-      ${mmrTail(5)}"""))
+      ${mmrTail(5, lambda = 0.7)}"""))
 
   // EXACT GLOBAL RANK AT SCALE ([[Ranking.globalRowNumber]]): the
   // single-partition window trap, solved — rank every lineitem row by

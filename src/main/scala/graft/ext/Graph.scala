@@ -53,7 +53,11 @@ object Graph {
     val sym = edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
       .union(edges.select(col(dstCol).cast("long").as("u"), col(srcCol).cast("long").as("v")))
     val deg = sym.groupBy(col("u")).agg(count(lit(1)).as("deg"))
-    val adj = sym.join(deg, "u") // (u, v, deg) — degree-joined adjacency
+    // the adjacency is re-probed every round — persist it once instead
+    // of re-running the scan + degree aggregate per iteration (the
+    // "persist the degree-joined adjacency" discipline from the
+    // scaladoc, applied); released deterministically before return
+    val adj = sym.join(deg, "u").persist() // (u, v, deg)
     val base = OneMicro - dampMicro
     var ranks = deg.select(col("u").as("node"), lit(OneMicro).as("rank_micro"))
     for (_ <- 1 to iters) {
@@ -66,14 +70,35 @@ object Graph {
             lit("integerPageRank: damp*contribution overflows int64 at sum="),
             col("s").cast("string"))).cast("long"))
           .otherwise(expr(s"($dampMicro * s) div $OneMicro"))
-      ranks = adj.join(ranks, adj("u") === ranks("node"))
+      val next = adj.join(ranks, adj("u") === ranks("node"))
         .select(col("v"), expr("rank_micro div deg").as("contrib"))
         .groupBy(col("v"))
         .agg(sum(col("contrib")).as("s"))
         .select(col("v").as("node"), (lit(base) + damped).as("rank_micro"))
+        // per-round lineage TRUNCATION (the connectedComponents
+        // discipline, Dedup.scala): chained lazily each round nests
+        // another join+aggregate onto the plan, so plan depth — and
+        // AQE's per-update restringification cost — grows ∝ iters (up
+        // to the allowed 20). One eager localCheckpoint per round
+        // keeps both the plan and any re-execution one round deep;
+        // exact Long arithmetic makes the result independent of where
+        // the cut lands
+        .localCheckpoint()
+      // the new round is a self-contained leaf now — release the
+      // previous round's checkpoint blocks deterministically instead
+      // of waiting on the ContextCleaner (no-op for round 1's plain
+      // projection)
+      Checkpoints.releaseLineage(ranks)
+      ranks = next
     }
-    ranks.join(deg, ranks("node") === deg("u"))
+    val out = ranks.join(deg, ranks("node") === deg("u"))
       .select(col("node"), col("rank_micro"), col("deg"))
+    adj.unpersist(blocking = false)
+    // the LAST round's checkpoint backs `out` — the caller's actions
+    // read its blocks; the ContextCleaner reclaims them when the frame
+    // goes unreferenced (or use [[Checkpoints.releaseLineage]] after
+    // the final action), same contract as connectedComponents
+    out
   }
 
   /** Exact TRIANGLE COUNT per node over an undirected edge list — the
@@ -124,11 +149,20 @@ object Graph {
     val w1 = oriented.select(col("src"), col("dst").as("x"))
     val w2 = oriented.select(col("src"), col("dst").as("y"))
     val wedges = w1.join(w2, Seq("src")).filter(col("x") < col("y"))
-    // closure: is (x, y) an oriented edge? (x<y in oriented order is
-    // not guaranteed — probe both orientations via the undirected set)
+    // closure probe: is {x, y} an edge? Probed against the UNDIRECTED
+    // set — deliberately. The textbook oriented-closure probe (order
+    // the wedge legs by the (degree, id) orientation order and probe
+    // the oriented list directly) was built and MEASURED (round 18):
+    // it saves nothing — both forms plan 8 shuffle exchanges, because
+    // ReuseExchange already serves this probe from e's distinct
+    // exchange (und is a projection of e) — and it costs more, because
+    // the probe side then carries the degree-join subtree instead of a
+    // reused projection (5 sort-merge joins / 93 plan nodes vs 4 / 83
+    // here). x < y holds by construction, so the undirected probe is
+    // (x, y) directly; each triangle still closes exactly once.
     val und = e.select(least(col("a"), col("b")).as("u1"),
       greatest(col("a"), col("b")).as("u2"))
-    val tris = wedges // x < y, so the undirected probe is (x, y) directly
+    val tris = wedges
       .join(und, col("x") === col("u1") && col("y") === col("u2"))
       .select(col("src"), col("x"), col("y"))
     // credit each corner

@@ -71,9 +71,23 @@ object Ranking {
     // total as a literal from the checkpointed partitions — never a
     // window over the full frame (its own single-partition trap)
     val total = ranged.count()
+    // pinned n=1 contract: a single row ranks first with pct 0.0 (the
+    // bottom of the rank transform) rather than 0/0 = NaN — NaN would
+    // propagate a null bucket through calibration, and older engines
+    // without IEEE float division error on 0/0 instead of agreeing
     out.withColumn("pct",
-      (col("rn") - lit(1L)).cast("double") / lit((total - 1L).toDouble))
+      if (total == 1L) lit(0.0)
+      else (col("rn") - lit(1L)).cast("double") / lit((total - 1L).toDouble))
   }
+
+  /** Release the range-exchange `localCheckpoint` backing a
+    * [[globalRowNumber]] result — call after the LAST action on the
+    * frame (a released local checkpoint cannot recompute; later
+    * actions fail loudly). Without this the blocks linger until the
+    * ContextCleaner GCs the frame; production ranks a dataset once,
+    * but anything re-invoking the rank in a loop (benchmarks, retry
+    * harnesses) accumulates dead checkpoints. */
+  def release(ranked: DataFrame): Unit = Checkpoints.releaseLineage(ranked)
 
   /** Exact ROC-AUC at scale via the rank-sum (Mann–Whitney) identity:
     * `AUC = (Σ rank(positives) − P(P+1)/2) / (P·N)` over the GLOBAL
@@ -90,7 +104,7 @@ object Ranking {
     * AUC. */
   def rocAuc(df: DataFrame, orderCols: Seq[Column], posCol: Column): DataFrame = {
     val ranked = globalRowNumber(df.withColumn("__pos", posCol), orderCols)
-    ranked.agg(
+    val result = ranked.agg(
       sum(when(col("__pos"), col("rn")).otherwise(0L)).as("rank_sum"),
       sum(when(col("__pos"), 1L).otherwise(0L)).as("n_pos"),
       count(lit(1)).as("n"))
@@ -100,6 +114,7 @@ object Ranking {
         ((col("rank_sum") - expr("n_pos * (n_pos + 1) div 2")).cast("double")
           / (col("n_pos").cast("double") * (col("n") - col("n_pos")).cast("double")))
           .as("auc"))
+    materializeBounded(result, ranked)
   }
 
   /** Calibration / reliability table: score-quantile buckets (from the
@@ -111,7 +126,7 @@ object Ranking {
       bins: Int = 10): DataFrame = {
     require(bins > 0, "Ranking.calibration: bins must be positive")
     val ranked = globalRowNumber(df.withColumn("__pos", posCol), orderCols)
-    ranked
+    val result = ranked
       .withColumn("bucket",
         least(floor(col("pct") * lit(bins.toDouble)), lit((bins - 1).toDouble))
           .cast("long"))
@@ -120,5 +135,19 @@ object Ranking {
         count(lit(1)).as("n"),
         sum(when(col("__pos"), 1L).otherwise(0L)).as("n_pos"))
       .withColumn("pos_rate_micro", expr("(n_pos * 1000000) div n"))
+    materializeBounded(result, ranked)
+  }
+
+  /** The eval aggregates reduce the ranked frame to a BOUNDED result
+    * (one AUC row, ≤ `bins` calibration rows) — collect it (bounded,
+    * by construction of the rollup) so the rank's localCheckpoint can
+    * be [[release]]d HERE instead of leaking until the caller's last
+    * action: the returned frame is a self-contained local relation
+    * with the same schema and values, re-actionable at zero cost. */
+  private def materializeBounded(result: DataFrame, ranked: DataFrame): DataFrame = {
+    val rows = result.collect() // bounded: ≤ bins rows (see scaladoc)
+    release(ranked)
+    result.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), result.schema)
   }
 }

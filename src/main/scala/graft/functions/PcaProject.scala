@@ -55,7 +55,13 @@ case class PcaProjectExpr(child: Expression, mean: Array[Double],
 
 object PcaProjectExpr {
   def compute(qv: ArrayData, mean: Array[Double], axis: Array[Double]): Double = {
-    val n = math.min(qv.numElements(), mean.length)
+    val n = qv.numElements()
+    // exact-dim contract (same as the Scala-side GramAggregator): a
+    // short/malformed vector must fail loudly, not yield a silently
+    // truncated partial projection score
+    if (n != mean.length)
+      throw new IllegalArgumentException(
+        s"graft_pca_project: vector length $n != model dim ${mean.length}")
     var s = 0.0
     var j = 0
     while (j < n) {

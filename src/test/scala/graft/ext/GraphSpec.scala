@@ -71,6 +71,28 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("plan + storage stay bounded regardless of iteration count") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("doc1", "doc2")
+    // per-round lineage truncation: the returned plan ends at the LAST
+    // round's checkpoint leaf, so its node count is a constant — NOT a
+    // function of iters (chained lazily it grew by a join+agg per round)
+    def planNodes(iters: Int): Int = {
+      val df = Graph.integerPageRank(edges, "doc1", "doc2", iters)
+      df.collect()
+      df.queryExecution.optimizedPlan.collect { case p => p }.size
+    }
+    assert(planNodes(2) == planNodes(8))
+    // and the per-round release keeps live checkpoint storage bounded
+    // too: after the run, only the final round's blocks remain (they
+    // back the returned frame) — not one entry per iteration
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    Graph.integerPageRank(edges, "doc1", "doc2", iters = 8).collect()
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1, s"expected ≤1 live checkpoint (the final round), got $leaked")
+  }
+
   test("star graph: the hub outranks every leaf at any iteration depth") {
     import spark.implicits._
     val star = (2L to 8L).map(l => (1L, l)).toDF("doc1", "doc2")

@@ -68,6 +68,38 @@ class RankingSpec extends SparkSpec {
     assert(top._3 > 0 && top._4 == top._3 * 1000000L / top._2)
   }
 
+  test("pinned n=1 contract: a single row ranks 1 with pct 0.0, not NaN") {
+    import spark.implicits._
+    val r = Ranking.globalRowNumber(
+      Seq((1L, 5.0)).toDF("id", "score"), Seq(col("score"), col("id")), 2)
+      .collect().head
+    assert(r.getAs[Long]("rn") == 1L)
+    // 0/0 = NaN would propagate a null bucket through calibration (and
+    // pre-IEEE engines error on it); the rank transform of a singleton
+    // is pinned to the bottom of the scale instead
+    assert(r.getAs[Double]("pct") == 0.0)
+  }
+
+  test("cache accounting: release() frees the rank checkpoint; eval rollups self-release") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val ranked = Ranking.globalRowNumber(li, order, 4)
+    assert(ranked.count() > 0)
+    // the range-exchange checkpoint is live while the consumer acts...
+    assert((sc.getPersistentRDDs.keySet -- before).nonEmpty)
+    Ranking.release(ranked)
+    // ...and release() after the last action leaves ZERO live entries
+    assert((sc.getPersistentRDDs.keySet -- before).isEmpty)
+    // rocAuc/calibration reduce to bounded outputs and release their
+    // own checkpoint before returning — no live entries either, and
+    // the returned local frames stay actionable afterwards
+    val pos = col("l_orderkey") % 2 === 0
+    val auc = Ranking.rocAuc(li, order, pos)
+    val cal = Ranking.calibration(li, order, pos, bins = 4)
+    assert((sc.getPersistentRDDs.keySet -- before).isEmpty)
+    assert(auc.count() == 1L && cal.count() == 4L)
+  }
+
   test("plan: range exchange, never a single-partition collapse") {
     // the enumeration stage is an RDD lineage (LogicalRDD hides the
     // upstream plan), so assert on the operator's data path — the
