@@ -3916,16 +3916,10 @@ object ExtQueries {
   // to linear algebra). The 2,080-row output is driver-assembled from
   // that bounded buffer — nothing row-scaled is ever collected.
   /** Upper-triangular moment table from a bounded driver buffer —
-    * 2,080 rows for d=64 regardless of corpus size. */
+    * 2,080 rows for d=64 regardless of corpus size (now canonical at
+    * [[Pca.momentTable]]; kept as the queries' local name). */
   private def momentTable(s: org.apache.spark.sql.SparkSession,
-      mo: Pca.Moments): DataFrame = {
-    import s.implicits._
-    val dim = mo.sums.length
-    val rows = for { i <- 0 until dim; j <- i until dim }
-      yield (i.toLong, j.toLong, mo.gram(i)(j), mo.sums(i), mo.sums(j), mo.n)
-    rows.toDF("i", "j", "sum_qq", "sum_qi", "sum_qj", "n")
-      .orderBy(col("i"), col("j"))
-  }
+      mo: Pca.Moments): DataFrame = Pca.momentTable(s, mo)
 
   val e107 = Q(
     "e107_embedding_gram",
@@ -4395,6 +4389,179 @@ object ExtQueries {
         CAST(v_micro - trend_micro - seasonal_micro AS BIGINT) AS residual_micro
       FROM sg ORDER BY event_type, day"""))
 
+  // SERVING OVER A MAINTAINED JOIN VIEW ([[graft.plans.MaterializedView
+  // .JoinMvDef]] + [[graft.etl.Incremental.applyJoinFeed]]): the
+  // composition the two halves were built for — e105 keeps the
+  // orders ⋈ customer view current under I/U/D mutation (including
+  // join-key-moving updates), partials over THAT view are the MV, and
+  // the c11-style star dashboard — an aggregate over the equijoin of
+  // the BASE scans, with a dim-key filter — is rewritten by the
+  // optimizer rule to read |keys| partial rows: the executed plan must
+  // contain NO join and touch neither base table (self-asserted). The
+  // rule recognizes the join-shaped child (equi-condition on the
+  // registered keys, mirrored pushdown predicates deduped, inferred
+  // IsNotNull(joinKey) dropped as vacuous on an inner-join view). The
+  // oracle recomputes the dashboard from the raw after-snapshot ⋈
+  // customer — the hash is maintained-view ∘ partials ∘ rewrite ≡
+  // recompute. At 100 TB: the refresh cost is O(|feed|) maintenance +
+  // an O(|keys|) serve; the dashboard never re-joins history.
+  val e120 = Q(
+    "e120_join_mv_serving",
+    (s, d) => {
+      import graft.etl.{Cdc, Incremental}
+      import graft.plans.MaterializedView
+      import graft.plans.MaterializedView.JoinMvDef
+      // the fact base IS the raw orders table — the view maintains
+      // TOWARD the current table, nothing corpus-sized is rewritten
+      // (the first cut of this query wrote a full mutated fact copy
+      // inside the lifecycle and anchored 13.5x at the sf10 step —
+      // the anchor discipline rejecting a row-scaled write that the
+      // real serving geometry never pays)
+      val factPath = s"$d/orders.parquet"
+      val current = s.read.parquet(factPath)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val dimPath = tempQueryDir("graft_e120_dim")
+      T.customer(s, d).select(
+        col("c_custkey").as("o_custkey"),
+        col("c_nationkey").cast("long").as("c_nationkey"))
+        .write.mode("overwrite").parquet(dimPath)
+      val dim = s.read.parquet(dimPath)
+      // the STALE state the view was last materialized against — a
+      // small divergence, as a real maintenance cycle sees (~1% rows
+      // inserted since, ~1% deleted since, ~1% stale prices, ~1%
+      // since-moved join keys): the feed is small BY CONSTRUCTION,
+      // which is what makes broadcasting it the right plan
+      val stale = current.filter(pmod(col("o_orderkey"), lit(97)) =!= 0)
+        .select(col("o_orderkey"),
+          when(pmod(col("o_orderkey"), lit(101)) === 0, col("o_custkey") + 1L)
+            .otherwise(col("o_custkey")).as("o_custkey"),
+          when(pmod(col("o_orderkey"), lit(91)) === 0, col("o_totalprice") - 10.0)
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+      // rows deleted since: present in the stale state under keys the
+      // current table never uses (negated — guaranteed disjoint)
+      val deletedSince = current.filter(pmod(col("o_orderkey"), lit(83)) === 0)
+        .select((-col("o_orderkey")).as("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"))
+      val before = stale.unionByName(deletedSince)
+      // catch the view up to the CURRENT table (the e105 cycle: anti
+      // out the touched rowIds, re-join the after-images) and keep
+      // partials of the maintained view as the serving MV
+      val view = before.join(dim, Seq("o_custkey"))
+      val feed = Cdc.snapshotDiffFull(before, current, Seq("o_orderkey"))
+      val maintained = Incremental.applyJoinFeed(
+        view, feed, dim, Seq("o_custkey"), Seq("o_orderkey"))
+      val mvDir = tempQueryDir("graft_e120_mv")
+      Incremental.partials(maintained, Seq("c_nationkey"), "o_totalprice")
+        .write.mode("overwrite").parquet(mvDir)
+      MaterializedView.serveWith(s, Nil, Seq(JoinMvDef(
+        factPath, dimPath, Seq("o_custkey"),
+        s.read.parquet(mvDir), Seq("c_nationkey"), "o_totalprice"))) {
+        val served = s.read.parquet(factPath)
+          .join(s.read.parquet(dimPath), Seq("o_custkey"))
+          .filter(col("c_nationkey") < 20)
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("o_totalprice").cast(graft.Qh.Dec)).cast("double").as("total"))
+          .orderBy(col("c_nationkey"))
+        val plan = served.queryExecution.executedPlan.toString
+        require(plan.contains(new java.io.File(mvDir).getName) &&
+          !plan.contains("orders.parquet") &&
+          !plan.contains(new java.io.File(dimPath).getName),
+          s"e120: the star dashboard must serve from the join-view partials:\n$plan")
+        served
+      }
+    },
+    Some(s"""SELECT CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+        COUNT(*) AS cnt,
+        ${graft.Qh.oSum("o.o_totalprice")} AS total
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE c.c_nationkey < 20
+      GROUP BY 1 ORDER BY 1"""))
+
+  // STREAMING MOMENT MAINTENANCE ([[Pca.applyMomentsFeed]] driven by a
+  // file stream): the last batch-only member of the IVM family joins
+  // the streaming fold — e110's exact integer moment maintenance
+  // applied per micro-batch with batch-id-VERSIONED state (the e97/e49
+  // idempotence idiom: batch id → state version, replay overwrites the
+  // same version deterministically, so crash-recovery re-delivery
+  // cannot double-count a feed). The mutation feed (drops, inserts,
+  // in-place vector updates — e110's carving) arrives as three
+  // deterministic micro-batches; each folds its signed delta into the
+  // previous version's 2,080-row moment table. The oracle recomputes
+  // the moments from the after-corpus directly, so the hash proves
+  // stream-of-feeds ≡ batch recompute BIT-FOR-BIT — no float drift can
+  // accumulate because every term is an exact Long. At 100 TB: the PCA
+  // model stays current under streaming ingest for O(|batch|) work per
+  // trigger + a constant-size state read/write; the eigensolve rides
+  // the bounded driver matrix whenever a consumer refits.
+  val e121 = Q(
+    "e121_streaming_pca_moments",
+    (outer, d) => {
+      import graft.etl.Cdc
+      import org.apache.spark.sql.streaming.Trigger
+      val s = graft.streaming.StateBackend.isolatedStreamSession(outer)
+      val emb = T.embeddings(s, d)
+      val asDouble = transform(col("embedding"), x => x.cast("double"))
+      val mutated = transform(col("embedding"), x => x.cast("double") + lit(0.25))
+      val before = emb.filter(pmod(col("vec_id"), lit(5)) =!= 0)
+        .select(col("vec_id"), asDouble.as("vec"))
+      val after = emb.filter(pmod(col("vec_id"), lit(7)) =!= 0)
+        .select(col("vec_id"),
+          when(pmod(col("vec_id"), lit(11)) === 0, mutated)
+            .otherwise(asDouble).as("vec"))
+      val feed = Cdc.snapshotDiffFull(before, after, Seq("vec_id"))
+      // v0: bootstrap = exact moments of the before-corpus
+      val stateRoot = tempQueryDir("graft_e121_state")
+      momentTable(s, Pca.moments(before, "vec", 64)).coalesce(1)
+        .write.mode("overwrite").parquet(s"$stateRoot/v0")
+      // the feed arrives as three micro-batches (one file per slice,
+      // mtimes pinned ascending — the c57/e54/e97 staging discipline)
+      val staging = tempQueryDir("graft_e121_in")
+      val fs = new org.apache.hadoop.fs.Path(staging)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      for (g <- 0 to 2) {
+        val p = s"$staging/slice$g"
+        feed.filter(pmod(col("vec_id"), lit(3)) === g)
+          .coalesce(1).write.mode("overwrite").parquet(p)
+        fs.listStatus(new org.apache.hadoop.fs.Path(p))
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+          .foreach(st => fs.setTimes(st.getPath, 1700000000000L + g * 60000L, -1))
+      }
+      val sch = s.read.parquet(s"$staging/slice0").schema
+      val src = s.readStream.schema(sch).option("maxFilesPerTrigger", 1)
+        .parquet(s"$staging/slice*")
+      val ckpt = tempQueryDir("graft_e121_ck")
+      val q = src.writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          val sb = batch.sparkSession
+          momentTable(sb, Pca.applyMomentsFeed(
+            Pca.momentsFromTable(sb.read.parquet(s"$stateRoot/v$id"), 64),
+            batch, "vec", 64))
+            .coalesce(1).write.mode("overwrite").parquet(s"$stateRoot/v${id + 1}")
+        }
+        .start()
+      q.awaitTermination()
+      val vmax = fs.listStatus(new org.apache.hadoop.fs.Path(stateRoot))
+        .map(_.getPath.getName).filter(_.startsWith("v")).map(_.drop(1).toInt).max
+      s.read.parquet(s"$stateRoot/v$vmax").orderBy(col("i"), col("j"))
+    },
+    Some("""WITH a AS (SELECT CASE WHEN vec_id % 11 = 0
+            THEN LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE) + 0.25)
+            ELSE LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) END AS vec
+          FROM embeddings WHERE vec_id % 7 <> 0),
+      q AS (SELECT LIST_TRANSFORM(vec, x -> CAST(FLOOR(x * 1000000.0) AS BIGINT)) AS qv FROM a),
+      s AS (SELECT i.i AS i, SUM(q.qv[i.i + 1]) AS s FROM q, range(0, 64) i(i) GROUP BY 1),
+      n AS (SELECT COUNT(*) AS n FROM q),
+      g AS (SELECT a2.i AS i, b.j AS j, SUM(q.qv[a2.i + 1] * q.qv[b.j + 1]) AS g
+            FROM q, range(0, 64) a2(i), range(0, 64) b(j) WHERE a2.i <= b.j GROUP BY 1, 2)
+      SELECT g.i, g.j, CAST(g.g AS BIGINT) AS sum_qq,
+        CAST(si.s AS BIGINT) AS sum_qi, CAST(sj.s AS BIGINT) AS sum_qj,
+        CAST(n.n AS BIGINT) AS n
+      FROM g JOIN s si ON si.i = g.i JOIN s sj ON sj.i = g.j CROSS JOIN n
+      ORDER BY g.i, g.j"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
@@ -4403,5 +4570,6 @@ object ExtQueries {
       e60, e61, e62, e63, e64, e65, e66, e67, e68, e69, e70, e71, e72, e73, e74,
       e75, e76, e77, e78, e79, e80, e81, e82, e83, e84, e85, e86, e87, e88, e89,
       e90, e91, e92, e93, e94, e95, e96, e97, e98, e99, e100, e101, e102, e103,
-      e104, e105, e106, e107, e108, e109, e110, e111, e112, e113, e114, e115, e116, e117, e118, e119)
+      e104, e105, e106, e107, e108, e109, e110, e111, e112, e113, e114, e115, e116, e117, e118, e119,
+      e120, e121)
 }

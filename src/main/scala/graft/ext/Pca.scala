@@ -210,6 +210,49 @@ object Pca {
     Moments(m.n + delta(0), sums, gram)
   }
 
+  /** The [[Moments]] as an upper-triangular TABLE
+    * `(i, j, sum_qq, sum_qi, sum_qj, n)` — d(d+1)/2 rows (2,080 for
+    * d=64) regardless of corpus size, driver-assembled from the
+    * bounded buffer (nothing row-scaled is ever collected). The
+    * declared-query output shape (e107/e110) and the unit of versioned
+    * streaming state (e121); [[momentsFromTable]] inverts it. */
+  def momentTable(s: org.apache.spark.sql.SparkSession, mo: Moments): DataFrame = {
+    import s.implicits._
+    val dim = mo.sums.length
+    val rows = for { i <- 0 until dim; j <- i until dim }
+      yield (i.toLong, j.toLong, mo.gram(i)(j), mo.sums(i), mo.sums(j), mo.n)
+    rows.toDF("i", "j", "sum_qq", "sum_qi", "sum_qj", "n")
+      .orderBy(col("i"), col("j"))
+  }
+
+  /** Rebuild [[Moments]] from a persisted moment TABLE — the
+    * (i, j, sum_qq, sum_qi, sum_qj, n) upper-triangular layout the
+    * declared queries emit (e107/e110) and the streaming maintainer
+    * versions per micro-batch. The collect is bounded by construction:
+    * d(d+1)/2 rows (2,080 for d=64) regardless of corpus size — the
+    * same constant-state contract as the aggregator buffer. */
+  def momentsFromTable(df: DataFrame, dim: Int): Moments = {
+    val rows = df.select(col("i"), col("j"), col("sum_qq"),
+      col("sum_qi"), col("sum_qj"), col("n")).collect() // bounded: d(d+1)/2
+    require(rows.length == dim * (dim + 1) / 2,
+      s"Pca.momentsFromTable: expected ${dim * (dim + 1) / 2} upper-triangular " +
+        s"rows for dim=$dim, got ${rows.length}")
+    val sums = new Array[Long](dim)
+    val gram = Array.ofDim[Long](dim, dim)
+    var n = 0L
+    rows.foreach { r =>
+      val i = r.getAs[Long]("i").toInt
+      val j = r.getAs[Long]("j").toInt
+      val g = r.getAs[Long]("sum_qq")
+      gram(i)(j) = g
+      gram(j)(i) = g
+      sums(i) = r.getAs[Long]("sum_qi")
+      sums(j) = r.getAs[Long]("sum_qj")
+      n = r.getAs[Long]("n")
+    }
+    Moments(n, sums, gram)
+  }
+
   // --- driver-side eigensolve: every double op in pinned order so the
   // --- DuckDB oracle recurrence (e108) reproduces it bit-for-bit.
 

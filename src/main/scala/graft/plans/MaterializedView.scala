@@ -3,7 +3,8 @@ package graft.plans
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
 import org.apache.spark.sql.types.DecimalType
@@ -74,11 +75,32 @@ object MaterializedView {
     * rewrite. */
   final case class MvDef(basePath: String, mv: DataFrame, keys: Seq[String], valueCol: String)
 
+  /** A registered JOIN view — the star-dashboard shape: an aggregate
+    * over the INNER equijoin `scan(leftPath) ⋈ scan(rightPath)` on the
+    * same-named `joinKeys`, grouped on ⊆ `keys` over `valueCol`, may
+    * be answered from `mv` = the partials of the MAINTAINED join view
+    * ([[graft.etl.Incremental.applyJoinFeed]] keeps the view current
+    * under mutation; [[graft.etl.Incremental.partials]] over it is
+    * this MV). Registration contract: `mv` must be partials of exactly
+    * that inner join (either side order), keys/joinKeys are plain
+    * column names unambiguous across the two sides, and `keys` may
+    * draw from both sides — the c11 star rollup (fact ⋈ dim GROUP BY
+    * dim attribute) serves from |keys| partial rows instead of
+    * re-joining history. */
+  final case class JoinMvDef(
+      leftPath: String, rightPath: String, joinKeys: Seq[String],
+      mv: DataFrame, keys: Seq[String], valueCol: String)
+
   /** Run `body` with the rewrite rule active for `defs`, restoring the
     * session's extra optimizations afterwards. */
-  def serveWith[T](spark: SparkSession, defs: Seq[MvDef])(body: => T): T = {
+  def serveWith[T](spark: SparkSession, defs: Seq[MvDef])(body: => T): T =
+    serveWith(spark, defs, Nil)(body)
+
+  /** [[serveWith]] including join-view definitions. */
+  def serveWith[T](spark: SparkSession, defs: Seq[MvDef],
+      joinDefs: Seq[JoinMvDef])(body: => T): T = {
     val prev = spark.experimental.extraOptimizations
-    spark.experimental.extraOptimizations = prev :+ new RewriteToMv(defs)
+    spark.experimental.extraOptimizations = prev :+ new RewriteToMv(defs, joinDefs)
     try body
     finally spark.experimental.extraOptimizations = prev
   }
@@ -140,15 +162,23 @@ object MaterializedView {
     serveWith(spark, names.map(fromCatalog(spark, _)))(body)
 }
 
-class RewriteToMv(defs: Seq[MaterializedView.MvDef]) extends Rule[LogicalPlan] {
-  import MaterializedView.MvDef
+class RewriteToMv(defs: Seq[MaterializedView.MvDef],
+    joinDefs: Seq[MaterializedView.JoinMvDef] = Nil)
+    extends Rule[LogicalPlan] with PredicateHelper {
+  import MaterializedView.{JoinMvDef, MvDef}
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case agg @ Aggregate(groupings, aggExprs, child, _) =>
       // coarsest matching view first: fewest keys = fewest partial rows
+      // (a scan aggregate can never match a join def and vice versa, so
+      // the two lists need no relative ordering)
       defs.sortBy(_.keys.size).iterator
         .flatMap(d => tryRewrite(groupings, aggExprs, child, d))
-        .nextOption().getOrElse(agg)
+        .nextOption()
+        .orElse(joinDefs.sortBy(_.keys.size).iterator
+          .flatMap(d => tryJoinRewrite(groupings, aggExprs, child, d))
+          .nextOption())
+        .getOrElse(agg)
   }
 
   /** The scanned root paths plus any filter predicates, if `p` is a
@@ -182,13 +212,78 @@ class RewriteToMv(defs: Seq[MaterializedView.MvDef]) extends Rule[LogicalPlan] {
     val (paths, filters) = scanRoots(child).getOrElse(return None)
     val baseQ = qualify(d.basePath)
     if (!paths.exists(p => qualify(p) == baseQ)) return None
+    rewriteOnMv(groupings, aggExprs, filters, d.mv, d.keys, d.valueCol)
+  }
+
+  /** Strip attribute-only Projects (collecting Filters) down to a
+    * Join node — the star-dashboard child shape after the main
+    * optimizer's pushdown and column pruning have run. */
+  private def joinUnder(p: LogicalPlan): Option[(Join, Seq[Expression])] = p match {
+    case Project(projectList, inner) if projectList.forall(_.isInstanceOf[AttributeReference]) =>
+      joinUnder(inner)
+    case Filter(cond, inner) =>
+      joinUnder(inner).map { case (j, fs) => (j, cond +: fs) }
+    case j: Join => Some((j, Nil))
+    case _ => None
+  }
+
+  private def tryJoinRewrite(
+      groupings: Seq[Expression],
+      aggExprs: Seq[NamedExpression],
+      child: LogicalPlan,
+      d: JoinMvDef): Option[LogicalPlan] = {
+    val (join, topFilters) = joinUnder(child).getOrElse(return None)
+    if (join.joinType != Inner) return None
+    val (lPaths, lFilters) = scanRoots(join.left).getOrElse(return None)
+    val (rPaths, rFilters) = scanRoots(join.right).getOrElse(return None)
+    val lQ = qualify(d.leftPath)
+    val rQ = qualify(d.rightPath)
+    // the inner join is symmetric, so either side order matches
+    val sidesMatch =
+      (lPaths.exists(qualify(_) == lQ) && rPaths.exists(qualify(_) == rQ)) ||
+        (lPaths.exists(qualify(_) == rQ) && rPaths.exists(qualify(_) == lQ))
+    if (!sidesMatch) return None
+    // the join condition must be exactly the registered equi-keys:
+    // every conjunct an EqualTo over two same-named key attributes,
+    // and every registered key covered — anything extra (a theta
+    // residual, an expression key) disqualifies
+    val eqNames = join.condition.toSeq.flatMap(splitConjunctivePredicates).map {
+      case EqualTo(a: AttributeReference, b: AttributeReference)
+          if a.name == b.name && d.joinKeys.contains(a.name) => a.name
+      case _ => return None
+    }
+    if (eqNames.toSet != d.joinKeys.toSet) return None
+    // the main optimizer mirrors key predicates onto both sides and
+    // infers IsNotNull on the equi-keys; on the INNER-join view the
+    // IsNotNull(joinKey) conjuncts are vacuous (a null key never
+    // equi-matches, so no view row has one) — drop them, and leave
+    // everything else to the shared key-only eligibility check (the
+    // mirrored duplicates collapse in rewriteOnMv's semantic dedup)
+    val kept = (topFilters ++ lFilters ++ rFilters)
+      .flatMap(splitConjunctivePredicates).filterNot {
+        case IsNotNull(a: AttributeReference) => d.joinKeys.contains(a.name)
+        case _ => false
+      }
+    rewriteOnMv(groupings, aggExprs, kept, d.mv, d.keys, d.valueCol)
+  }
+
+  /** The shared rewrite tail: key-only filter eligibility, grouping ⊆
+    * keys, mergeable-aggregate mapping, and the re-rooted Aggregate
+    * over the partials plan. */
+  private def rewriteOnMv(
+      groupings: Seq[Expression],
+      aggExprs: Seq[NamedExpression],
+      filters: Seq[Expression],
+      mv: DataFrame,
+      keys: Seq[String],
+      valueCol: String): Option[LogicalPlan] = {
     // key-only, deterministic filters rewrite onto the partials table
     // (every row of a group shares its keys, so group-level filtering
     // is exact); anything else disqualifies
     if (!filters.forall(f => f.deterministic &&
-        f.references.forall(a => d.keys.contains(a.name)))) return None
+        f.references.forall(a => keys.contains(a.name)))) return None
     val groupAttrs = groupings.map {
-      case a: AttributeReference if d.keys.contains(a.name) => a
+      case a: AttributeReference if keys.contains(a.name) => a
       case _ => return None
     }
     // strip SubqueryAliases: this rule runs AFTER the optimizer batch
@@ -199,7 +294,7 @@ class RewriteToMv(defs: Seq[MaterializedView.MvDef]) extends Rule[LogicalPlan] {
     // occurrences in one query (two subtrees sharing attribute ids
     // would make the rewritten plan unresolvable)
     val mvPlan = org.apache.spark.sql.catalyst.analysis.EliminateSubqueryAliases(
-      d.mv.queryExecution.analyzed) match {
+      mv.queryExecution.analyzed) match {
       case m: org.apache.spark.sql.catalyst.analysis.MultiInstanceRelation =>
         m.newInstance().asInstanceOf[LogicalPlan]
       // a DERIVED mv plan (e.g. partials computed in-memory rather than
@@ -218,7 +313,7 @@ class RewriteToMv(defs: Seq[MaterializedView.MvDef]) extends Rule[LogicalPlan] {
     // maintained under deletes by applyFeed) stores only the invertible
     // pair, and can still serve count/sum aggregates (min/max queries
     // then simply don't rewrite)
-    if (!(d.keys ++ Seq("cnt", "sum_v")).forall(mvAttr.contains)) return None
+    if (!(keys ++ Seq("cnt", "sum_v")).forall(mvAttr.contains)) return None
 
     def complete(fn: AggregateFunction): AggregateExpression =
       AggregateExpression(fn, Complete, isDistinct = false)
@@ -235,16 +330,16 @@ class RewriteToMv(defs: Seq[MaterializedView.MvDef]) extends Rule[LogicalPlan] {
       if (ae.isDistinct || ae.filter.nonEmpty) return None
       val repl: Option[Expression] = ae.aggregateFunction match {
         case Sum(Cast(v: AttributeReference, dt: DecimalType, _, _), _)
-            if v.name == d.valueCol && dt == DecimalType(38, 6) =>
+            if v.name == valueCol && dt == DecimalType(38, 6) =>
           Some(complete(Sum(mvAttr("sum_v"))))
         case Count(Seq(l: Literal)) if l.value != null =>
           val s = complete(Sum(mvAttr("cnt")))
           Some(if (global) Coalesce(Seq(s, Literal(0L))) else s)
         case Min(v: AttributeReference)
-            if v.name == d.valueCol && mvAttr.contains("min_v") =>
+            if v.name == valueCol && mvAttr.contains("min_v") =>
           Some(complete(Min(mvAttr("min_v"))))
         case Max(v: AttributeReference)
-            if v.name == d.valueCol && mvAttr.contains("max_v") =>
+            if v.name == valueCol && mvAttr.contains("max_v") =>
           Some(complete(Max(mvAttr("max_v"))))
         case _ => None
       }
@@ -256,9 +351,9 @@ class RewriteToMv(defs: Seq[MaterializedView.MvDef]) extends Rule[LogicalPlan] {
     // map each original output onto the MV's partials; None → give up
     val mapped: Seq[Option[NamedExpression]] = aggExprs.map {
       // grouping key flowing through the aggregate output
-      case a: AttributeReference if d.keys.contains(a.name) =>
+      case a: AttributeReference if keys.contains(a.name) =>
         Some(Alias(mvAttr(a.name), a.name)(exprId = a.exprId))
-      case al @ Alias(a: AttributeReference, name) if d.keys.contains(a.name) =>
+      case al @ Alias(a: AttributeReference, name) if keys.contains(a.name) =>
         Some(Alias(mvAttr(a.name), name)(exprId = al.exprId))
       case al @ Alias(ae: AggregateExpression, name) =>
         mapAgg(ae).map(e => Alias(e, name)(exprId = al.exprId))
@@ -271,10 +366,14 @@ class RewriteToMv(defs: Seq[MaterializedView.MvDef]) extends Rule[LogicalPlan] {
     }
     if (mapped.exists(_.isEmpty)) return None
     val mvGroupings: Seq[Expression] = groupAttrs.map(a => mvAttr(a.name))
-    // the base scan's key filters, re-rooted onto the partials table
-    val mvChild = filters.foldLeft(mvPlan) { (pl, cond) =>
-      Filter(cond.transform { case a: AttributeReference => mvAttr(a.name) }, pl)
+    // the base scan's key filters, re-rooted onto the partials table;
+    // mirrored duplicates (the optimizer pushes a key predicate onto
+    // BOTH sides of a join) collapse once re-rooted, by semanticEquals
+    val rerooted = filters.map(_.transform { case a: AttributeReference => mvAttr(a.name) })
+    val deduped = rerooted.foldLeft(Vector.empty[Expression]) { (acc, e) =>
+      if (acc.exists(_.semanticEquals(e))) acc else acc :+ e
     }
+    val mvChild = deduped.foldLeft(mvPlan: LogicalPlan) { (pl, cond) => Filter(cond, pl) }
     Some(Aggregate(mvGroupings, mapped.map(_.get), mvChild))
   }
 }

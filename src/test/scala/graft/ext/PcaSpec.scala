@@ -117,6 +117,40 @@ class PcaSpec extends SparkSpec {
       Option(e2.getCause).exists(_.getMessage.contains("unknown op code")))
   }
 
+  test("versioned moment state: table round-trips and batch replay is idempotent") {
+    import graft.etl.Cdc
+    def assertSame(a: Pca.Moments, b: Pca.Moments): Unit = {
+      assert(a.n == b.n)
+      assert(a.sums.sameElements(b.sums))
+      assert(a.gram.map(_.toSeq).toSeq == b.gram.map(_.toSeq).toSeq)
+    }
+    // (1) the persisted-state representation is lossless: moments →
+    // table → parquet → table → moments, bit-for-bit
+    val before = emb.filter(col("vec_id") % 5 =!= 0)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("vec"))
+    val m0 = Pca.moments(before, "vec", dim)
+    val root = java.nio.file.Files.createTempDirectory("graft_pca_state").toString
+    Pca.momentTable(spark, m0).write.mode("overwrite").parquet(s"$root/v0")
+    assertSame(m0, Pca.momentsFromTable(spark.read.parquet(s"$root/v0"), dim))
+    // (2) crash-replay: the streaming maintainer derives v{id+1} from
+    // v{id} and OVERWRITES — re-delivering the same batch after a
+    // crash recomputes the same v1 from the untouched v0 instead of
+    // double-counting the feed into it
+    val after = emb.filter(col("vec_id") % 7 =!= 0)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("vec"))
+    val feed = Cdc.snapshotDiffFull(before, after, Seq("vec_id"))
+    def applyBatch(): Pca.Moments = {
+      val next = Pca.applyMomentsFeed(
+        Pca.momentsFromTable(spark.read.parquet(s"$root/v0"), dim), feed, "vec", dim)
+      Pca.momentTable(spark, next).write.mode("overwrite").parquet(s"$root/v1")
+      Pca.momentsFromTable(spark.read.parquet(s"$root/v1"), dim)
+    }
+    val first = applyBatch()
+    val replayed = applyBatch() // same batch id, same input version
+    assertSame(first, replayed)
+    assertSame(first, Pca.moments(after, "vec", dim)) // and both ≡ recompute
+  }
+
   test("projection plan: map-only, no exchange") {
     val model = Pca.fit(emb, "embedding", dim)
     val plan = Pca.project(emb, "embedding", model)

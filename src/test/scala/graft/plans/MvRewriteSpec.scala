@@ -281,4 +281,109 @@ class MvRewriteSpec extends SparkSpec {
     assert(query().queryExecution.executedPlan.toString
       .contains(new java.io.File(baseDir).getName))
   }
+
+  // ---------------- join-view serving (JoinMvDef) ----------------
+
+  // star fixture: fact(k, pay, value) ⋈ dim(k, g) — k=4 has no dim row
+  // (dropped by the inner join), dim k=9 matches nothing
+  private lazy val factDir = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mv_fact").toString
+    Seq((1L, "p1", 1.5), (1L, "p2", 2.5), (2L, "p3", 4.0),
+      (3L, "p4", 8.0), (4L, "p5", 99.0))
+      .toDF("k", "pay", "value").write.mode("overwrite").parquet(dir)
+    dir
+  }
+  private lazy val dimDir = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mv_dim").toString
+    Seq((1L, "red"), (2L, "red"), (3L, "blue"), (9L, "green"))
+      .toDF("k", "g").write.mode("overwrite").parquet(dir)
+    dir
+  }
+  private lazy val joinMvDir = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mv_jview").toString
+    Incremental.partials(
+      spark.read.parquet(factDir).join(spark.read.parquet(dimDir), Seq("k")),
+      Seq("g"), "value")
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+  private def joinDefs = Seq(JoinMvDef(
+    factDir, dimDir, Seq("k"), spark.read.parquet(joinMvDir), Seq("g"), "value"))
+
+  private def starQuery(swap: Boolean = false): DataFrame = {
+    val f = spark.read.parquet(factDir)
+    val d = spark.read.parquet(dimDir)
+    val joined = if (swap) d.join(f, Seq("k")) else f.join(d, Seq("k"))
+    joined.groupBy(col("g"))
+      .agg(count(lit(1)).as("cnt_q"),
+        sum(col("value").cast(Dec)).as("sum_q"),
+        min(col("value")).as("min_q"),
+        max(col("value")).as("max_q"))
+      .orderBy(col("g"))
+  }
+
+  test("star dashboard over fact ⋈ dim serves from the join-view partials") {
+    val direct = starQuery().collect().toSeq
+    serveWith(spark, Nil, joinDefs) {
+      val plan = starQuery().queryExecution.executedPlan.toString
+      assert(plan.contains(new java.io.File(joinMvDir).getName),
+        s"expected a scan of the join MV:\n$plan")
+      assert(!plan.contains(new java.io.File(factDir).getName) &&
+        !plan.contains(new java.io.File(dimDir).getName),
+        s"neither base table may be scanned:\n$plan")
+      // no join survives in the served plan at all
+      assert(!plan.toLowerCase.contains("join"), s"served plan still joins:\n$plan")
+      assert(starQuery().collect().toSeq === direct)
+    }
+  }
+
+  test("join rewrite is side-order independent (dim ⋈ fact matches too)") {
+    val direct = starQuery(swap = true).collect().toSeq
+    serveWith(spark, Nil, joinDefs) {
+      val q = starQuery(swap = true)
+      assert(q.queryExecution.executedPlan.toString
+        .contains(new java.io.File(joinMvDir).getName))
+      assert(q.collect().toSeq === direct)
+    }
+  }
+
+  test("dim-key filter rewrites (pushdown mirror + inferred IsNotNull handled)") {
+    def q() = spark.read.parquet(factDir)
+      .join(spark.read.parquet(dimDir), Seq("k"))
+      .filter(col("g") =!= "green")
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("c"), sum(col("value").cast(Dec)).as("s"))
+      .orderBy(col("g"))
+    val direct = q().collect().toSeq
+    serveWith(spark, Nil, joinDefs) {
+      assert(q().queryExecution.executedPlan.toString
+        .contains(new java.io.File(joinMvDir).getName))
+      assert(q().collect().toSeq === direct)
+    }
+  }
+
+  test("no join rewrite for: non-key filter, outer join, extra join predicate, wrong path") {
+    def assertNotRewritten(df: DataFrame): Unit = serveWith(spark, Nil, joinDefs) {
+      assert(!df.queryExecution.executedPlan.toString
+        .contains(new java.io.File(joinMvDir).getName),
+        s"must NOT serve from the join MV:\n${df.queryExecution.executedPlan}")
+    }
+    val f = spark.read.parquet(factDir)
+    val d = spark.read.parquet(dimDir)
+    // a filter on a non-key fact column: partials carry no row residue
+    assertNotRewritten(f.join(d, Seq("k")).filter(col("pay") =!= "p1")
+      .groupBy(col("g")).agg(count(lit(1)).as("c")))
+    // outer join: unmatched rows are not in the inner-join view
+    assertNotRewritten(f.join(d, Seq("k"), "left_outer")
+      .groupBy(col("g")).agg(count(lit(1)).as("c")))
+    // an extra non-equi predicate changes the join semantics
+    assertNotRewritten(f.join(d, f("k") === d("k") && col("value") > 2.0)
+      .groupBy(col("g")).agg(count(lit(1)).as("c")))
+    // a different fact table at another path must not be hijacked
+    val otherDir = java.nio.file.Files.createTempDirectory("graft_mv_fact2").toString
+    Seq((1L, "x", 100.0)).toDF("k", "pay", "value")
+      .write.mode("overwrite").parquet(otherDir)
+    assertNotRewritten(spark.read.parquet(otherDir).join(d, Seq("k"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c")))
+  }
 }
