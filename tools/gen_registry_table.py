@@ -82,8 +82,20 @@ def main():
 
     corr_file = args.correctness or sorted(
         glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json")))[-1]
-    corr = json.load(open(corr_file))
-    corr_round = re.search(r"r(\d+)", os.path.basename(corr_file)).group(1)
+    if corr_file.endswith(".log"):
+        # an oracle_check.py log (builder-local gate run) instead of a
+        # driver CORRECTNESS file: "ok   <name> (N rows)" lines
+        corr = {}
+        for ln in open(corr_file):
+            m = re.match(r"(ok|FAIL)\s+(\w+)", ln.strip())
+            if m:
+                good = m.group(1) == "ok"
+                corr[m.group(2)] = {"rows_match": good, "schema_match": good,
+                                    "hash_match": good}
+        corr_round = "18-local"
+    else:
+        corr = json.load(open(corr_file))
+        corr_round = re.search(r"r(\d+)", os.path.basename(corr_file)).group(1)
 
     sf1_ok = set()
     if args.sf1_log and os.path.exists(args.sf1_log):
