@@ -108,6 +108,8 @@ object MaterializedView {
   private val PropBase = "graft.mv.basePath"
   private val PropKeys = "graft.mv.keys"
   private val PropValue = "graft.mv.valueCol"
+  private val PropRight = "graft.mv.rightPath"
+  private val PropJoinKeys = "graft.mv.joinKeys"
 
   // Spark SQL string literals escape with BACKSLASHES (doubled quotes
   // would concatenate adjacent literals) — same rule DataQuality.rowAudit
@@ -145,21 +147,68 @@ object MaterializedView {
          |  ${sqlStr(PropValue)} = ${sqlStr(valueCol)})""".stripMargin)
   }
 
+  /** [[register]] for a JOIN view ([[JoinMvDef]]): the partials of the
+    * maintained `scan(leftPath) ⋈ scan(rightPath)` become a catalog
+    * table carrying both base paths and the equi-keys — the same
+    * restart-surviving durability contract as scan MVs. */
+  def registerJoin(
+      spark: SparkSession, name: String, mvPath: String,
+      leftPath: String, rightPath: String, joinKeys: Seq[String],
+      keys: Seq[String], valueCol: String): Unit = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"MV table name must be a plain SQL identifier, got '$name'")
+    require(keys.nonEmpty && (keys ++ joinKeys).forall(_.matches("[A-Za-z_][A-Za-z0-9_]*")),
+      s"MV keys must be plain identifiers, got ${(keys ++ joinKeys).mkString(",")}")
+    require(joinKeys.nonEmpty, "registerJoin: joinKeys must be non-empty")
+    val conf = spark.sessionState.newHadoopConf()
+    def q(p: String) = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(conf).makeQualified(hp).toString
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(
+      s"""CREATE TABLE $name USING parquet LOCATION ${sqlStr(q(mvPath))}
+         |TBLPROPERTIES (
+         |  ${sqlStr(PropBase)} = ${sqlStr(q(leftPath))},
+         |  ${sqlStr(PropRight)} = ${sqlStr(q(rightPath))},
+         |  ${sqlStr(PropJoinKeys)} = ${sqlStr(joinKeys.mkString(","))},
+         |  ${sqlStr(PropKeys)} = ${sqlStr(keys.mkString(","))},
+         |  ${sqlStr(PropValue)} = ${sqlStr(valueCol)})""".stripMargin)
+  }
+
+  private def props(spark: SparkSession, name: String): Map[String, String] =
+    spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(name)).properties
+
+  private def prop(p: Map[String, String], name: String, k: String): String =
+    p.getOrElse(k, throw new IllegalArgumentException(
+      s"catalog table '$name' has no '$k' property — not a registered MV"))
+
   /** Rebuild an [[MvDef]] from a catalog table written by [[register]]
     * — the restart half of the durability contract. */
   def fromCatalog(spark: SparkSession, name: String): MvDef = {
-    val meta = spark.sessionState.catalog.getTableMetadata(
-      spark.sessionState.sqlParser.parseTableIdentifier(name))
-    val p = meta.properties
-    def prop(k: String): String = p.getOrElse(k,
-      throw new IllegalArgumentException(
-        s"catalog table '$name' has no '$k' property — not a registered MV"))
-    MvDef(prop(PropBase), spark.table(name), prop(PropKeys).split(',').toSeq, prop(PropValue))
+    val p = props(spark, name)
+    MvDef(prop(p, name, PropBase), spark.table(name),
+      prop(p, name, PropKeys).split(',').toSeq, prop(p, name, PropValue))
   }
 
-  /** [[serveWith]] over definitions reconstructed from the catalog. */
-  def serveFromCatalog[T](spark: SparkSession, names: Seq[String])(body: => T): T =
-    serveWith(spark, names.map(fromCatalog(spark, _)))(body)
+  /** Rebuild a [[JoinMvDef]] from a catalog table written by
+    * [[registerJoin]]. */
+  def joinFromCatalog(spark: SparkSession, name: String): JoinMvDef = {
+    val p = props(spark, name)
+    JoinMvDef(prop(p, name, PropBase), prop(p, name, PropRight),
+      prop(p, name, PropJoinKeys).split(',').toSeq, spark.table(name),
+      prop(p, name, PropKeys).split(',').toSeq, prop(p, name, PropValue))
+  }
+
+  /** [[serveWith]] over definitions reconstructed from the catalog —
+    * each name resolves to a join MV (has the rightPath property) or a
+    * scan MV, so one list serves a mixed dashboard session. */
+  def serveFromCatalog[T](spark: SparkSession, names: Seq[String])(body: => T): T = {
+    val (joins, scans) = names.partition(n => props(spark, n).contains(PropRight))
+    serveWith(spark, scans.map(fromCatalog(spark, _)),
+      joins.map(joinFromCatalog(spark, _)))(body)
+  }
 }
 
 class RewriteToMv(defs: Seq[MaterializedView.MvDef],

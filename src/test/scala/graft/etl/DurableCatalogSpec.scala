@@ -109,4 +109,57 @@ class DurableCatalogSpec extends SparkSpec {
       SparkSession.setActiveSession(shared)
     }
   }
+
+  test("registered JOIN-MV definition survives a restart and serves the star rollup") {
+    import graft.plans.MaterializedView
+    val shared = spark
+    val meta = Files.createTempDirectory("graft_meta_jmv").toString
+    val factDir = Files.createTempDirectory("graft_jmv_fact_d").toString + "/fact"
+    val dimDir = Files.createTempDirectory("graft_jmv_dim_d").toString + "/dim"
+    val mvDir = Files.createTempDirectory("graft_jmv_state_d").toString + "/jpartials"
+
+    def restart(): SparkSession = {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      Sessions.durableCatalog(SparkSession.builder(), meta).getOrCreate()
+    }
+
+    try {
+      // ---- session 1: bases, join-view partials, registration
+      val s1 = restart()
+      import s1.implicits._
+      Seq((1L, 1.5), (1L, 2.5), (2L, 4.0), (3L, 8.0))
+        .toDF("k", "value").write.mode("overwrite").parquet(factDir)
+      Seq((1L, "red"), (2L, "red"), (3L, "blue"))
+        .toDF("k", "g").write.mode("overwrite").parquet(dimDir)
+      Incremental.partials(
+        s1.read.parquet(factDir).join(s1.read.parquet(dimDir), Seq("k")),
+        Seq("g"), "value")
+        .write.mode("overwrite").parquet(mvDir)
+      MaterializedView.registerJoin(s1, "mv_star", mvDir,
+        factDir, dimDir, Seq("k"), Seq("g"), "value")
+
+      // ---- session 2: the JoinMvDef must come back from the
+      // metastore (serveFromCatalog auto-detects the join shape) and
+      // the star dashboard must serve without touching either base
+      val s2 = restart()
+      def star() = s2.read.parquet(factDir)
+        .join(s2.read.parquet(dimDir), Seq("k"))
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("value").cast(graft.Qh.Dec)).as("total"))
+        .orderBy(col("g"))
+      val direct = star().collect().toSeq
+      MaterializedView.serveFromCatalog(s2, Seq("mv_star")) {
+        val plan = star().queryExecution.executedPlan.toString
+        assert(plan.contains("jpartials") && !plan.contains("graft_jmv_fact_d") &&
+          !plan.contains("graft_jmv_dim_d"),
+          s"expected the restarted session to serve the star from the join MV:\n$plan")
+        assert(star().collect().toSeq === direct)
+      }
+    } finally {
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
+  }
 }
