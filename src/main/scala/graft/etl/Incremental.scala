@@ -205,6 +205,110 @@ object Incremental {
     view.join(leaving, rowId, "left_anti").unionByName(entering)
   }
 
+  /** Apply a FULL-IMAGE A-side change feed to the RETRACTABLE PARTIALS
+    * of the maintained join view `A ⋈ B` DIRECTLY — [[applyFeed]]
+    * lifted through the join, and the streaming-state form of
+    * [[applyJoinFeed]]: where that maintains the view (row-scaled
+    * state — rewriting it per micro-batch would be a corpus-sized
+    * write per trigger, the scale bug the e120 sf10 anchor caught),
+    * this maintains only the |keys|-row aggregate state a star
+    * dashboard actually serves from
+    * ([[graft.plans.MaterializedView.JoinMvDef]]).
+    *
+    * The view-level change feed is DERIVED from A's feed against the
+    * current B side: a row's OLD join contribution is its before-image
+    * re-joined at its OLD key, the NEW contribution is the after-image
+    * at the new key —
+    *
+    * {{{ op ∈ {U, D}: before-image ⋈ B → (group_before, cnt −1, −value)
+    *     op ∈ {I, U}: after-image  ⋈ B → (group_after,  cnt +1, +value) }}}
+    *
+    * so a join-key-moving update retracts the old match groups and
+    * credits the new ones, and inner-join semantics fall out naturally:
+    * an image whose key has no B match contributes nothing on that leg
+    * (an insert landing outside B is a no-op; a key move from matched
+    * to unmatched acts as a delete). Group keys may draw from both
+    * sides (A-side keys read from the images, B-side keys from the
+    * join), `valueCol` from either side. The merged result is
+    * bit-identical to `retractablePartials(A_after ⋈ B)` — decimal
+    * addition is exact and associative; the e122 oracle hash-checks
+    * that identity per micro-batch. Zero-count groups drop, matching
+    * the recompute.
+    *
+    * Contract: `partials` must be consistent with `A_before ⋈ B` for
+    * the SAME `b` (B-side mutations are the symmetric call with sides
+    * swapped, exactly the [[applyJoinFeed]] contract), and the feed
+    * must be [[Cdc.snapshotDiffFull]] output keyed on `rowId`
+    * (before-image twins present for every OTHER A-side column the
+    * join keys / group keys / value reference — the rowId columns are
+    * identical on both images and carry no twin). NOT idempotent at
+    * this level — replay safety
+    * comes from batch-id-VERSIONED state (the e97/e49/e121 idiom:
+    * batch id → state version, replay overwrites the same version).
+    *
+    * Scale shape: both legs broadcast the (small by definition) feed
+    * against one streamed scan of B — per batch: O(|batch| ⋈ B) probe
+    * work, one |keys|-sized re-aggregation exchange, constant-size
+    * state read/write. Neither A nor the view is ever rescanned. */
+  def applyJoinFeedPartials(
+      partials: DataFrame,
+      feed: DataFrame,
+      b: DataFrame,
+      joinKeys: Seq[String],
+      rowId: Seq[String],
+      keys: Seq[String],
+      valueCol: String,
+      opCol: String = "op",
+      broadcastFeed: Boolean = true): DataFrame = {
+    require(joinKeys.nonEmpty, "Incremental.applyJoinFeedPartials: joinKeys must be non-empty")
+    require(rowId.nonEmpty, "Incremental.applyJoinFeedPartials: rowId must be non-empty")
+    require(keys.nonEmpty, "Incremental.applyJoinFeedPartials: keys must be non-empty")
+    val aCols = feed.columns.toSeq.filter(c => c != opCol && !c.endsWith("_before"))
+    val aSideNeeded = (joinKeys ++ keys :+ valueCol).distinct.filter(aCols.contains)
+    val missingA = (rowId ++ joinKeys).filterNot(aCols.contains)
+    require(missingA.isEmpty,
+      s"Incremental.applyJoinFeedPartials: feed after-image is missing ${missingA.mkString(", ")} " +
+        "— expected a FULL-IMAGE feed on the A side (Cdc.snapshotDiffFull keyed on rowId) " +
+        "whose images carry the join keys")
+    // rowId columns are the diff's own keys — identical on both images
+    // by construction of snapshotDiffFull, so they carry no `_before`
+    // twin and need none; every OTHER A-side column the minus leg
+    // reads must have its twin (a keys-only diff cannot retract old
+    // join contributions)
+    val missingTwins = aSideNeeded.filterNot(rowId.contains)
+      .map(c => s"${c}_before").filterNot(feed.columns.contains)
+    require(missingTwins.isEmpty,
+      s"Incremental.applyJoinFeedPartials: feed is missing before-image twin(s) " +
+        s"${missingTwins.mkString(", ")} — use Cdc.snapshotDiffFull keyed on a stable row id")
+    val bCols = b.columns.toSet
+    val missingB = (keys :+ valueCol).distinct
+      .filterNot(c => aCols.contains(c) || bCols.contains(c))
+    require(missingB.isEmpty,
+      s"Incremental.applyJoinFeedPartials: column(s) ${missingB.mkString(", ")} found " +
+        "on neither the feed's after-image nor the B side")
+    val opOk = when(col(opCol).isin("I", "U", "D"), col(opCol))
+      .otherwise(raise_error(concat(
+        lit("Incremental.applyJoinFeedPartials: unknown op code '"), col(opCol),
+        lit("' — expected I/U/D (Cdc.snapshotDiffFull codes)"))))
+    def hint(df: DataFrame) = if (broadcastFeed) broadcast(df) else df
+    val minus = hint(feed.filter(opOk =!= lit("I"))
+        .select(aSideNeeded.map(c =>
+          (if (rowId.contains(c)) col(c) else col(s"${c}_before")).as(c)): _*))
+      .join(b, joinKeys)
+      .select(keys.map(col) ++ Seq(
+        lit(-1L).as("cnt"), negate(col(valueCol).cast(Dec)).as("sum_v")): _*)
+    val plus = hint(feed.filter(opOk =!= lit("D"))
+        .select(aSideNeeded.map(col): _*))
+      .join(b, joinKeys)
+      .select(keys.map(col) ++ Seq(
+        lit(1L).as("cnt"), col(valueCol).cast(Dec).as("sum_v")): _*)
+    partials.select(keys.map(col) :+ col("cnt") :+ col("sum_v"): _*)
+      .unionByName(minus).unionByName(plus)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"), sum(col("sum_v")).as("sum_v"))
+      .filter(col("cnt") =!= 0L)
+  }
+
   /** Incremental maintenance of a materialized EQUIJOIN view under
     * append-only deltas — the join complement of [[partials]]/[[merge]]:
     * with `V = A ⋈ B` materialized, new rows ΔA/ΔB contribute exactly

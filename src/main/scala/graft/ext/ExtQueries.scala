@@ -1,6 +1,7 @@
 package graft.ext
 
 import graft.{Q, Tables => T}
+import graft.ops.RangeJoin
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -4562,6 +4563,163 @@ object ExtQueries {
       FROM g JOIN s si ON si.i = g.i JOIN s sj ON sj.i = g.j CROSS JOIN n
       ORDER BY g.i, g.j"""))
 
+  // STREAM-MAINTAINED JOIN VIEW ([[graft.etl.Incremental
+  // .applyJoinFeedPartials]] driven by a file stream, served through
+  // [[graft.plans.MaterializedView.JoinMvDef]]): e120's star dashboard
+  // kept current under STREAMING ingest — the reference's cron
+  // recompute (entrypoint.sh:7-9) upgraded to incremental. The A-side
+  // mutation feed (inserts, deletes, stale prices, join-key-moving
+  // updates) arrives as three deterministic micro-batches; each folds
+  // into the join view's |keys|-row RETRACTABLE PARTIALS directly —
+  // never materializing the view itself (a per-trigger view rewrite is
+  // the corpus-sized write the e120 sf10 anchor rejected). State is
+  // batch-id-VERSIONED (the e97/e49/e121 idiom: batch id → version,
+  // replay overwrites the same version deterministically, so
+  // crash-recovery re-delivery cannot double-apply — the spec-pinned
+  // contract in JoinFeedPartialsSpec). The final partials serve the
+  // dashboard through the optimizer rewrite: the executed plan reads
+  // NEITHER base table (self-asserted). The oracle recomputes from the
+  // raw after-snapshot ⋈ customer, so the hash proves stream-of-feeds ∘
+  // partials ∘ rewrite ≡ batch recompute — exact decimal partials, no
+  // drift can accumulate. At 100 TB: O(|batch| ⋈ dim) maintenance per
+  // trigger + constant-size state I/O + an O(|keys|) serve.
+  val e122 = Q(
+    "e122_streaming_join_mv",
+    (outer, d) => {
+      import graft.etl.{Cdc, Incremental}
+      import graft.plans.MaterializedView
+      import graft.plans.MaterializedView.JoinMvDef
+      import org.apache.spark.sql.streaming.Trigger
+      val s = graft.streaming.StateBackend.isolatedStreamSession(outer)
+      val factPath = s"$d/orders.parquet"
+      val current = s.read.parquet(factPath)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val dimPath = tempQueryDir("graft_e122_dim")
+      T.customer(s, d).select(
+        col("c_custkey").as("o_custkey"),
+        col("c_nationkey").cast("long").as("c_nationkey"))
+        .write.mode("overwrite").parquet(dimPath)
+      val dim = s.read.parquet(dimPath)
+      // the STALE state the view was last materialized against (~1%
+      // inserted since, ~1% deleted since, ~1% stale prices, ~1%
+      // since-moved join keys — the feed is small BY CONSTRUCTION)
+      val stale = current.filter(pmod(col("o_orderkey"), lit(89)) =!= 0)
+        .select(col("o_orderkey"),
+          when(pmod(col("o_orderkey"), lit(103)) === 0, col("o_custkey") + 2L)
+            .otherwise(col("o_custkey")).as("o_custkey"),
+          when(pmod(col("o_orderkey"), lit(87)) === 0, col("o_totalprice") + 5.0)
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+      val deletedSince = current.filter(pmod(col("o_orderkey"), lit(79)) === 0)
+        .select((-col("o_orderkey")).as("o_orderkey"),
+          col("o_custkey"), col("o_totalprice"))
+      val before = stale.unionByName(deletedSince)
+      // v0 bootstrap: the |keys|-row retractable partials of the
+      // before-view — the ONLY state the stream maintains
+      val stateRoot = tempQueryDir("graft_e122_state")
+      Incremental.retractablePartials(
+          before.join(dim, Seq("o_custkey")), Seq("c_nationkey"), "o_totalprice")
+        .coalesce(1).write.mode("overwrite").parquet(s"$stateRoot/v0")
+      // the feed arrives as three micro-batches (one file per slice,
+      // mtimes pinned ascending — the c57/e54/e97/e121 staging idiom)
+      val feed = Cdc.snapshotDiffFull(before, current, Seq("o_orderkey"))
+      val staging = tempQueryDir("graft_e122_in")
+      val fs = new org.apache.hadoop.fs.Path(staging)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      for (g <- 0 to 2) {
+        val p = s"$staging/slice$g"
+        feed.filter(pmod(col("o_orderkey"), lit(3)) === g)
+          .coalesce(1).write.mode("overwrite").parquet(p)
+        fs.listStatus(new org.apache.hadoop.fs.Path(p))
+          .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+          .foreach(st => fs.setTimes(st.getPath, 1700000000000L + g * 60000L, -1))
+      }
+      val sch = s.read.parquet(s"$staging/slice0").schema
+      val src = s.readStream.schema(sch).option("maxFilesPerTrigger", 1)
+        .parquet(s"$staging/slice*")
+      val ckpt = tempQueryDir("graft_e122_ck")
+      val q = src.writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          val sb = batch.sparkSession
+          Incremental.applyJoinFeedPartials(
+            sb.read.parquet(s"$stateRoot/v$id"), batch, sb.read.parquet(dimPath),
+            Seq("o_custkey"), Seq("o_orderkey"), Seq("c_nationkey"), "o_totalprice")
+            .coalesce(1).write.mode("overwrite").parquet(s"$stateRoot/v${id + 1}")
+        }
+        .start()
+      q.awaitTermination()
+      val vmax = fs.listStatus(new org.apache.hadoop.fs.Path(stateRoot))
+        .map(_.getPath.getName).filter(_.startsWith("v")).map(_.drop(1).toInt).max
+      require(vmax == 3, s"e122: expected 3 micro-batches to fold, state is at v$vmax")
+      // serve the dashboard THROUGH the rewrite rule: the executed
+      // plan must read only the maintained partials
+      MaterializedView.serveWith(s, Nil, Seq(JoinMvDef(
+        factPath, dimPath, Seq("o_custkey"),
+        s.read.parquet(s"$stateRoot/v$vmax"), Seq("c_nationkey"), "o_totalprice"))) {
+        val served = s.read.parquet(factPath)
+          .join(s.read.parquet(dimPath), Seq("o_custkey"))
+          .filter(col("c_nationkey") >= 5)
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("o_totalprice").cast(graft.Qh.Dec)).cast("double").as("total"))
+          .orderBy(col("c_nationkey"))
+        val plan = served.queryExecution.executedPlan.toString
+        require(plan.contains(new java.io.File(stateRoot).getName) &&
+          !plan.contains("orders.parquet") &&
+          !plan.contains(new java.io.File(dimPath).getName),
+          s"e122: the star dashboard must serve from the streamed join-view partials:\n$plan")
+        served
+      }
+    },
+    Some(s"""SELECT CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
+        COUNT(*) AS cnt,
+        ${graft.Qh.oSum("o.o_totalprice")} AS total
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE c.c_nationkey >= 5
+      GROUP BY 1 ORDER BY 1"""))
+
+  // AGGREGATE OVER AN EQUI+RANGE JOIN ([[graft.ops.RangeJoin.banded]]
+  // with equi-keys): the scale-anchorable range-join representative —
+  // c35 is output-bound quadratic BY SEMANTICS (a keyless band over a
+  // fixed value domain: 130.6M pairs at sf1 → ~13B at sf10), so the
+  // OPERATOR had no usable scale anchor. This is the shape that
+  // scales: per-user attribution windows (each purchase matched to
+  // the same user's clicks in the preceding 7 days), where users grow
+  // with data but per-user event counts don't — candidate pairs, and
+  // therefore cost, are LINEAR in input. One hash exchange on
+  // (user_id, band bucket); the per-day rollup keeps the declared
+  // output constant-size, so the sf10 anchor measures the JOIN, not
+  // output materialization. All window math is whole-second integer
+  // arithmetic (unix_timestamp floors ≡ date_diff('second') boundary
+  // counting — the e109 idiom); click values quantize to micro Longs
+  // before the cross-row sum (order-free, engine-equal).
+  val e123 = Q(
+    "e123_range_join_agg",
+    (s, d) => {
+      val ev = T.events(s, d)
+      val sec = unix_timestamp(col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), sec.as("p_sec"), to_date(col("ts")).as("day"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), sec.as("lo"), (sec + lit(604800L)).as("hi"),
+          floor(col("value") * lit(1000000.0)).cast("long").as("click_value_micro"))
+      RangeJoin.banded(purchases, clicks, Seq("user_id"), "p_sec", "lo", "hi", 604800.0)
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("attributed"),
+          sum(col("click_value_micro")).as("click_value_micro"))
+        .orderBy(col("day"))
+    },
+    Some("""SELECT CAST(p.ts AS DATE) AS day, COUNT(*) AS attributed,
+        CAST(SUM(CAST(FLOOR(c.value * 1000000.0) AS BIGINT)) AS BIGINT) AS click_value_micro
+      FROM (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+      JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') c
+        ON c.user_id = p.user_id
+        AND date_diff('second', TIMESTAMP '1970-01-01 00:00:00', p.ts)
+            BETWEEN date_diff('second', TIMESTAMP '1970-01-01 00:00:00', c.ts)
+            AND date_diff('second', TIMESTAMP '1970-01-01 00:00:00', c.ts) + 604800
+      GROUP BY 1 ORDER BY 1"""))
+
   val all: Seq[Q] =
     Seq(e01, e02, e03, e04, e05, e06, e07, e08, e09, e10, e11, e12, e13, e14,
       e15, e16, e17, e18, e19, e20, e21, e22, e23, e24, e25, e26, e27, e28, e29,
@@ -4571,5 +4729,5 @@ object ExtQueries {
       e75, e76, e77, e78, e79, e80, e81, e82, e83, e84, e85, e86, e87, e88, e89,
       e90, e91, e92, e93, e94, e95, e96, e97, e98, e99, e100, e101, e102, e103,
       e104, e105, e106, e107, e108, e109, e110, e111, e112, e113, e114, e115, e116, e117, e118, e119,
-      e120, e121)
+      e120, e121, e122, e123)
 }

@@ -60,7 +60,7 @@ object Graph {
     val adj = sym.join(deg, "u").persist() // (u, v, deg)
     val base = OneMicro - dampMicro
     var ranks = deg.select(col("u").as("node"), lit(OneMicro).as("rank_micro"))
-    for (_ <- 1 to iters) {
+    for (round <- 1 to iters) {
       // the graph is symmetric, so every node has >= 1 in-edge and the
       // inner join/aggregate keeps the node set invariant across rounds
       val damped =
@@ -86,9 +86,16 @@ object Graph {
         .localCheckpoint()
       // the new round is a self-contained leaf now — release the
       // previous round's checkpoint blocks deterministically instead
-      // of waiting on the ContextCleaner (no-op for round 1's plain
-      // projection)
-      Checkpoints.releaseLineage(ranks)
+      // of waiting on the ContextCleaner. ONLY from round 2: round 1's
+      // `ranks` is a plain projection over the CALLER's edges frame,
+      // and releaseLineage walks transitive RDD deps — if the caller's
+      // input is checkpoint/persist-backed (globalRowNumber or
+      // connectedComponents output, both LogicalRDD-backed here), the
+      // walk would unpersist the CALLER's blocks, and a released local
+      // checkpoint cannot recompute. Rounds ≥ 2 release only the
+      // previous round's own localCheckpoint leaf (lineage truncated,
+      // so the walk cannot escape this function's frames).
+      if (round > 1) Checkpoints.releaseLineage(ranks)
       ranks = next
     }
     val out = ranks.join(deg, ranks("node") === deg("u"))

@@ -101,7 +101,14 @@ object Ranking {
     * IEEE op. Returns one row (n_pos, n_neg, auc); a single-class
     * input yields NaN auc (0·N or P·0 denominator — IEEE, identical
     * on both engines), which is the honest answer for an undefined
-    * AUC. */
+    * AUC.
+    *
+    * EAGER: the full rank job runs at CALL time (the bounded result is
+    * collected so the rank's checkpoint blocks can be released here
+    * instead of leaking until the caller's last action — see
+    * [[release]]); errors surface at construction, and the returned
+    * frame is a self-contained local relation, re-actionable at zero
+    * cost. */
   def rocAuc(df: DataFrame, orderCols: Seq[Column], posCol: Column): DataFrame = {
     val ranked = globalRowNumber(df.withColumn("__pos", posCol), orderCols)
     val result = ranked.agg(
@@ -121,7 +128,10 @@ object Ranking {
     * rank-transform `pct`, so buckets are equal-POPULATION, not
     * equal-width) × positive rate in integer micro units — the binned
     * eval companion to [[rocAuc]]. Same single range exchange; the
-    * bucket rollup is one more tiny aggregate. */
+    * bucket rollup is one more tiny aggregate. EAGER, like [[rocAuc]]:
+    * the rank job runs and the ≤ `bins`-row result is collected at
+    * call time (checkpoint released here); the returned frame is a
+    * self-contained local relation. */
   def calibration(df: DataFrame, orderCols: Seq[Column], posCol: Column,
       bins: Int = 10): DataFrame = {
     require(bins > 0, "Ranking.calibration: bins must be positive")

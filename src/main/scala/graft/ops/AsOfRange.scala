@@ -64,12 +64,29 @@ object RangeJoin {
   def banded(
       left: DataFrame, right: DataFrame,
       valueCol: String, loCol: String, hiCol: String,
+      bucketWidth: Double): DataFrame =
+    banded(left, right, Nil, valueCol, loCol, hiCol, bucketWidth)
+
+  /** [[banded]] with EQUI-KEYS: pairs where the sides agree on
+    * `equiKeys` AND `left(valueCol) ∈ [right(loCol), right(hiCol)]` —
+    * the per-entity range join (attribution windows, per-user session
+    * joins). The band bucket simply joins ALONGSIDE the keys, so the
+    * shuffle is one hash exchange on (keys, bucket) and candidate
+    * pairs are bounded by per-(key, bucket) co-residency: when per-key
+    * cardinalities are bounded (events per user), total pair count —
+    * and therefore cost — is LINEAR in input size, unlike a keyless
+    * range join over a fixed value domain, which is quadratic by
+    * semantics (c35's 130M pairs at sf1). This is the range-join shape
+    * that survives a 100× scale-up. */
+  def banded(
+      left: DataFrame, right: DataFrame, equiKeys: Seq[String],
+      valueCol: String, loCol: String, hiCol: String,
       bucketWidth: Double): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val lb = left.withColumn("__bucket", floor(col(valueCol) / bucketWidth))
     val rb = right.withColumn("__bucket",
       explode(sequence(floor(col(loCol) / bucketWidth), floor(col(hiCol) / bucketWidth))))
-    lb.join(rb, Seq("__bucket"))
+    lb.join(rb, equiKeys :+ "__bucket")
       .filter(col(valueCol) >= col(loCol) && col(valueCol) <= col(hiCol))
       .drop("__bucket")
   }

@@ -259,8 +259,11 @@ class RewriteToMv(defs: Seq[MaterializedView.MvDef],
       child: LogicalPlan,
       d: MvDef): Option[LogicalPlan] = {
     val (paths, filters) = scanRoots(child).getOrElse(return None)
-    val baseQ = qualify(d.basePath)
-    if (!paths.exists(p => qualify(p) == baseQ)) return None
+    // EXACT root-path set match: a multi-root read (e.g.
+    // spark.read.parquet(base, extra)) covers MORE rows than the
+    // registered base, so serving it from the MV would silently drop
+    // the extra roots' contribution — `exists` would have matched it
+    if (paths.map(qualify).toSet != Set(qualify(d.basePath))) return None
     rewriteOnMv(groupings, aggExprs, filters, d.mv, d.keys, d.valueCol)
   }
 
@@ -287,10 +290,14 @@ class RewriteToMv(defs: Seq[MaterializedView.MvDef],
     val (rPaths, rFilters) = scanRoots(join.right).getOrElse(return None)
     val lQ = qualify(d.leftPath)
     val rQ = qualify(d.rightPath)
-    // the inner join is symmetric, so either side order matches
+    // the inner join is symmetric, so either side order matches; each
+    // side's root-path SET must equal exactly its registered base — a
+    // multi-root side covers more rows than the view maintains, and
+    // serving it would silently drop the extra paths' rows
+    val lSet = lPaths.map(qualify).toSet
+    val rSet = rPaths.map(qualify).toSet
     val sidesMatch =
-      (lPaths.exists(qualify(_) == lQ) && rPaths.exists(qualify(_) == rQ)) ||
-        (lPaths.exists(qualify(_) == rQ) && rPaths.exists(qualify(_) == lQ))
+      (lSet == Set(lQ) && rSet == Set(rQ)) || (lSet == Set(rQ) && rSet == Set(lQ))
     if (!sidesMatch) return None
     // the join condition must be exactly the registered equi-keys:
     // every conjunct an EqualTo over two same-named key attributes,

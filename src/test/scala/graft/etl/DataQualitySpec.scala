@@ -137,4 +137,23 @@ class DataQualitySpec extends SparkSpec {
     }
     assert(e.getMessage.contains("empty input"))
   }
+
+  test("corrProfile: overflow is LOUD — guard fires in the risk zone, ANSI on actual overflow") {
+    // risk zone: one large row makes max|q_a|²·n ≥ 2^63 while this
+    // run's actual sums still fit — the BigInt bound (from driver-side
+    // |min|/|max|, immune to the abs(Long.MinValue) wrap) must refuse
+    // with the actionable message
+    val risky = Seq((-1800.0, 1.0), (0.001, 2.0), (0.002, 5.0)).toDF("a", "b")
+    val e = intercept[IllegalArgumentException] {
+      DataQuality.corrProfile(risky, Seq(("a", 1000000.0), ("b", 1000000.0)))
+    }
+    assert(e.getMessage.contains("can exceed int64"))
+    // an input that overflows DURING the aggregate pass is loud too:
+    // the session is ANSI (Spark 4 default), so the Long product/sum
+    // throws rather than wrapping — either path, never silent
+    val overflowing = Seq((-1e30, 1.0), (2.0, 2.0), (3.0, 5.0)).toDF("a", "b")
+    intercept[Exception] {
+      DataQuality.corrProfile(overflowing, Seq(("a", 1000000.0), ("b", 1000000.0)))
+    }
+  }
 }

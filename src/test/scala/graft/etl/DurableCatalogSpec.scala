@@ -162,4 +162,73 @@ class DurableCatalogSpec extends SparkSpec {
       SparkSession.setActiveSession(shared)
     }
   }
+
+  test("a MIXED catalog (scan MV + join MV) restarts and routes each aggregate to its kind") {
+    import graft.plans.MaterializedView
+    val shared = spark
+    val meta = Files.createTempDirectory("graft_meta_mix").toString
+    val baseDir = Files.createTempDirectory("graft_mix_base_d").toString + "/events"
+    val factDir = Files.createTempDirectory("graft_mix_fact_d").toString + "/fact"
+    val dimDir = Files.createTempDirectory("graft_mix_dim_d").toString + "/dim"
+    val scanMvDir = Files.createTempDirectory("graft_mix_scanmv_d").toString + "/spartials"
+    val joinMvDir = Files.createTempDirectory("graft_mix_joinmv_d").toString + "/jpartials"
+
+    def restart(): SparkSession = {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      Sessions.durableCatalog(SparkSession.builder(), meta).getOrCreate()
+    }
+
+    try {
+      // ---- session 1: register one MV of each kind in one metastore
+      val s1 = restart()
+      import s1.implicits._
+      Seq(("click", 1.5), ("click", 2.5), ("view", 8.0))
+        .toDF("event_type", "value").write.mode("overwrite").parquet(baseDir)
+      Seq((1L, 1.5), (1L, 2.5), (2L, 4.0))
+        .toDF("k", "value").write.mode("overwrite").parquet(factDir)
+      Seq((1L, "red"), (2L, "blue")).toDF("k", "g")
+        .write.mode("overwrite").parquet(dimDir)
+      Incremental.partials(s1.read.parquet(baseDir), Seq("event_type"), "value")
+        .write.mode("overwrite").parquet(scanMvDir)
+      Incremental.partials(
+        s1.read.parquet(factDir).join(s1.read.parquet(dimDir), Seq("k")),
+        Seq("g"), "value")
+        .write.mode("overwrite").parquet(joinMvDir)
+      MaterializedView.register(s1, "mv_mix_scan", scanMvDir,
+        baseDir, Seq("event_type"), "value")
+      MaterializedView.registerJoin(s1, "mv_mix_star", joinMvDir,
+        factDir, dimDir, Seq("k"), Seq("g"), "value")
+
+      // ---- session 2: BOTH definitions come back from the metastore
+      // in ONE serveFromCatalog list; each aggregate routes to its kind
+      val s2 = restart()
+      def scanQ() = s2.read.parquet(baseDir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum(col("value").cast(graft.Qh.Dec)).as("total"))
+        .orderBy(col("event_type"))
+      def starQ() = s2.read.parquet(factDir)
+        .join(s2.read.parquet(dimDir), Seq("k"))
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("cnt"), sum(col("value").cast(graft.Qh.Dec)).as("total"))
+        .orderBy(col("g"))
+      val scanDirect = scanQ().collect().toSeq
+      val starDirect = starQ().collect().toSeq
+      MaterializedView.serveFromCatalog(s2, Seq("mv_mix_scan", "mv_mix_star")) {
+        val sp = scanQ().queryExecution.executedPlan.toString
+        assert(sp.contains("spartials") && !sp.contains("graft_mix_base_d") &&
+          !sp.contains("jpartials"),
+          s"the scan aggregate must serve from the scan MV after restart:\n$sp")
+        val jp = starQ().queryExecution.executedPlan.toString
+        assert(jp.contains("jpartials") && !jp.contains("graft_mix_fact_d") &&
+          !jp.contains("graft_mix_dim_d") && !jp.contains("spartials"),
+          s"the star aggregate must serve from the join MV after restart:\n$jp")
+        assert(scanQ().collect().toSeq === scanDirect)
+        assert(starQ().collect().toSeq === starDirect)
+      }
+    } finally {
+      SparkSession.setDefaultSession(shared)
+      SparkSession.setActiveSession(shared)
+    }
+  }
 }

@@ -93,6 +93,20 @@ class GraphSpec extends SparkSpec {
     assert(leaked.size <= 1, s"expected ≤1 live checkpoint (the final round), got $leaked")
   }
 
+  test("a checkpoint-backed CALLER frame survives integerPageRank intact") {
+    import spark.implicits._
+    // the round-1 hazard: ranks' first lineage is a plain projection
+    // over the CALLER's edges frame — releasing it would walk into a
+    // checkpoint-backed input (globalRowNumber / connectedComponents
+    // outputs are LogicalRDD-backed) and unpersist the caller's
+    // blocks, making the caller's own later actions fail
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("doc1", "doc2")
+      .localCheckpoint()
+    Graph.integerPageRank(edges, "doc1", "doc2", iters = 3).collect()
+    assert(edges.count() == 4L,
+      "the caller's checkpoint-backed frame must remain actionable")
+  }
+
   test("star graph: the hub outranks every leaf at any iteration depth") {
     import spark.implicits._
     val star = (2L to 8L).map(l => (1L, l)).toDF("doc1", "doc2")

@@ -89,4 +89,24 @@ class AsOfRangeSpec extends SparkSpec {
       .select("lid").collect().map(_.getLong(0)).sorted.toSeq
     assert(got == Seq(2L, 3L, 4L, 5L)) // both boundaries inclusive
   }
+
+  test("EQUI-KEY banded range join equals the naive equi+theta join") {
+    import spark.implicits._
+    // the per-entity shape (e123's attribution windows): pairs must
+    // agree on the key AND sit in the band — a cross-key value match
+    // must NOT pair
+    val left = (1 to 400).map(i => (i.toLong, s"u${i % 7}", i * 3.7 - 200))
+      .toDF("lid", "user_id", "value")
+    val right = (1 to 80).map(i => (i.toLong, s"u${i % 7}", i * 12.0 - 100, i * 12.0 + 40.0))
+      .toDF("rid", "user_id", "lo", "hi")
+    val banded = RangeJoin.banded(left, right, Seq("user_id"), "value", "lo", "hi", 150.0)
+      .select("lid", "rid")
+    val naive = left.join(
+      right.withColumnRenamed("user_id", "ru"),
+      col("user_id") === col("ru") &&
+        col("value") >= col("lo") && col("value") <= col("hi"))
+      .select("lid", "rid")
+    assert(banded.count() > 0)
+    assert(banded.exceptAll(naive).isEmpty && naive.exceptAll(banded).isEmpty)
+  }
 }

@@ -362,6 +362,94 @@ class MvRewriteSpec extends SparkSpec {
     }
   }
 
+  test("a MULTI-ROOT scan (base + extra path) is NOT served from the MV") {
+    // spark.read.parquet(base, extra) covers MORE rows than the
+    // registered base — an `exists`-style path match would serve it
+    // from the MV and silently drop the extra root's contribution
+    val extraDir = java.nio.file.Files.createTempDirectory("graft_mv_extra").toString
+    Seq(("click", "2024-01-03", 100.0)).toDF("event_type", "day", "value")
+      .write.mode("overwrite").parquet(extraDir)
+    val q = () => spark.read.parquet(baseDir, extraDir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("c"), sum(col("value").cast(Dec)).as("s"))
+      .orderBy(col("event_type"))
+    val direct = q().collect().toSeq
+    serveWith(spark, mvDefs) {
+      val plan = q().queryExecution.executedPlan.toString
+      assert(!plan.contains(new java.io.File(mvDir).getName),
+        s"a multi-root read must NOT be answered from the MV:\n$plan")
+      assert(q().collect().toSeq === direct)
+    }
+  }
+
+  test("a MULTI-ROOT join side (fact + extra path) is NOT served from the join MV") {
+    val extraDir = java.nio.file.Files.createTempDirectory("graft_mv_factx").toString
+    Seq((1L, "px", 1000.0)).toDF("k", "pay", "value")
+      .write.mode("overwrite").parquet(extraDir)
+    val q = () => spark.read.parquet(factDir, extraDir)
+      .join(spark.read.parquet(dimDir), Seq("k"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("c"), sum(col("value").cast(Dec)).as("s"))
+      .orderBy(col("g"))
+    val direct = q().collect().toSeq
+    serveWith(spark, Nil, joinDefs) {
+      val plan = q().queryExecution.executedPlan.toString
+      assert(!plan.contains(new java.io.File(joinMvDir).getName),
+        s"a multi-root fact side must NOT be answered from the join MV:\n$plan")
+      assert(q().collect().toSeq === direct)
+    }
+  }
+
+  test("two join MVs at different granularities: COARSEST serves; finer groupings route finer") {
+    val fineDir = java.nio.file.Files.createTempDirectory("graft_mv_jfine").toString
+    Incremental.partials(
+      spark.read.parquet(factDir).join(spark.read.parquet(dimDir), Seq("k")),
+      Seq("g", "k"), "value")
+      .write.mode("overwrite").parquet(fineDir)
+    // declare FINE first — selection must order by key count, not list order
+    val both = Seq(
+      JoinMvDef(factDir, dimDir, Seq("k"),
+        spark.read.parquet(fineDir), Seq("g", "k"), "value")) ++ joinDefs
+    val coarse = () => starQuery()
+    val coarseDirect = coarse().collect().toSeq
+    serveWith(spark, Nil, both) {
+      val plan = coarse().queryExecution.executedPlan.toString
+      assert(plan.contains(new java.io.File(joinMvDir).getName),
+        s"expected the single-key (coarsest) join partials to serve GROUP BY g:\n$plan")
+      assert(!plan.contains(new java.io.File(fineDir).getName))
+      assert(coarse().collect().toSeq === coarseDirect)
+    }
+    val fine = () => spark.read.parquet(factDir)
+      .join(spark.read.parquet(dimDir), Seq("k"))
+      .groupBy(col("g"), col("k"))
+      .agg(count(lit(1)).as("c"), sum(col("value").cast(Dec)).as("s"))
+      .orderBy(col("g"), col("k"))
+    val fineDirect = fine().collect().toSeq
+    serveWith(spark, Nil, both) {
+      val plan = fine().queryExecution.executedPlan.toString
+      assert(plan.contains(new java.io.File(fineDir).getName),
+        s"GROUP BY g, k needs the two-key partials:\n$plan")
+      assert(fine().collect().toSeq === fineDirect)
+    }
+  }
+
+  test("mixed scan + join defs in one session route each aggregate to its kind") {
+    // one registration list serving a mixed dashboard: the scan-shaped
+    // aggregate can never match a join def and vice versa (scanRoots
+    // rejects a Join child; joinUnder rejects a bare relation), so
+    // each query routes to exactly its own MV
+    serveWith(spark, mvDefs, joinDefs) {
+      val scanPlan = query().queryExecution.executedPlan.toString
+      assert(scanPlan.contains(new java.io.File(mvDir).getName) &&
+        !scanPlan.contains(new java.io.File(joinMvDir).getName),
+        s"the scan aggregate must serve from the scan MV:\n$scanPlan")
+      val starPlan = starQuery().queryExecution.executedPlan.toString
+      assert(starPlan.contains(new java.io.File(joinMvDir).getName) &&
+        !starPlan.contains(new java.io.File(mvDir).getName),
+        s"the star aggregate must serve from the join MV:\n$starPlan")
+    }
+  }
+
   test("no join rewrite for: non-key filter, outer join, extra join predicate, wrong path") {
     def assertNotRewritten(df: DataFrame): Unit = serveWith(spark, Nil, joinDefs) {
       assert(!df.queryExecution.executedPlan.toString

@@ -37,6 +37,11 @@ import duckdb
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_sf1"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_sf10"
 COPIES = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+# optional 4th arg: comma-separated table subset (e.g. a stage-3 sf100
+# corpus for the lifecycle anchors only needs documents/embeddings/
+# orders/customer — skipping lineitem/events saves most of the time
+# and disk). Default: all tables.
+ONLY = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
 
 os.makedirs(OUT, exist_ok=True)
 con = duckdb.connect()
@@ -48,6 +53,8 @@ def src(t):
 
 
 def emit(t, sql):
+    if ONLY is not None and t not in ONLY:
+        return
     con.execute(f"COPY ({sql}) TO '{OUT}/{t}.parquet' (FORMAT PARQUET)")
     n = con.execute(f"SELECT COUNT(*) FROM read_parquet('{OUT}/{t}.parquet')").fetchone()[0]
     print(f"{t}: {n} rows", flush=True)
