@@ -92,7 +92,11 @@ def main():
                 good = m.group(1) == "ok"
                 corr[m.group(2)] = {"rows_match": good, "schema_match": good,
                                     "hash_match": good}
-        corr_round = "18-local"
+        # builder-local gate log: label with the round inferred from the
+        # latest driver CORRECTNESS file + 1 (the round being built)
+        latest = sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json")))
+        n = int(re.search(r"r(\d+)", os.path.basename(latest[-1])).group(1)) if latest else 0
+        corr_round = f"{n + 1}-local"
     else:
         corr = json.load(open(corr_file))
         corr_round = re.search(r"r(\d+)", os.path.basename(corr_file)).group(1)
