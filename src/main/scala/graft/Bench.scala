@@ -46,6 +46,14 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // size input splits for TEXT-EXPANDING parquet (the 100 TB knob the
+      // task calls out): documents.parquet compresses ~3:1 and the default
+      // 128 MB split put the ENTIRE sf10 corpus in ONE scan task — e16's
+      // per-char regex then ran single-core and its orderBy's range
+      // sampling paid the scan twice (19× at 10× rows, round-19 probe).
+      // 16 MB splits parallelize to row-group granularity; files under
+      // 16 MB (every sf0.1 table) are unaffected.
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

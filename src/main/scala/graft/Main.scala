@@ -72,6 +72,10 @@ object Main {
       .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cpus]"))
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cpus)
+      // split text-expanding parquet at 16 MB (see Bench.scala) so a fat
+      // single file still scans in parallel on a local master; harmless
+      // on a real cluster where files are many and executors plenty
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")

@@ -21,6 +21,11 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // match Bench: split text-expanding parquet at 16 MB so big-SF
+      // verify runs parallelize the scan (see Bench.scala for the e16
+      // single-task story); hash parity is partitioning-independent by
+      // the float-portability rules, re-proven by the full gate
+      .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

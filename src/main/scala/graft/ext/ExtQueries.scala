@@ -486,8 +486,11 @@ object ExtQueries {
   // from an alternation both Java regex and RE2 interpret identically.
   val e16 = Q(
     "e16_subword_classes",
-    (s, d) => TextOps.subwordClasses(T.documents(s, d), "doc_id", "text")
-      .orderBy(col("doc_id")),
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      TextOps.subwordClasses(T.documents(s, d), "doc_id", "text")
+        .orderBy(col("doc_id"))
+    },
     Some("""SELECT doc_id,
         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_subwords,
         CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT) AS n_alpha_runs,

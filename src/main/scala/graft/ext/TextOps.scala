@@ -32,12 +32,32 @@ object TextOps {
     size(filter(split(text, "(?<=[a-z0-9])(?=[^a-z0-9])|(?<=[^a-z0-9])(?=[a-z0-9])|\\s+"),
       t => length(t) > 0))
 
-  /** BPE-ish pre-tokenizer class counts, oracle-portable flavor: the
-    * alternation `[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]` (letter runs, digit
-    * runs, single other marks) uses only constructs Java regex and RE2
-    * interpret identically — unlike [[subwordCount]]'s lookarounds,
-    * which RE2-based engines reject. Map-only, codegen'd. */
+  /** BPE-ish pre-tokenizer class counts — letter runs, digit runs,
+    * single other marks, and their total (the alternation
+    * `[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]` the DuckDB oracle restates).
+    * ONE native byte pass ([[graft.functions.SubwordClasses]],
+    * codegen'd) instead of four `regexp_extract_all` scans: at sf10 the
+    * regex flavor was the suite's slowest text anchor (110 s — Java
+    * regex ~5M chars/s/core × 4 scans); the fused pass counts at
+    * memory speed. Counts are per CODEPOINT (identical on the native
+    * pass, Java regex char classes, and the RE2 oracle — spec-pinned);
+    * [[subwordClassesRegex]] keeps the regex formulation for the
+    * property spec. Map-only. */
   def subwordClasses(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val c = call_function("graft_subword_classes", col(textCol))
+    df.select(
+      col(idCol),
+      element_at(c, 1).as("n_subwords"),
+      element_at(c, 2).as("n_alpha_runs"),
+      element_at(c, 3).as("n_digit_runs"),
+      element_at(c, 4).as("n_marks"))
+  }
+
+  /** The original 4-regex formulation of [[subwordClasses]] — kept as
+    * the property-spec reference the native pass is checked against
+    * (they agree on every string, astral codepoints included). */
+  private[graft] def subwordClassesRegex(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
     def cnt(pat: String): Column =
       size(regexp_extract_all(col(textCol), lit(pat), lit(0))).cast(LongType)
     df.select(

@@ -47,6 +47,12 @@ object GraftFunctions {
         require(children.size == 1, "graft_token_hashes takes exactly 1 argument")
         TokenHashes(children.head)
       }),
+    (new FunctionIdentifier("graft_subword_classes"),
+      new ExpressionInfo(classOf[SubwordClasses].getName, "graft_subword_classes"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_subword_classes takes exactly 1 argument")
+        SubwordClasses(children.head)
+      }),
     (new FunctionIdentifier("graft_shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),
       (children: Seq[Expression]) => {

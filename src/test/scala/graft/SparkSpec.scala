@@ -23,6 +23,9 @@ object SparkSpec {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // native graft_* expressions available to every suite (idempotent —
+    // the same registration every declared-query entry point performs)
+    graft.functions.GraftFunctions.register(s)
     s
   }
 }

@@ -115,6 +115,47 @@ class TextMultimodalSpec extends SparkSpec {
     assert(n == 4) // abc | 123 | def | !
   }
 
+  test("subwordClasses: native one-pass equals the 4-regex formulation on BMP strings") {
+    import spark.implicits._
+    val edge = Seq(
+      "", " ", "   ", "abc", "123", "!!", "abc123 def!", "a1b2c3",
+      "  leading", "trailing  ", "tabs\tand\nnewlines", "é ünïcödé, wörld!",
+      "a-b-c 1-2-3", "ALLCAPS lower MiXeD 007 ...", "ß∂ƒ© µ≈ç√",
+      "x" * 500, ("ab1! " * 100).trim)
+    val df = edge.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val native = TextOps.subwordClasses(df, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val regex = TextOps.subwordClassesRegex(df, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(native === regex)
+  }
+
+  test("subwordClasses: astral codepoints count ONCE on both flavors (codepoint semantics)") {
+    import spark.implicits._
+    // U+1F600 (a surrogate pair in UTF-16, 4 bytes in UTF-8) is one
+    // codepoint = one mark on the native byte pass AND on Java regex
+    // (char classes match codepoints) AND on the DuckDB/RE2 oracle —
+    // all three agree, pinned here so none can drift
+    val df = Seq((1L, "a 😀 b")).toDF("doc_id", "text")
+    for (flavor <- Seq(TextOps.subwordClasses(df, "doc_id", "text"),
+        TextOps.subwordClassesRegex(df, "doc_id", "text"))) {
+      val row = flavor.collect().head
+      assert(row.getAs[Long]("n_marks") === 1L)
+      assert(row.getAs[Long]("n_alpha_runs") === 2L)
+      assert(row.getAs[Long]("n_subwords") === 3L)
+    }
+  }
+
+  test("subwordClasses projection stays inside whole-stage codegen") {
+    // non-literal input (parquet scan) so ConvertToLocalRelation can't
+    // constant-fold the projection away before it reaches codegen
+    val docs = graft.Tables.documents(spark, sf001)
+    val plan = TextOps.subwordClasses(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    // '*(n)' is the WholeStageCodegen marker in the plan's short form
+    assert(plan.contains("*(1) Project"), s"expected a codegen'd projection:\n$plan")
+  }
+
   test("language ID picks the profile with most stopword hits") {
     val en = TextOps.langId(doc(1, "the cat is on the mat"), "doc_id", "text")
       .collect().head
