@@ -52,8 +52,11 @@ object Bench {
       // per-char regex then ran single-core and its orderBy's range
       // sampling paid the scan twice (19× at 10× rows, round-19 probe).
       // 16 MB splits parallelize to row-group granularity; files under
-      // 16 MB (every sf0.1 table) are unaffected.
-      .config("spark.sql.files.maxPartitionBytes", "16m")
+      // 16 MB (every sf0.1 table) are unaffected. Overridable (ADVICE
+      // r19): a real cluster with many files may want the 128m default
+      // back — set SPARK_GRAFT_MAX_PARTITION_BYTES.
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -86,36 +89,44 @@ object Bench {
     // extra samples so one anomalous rep can't dominate their spread
     // (c53: one ORC rep read 3× its band at the r16 close; min normal)
     val repFloor = Map("c53_orc_roundtrip" -> 5)
-    val results = selected.map { case (name, fn) =>
-      def runRep(): (Double, Boolean) = {
-        val t0 = System.nanoTime()
-        var frame: org.apache.spark.sql.DataFrame = null
-        val ok =
-          try {
-            frame = fn(spark, sfDir)
-            frame.write.format("noop").mode("overwrite").save(); true
-          }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
-          }
-        val elapsed = (System.nanoTime() - t0) / 1e9
-        // release localCheckpoint blocks (outside the timed region,
-        // like clearCache below — the cacheManager can't see RDD-level
-        // persists): back-to-back reps of checkpoint-backed queries
-        // (e115's global rank) otherwise stack dead checkpoints until
-        // the ContextCleaner runs — the documented ~50 s rep artifact
-        if (frame != null) graft.ext.Checkpoints.releaseLineage(frame)
-        // queries that persist internally (e15's connected components) would
-        // otherwise serve reps 2..N from rep 1's cache — Spark's cache lookup
-        // is by sameResult, so an identical re-built plan hits the entry and
-        // the median measures the warm path (VERDICT r5 item 1). Clearing
-        // between reps (outside the timed region) keeps every rep cold and
-        // leaves the suite's cacheManager empty at exit.
-        spark.catalog.clearCache()
-        (elapsed, ok)
+    def runRep(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
+      val t0 = System.nanoTime()
+      var frame: org.apache.spark.sql.DataFrame = null
+      val ok =
+        try {
+          frame = fn(spark, sfDir)
+          frame.write.format("noop").mode("overwrite").save(); true
+        }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+        }
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // release localCheckpoint blocks (outside the timed region,
+      // like clearCache below — the cacheManager can't see RDD-level
+      // persists): back-to-back reps of checkpoint-backed queries
+      // (e115's global rank) otherwise stack dead checkpoints until
+      // the ContextCleaner runs — the documented ~50 s rep artifact
+      if (frame != null) graft.ext.Checkpoints.releaseLineage(frame)
+      // queries that persist internally (e15's connected components) would
+      // otherwise serve reps 2..N from rep 1's cache — Spark's cache lookup
+      // is by sameResult, so an identical re-built plan hits the entry and
+      // the median measures the warm path (VERDICT r5 item 1). Clearing
+      // between reps (outside the timed region) keeps every rep cold and
+      // leaves the suite's cacheManager empty at exit.
+      spark.catalog.clearCache()
+      (elapsed, ok)
+    }
+    def mkResult(name: String, times: Seq[(Double, Boolean)]): QueryResult = {
+      val ok = times.forall(_._2)
+      val sorted = times.map(_._1).sorted
+      QueryResult(name, sorted.head, sorted(sorted.size / 2), sorted.last, ok,
+        times.size)
+    }
+    val sweepSamples: Seq[(String, Seq[(Double, Boolean)])] = selected.map { case (name, fn) =>
+      var times = {
+        val baseReps = if (repsExplicit) reps else reps.max(repFloor.getOrElse(name, reps))
+        (1 to baseReps).map(_ => runRep(name, fn))
       }
-      val baseReps = if (repsExplicit) reps else reps.max(repFloor.getOrElse(name, reps))
-      var times = (1 to baseReps).map(_ => runRep())
       // sub-second queries get 5 reps (VERDICT r7 item 8): one JVM pause
       // dominates a 3-rep spread exactly where queries are shortest (c25
       // tripped the suspect flag two rounds running on a reproducible
@@ -124,39 +135,12 @@ object Bench {
       // wins (local iteration wants exactly what it asked for).
       val med0 = times.map(_._1).sorted.apply(times.size / 2)
       if (!repsExplicit && times.forall(_._2) && med0 < 1.0 && times.size < 5)
-        times = times ++ (1 to (5 - times.size)).map(_ => runRep())
-      val ok = times.forall(_._2)
-      val sorted = times.map(_._1).sorted
-      QueryResult(name, sorted.head, sorted(sorted.size / 2), sorted.last, ok,
-        times.size)
+        times = times ++ (1 to (5 - times.size)).map(_ => runRep(name, fn))
+      (name, times)
     }
-    val qs = results.map(r => "\"" + r.name + "\":" + f"${r.signedMedian}%.3f")
-      .mkString("{", ",", "}")
-    // full rep spread per query (VERDICT r6 item 1): a contaminated rep is
-    // invisible in a bare median — recording [min, median, max] makes the
-    // record self-diagnosing. min-of-N is robust to transient co-located
-    // load (cold-rep clearing already keeps min honest), so it rides along
-    // as the load-insensitive reading.
-    val spread = results.map(r =>
-      "\"" + r.name + "\":[" + f"${r.min}%.3f" + "," + f"${r.median}%.3f" + "," + f"${r.max}%.3f" + "]")
-      .mkString("{", ",", "}")
-    val qsMin = results.map(r => "\"" + r.name + "\":" + f"${r.signedMin}%.3f")
-      .mkString("{", ",", "}")
-    // queries whose rep spread exceeds 3x: the signature of host
-    // contamination mid-suite (BENCH_r06 recorded e24 at 15.26s where the
-    // verified idle number was 0.44s — a 29x outlier a spread would have
-    // flagged on the spot)
-    val suspect = results
-      .filter(r => r.ok && r.min > 0 && r.max / r.min > 3.0)
-      .map("\"" + _.name + "\"").mkString("[", ",", "]")
-    // CROSS-RUN drift (VERDICT r16 #4): the r16 close read e52 at 11.37 s
-    // where same-day runs read ~3 s — a >3× outlier the within-run spread
-    // could not see because every rep of that run was slow (cache-cold +
-    // GC class). Compare this run's per-query MIN (the load-insensitive
-    // reading) against the best historical min from CLEAN records at the
-    // SAME scale dir in BENCH_HISTORY.jsonl; flag >3× with an absolute
-    // floor of +1 s so sub-second noise can't trip it. Self-written
-    // records are flat JSON, so regex extraction is sound here.
+    // CROSS-RUN drift baseline (VERDICT r16 #4): best historical per-query
+    // MIN from CLEAN records at the SAME scale dir in BENCH_HISTORY.jsonl.
+    // Computed BEFORE the re-run pass below, which consumes it.
     val histBest: Map[String, Double] = {
       val f = java.nio.file.Paths.get("BENCH_HISTORY.jsonl")
       if (!java.nio.file.Files.exists(f)) Map.empty
@@ -174,9 +158,74 @@ object Bench {
           }
       }
     }
+    // TARGETED RE-RUN of flagged queries (VERDICT r19 #1a): three rounds
+    // running, the submitted record's headline was set by one query
+    // family reading 3-4x its same-day band — per-query minutes of host
+    // jitter hitting the hundreds-of-tiny-per-trigger-tasks streaming
+    // drains, adjudicated "environmental" each time by hand. Automate
+    // that adjudication INSIDE the run: after the sweep, any query whose
+    // sweep min reads >3x (+1s floor) its best clean historical min at
+    // this scale — or whose within-run spread exceeds 3x at a >=1s
+    // median — is re-run (same session, bounded count), and ALL samples
+    // merge into its stats. A genuinely-slow query re-reads slow and
+    // stays flagged; a jitter victim recovers its real number, and one
+    // bad window can no longer set the family's headline. The re-run
+    // samples are recorded separately ("rerun") so the record shows the
+    // adjudication evidence. SPARK_GRAFT_RERUN_REPS=0 disables.
+    val sweepResults = sweepSamples.map { case (n, t) => mkResult(n, t) }
+    val rerunReps = sys.env.get("SPARK_GRAFT_RERUN_REPS")
+      .flatMap(_.toIntOption).getOrElse(3).max(0)
+    def isDrift(r: QueryResult): Boolean =
+      r.ok && histBest.get(r.name).exists(b =>
+        b > 0 && r.min > 3.0 * b && r.min - b > 1.0)
+    def isSpreadSuspect(r: QueryResult): Boolean =
+      r.ok && r.min > 0 && r.max / r.min > 3.0
+    val toRerun =
+      if (rerunReps == 0) Seq.empty
+      else sweepResults
+        .filter(r => isDrift(r) || (isSpreadSuspect(r) && r.median >= 1.0))
+        .sortBy(-_.median).take(12).map(_.name) // bounded: worst offenders first
+    val byName = selected.toMap
+    val rerunSamples: Map[String, Seq[(Double, Boolean)]] = toRerun.map { n =>
+      System.err.println(s"[bench] targeted re-run ($rerunReps reps): $n")
+      n -> (1 to rerunReps).map(_ => runRep(n, byName(n))).toSeq
+    }.toMap
+    val results = sweepSamples.map { case (n, t) =>
+      mkResult(n, t ++ rerunSamples.getOrElse(n, Nil))
+    }
+    val rerunJson = rerunSamples.toSeq.sortBy(_._1).map { case (n, t) =>
+      "\"" + n + "\":[" + t.map(s => f"${s._1}%.3f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val qs = results.map(r => "\"" + r.name + "\":" + f"${r.signedMedian}%.3f")
+      .mkString("{", ",", "}")
+    // full rep spread per query (VERDICT r6 item 1): a contaminated rep is
+    // invisible in a bare median — recording [min, median, max] makes the
+    // record self-diagnosing. min-of-N is robust to transient co-located
+    // load (cold-rep clearing already keeps min honest), so it rides along
+    // as the load-insensitive reading.
+    val spread = results.map(r =>
+      "\"" + r.name + "\":[" + f"${r.min}%.3f" + "," + f"${r.median}%.3f" + "," + f"${r.max}%.3f" + "]")
+      .mkString("{", ",", "}")
+    val qsMin = results.map(r => "\"" + r.name + "\":" + f"${r.signedMin}%.3f")
+      .mkString("{", ",", "}")
+    // queries whose rep spread exceeds 3x: the signature of host
+    // contamination mid-suite (BENCH_r06 recorded e24 at 15.26s where the
+    // verified idle number was 0.44s — a 29x outlier a spread would have
+    // flagged on the spot)
+    // within-run spread flag, computed over the MERGED samples: still a
+    // useful diagnostic (the jittery sweep samples are retained in the
+    // spread), even when the re-run recovered the min/median
+    val suspect = results
+      .filter(isSpreadSuspect)
+      .map("\"" + _.name + "\"").mkString("[", ",", "]")
+    // cross-run drift flag over the MERGED samples: a query whose
+    // targeted re-run came back inside the historical band clears
+    // itself (its merged min recovered); one that re-read slow on all
+    // sweep+rerun samples stays flagged — that is a real regression,
+    // not host state. Flag >3× best clean min with a +1 s floor so
+    // sub-second noise can't trip it (VERDICT r16 #4).
     val driftSuspect = results
-      .filter(r => r.ok && histBest.get(r.name).exists(b =>
-        b > 0 && r.min > 3.0 * b && r.min - b > 1.0))
+      .filter(isDrift)
       .map("\"" + _.name + "\"").mkString("[", ",", "]")
     val failed = results.filterNot(_.ok).map("\"" + _.name + "\"").mkString("[", ",", "]")
     // actual per-query sample counts (ADVICE r8): the sub-second 5-rep
@@ -221,6 +270,7 @@ object Bench {
         s""""loadavg":${fmtLoad(loadavg())},""" +
         s""""stray_jvms":${strayAtStart.map("\"" + _.replace("\"", "'") + "\"").mkString("[", ",", "]")},""" +
         s""""sf":"$sfDir","suspect":$suspect,"drift_suspect":$driftSuspect,"failed":$failed,""" +
+        s""""rerun":$rerunJson,""" +
         s""""queries":$qs,"queries_min":$qsMin,"spread":$spread,"reps_used":$repsUsed,""" +
         s""""tail_scalars":{$headline}}"""
     println(record)

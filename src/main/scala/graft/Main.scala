@@ -73,9 +73,13 @@ object Main {
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cpus)
       // split text-expanding parquet at 16 MB (see Bench.scala) so a fat
-      // single file still scans in parallel on a local master; harmless
-      // on a real cluster where files are many and executors plenty
-      .config("spark.sql.files.maxPartitionBytes", "16m")
+      // single file still scans in parallel on a local master. On a real
+      // cluster with many files this multiplies task count ~8x over the
+      // 128m default, so it is env-overridable rather than hardwired
+      // (ADVICE r19): SPARK_GRAFT_MAX_PARTITION_BYTES=128m restores the
+      // stock split size without rebuilding.
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")

@@ -24,8 +24,10 @@ object Verify {
       // match Bench: split text-expanding parquet at 16 MB so big-SF
       // verify runs parallelize the scan (see Bench.scala for the e16
       // single-task story); hash parity is partitioning-independent by
-      // the float-portability rules, re-proven by the full gate
-      .config("spark.sql.files.maxPartitionBytes", "16m")
+      // the float-portability rules, re-proven by the full gate.
+      // Env-overridable like Bench (ADVICE r19).
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

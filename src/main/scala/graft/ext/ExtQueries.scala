@@ -4586,23 +4586,40 @@ object ExtQueries {
   // partials ∘ rewrite ≡ batch recompute — exact decimal partials, no
   // drift can accumulate. At 100 TB: O(|batch| ⋈ dim) maintenance per
   // trigger + constant-size state I/O + an O(|keys|) serve.
-  val e122 = Q(
-    "e122_streaming_join_mv",
-    (outer, d) => {
+  /** e122's lifecycle body, extracted so [[graft.PhaseBench]] can time
+    * its phases SEPARATELY (VERDICT r19 #3: the declared query's
+    * end-to-end number is dominated by the full-outer snapshot diff
+    * that DERIVES the feed — fixture work a deployment's CDC source
+    * does for free — so "maintenance is feed-sized" needs its own
+    * measured number, not a comment). `onPhase(name, sec)` fires per
+    * phase: `fixture` (dim write + before-state construction + feed
+    * derive + micro-batch staging), `bootstrap` (the v0 partials —
+    * [[graft.etl.Incremental.bootstrapJoinPartials]], the recipe that
+    * never materializes the row-scaled view), `maintain_b{0,1,2}` (each
+    * streamed feed fold — the steady-state cost), and the caller times
+    * the serve. The declared query passes a no-op hook. */
+  private[graft] def streamingJoinMvLifecycle(
+      outer: org.apache.spark.sql.SparkSession, d: String,
+      onPhase: (String, Double) => Unit = (_, _) => ()): DataFrame = {
       import graft.etl.{Cdc, Incremental}
       import graft.plans.MaterializedView
       import graft.plans.MaterializedView.JoinMvDef
       import org.apache.spark.sql.streaming.Trigger
+      def timed[A](name: String)(body: => A): A = {
+        val t0 = System.nanoTime()
+        val r = body
+        onPhase(name, (System.nanoTime() - t0) / 1e9)
+        r
+      }
       val s = graft.streaming.StateBackend.isolatedStreamSession(outer)
       val factPath = s"$d/orders.parquet"
       val current = s.read.parquet(factPath)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       val dimPath = tempQueryDir("graft_e122_dim")
-      T.customer(s, d).select(
-        col("c_custkey").as("o_custkey"),
-        col("c_nationkey").cast("long").as("c_nationkey"))
-        .write.mode("overwrite").parquet(dimPath)
-      val dim = s.read.parquet(dimPath)
+      val stateRoot = tempQueryDir("graft_e122_state")
+      val staging = tempQueryDir("graft_e122_in")
+      val fs = new org.apache.hadoop.fs.Path(staging)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
       // the STALE state the view was last materialized against (~1%
       // inserted since, ~1% deleted since, ~1% stale prices, ~1%
       // since-moved join keys — the feed is small BY CONSTRUCTION)
@@ -4616,25 +4633,35 @@ object ExtQueries {
         .select((-col("o_orderkey")).as("o_orderkey"),
           col("o_custkey"), col("o_totalprice"))
       val before = stale.unionByName(deletedSince)
+      timed("fixture") {
+        T.customer(s, d).select(
+          col("c_custkey").as("o_custkey"),
+          col("c_nationkey").cast("long").as("c_nationkey"))
+          .write.mode("overwrite").parquet(dimPath)
+        // the feed arrives as three micro-batches (one file per slice,
+        // mtimes pinned ascending — the c57/e54/e97/e121 staging idiom);
+        // deriving it by full-outer snapshot diff is FIXTURE work: a real
+        // deployment's CDC source delivers the feed ready-made
+        val feed = Cdc.snapshotDiffFull(before, current, Seq("o_orderkey"))
+        for (g <- 0 to 2) {
+          val p = s"$staging/slice$g"
+          feed.filter(pmod(col("o_orderkey"), lit(3)) === g)
+            .coalesce(1).write.mode("overwrite").parquet(p)
+          fs.listStatus(new org.apache.hadoop.fs.Path(p))
+            .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+            .foreach(st => fs.setTimes(st.getPath, 1700000000000L + g * 60000L, -1))
+        }
+      }
+      val dim = s.read.parquet(dimPath)
       // v0 bootstrap: the |keys|-row retractable partials of the
-      // before-view — the ONLY state the stream maintains
-      val stateRoot = tempQueryDir("graft_e122_state")
-      Incremental.retractablePartials(
-          before.join(dim, Seq("o_custkey")), Seq("c_nationkey"), "o_totalprice")
-        .coalesce(1).write.mode("overwrite").parquet(s"$stateRoot/v0")
-      // the feed arrives as three micro-batches (one file per slice,
-      // mtimes pinned ascending — the c57/e54/e97/e121 staging idiom)
-      val feed = Cdc.snapshotDiffFull(before, current, Seq("o_orderkey"))
-      val staging = tempQueryDir("graft_e122_in")
-      val fs = new org.apache.hadoop.fs.Path(staging)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      for (g <- 0 to 2) {
-        val p = s"$staging/slice$g"
-        feed.filter(pmod(col("o_orderkey"), lit(3)) === g)
-          .coalesce(1).write.mode("overwrite").parquet(p)
-        fs.listStatus(new org.apache.hadoop.fs.Path(p))
-          .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
-          .foreach(st => fs.setTimes(st.getPath, 1700000000000L + g * 60000L, -1))
+      // before-view — the ONLY state the stream maintains, derived
+      // WITHOUT materializing the row-scaled view (bootstrapJoinPartials
+      // collapses the fact before the join, so the plan holds its shape
+      // on either side of the broadcast boundary — the e120 sf100 recipe)
+      timed("bootstrap") {
+        Incremental.bootstrapJoinPartials(
+            before, dim, Seq("o_custkey"), Seq("c_nationkey"), "o_totalprice")
+          .coalesce(1).write.mode("overwrite").parquet(s"$stateRoot/v0")
       }
       val sch = s.read.parquet(s"$staging/slice0").schema
       val src = s.readStream.schema(sch).option("maxFilesPerTrigger", 1)
@@ -4644,11 +4671,13 @@ object ExtQueries {
         .option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow())
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
-          val sb = batch.sparkSession
-          Incremental.applyJoinFeedPartials(
-            sb.read.parquet(s"$stateRoot/v$id"), batch, sb.read.parquet(dimPath),
-            Seq("o_custkey"), Seq("o_orderkey"), Seq("c_nationkey"), "o_totalprice")
-            .coalesce(1).write.mode("overwrite").parquet(s"$stateRoot/v${id + 1}")
+          timed(s"maintain_b$id") {
+            val sb = batch.sparkSession
+            Incremental.applyJoinFeedPartials(
+              sb.read.parquet(s"$stateRoot/v$id"), batch, sb.read.parquet(dimPath),
+              Seq("o_custkey"), Seq("o_orderkey"), Seq("c_nationkey"), "o_totalprice")
+              .coalesce(1).write.mode("overwrite").parquet(s"$stateRoot/v${id + 1}")
+          }
         }
         .start()
       q.awaitTermination()
@@ -4674,7 +4703,11 @@ object ExtQueries {
           s"e122: the star dashboard must serve from the streamed join-view partials:\n$plan")
         served
       }
-    },
+  }
+
+  val e122 = Q(
+    "e122_streaming_join_mv",
+    (outer, d) => streamingJoinMvLifecycle(outer, d),
     Some(s"""SELECT CAST(c.c_nationkey AS BIGINT) AS c_nationkey,
         COUNT(*) AS cnt,
         ${graft.Qh.oSum("o.o_totalprice")} AS total

@@ -44,6 +44,10 @@ object TextOps {
     * [[subwordClassesRegex]] keeps the regex formulation for the
     * property spec. Map-only. */
   def subwordClasses(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // self-register the native function (idempotent) — this helper was
+    // registration-free before the native swap, and callers outside the
+    // declared queries shouldn't inherit a new precondition (ADVICE r19)
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val c = call_function("graft_subword_classes", col(textCol))
     df.select(
       col(idCol),

@@ -95,6 +95,36 @@ class JoinFeedPartialsSpec extends SparkSpec {
     assert(doubled !== v1)
   }
 
+  test("bootstrapJoinPartials ≡ retractablePartials over the materialized view, exactly") {
+    // the v0 recipe (VERDICT r19 #4): pre-aggregate → join → re-aggregate
+    // must land bit-identical to partials over the materialized view,
+    // across fan-out keys (20), unmatched A keys (4), and group keys
+    // from EITHER side
+    for (keys <- Seq(Seq("g"), Seq("k"), Seq("g", "k"))) {
+      val direct = Incremental.bootstrapJoinPartials(
+        beforeA, dim, Seq("k"), keys, "v")
+      val viaView = Incremental.retractablePartials(
+        beforeA.join(dim, Seq("k")), keys, "v")
+      assert(rowsOf(direct, keys) === rowsOf(viaView, keys), s"keys=$keys")
+    }
+  }
+
+  test("bootstrapJoinPartials seeds applyJoinFeedPartials maintenance (the e122 lifecycle)") {
+    val v0 = Incremental.bootstrapJoinPartials(beforeA, dim, Seq("k"), Seq("g"), "v")
+    val feed = Cdc.snapshotDiffFull(beforeA, afterA, Seq("id"))
+    val maintained = fold(v0, feed, Seq("g"))
+    val recompute = Incremental.retractablePartials(
+      afterA.join(dim, Seq("k")), Seq("g"), "v")
+    assert(rowsOf(maintained, Seq("g")) === rowsOf(recompute, Seq("g")))
+  }
+
+  test("bootstrapJoinPartials rejects a B-side valueCol loudly") {
+    val e = intercept[IllegalArgumentException] {
+      Incremental.bootstrapJoinPartials(beforeA, dim, Seq("k"), Seq("g"), "g")
+    }
+    assert(e.getMessage.contains("A-side column"))
+  }
+
   test("a keys-only diff (no before-image twins) is rejected loudly") {
     val state = Incremental.retractablePartials(
       beforeA.join(dim, Seq("k")), Seq("g"), "v")

@@ -80,8 +80,13 @@ def main():
     ap.add_argument("--sf1-log", default=None)
     args = ap.parse_args()
 
-    corr_file = args.correctness or sorted(
-        glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json")))[-1]
+    # sort NUMERICALLY on the parsed round (ADVICE r19): lexicographic
+    # sort breaks at r100 ('r100' < 'r20' as strings)
+    def round_of(f):
+        return int(re.search(r"r(\d+)", os.path.basename(f)).group(1))
+
+    corr_file = args.correctness or max(
+        glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json")), key=round_of)
     if corr_file.endswith(".log"):
         # an oracle_check.py log (builder-local gate run) instead of a
         # driver CORRECTNESS file: "ok   <name> (N rows)" lines
@@ -94,8 +99,8 @@ def main():
                                     "hash_match": good}
         # builder-local gate log: label with the round inferred from the
         # latest driver CORRECTNESS file + 1 (the round being built)
-        latest = sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json")))
-        n = int(re.search(r"r(\d+)", os.path.basename(latest[-1])).group(1)) if latest else 0
+        latest = glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))
+        n = round_of(max(latest, key=round_of)) if latest else 0
         corr_round = f"{n + 1}-local"
     else:
         corr = json.load(open(corr_file))
