@@ -105,6 +105,27 @@ object MaterializedView {
     finally spark.experimental.extraOptimizations = prev
   }
 
+  /** Run `body` inside the rewrite-rule context and MATERIALIZE its
+    * result there — for callers that hand the served frame onward
+    * (the declared MV queries return it to Verify/Bench, which write
+    * it later). `extraOptimizations` is read per EXECUTION, not per
+    * frame, so a lazy frame returned out of [[serveWith]] re-optimizes
+    * WITHOUT the rule at its next action and silently re-derives the
+    * dashboard from the base tables: identical rows (the maintained
+    * identity guarantees it — no hash can catch this) but base-scan
+    * cost. The r20 e122 phase probe measured the difference at sf100:
+    * 64.7 s for the escaped frame's re-join vs sub-second for the
+    * rewritten |keys|-row serve. The eager `localCheckpoint` executes
+    * the REWRITTEN plan in-block; later writes read the materialized
+    * rows, never the bases ([[graft.ext.Checkpoints.releaseLineage]]
+    * reclaims the blocks after the caller's final action, the
+    * established Verify/Bench hygiene). Results are |keys|-sized
+    * dashboard aggregates by construction, so the checkpoint is
+    * small. */
+  def servePinned(spark: SparkSession, defs: Seq[MvDef],
+      joinDefs: Seq[JoinMvDef] = Nil)(body: => DataFrame): DataFrame =
+    serveWith(spark, defs, joinDefs)(body.localCheckpoint())
+
   private val PropBase = "graft.mv.basePath"
   private val PropKeys = "graft.mv.keys"
   private val PropValue = "graft.mv.valueCol"

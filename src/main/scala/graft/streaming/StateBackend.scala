@@ -13,7 +13,13 @@ import org.apache.spark.sql.SparkSession
   * production event volume — a stream-stream join over the reference's
   * event firehose (reference CLAUDE.md:133 names streaming as the scale
   * TODO) buffers BOTH sides' rows within the watermark, which at 100 TB
-  * is far beyond executor heap.
+  * is far beyond executor heap. That buffering is BOUNDED, not
+  * lifetime-accumulating: [[StreamStateRetirementSpec]] measures the
+  * c51-shaped join's state rows per micro-batch and proves both sides'
+  * buffers retire as the opposing watermark passes the join range
+  * (waves of 12 buffered rows evict to a steady-state floor below one
+  * wave), so state is O(rows within the watermark horizon) — the
+  * property that makes the shape runnable against an unbounded stream.
   *
   * [[https://spark.apache.org/docs/latest/streaming/structured-streaming-programming-guide.html#rocksdb-state-store-implementation
   * RocksDB state store]] (ships in the Spark 4 jars) keeps state in

@@ -52,6 +52,27 @@ class MvRewriteSpec extends SparkSpec {
     }
   }
 
+  test("a frame ESCAPING serveWith re-optimizes without the rule; servePinned keeps the serve real") {
+    // extraOptimizations is read per EXECUTION: a lazy frame returned
+    // out of the block re-derives from the BASE table at its next
+    // action (rows identical by the maintained identity — no hash can
+    // catch it; the r20 e122 sf100 phase probe measured the escaped
+    // re-join at 64.7 s vs a sub-second rewritten serve)
+    val escaped = serveWith(spark, mvDefs) { query() }
+    val escapedPlan = escaped.queryExecution.executedPlan.toString
+    assert(escapedPlan.contains(new java.io.File(baseDir).getName),
+      s"expected the escaped frame to fall back to the base scan:\n$escapedPlan")
+    // servePinned materializes the REWRITTEN plan in-block: the caller
+    // holds checkpoint-backed rows that never touch the base again
+    val pinned = servePinned(spark, mvDefs) { query() }
+    val pinnedPlan = pinned.queryExecution.executedPlan.toString
+    assert(!pinnedPlan.contains(new java.io.File(baseDir).getName) &&
+      !pinnedPlan.contains(new java.io.File(mvDir).getName),
+      s"pinned frame must read its materialized rows, not re-plan a scan:\n$pinnedPlan")
+    assert(pinned.collect().toSeq === query().collect().toSeq)
+    graft.ext.Checkpoints.releaseLineage(pinned)
+  }
+
   test("partial-key rollup from the MV equals the full recompute, bit for bit") {
     val direct = query().collect().toSeq
     val served = serveWith(spark, mvDefs) { query().collect().toSeq }

@@ -38,6 +38,73 @@ VAL_RE = re.compile(r'^\s*val\s+\w+\s*=\s*Q\(\s*$|^\s*val\s+\w+\s*=\s*Q\("')
 NAME_RE = re.compile(r'"([a-z]\w+)"')
 LINK_RE = re.compile(r'\[\[([\w.]+)\]\]')
 
+# Family anchors (VERDICT r19 #7): a named BASELINE.md scale anchor whose
+# MEASURED PATH contains the member query's operator stands in for the
+# member's scale behavior — the composed pipelines run these stages
+# end-to-end, the lifecycle anchors serve through the same index/state
+# code, and the streaming c-suite shares one drain geometry (isolated
+# 8-partition RocksDB session over the same events file source). The
+# member row prints `via <anchor>` so the table distinguishes "anchored
+# through a measured family representative" from "sf1 sweep only".
+# Curated here (regenerated, never hand-edited into the table); the
+# mapping is containment-based, not topical similarity.
+FAMILY_ANCHOR = {
+    # e35/e38 compose qualityFilter -> minhash-LSH banding -> edit-distance
+    # verify -> keep-best -> cluster -> chunk over documents, end-to-end
+    "e05_minhash_candidates": "e35_corpus_pipeline",
+    "e15_near_dup_clusters": "e35_corpus_pipeline",
+    "e25_editdist_dedup": "e35_corpus_pipeline",
+    "e26_keep_best": "e35_corpus_pipeline",
+    "e27_dedup_pipeline": "e35_corpus_pipeline",
+    "e20_quality_filter": "e35_corpus_pipeline",
+    "e29_chunking": "e35_corpus_pipeline",
+    "e36_paragraph_dedup": "e38_corpus_pipeline_para",
+    # BPE lifecycle: e50 = fit+encode, e51 adds pack+shard, e99 = decode
+    "e48_bpe_merges": "e50_bpe_encode",
+    "e45_tokenize": "e50_bpe_encode",
+    "e44_vocabulary": "e50_bpe_encode",
+    "e39_sequence_packing": "e51_tokenized_pack_shards",
+    "e46_packed_shards": "e51_tokenized_pack_shards",
+    "e42_shard_shuffle": "e51_tokenized_pack_shards",
+    # the sf100-anchored incremental-dedup lifecycle folds exact-hash
+    # verdicts through the same index the standalone query groups on
+    "e01_dedup_exact_groups": "e52_incremental_dedup",
+    # persisted ANN index lifecycles (build/serve/forget) anchored at
+    # sf10/sf100 exercise the same cell-partitioned index code paths
+    "e47_ann_index_serve": "e114_index_mmr_serve",
+    "e81_filtered_ann": "e114_index_mmr_serve",
+    "e37_ann_ivf_pq": "e114_index_mmr_serve",
+    "e14_ann_ivf_topk": "e106_ann_index_forget",
+    "e28_ann_ivf_large_nlist": "e106_ann_index_forget",
+    "e34_ann_ivf_int8": "e106_ann_index_forget",
+    # streaming micro-batch drain geometry, anchored by its two heaviest
+    # members (two-store join drain; CDC apply) and the sf100 ingest pair
+    "c40_stream_window": "c51_stream_stream_join",
+    "c47_stream_dedup": "c51_stream_stream_join",
+    "c50_stream_stateful": "c51_stream_stream_join",
+    "c55_stream_transform_state": "c51_stream_stream_join",
+    "c56_stream_session_timers": "c51_stream_stream_join",
+    "c60_stream_static_join": "c51_stream_stream_join",
+    "e43_stream_corpus_ingest": "e54_streaming_dedup_ingest",
+    "e49_stream_exactly_once": "e97_streaming_mv",
+    "e68_stream_kmv_distinct": "e97_streaming_mv",
+    "e73_stream_kmv_daily": "e97_streaming_mv",
+    # IVM: the anchored streaming/join maintenance paths contain the
+    # batch partials/apply operators
+    "e83_incremental_agg": "e97_streaming_mv",
+    "e96_mv_rewrite": "e98_mv_filtered_rewrite",
+    "e103_retractable_partials": "e105_join_view_maintenance",
+    "e104_mutation_ivm_serve": "e105_join_view_maintenance",
+    "e82_cdc_merge": "e100_snapshot_diff",
+    # map-only text scans over the documents corpus (the native-pass
+    # family whose decade ladder e16 anchors)
+    "e08_token_stats": "e16_subword_classes",
+    "e19_length_stats": "e16_subword_classes",
+    # the one-scan column profile composes the KMV sketch path
+    "e65_kmv_distinct": "e71_column_profile",
+    "e67_kmv_overlap": "e71_column_profile",
+}
+
 
 def collect_queries():
     out = []
@@ -113,18 +180,23 @@ def main():
             if m:
                 sf1_ok.add(m.group(1))
 
-    # sf10 anchors: query names appearing in BASELINE.md table rows
-    # inside sections (## headers or **bold** sub-headers) that
-    # mention sf10
-    sf10 = set()
-    in_sf10 = False
+    # sf10/sf100 anchors: query names appearing in BASELINE.md table rows
+    # inside sections (## headers or **bold** sub-headers) that mention
+    # the scale; only declared-name-shaped tokens count (header cells
+    # like "| query |" must not)
+    sf10, sf100 = set(), set()
+    in_sf10 = in_sf100 = False
+    name_row = re.compile(r"\|\s*([cde]\d+_\w+)\s*\|")
     for ln in open(os.path.join(ROOT, "BASELINE.md")):
         if ln.startswith("##") or ln.lstrip().startswith("**"):
             in_sf10 = "sf10" in ln
-        if in_sf10:
-            m = re.match(r"\|\s*([a-z]\w+)\s*\|", ln)
-            if m:
+            in_sf100 = "sf100" in ln
+        m = name_row.match(ln)
+        if m:
+            if in_sf10:
                 sf10.add(m.group(1))
+            if in_sf100:
+                sf100.add(m.group(1))
 
     queries = collect_queries()
     names = [q["name"] for q in queries]
@@ -143,15 +215,29 @@ def main():
         n = len(entries)
         return ("ok" + (f" ×{n}" if n > 1 else "")) if ok else "FAIL"
 
+    names_set = {q["name"] for q in queries}
+    bad_fam = {k: v for k, v in FAMILY_ANCHOR.items()
+               if k not in names_set or v not in names_set}
+    assert not bad_fam, f"FAMILY_ANCHOR references unknown queries: {bad_fam}"
+
+    def anchor_cell(name, named):
+        if name in named:
+            return "anchored"
+        fam = FAMILY_ANCHOR.get(name)
+        if fam and fam in named:
+            return f"via {fam.split('_')[0]}"
+        return "–"
+
     rows = []
     for q in queries:
         ref = q["ref"].replace("graft.", "")
-        rows.append("| {name} | `{ref}` | `{file}:{line}` | {g} | {s1} | {s10} |".format(
+        rows.append("| {name} | `{ref}` | `{file}:{line}` | {g} | {s1} | {s10} | {s100} |".format(
             name=q["name"], ref=ref or "—",
             file=q["file"].replace("src/main/scala/graft/", ""),
             line=q["line"], g=gate(q["name"]),
             s1="ok" if q["name"] in sf1_ok else "–",
-            s10="anchored" if q["name"] in sf10 else "–"))
+            s10=anchor_cell(q["name"], sf10),
+            s100=anchor_cell(q["name"], sf100)))
 
     oracle_entries = sum(1 for k in corr)
     header = [
@@ -159,11 +245,14 @@ def main():
         "",
         f"**Normative registry** — {len(queries)} declared queries "
         f"(gate column: CORRECTNESS_r{corr_round}, {oracle_entries} oracle entries; "
-        "sf1 column: full-suite oracle sweep over /tmp/graft_sf1; sf10 column: "
-        "named anchor row in a BASELINE.md sf10 section).",
+        "sf1 column: full-suite oracle sweep over /tmp/graft_sf1; sf10/sf100 "
+        "columns: `anchored` = named anchor row in a BASELINE.md section at "
+        "that scale, `via eNN` = an anchored query whose measured path "
+        "contains this operator — the containment-based family map curated "
+        "in tools/gen_registry_table.py).",
         "",
-        "| query | operator | registered at | sf0.01 gate | sf1 hash | sf10 |",
-        "|---|---|---|---|---|---|",
+        "| query | operator | registered at | sf0.01 gate | sf1 hash | sf10 | sf100 |",
+        "|---|---|---|---|---|---|---|",
     ]
     table = "\n".join(header + rows + [
         "", "<!-- REGISTRY-TABLE-END -->"])
@@ -179,8 +268,14 @@ def main():
         print(table)
         return
     open(survey, "w").write(text)
+    fam10 = sum(1 for n in names
+                if n not in sf10 and FAMILY_ANCHOR.get(n) in sf10)
+    fam100 = sum(1 for n in names
+                 if n not in sf100 and FAMILY_ANCHOR.get(n) in sf100)
     print(f"wrote {len(rows)} rows into SURVEY.md "
-          f"(gate=r{corr_round}, sf1={len(sf1_ok)} ok, sf10={len(sf10 & set(names))} anchored)")
+          f"(gate=r{corr_round}, sf1={len(sf1_ok)} ok, "
+          f"sf10={len(sf10 & set(names))} anchored +{fam10} via family, "
+          f"sf100={len(sf100 & set(names))} anchored +{fam100} via family)")
 
 
 if __name__ == "__main__":
