@@ -83,9 +83,13 @@ object Cardinality {
   /** 60-bit md5-prefix hash of a column's string form, +1 shifted —
     * the engine-portable value-hash every sketch in this module uses
     * (`('0x' || substr(md5(CAST(c AS VARCHAR)), 1, 15))::BIGINT + 1`
-    * in any SQL engine). */
+    * in any SQL engine). Native since r21
+    * ([[graft.functions.PortableValueHash60]], bit-identical): the
+    * built-in conv/substring/md5 chain ran INTERPRETED as the input of
+    * the `graft_kmv` ObjectHashAggregate and was ~90% of e71's runtime
+    * (guide §4 — non-codegen expression in the hot path). */
   def portableStringHash(c: Column): Column =
-    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long") + lit(1L)
+    graft.ext.Dedup.portableHash64(c.cast("string")) + lit(1L)
 
   /** Join-cardinality estimation from KMV sketches — planner-grade
     * statistics WITHOUT running the join: sketch each side's key

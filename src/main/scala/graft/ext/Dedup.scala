@@ -108,9 +108,19 @@ object Dedup {
     * md5(input) — stateable identically in Spark and DuckDB
     * (`CAST(('0x'||substr(md5(x),1,15)) AS BIGINT)`), positive, so
     * ANSI-safe. The bridge that lets sketch pipelines be hash-checked by
-    * the external oracle instead of declared rows-only. */
+    * the external oracle instead of declared rows-only.
+    *
+    * Native since r21 ([[graft.functions.PortableValueHash60]],
+    * bit-identical to the old `conv(substring(md5(c),1,15),16,10)` —
+    * property-tested in GraftFunctionsSpec): one md5 straight into a
+    * long, no intermediate hex/substring/decimal strings, and an
+    * efficient INTERPRETED path for when the hash lands inside an
+    * `ObjectHashAggregate` input (the e71/e72 sketch shape). Built
+    * directly as an expression — no session registry needed. */
   def portableHash64(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+    org.apache.spark.sql.GraftColumns.column(
+      graft.functions.PortableValueHash60(
+        org.apache.spark.sql.GraftColumns.expression(c)))
 
   /** The affine min-hash family shared with the external oracle:
     * p is prime just under 2²⁴, the base hash is the top 24 bits of
@@ -126,9 +136,11 @@ object Dedup {
   }
 
   /** 24-bit engine-neutral base hash: int64 of the first 6 hex chars of
-    * md5(input). */
+    * md5(input). Native since r21 — see [[portableHash64]]. */
   def portableHash24(c: Column): Column =
-    conv(substring(md5(c), 1, 6), 16, 10).cast(LongType)
+    org.apache.spark.sql.GraftColumns.column(
+      graft.functions.PortableValueHash24(
+        org.apache.spark.sql.GraftColumns.expression(c)))
 
   /** E2 (MinHash-LSH, oracle-bridged flavor): the same shingle → k-min
     * signature → banded bucket join pipeline as [[minhashCandidates]],

@@ -92,6 +92,18 @@ object GraftFunctions {
         }
         PortableShingleHashes64(children.head, n)
       }),
+    (new FunctionIdentifier("graft_portable_hash60"),
+      new ExpressionInfo(classOf[PortableValueHash60].getName, "graft_portable_hash60"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_portable_hash60 takes exactly 1 argument")
+        PortableValueHash60(children.head)
+      }),
+    (new FunctionIdentifier("graft_portable_hash24"),
+      new ExpressionInfo(classOf[PortableValueHash24].getName, "graft_portable_hash24"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_portable_hash24 takes exactly 1 argument")
+        PortableValueHash24(children.head)
+      }),
     (new FunctionIdentifier("graft_quantize_i8"),
       new ExpressionInfo(classOf[QuantizeI8].getName, "graft_quantize_i8"),
       (children: Seq[Expression]) => {
