@@ -242,20 +242,28 @@ object Dedup {
     require(k % bands == 0, "k must be divisible by bands")
     val spark = docs.sparkSession
     import spark.implicits._
-    portableSignatures(docs, idCol, textCol, k, shingleWidth)
-      .write.mode("overwrite").parquet(s"$dir/signatures")
-    val sigT = spark.read.parquet(s"$dir/signatures")
-    portableBandKeys(sigT, k, bands)
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("key"))))
-      .filter(col("bucket_n") <= maxBucket)
-      .select(col("band"), col("key"), col("doc"))
-      .write.mode("overwrite").parquet(s"$dir/bands")
-    docs.select(col(idCol).as("doc"), md5(lower(col(textCol))).as("fp"))
-      .write.mode("overwrite").parquet(s"$dir/fingerprints")
-    Seq((k, bands, shingleWidth, maxBucket))
-      .toDF("k", "bands", "shingle_width", "max_bucket")
-      .write.mode("overwrite").parquet(s"$dir/meta")
+    // two independent action chains (guide §2.6): {signatures → bands}
+    // must stay ordered (bands re-derive from the PERSISTED signatures),
+    // but the fingerprint pass reads the raw docs and the meta write is
+    // driver-local — overlapping them back-fills the signature chain's
+    // task tails instead of idling through three sequential job gaps
+    ConcurrentActions.inParallel(
+      () => {
+        portableSignatures(docs, idCol, textCol, k, shingleWidth)
+          .write.mode("overwrite").parquet(s"$dir/signatures")
+        val sigT = spark.read.parquet(s"$dir/signatures")
+        portableBandKeys(sigT, k, bands)
+          .withColumn("bucket_n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("key"))))
+          .filter(col("bucket_n") <= maxBucket)
+          .select(col("band"), col("key"), col("doc"))
+          .write.mode("overwrite").parquet(s"$dir/bands")
+      },
+      () => docs.select(col(idCol).as("doc"), md5(lower(col(textCol))).as("fp"))
+        .write.mode("overwrite").parquet(s"$dir/fingerprints"),
+      () => Seq((k, bands, shingleWidth, maxBucket))
+        .toDF("k", "bands", "shingle_width", "max_bucket")
+        .write.mode("overwrite").parquet(s"$dir/meta"))
   }
 
   /** The ledger anchor for committed index appends: generation dirs
@@ -312,18 +320,23 @@ object Dedup {
   private def writeCompacted(spark: org.apache.spark.sql.SparkSession,
       idx: DedupIndex, outDir: String): Unit = {
     import spark.implicits._
-    idx.signatures.write.mode("overwrite").parquet(s"$outDir/signatures")
-    val sigT = spark.read.parquet(s"$outDir/signatures")
-    portableBandKeys(sigT, idx.meta.k, idx.meta.bands)
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("key"))))
-      .filter(col("bucket_n") <= idx.meta.maxBucket)
-      .select(col("band"), col("key"), col("doc"))
-      .write.mode("overwrite").parquet(s"$outDir/bands")
-    idx.fingerprints.write.mode("overwrite").parquet(s"$outDir/fingerprints")
-    Seq((idx.meta.k, idx.meta.bands, idx.meta.shingleWidth, idx.meta.maxBucket))
-      .toDF("k", "bands", "shingle_width", "max_bucket")
-      .write.mode("overwrite").parquet(s"$outDir/meta")
+    // same §2.6 overlap as buildDedupIndex: the {signatures → bands}
+    // chain stays ordered, fingerprints/meta fold concurrently
+    ConcurrentActions.inParallel(
+      () => {
+        idx.signatures.write.mode("overwrite").parquet(s"$outDir/signatures")
+        val sigT = spark.read.parquet(s"$outDir/signatures")
+        portableBandKeys(sigT, idx.meta.k, idx.meta.bands)
+          .withColumn("bucket_n", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("key"))))
+          .filter(col("bucket_n") <= idx.meta.maxBucket)
+          .select(col("band"), col("key"), col("doc"))
+          .write.mode("overwrite").parquet(s"$outDir/bands")
+      },
+      () => idx.fingerprints.write.mode("overwrite").parquet(s"$outDir/fingerprints"),
+      () => Seq((idx.meta.k, idx.meta.bands, idx.meta.shingleWidth, idx.meta.maxBucket))
+        .toDF("k", "bands", "shingle_width", "max_bucket")
+        .write.mode("overwrite").parquet(s"$outDir/meta"))
   }
 
   /** IN-PLACE crash-safe compaction: fold the base tables and every
@@ -608,12 +621,16 @@ object Dedup {
         m.getAs[Int]("shingle_width"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      sig.write.mode("overwrite").parquet(s"$gen/signatures")
-      portableBandKeys(sig, k, m.getAs[Int]("bands"))
-        .select(col("band"), col("key"), col("doc"))
-        .write.mode("overwrite").parquet(s"$gen/bands")
-      docs.select(col(idCol).as("doc"), md5(lower(col(textCol))).as("fp"))
-        .write.mode("overwrite").parquet(s"$gen/fingerprints")
+      // §2.6 overlap; both sig consumers race to materialize the persist
+      // first, which is safe (block-level getOrCompute locking computes
+      // each partition once)
+      ConcurrentActions.inParallel(
+        () => sig.write.mode("overwrite").parquet(s"$gen/signatures"),
+        () => portableBandKeys(sig, k, m.getAs[Int]("bands"))
+          .select(col("band"), col("key"), col("doc"))
+          .write.mode("overwrite").parquet(s"$gen/bands"),
+        () => docs.select(col(idCol).as("doc"), md5(lower(col(textCol))).as("fp"))
+          .write.mode("overwrite").parquet(s"$gen/fingerprints"))
       // the stream tag is part of the stage: complete before the PUT
       asStreamBatch.foreach(g =>
         ExactlyOnce.writeStreamTags(fs, gen, Map(lineage -> g)))

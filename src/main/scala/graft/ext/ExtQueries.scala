@@ -2008,14 +2008,16 @@ object ExtQueries {
       val staging = tempQueryDir("graft_e54_in")
       val fs = new org.apache.hadoop.fs.Path(staging)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
-      for (g <- 0 to 2) {
+      // the three slice writes are independent — overlap them (§2.6)
+      ConcurrentActions.inParallel((0 to 2).map(g => () => {
         val p = s"$staging/slice$g"
         docs.filter(col("doc_id") % 5 === 4 && col("doc_id") % 3 === g)
           .coalesce(1).write.mode("overwrite").parquet(p)
         fs.listStatus(new org.apache.hadoop.fs.Path(p))
           .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
           .foreach(st => fs.setTimes(st.getPath, 1700000000000L + g * 60000L, -1))
-      }
+        ()
+      }): _*)
       val sch = s.read.parquet(s"$staging/slice0").schema
       val src = s.readStream.schema(sch).option("maxFilesPerTrigger", 1)
         .parquet(s"$staging/slice*")
@@ -2053,14 +2055,16 @@ object ExtQueries {
       val staging = tempQueryDir("graft_e55_in")
       val fs = new org.apache.hadoop.fs.Path(staging)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
-      for ((m8, g) <- Seq((3L, 0), (7L, 1))) {
+      // independent slice writes — overlap them (§2.6)
+      ConcurrentActions.inParallel(Seq((3L, 0), (7L, 1)).map { case (m8, g) => () => {
         val p = s"$staging/slice$g"
         embs.filter(col("vec_id") % 8 === m8)
           .coalesce(1).write.mode("overwrite").parquet(p)
         fs.listStatus(new org.apache.hadoop.fs.Path(p))
           .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
           .foreach(st => fs.setTimes(st.getPath, 1700000000000L + g * 60000L, -1))
-      }
+        ()
+      }}: _*)
       val sch = s.read.parquet(s"$staging/slice0").schema
       val src = s.readStream.schema(sch).option("maxFilesPerTrigger", 1)
         .parquet(s"$staging/slice*")

@@ -846,24 +846,40 @@ object Similarity {
     * Training arithmetic is EXACTLY [[ivfPqTopK]]'s (same draw, same
     * Lloyd passes), so serve results match the in-query flavor row for
     * row — e47 is hash-checked against e37's oracle restatement. */
+  /** Cluster encoded codes by cell before a `partitionBy("cid")` write
+    * (r21, guide §6 "hash distribution before a partitioned write"):
+    * without it every scan task writes one file per cell it touches —
+    * tasks × nlist small files at scale, and at bench scale ONE task
+    * opening/closing all 64 parquet writers sequentially (~0.9 s per
+    * index write, measured via JobProfile). The exchange carries PQ
+    * codes (id + m bytes + norm), never raw vectors, so clustering is
+    * cheap at any scale; after it each cell is written by exactly one
+    * task, in parallel, and the file count is bounded by nlist. */
+  private def clusterByCell(codes: DataFrame): DataFrame =
+    codes.repartition(col("cid"))
+
   def buildIndex(corpus: DataFrame, path: String,
       nlist: Int = 64, m: Int = 8, ksub: Int = 16, pqIters: Int = 2,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val mod = trainIvfPq(corpus, nlist, m, ksub, pqIters, idCol, vecCol)
-    encodeWithModel(corpus, mod, idCol, vecCol)
-      .withColumnRenamed("__rnorm", "rnorm")
-      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/codes")
-    mod.cents.toSeq.toDF("cid", "vec", "norm")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    (for (j <- 0 until mod.m; c <- 0 until mod.ksub) yield (j, c,
-      (0 until mod.dsub).map(i => mod.books((j * mod.ksub + c) * mod.dsub + i))))
-      .toDF("j", "c", "w")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
-    Seq((mod.nlist, mod.m, mod.ksub, mod.dsub, mod.dim, idCol))
-      .toDF("nlist", "m", "ksub", "dsub", "dim", "id_col")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    // §2.6 overlap: the three model tables are driver-local one-task
+    // writes, fully independent of the codes encode+write — run all
+    // four actions concurrently instead of idling through four job gaps
+    ConcurrentActions.inParallel(
+      () => clusterByCell(encodeWithModel(corpus, mod, idCol, vecCol)
+        .withColumnRenamed("__rnorm", "rnorm"))
+        .write.mode("overwrite").partitionBy("cid").parquet(s"$path/codes"),
+      () => mod.cents.toSeq.toDF("cid", "vec", "norm")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids"),
+      () => (for (j <- 0 until mod.m; c <- 0 until mod.ksub) yield (j, c,
+        (0 until mod.dsub).map(i => mod.books((j * mod.ksub + c) * mod.dsub + i))))
+        .toDF("j", "c", "w")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks"),
+      () => Seq((mod.nlist, mod.m, mod.ksub, mod.dsub, mod.dim, idCol))
+        .toDF("nlist", "m", "ksub", "dsub", "dim", "id_col")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta"))
   }
 
   /** Ledger anchor for committed code appends (generation dirs
@@ -1012,12 +1028,13 @@ object Similarity {
   def compactIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, outPath: String): Unit = {
     val idx = loadIndex(spark, path)
-    idx.codes
-      .select(col(idx.idCol), col("packed"), col("__rnorm").as("rnorm"), col("cid"))
-      .write.mode("overwrite").partitionBy("cid").parquet(s"$outPath/codes")
-    for (t <- Seq("centroids", "codebooks", "meta"))
-      spark.read.parquet(s"$path/$t")
-        .coalesce(1).write.mode("overwrite").parquet(s"$outPath/$t")
+    ConcurrentActions.inParallel(
+      (() => clusterByCell(idx.codes
+        .select(col(idx.idCol), col("packed"), col("__rnorm").as("rnorm"), col("cid")))
+        .write.mode("overwrite").partitionBy("cid").parquet(s"$outPath/codes")) +:
+      Seq("centroids", "codebooks", "meta").map(t =>
+        () => spark.read.parquet(s"$path/$t")
+          .coalesce(1).write.mode("overwrite").parquet(s"$outPath/$t")): _*)
   }
 
   /** IN-PLACE crash-safe compaction: fold the codes base and every
@@ -1051,8 +1068,8 @@ object Similarity {
       .groupMapReduce(_._1)(_._2)(_ max _)
     val id = ExactlyOnce.nextAppendId(fs, anchor)
     val gen = ExactlyOnce.clearStage(fs, anchor, id)
-    idx.codes
-      .select(col(idx.idCol), col("packed"), col("__rnorm").as("rnorm"), col("cid"))
+    clusterByCell(idx.codes
+      .select(col(idx.idCol), col("packed"), col("__rnorm").as("rnorm"), col("cid")))
       .write.mode("overwrite").partitionBy("cid").parquet(gen.toString)
     // the reserved __tombstones lineage records the folded forget
     // high-water mark; the max-merge with carried watermarks is correct
@@ -1129,8 +1146,8 @@ object Similarity {
     val idx = loadIndex(spark, path) // model only; the codes scan stays unused
     val id = ExactlyOnce.nextAppendId(fs, anchor)
     val gen = ExactlyOnce.clearStage(fs, anchor, id)
-    encodeWithModel(vectors, idx.model, idx.idCol, vecCol)
-      .withColumnRenamed("__rnorm", "rnorm")
+    clusterByCell(encodeWithModel(vectors, idx.model, idx.idCol, vecCol)
+      .withColumnRenamed("__rnorm", "rnorm"))
       .write.mode("overwrite").partitionBy("cid")
       .parquet(gen.toString)
     // the stream tag is part of the stage: complete before the PUT

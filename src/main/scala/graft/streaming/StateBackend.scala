@@ -47,6 +47,16 @@ object StateBackend {
     // bound the changelog replay on restart; snapshots every 16 deltas
     // keep recovery O(recent batches) instead of O(stream lifetime)
     s.conf.set("spark.sql.streaming.stateStore.minDeltasForSnapshot", "16")
+    // changelog checkpointing (r21): commit uploads the batch's CHANGES
+    // to the checkpoint instead of a full RocksDB snapshot per commit —
+    // the per-micro-batch commit cost becomes O(batch), not O(state),
+    // which is both the production recommendation at state sizes that
+    // dwarf a micro-batch and a measured win on every streaming drain
+    // here (snapshots still land in the background per
+    // minDeltasForSnapshot, so recovery stays bounded)
+    s.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+      "true")
     s
   }
 
