@@ -190,6 +190,11 @@ object Dedup {
       textCol: String, k: Int, shingleWidth: Int): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val fam = portableFamily(k)
+    // r21 note: an Adaptive.fanOutSmall here was MEASURED SLOWER on the
+    // pipeline queries (e27/e35/e38 +0.6-1.7 s): the shingle front's
+    // map-side partial min-agg already collapses each task's rows to one
+    // partial per doc, so the extra exchange cost more than the
+    // parallelism bought. Left as-is deliberately.
     val tok = df.select(col(idCol).as("doc"),
       explode(call_function("graft_portable_shingles",
         col(textCol), lit(shingleWidth))).as("h"))

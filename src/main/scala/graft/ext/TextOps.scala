@@ -691,7 +691,10 @@ object TextOps {
     import spark.implicits._
     val symDf = broadcast(model.symbols.zipWithIndex
       .map { case ((s, _), i) => (s, i.toLong) }.toDF("sym", "sym_id"))
-    val seeded = df
+    // r21: the merge-chain application (2·rounds nested replaces per
+    // word occurrence) is CPU-bound map work on the scan — fan a
+    // sub-split corpus out to the cluster first (no-op at scale)
+    val seeded = Adaptive.fanOutSmall(df)
       .select(idCols.map(col) :+
         posexplode(regexp_extract_all(lower(col(textCol)),
           lit("[a-z]+|[0-9]+"), lit(0))).as(Seq("pos", "term")): _*)
