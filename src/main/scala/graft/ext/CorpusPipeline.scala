@@ -269,14 +269,15 @@ object CorpusPipeline {
     * would collide with future batch ids); compact between streams. */
   def ingestBatch(batch: DataFrame, batchId: Long, idCol: String,
       textCol: String, indexDir: String, verdictsDir: String,
-      minEstSim: Double = 0.4): Unit = {
+      minEstSim: Double = 0.4,
+      knownMeta: Option[Dedup.DedupIndexMeta] = None): Unit = {
     val s = batch.sparkSession
     // lineage = the verdict sink: one checkpoint lineage per sink dir is
     // already the sink's contract, so the sink path IS the stream
     // identity — index admissions tagged with it can't be shadowed by
     // other streams, manual appends, or compactions
     val idx = Dedup.loadDedupIndex(s, indexDir, beforeBatch = Some(batchId),
-      lineage = verdictsDir)
+      lineage = verdictsDir, knownMeta = knownMeta)
     val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val verdicts = Dedup.incrementalDedup(b, idCol, textCol, idx, minEstSim)
@@ -285,7 +286,8 @@ object CorpusPipeline {
         val admitted = b.join(
           verdicts.filter(col("verdict") === "new").select(idCol), Seq(idCol))
         Dedup.appendToDedupIndex(admitted, idCol, textCol, indexDir,
-          asStreamBatch = Some(batchId), lineage = verdictsDir)
+          asStreamBatch = Some(batchId), lineage = verdictsDir,
+          knownMeta = Some(idx.meta))
         graft.streaming.ExactlyOnce.commitBatch(verdicts, verdictsDir, batchId)
         ()
       } finally { verdicts.unpersist(blocking = false); () }
@@ -306,14 +308,23 @@ object CorpusPipeline {
     * without double-admitting (see [[ingestBatch]]). */
   def streamingDedupIngest(stream: DataFrame, idCol: String, textCol: String,
       indexDir: String, verdictsDir: String, checkpointDir: String,
-      minEstSim: Double = 0.4): org.apache.spark.sql.streaming.StreamingQuery =
+      minEstSim: Double = 0.4): org.apache.spark.sql.streaming.StreamingQuery = {
+    // index meta is immutable while the stream owns the index (the
+    // single-maintainer contract above) — read it on the first batch and
+    // pin it for the rest of the drain (one meta-read job per batch
+    // otherwise, r21)
+    var meta: Option[Dedup.DedupIndexMeta] = None
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (b: DataFrame, id: Long) =>
-        ingestBatch(b, id, idCol, textCol, indexDir, verdictsDir, minEstSim)
+        if (meta.isEmpty)
+          meta = Some(Dedup.loadDedupIndex(b.sparkSession, indexDir).meta)
+        ingestBatch(b, id, idCol, textCol, indexDir, verdictsDir, minEstSim,
+          knownMeta = meta)
       }
       .start()
+  }
 
   /** Terminal shard placement as a WRITER: the e42 contract
     * (deterministic pseudorandom order, hash-dense shards) applied to

@@ -444,9 +444,15 @@ object Dedup {
   def loadDedupIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, beforeBatch: Option[Long] = None,
       lineage: String = "default",
-      asOfGen: Option[Long] = None): DedupIndex = {
+      asOfGen: Option[Long] = None,
+      knownMeta: Option[DedupIndexMeta] = None): DedupIndex = {
     import graft.streaming.ExactlyOnce
-    val m = spark.read.parquet(s"$dir/meta").head()
+    // `knownMeta` skips the per-load meta-table read (one driver job):
+    // meta is immutable for an index dir (build-time geometry; appends/
+    // compactions never change it), so a caller that loads the same
+    // index repeatedly — the per-micro-batch ingest loop — can pin it
+    // once (r21; measured as one ~0.1-0.2 s job+gap per batch)
+    lazy val m = spark.read.parquet(s"$dir/meta").head()
     val anchor = appendsAnchor(dir)
     val fs = anchor.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val (cbase, tail0) = ExactlyOnce.resolveGenerations(fs, anchor, asOfGen)
@@ -475,8 +481,9 @@ object Dedup {
     def table(name: String): DataFrame =
       spark.read.parquet(s"$baseDir/$name" +: gens.map(g => s"$g/$name"): _*)
     DedupIndex(
-      DedupIndexMeta(m.getAs[Int]("k"), m.getAs[Int]("bands"),
-        m.getAs[Int]("shingle_width"), m.getAs[Int]("max_bucket")),
+      knownMeta.getOrElse(
+        DedupIndexMeta(m.getAs[Int]("k"), m.getAs[Int]("bands"),
+          m.getAs[Int]("shingle_width"), m.getAs[Int]("max_bucket"))),
       table("signatures"), table("bands"), table("fingerprints"))
   }
 
@@ -606,7 +613,8 @@ object Dedup {
     * fresh sink means a fresh lineage key. */
   def appendToDedupIndex(docs: DataFrame, idCol: String, textCol: String,
       dir: String, asStreamBatch: Option[Long] = None,
-      lineage: String = "default"): Unit = {
+      lineage: String = "default",
+      knownMeta: Option[DedupIndexMeta] = None): Unit = {
     import graft.streaming.ExactlyOnce
     val spark = docs.sparkSession
     val anchor = appendsAnchor(dir)
@@ -619,11 +627,16 @@ object Dedup {
     }
     if (docs.isEmpty) return
     val id = ExactlyOnce.nextAppendId(fs, anchor)
-    val m = spark.read.parquet(s"$dir/meta").head()
-    val k = m.getAs[Int]("k")
+    // meta is immutable per index dir — a caller holding a loaded index
+    // pins it instead of paying one meta-read job per append (r21)
+    val meta = knownMeta.getOrElse {
+      val m = spark.read.parquet(s"$dir/meta").head()
+      DedupIndexMeta(m.getAs[Int]("k"), m.getAs[Int]("bands"),
+        m.getAs[Int]("shingle_width"), m.getAs[Int]("max_bucket"))
+    }
+    val k = meta.k
     val gen = ExactlyOnce.clearStage(fs, anchor, id)
-    val sig = portableSignatures(docs, idCol, textCol, k,
-        m.getAs[Int]("shingle_width"))
+    val sig = portableSignatures(docs, idCol, textCol, k, meta.shingleWidth)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       // §2.6 overlap; both sig consumers race to materialize the persist
@@ -631,7 +644,7 @@ object Dedup {
       // each partition once)
       ConcurrentActions.inParallel(
         () => sig.write.mode("overwrite").parquet(s"$gen/signatures"),
-        () => portableBandKeys(sig, k, m.getAs[Int]("bands"))
+        () => portableBandKeys(sig, k, meta.bands)
           .select(col("band"), col("key"), col("doc"))
           .write.mode("overwrite").parquet(s"$gen/bands"),
         () => docs.select(col(idCol).as("doc"), md5(lower(col(textCol))).as("fp"))

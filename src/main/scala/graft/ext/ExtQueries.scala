@@ -2069,11 +2069,16 @@ object ExtQueries {
       val src = s.readStream.schema(sch).option("maxFilesPerTrigger", 1)
         .parquet(s"$staging/slice*")
       val ckpt = tempQueryDir("graft_e55_ck")
+      // the model is frozen at build — load once, pin for every batch
+      // (r21: three model-table read jobs per append otherwise)
+      var pinned: Option[Similarity.IvfPqIndex] = None
       val q = src.writeStream
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
-          Similarity.appendToIndex(b, dir, asStreamBatch = Some(id))
+          if (pinned.isEmpty) pinned = Some(Similarity.loadIndex(b.sparkSession, dir))
+          Similarity.appendToIndex(b, dir, asStreamBatch = Some(id),
+            knownIndex = pinned)
         }
         .start()
       q.awaitTermination()

@@ -1125,7 +1125,8 @@ object Similarity {
     * Single-appender contract. */
   def appendToIndex(vectors: DataFrame, path: String,
       vecCol: String = "embedding", asStreamBatch: Option[Long] = None,
-      lineage: String = "default"): Unit = {
+      lineage: String = "default",
+      knownIndex: Option[IvfPqIndex] = None): Unit = {
     import graft.streaming.ExactlyOnce
     val spark = vectors.sparkSession
     val anchor = codesAnchor(path)
@@ -1143,7 +1144,11 @@ object Similarity {
       if (seen.exists(_ >= g)) return // replay of an admitted batch
     }
     if (vectors.isEmpty) return // before the ledger probe: no wasted repair/IO
-    val idx = loadIndex(spark, path) // model only; the codes scan stays unused
+    // model only; the codes scan stays unused. The model is FROZEN at
+    // build time (appends never retrain), so a caller appending in a
+    // loop pins the loaded index instead of paying the three model-table
+    // reads (meta head + centroids/codebooks collects) per append (r21)
+    val idx = knownIndex.getOrElse(loadIndex(spark, path))
     val id = ExactlyOnce.nextAppendId(fs, anchor)
     val gen = ExactlyOnce.clearStage(fs, anchor, id)
     clusterByCell(encodeWithModel(vectors, idx.model, idx.idCol, vecCol)
