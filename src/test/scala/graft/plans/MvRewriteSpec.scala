@@ -52,6 +52,51 @@ class MvRewriteSpec extends SparkSpec {
     }
   }
 
+  test("two CONCURRENT serves both execute rewritten plans (re-entrancy, VERDICT r20 #1)") {
+    // the unsynchronized prev :+ rule / restore-prev pattern let two
+    // overlapping serves drop each other's rule — the silent base-scan
+    // fallback through a different door. Each body must see its own
+    // rule for its WHOLE extent, however the two interleave.
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    def servedPlan(): String = servePinned(spark, mvDefs) {
+      barrier.await() // both serves are now inside their rule context
+      val q = query()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains(new java.io.File(mvDir).getName) &&
+        !plan.contains(new java.io.File(baseDir).getName),
+        s"concurrent serve must read partials only:\n$plan")
+      barrier.await() // hold the context until BOTH have planned
+      q
+    }.queryExecution.executedPlan.toString
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      val fa = pool.submit(new java.util.concurrent.Callable[String] {
+        def call(): String = servedPlan() })
+      val fb = pool.submit(new java.util.concurrent.Callable[String] {
+        def call(): String = servedPlan() })
+      fa.get(); fb.get()
+      ()
+    } finally { pool.shutdown(); () }
+    // after both restores the session carries no leftover rewrite rule
+    assert(spark.experimental.extraOptimizations
+      .forall(!_.isInstanceOf[RewriteToMv]))
+  }
+
+  test("a NESTED serve keeps the outer rule active after the inner restores") {
+    serveWith(spark, mvDefs) {
+      serveWith(spark, mvDefs) {
+        assert(spark.experimental.extraOptimizations
+          .count(_.isInstanceOf[RewriteToMv]) == 2)
+      }
+      val plan = query().queryExecution.executedPlan.toString
+      assert(plan.contains(new java.io.File(mvDir).getName) &&
+        !plan.contains(new java.io.File(baseDir).getName),
+        s"outer serve must still rewrite after the inner restore:\n$plan")
+    }
+    assert(spark.experimental.extraOptimizations
+      .forall(!_.isInstanceOf[RewriteToMv]))
+  }
+
   test("a frame ESCAPING serveWith re-optimizes without the rule; servePinned keeps the serve real") {
     // extraOptimizations is read per EXECUTION: a lazy frame returned
     // out of the block re-derives from the BASE table at its next

@@ -189,7 +189,9 @@ def main():
     name_row = re.compile(r"\|\s*([cde]\d+_\w+)\s*\|")
     for ln in open(os.path.join(ROOT, "BASELINE.md")):
         if ln.startswith("##") or ln.lstrip().startswith("**"):
-            in_sf10 = "sf10" in ln
+            # boundary match (ADVICE r20): "sf10" as a substring also
+            # matches "sf100", which marked sf100-only sections as sf10
+            in_sf10 = re.search(r"sf10(?!\d)", ln) is not None
             in_sf100 = "sf100" in ln
         m = name_row.match(ln)
         if m:
