@@ -33,6 +33,8 @@ object JobProfile {
     final case class Job(id: Int, t0: Long, var t1: Long = -1L,
         site: String = "", var tasks: Int = 0)
     val jobs = new scala.collection.mutable.LinkedHashMap[Int, Job]
+    // per-stage task durations (ms) — max/median exposes skew (§2.5)
+    val stageTasks = new scala.collection.mutable.LinkedHashMap[Int, scala.collection.mutable.ArrayBuffer[Long]]
     val listener = new SparkListener {
       override def onJobStart(e: SparkListenerJobStart): Unit = jobs.synchronized {
         val site = Option(e.properties)
@@ -43,6 +45,12 @@ object JobProfile {
       override def onJobEnd(e: SparkListenerJobEnd): Unit = jobs.synchronized {
         jobs.get(e.jobId).foreach(_.t1 = System.nanoTime())
       }
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        jobs.synchronized {
+          stageTasks.getOrElseUpdate(e.stageId,
+            new scala.collection.mutable.ArrayBuffer[Long]) +=
+            (e.taskInfo.finishTime - e.taskInfo.launchTime)
+        }
     }
 
     // one untimed warmup rep (JIT/codegen), then profiled reps
@@ -77,6 +85,15 @@ object JobProfile {
     println("-- gaps over 50 ms (driver-side work before the job):")
     bestJobs.filter(_._2 > 50e6).sortBy(-_._2).take(25).foreach { case (j, g) =>
       println(f"  before job ${j.id}%4d ${g / 1e9}%8.3f s  ${j.site}")
+    }
+    println("-- stages with max task over 100 ms (skew check: max vs median):")
+    jobs.synchronized {
+      stageTasks.toSeq.map { case (sid, ts) =>
+        val sorted = ts.sorted
+        (sid, sorted.last, sorted(sorted.size / 2), ts.size)
+      }.filter(_._2 > 100).sortBy(-_._2).take(20).foreach { case (sid, mx, med, n) =>
+        println(f"  stage $sid%5d max=${mx}%5d ms med=${med}%5d ms tasks=$n%4d")
+      }
     }
     spark.stop()
   }

@@ -209,18 +209,42 @@ object Cardinality {
       .as(s"s_${r}_$b")
   }
 
+  /** One-digest sketch-input vector (r21, guide §4):
+    * `graft_md5_sketch(key)` = `[kmv_hash, slice32(0..3)]` — numerically
+    * the [[kmvHashFromHex]] value and the four [[amsSliceSql]] slices
+    * from ONE native md5 (property-tested in ValueHashSpec). The
+    * multi-estimator aggregates read `element_at`s of the projected
+    * array; the hex formulation re-parsed the digest per estimator
+    * INTERPRETED inside the ObjectHashAggregate (17 substring/base16
+    * chains per row — most of e75/e76's runtime). */
+  def md5Sketch(key: Column): Column = {
+    val e = org.apache.spark.sql.GraftColumns.expression(key.cast("string"))
+    org.apache.spark.sql.GraftColumns.column(graft.functions.Md5Sketch(e))
+  }
+
+  /** The KMV hash element of a [[md5Sketch]] vector. */
+  def kmvHashFromSketch(sk: Column): Column = element_at(sk, 1)
+
+  /** [[amsSignSums]] read off a [[md5Sketch]] vector. */
+  def amsSignSumsFromSketch(sk: Column): Seq[Column] =
+    AmsEstimators.map { case (r, b) =>
+      sum(lit(1L) - lit(2L) * (shiftright(element_at(sk, r + 2), b) % 2))
+        .as(s"s_${r}_$b")
+    }
+
   /** `Σ s² / |estimators|` over the [[amsSignSums]] columns. */
   def amsF2Est: Column =
     AmsEstimators.map { case (r, b) => col(s"s_${r}_$b") * col(s"s_${r}_$b") }
       .reduce(_ + _).cast("double") / lit(AmsEstimators.size)
 
   def amsSelfJoinSize(df: DataFrame, keyCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     // NULL keys would silently vanish from the ± sums (md5(NULL) is
     // NULL) while still counting in n_rows/f2_exact — scope BOTH arms
     // to non-null keys so exact and estimate describe the same bag
     val rows = df.filter(col(keyCol).isNotNull)
-    val sketch = rows.select(md5Hex(col(keyCol)).as("__h"))
-      .agg(count(lit(1)).as("n_rows"), amsSignSums(col("__h")): _*)
+    val sketch = rows.select(md5Sketch(col(keyCol)).as("__a"))
+      .agg(count(lit(1)).as("n_rows"), amsSignSumsFromSketch(col("__a")): _*)
     val exact = rows.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
       .agg(sum(col("n") * col("n")).as("f2_exact"))
     sketch.crossJoin(exact)

@@ -855,8 +855,14 @@ object Similarity {
     * codes (id + m bytes + norm), never raw vectors, so clustering is
     * cheap at any scale; after it each cell is written by exactly one
     * task, in parallel, and the file count is bounded by nlist. */
-  private def clusterByCell(codes: DataFrame): DataFrame =
-    codes.repartition(col("cid"))
+  private def clusterByCell(codes: DataFrame, nlist: Int): DataFrame =
+    // EXPLICIT partition count: a bare repartition(col) is subject to
+    // AQE small-partition coalescing, which folded the tiny bench-scale
+    // exchange back to 1-2 tasks and re-serialized the 64 per-cell
+    // writers (measured, e64). A user-specified count is respected by
+    // AQE; hash(cid) across nlist partitions puts each cell in exactly
+    // one task with at most a few cells per task at any scale.
+    codes.repartition(nlist, col("cid"))
 
   def buildIndex(corpus: DataFrame, path: String,
       nlist: Int = 64, m: Int = 8, ksub: Int = 16, pqIters: Int = 2,
@@ -869,7 +875,7 @@ object Similarity {
     // four actions concurrently instead of idling through four job gaps
     ConcurrentActions.inParallel(
       () => clusterByCell(encodeWithModel(corpus, mod, idCol, vecCol)
-        .withColumnRenamed("__rnorm", "rnorm"))
+        .withColumnRenamed("__rnorm", "rnorm"), mod.nlist)
         .write.mode("overwrite").partitionBy("cid").parquet(s"$path/codes"),
       () => mod.cents.toSeq.toDF("cid", "vec", "norm")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids"),
@@ -1030,7 +1036,8 @@ object Similarity {
     val idx = loadIndex(spark, path)
     ConcurrentActions.inParallel(
       (() => clusterByCell(idx.codes
-        .select(col(idx.idCol), col("packed"), col("__rnorm").as("rnorm"), col("cid")))
+        .select(col(idx.idCol), col("packed"), col("__rnorm").as("rnorm"), col("cid")),
+        idx.model.nlist)
         .write.mode("overwrite").partitionBy("cid").parquet(s"$outPath/codes")) +:
       Seq("centroids", "codebooks", "meta").map(t =>
         () => spark.read.parquet(s"$path/$t")
@@ -1069,7 +1076,8 @@ object Similarity {
     val id = ExactlyOnce.nextAppendId(fs, anchor)
     val gen = ExactlyOnce.clearStage(fs, anchor, id)
     clusterByCell(idx.codes
-      .select(col(idx.idCol), col("packed"), col("__rnorm").as("rnorm"), col("cid")))
+      .select(col(idx.idCol), col("packed"), col("__rnorm").as("rnorm"), col("cid")),
+      idx.model.nlist)
       .write.mode("overwrite").partitionBy("cid").parquet(gen.toString)
     // the reserved __tombstones lineage records the folded forget
     // high-water mark; the max-merge with carried watermarks is correct
@@ -1152,7 +1160,7 @@ object Similarity {
     val id = ExactlyOnce.nextAppendId(fs, anchor)
     val gen = ExactlyOnce.clearStage(fs, anchor, id)
     clusterByCell(encodeWithModel(vectors, idx.model, idx.idCol, vecCol)
-      .withColumnRenamed("__rnorm", "rnorm"))
+      .withColumnRenamed("__rnorm", "rnorm"), idx.model.nlist)
       .write.mode("overwrite").partitionBy("cid")
       .parquet(gen.toString)
     // the stream tag is part of the stage: complete before the PUT

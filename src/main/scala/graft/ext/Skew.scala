@@ -126,13 +126,15 @@ object Skew {
     * plus the two derived decision signals. */
   def measureFrame(df: DataFrame, key: String, k: Int = 256): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val hexed = df.select(Cardinality.md5Hex(col(key)).as("__h")) // NULL key → NULL hex
+    // one native digest per row projected as the [kmv, slice0..3] vector
+    // (r21 — see Cardinality.md5Sketch); NULL key → NULL vector
+    val hexed = df.select(Cardinality.md5Sketch(col(key)).as("__a"))
     val aggs = Seq(
       count(lit(1)).as("all_rows"),
-      count(col("__h")).as("n"), // non-null keys only
+      count(col("__a")).as("n"), // non-null keys only
       call_function("graft_kmv",
-        Cardinality.kmvHashFromHex(col("__h")), lit(k)).as("kmv")) ++
-      Cardinality.amsSignSums(col("__h"))
+        Cardinality.kmvHashFromSketch(col("__a")), lit(k)).as("kmv")) ++
+      Cardinality.amsSignSumsFromSketch(col("__a"))
     val nSq = col("n").cast("double") * col("n").cast("double")
     // Zero non-null keys (empty frame / all-NULL key) makes the sign sums
     // aggregate zero rows → NULL f2, and nSq = 0 → NaN ratios. Coalesce

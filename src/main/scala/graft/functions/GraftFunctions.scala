@@ -104,6 +104,12 @@ object GraftFunctions {
         require(children.size == 1, "graft_portable_hash24 takes exactly 1 argument")
         PortableValueHash24(children.head)
       }),
+    (new FunctionIdentifier("graft_md5_sketch"),
+      new ExpressionInfo(classOf[Md5Sketch].getName, "graft_md5_sketch"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_md5_sketch takes exactly 1 argument")
+        Md5Sketch(children.head)
+      }),
     (new FunctionIdentifier("graft_quantize_i8"),
       new ExpressionInfo(classOf[QuantizeI8].getName, "graft_quantize_i8"),
       (children: Seq[Expression]) => {

@@ -35,6 +35,25 @@ class ValueHashSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("md5 sketch vector equals the kmvHashFromHex + amsSliceSql chain element-for-element") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 1500).map(_ =>
+      new String(Array.fill(rnd.nextInt(30))((rnd.nextInt(0x2FFF) + 1).toChar))) ++
+      Seq("", "x", null)
+    val df = rows.toDF("s")
+    val hex = md5(col("s"))
+    val refArr = array(
+      (conv(substring(hex, 1, 15), 16, 10).cast(LongType) + lit(1L)) +:
+        (0 until 4).map(r =>
+          conv(substring(hex, 1 + 8 * r, 8), 16, 10).cast(LongType)): _*)
+    val bad = df.select(
+        graft.ext.Cardinality.md5Sketch(col("s")).as("nat"),
+        when(col("s").isNotNull, refArr).as("ref"))
+      .filter(!(col("nat") <=> col("ref"))).count()
+    assert(bad == 0)
+  }
+
   test("value hashes stay native under interpreted eval (aggregate input shape)") {
     import spark.implicits._
     // the e71 shape: the hash as graft_kmv's input expression, evaluated
