@@ -2076,7 +2076,14 @@ object ExtQueries {
         .option("checkpointLocation", ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
-          if (pinned.isEmpty) pinned = Some(Similarity.loadIndex(b.sparkSession, dir))
+          if (pinned.isEmpty) {
+            // batch-bounded append DAG (frozen broadcast model, batch
+            // codes): AQE's per-stage jobs are pure overhead here —
+            // same scoped-to-the-stream-session reasoning as
+            // CorpusPipeline.streamingDedupIngest
+            b.sparkSession.conf.set("spark.sql.adaptive.enabled", "false")
+            pinned = Some(Similarity.loadIndex(b.sparkSession, dir))
+          }
           Similarity.appendToIndex(b, dir, asStreamBatch = Some(id),
             knownIndex = pinned)
         }

@@ -115,6 +115,11 @@ class StreamingIngestSpec extends SparkSpec {
       .parquet(s"$staging/slice*")
     CorpusPipeline.streamingDedupIngest(src, "doc_id", "text",
       streamedIdx, streamedSink, ckpt).awaitTermination()
+    // the batch-bounded AQE-off applies to the STREAM's cloned session
+    // only — the caller's session (which runs corpus-sized builds)
+    // must keep adaptive execution
+    assert(s.conf.get("spark.sql.adaptive.enabled") == "true",
+      "ingest-loop AQE scoping leaked into the caller's session")
     CorpusPipeline.ingestBatch(ingest.filter(col("doc_id") < 20L), 0L,
       "doc_id", "text", handIdx, handSink)
     CorpusPipeline.ingestBatch(ingest.filter(col("doc_id") >= 20L), 1L,
